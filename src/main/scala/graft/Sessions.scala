@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single SparkSession factory for the engine.
+  *
+  * Tuned for the test harness (local[32], one JVM) but every setting is
+  * chosen to be correct on a real multi-executor cluster too:
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *     handling, which is what keeps the same code viable at 100 TB.
+  *   - shuffle.partitions matches local cores here; on a cluster this is
+  *     overridden by AQE's coalescing anyway.
+  *   - UTC session timezone so results are reproducible against the
+  *     DuckDB oracle (naive timestamps).
+  */
+object Sessions {
+  def local(cores: String = "32", shufflePartitions: String = "32"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type,
+      // so (if needed) read them as raw Long nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

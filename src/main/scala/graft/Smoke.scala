@@ -1,0 +1,15 @@
+package graft
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("8", "8")
+    val dir = "/root/testdata/sf0.001"
+    Seq("region","nation","customer","supplier","part","orders","lineitem","documents","embeddings").foreach { t =>
+      val df = Tables.table(spark, dir, t)
+      println(s"$t count=${df.count()} schema=${df.schema.simpleString.take(200)}")
+    }
+    val ev = Tables.events(spark, dir)
+    println(s"events count=${ev.count()} schema=${ev.schema.simpleString}")
+    ev.select("ts","event_type","props").orderBy("event_id").show(3, false)
+    spark.stop()
+  }
+}
