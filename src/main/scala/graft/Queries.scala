@@ -1,0 +1,694 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF, HashFunctions => HF}
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** The engine's declared query surface (SURVEY.md §2): each entry is a
+  * Spark implementation paired (where SQL-expressible) with ANSI SQL the
+  * driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism contract for oracle hash-matching:
+  *   - every query ends in a total ORDER BY;
+  *   - computed doubles are rounded (sums of the 2-decimal fixture
+  *     columns are decimal-exact, so round() cannot straddle a boundary);
+  *   - timestamps are surfaced as epoch integers or DATE, never raw
+  *     TIMESTAMP (the events table is nanos on disk);
+  *   - count/len/rank outputs are cast to the same integer width on both
+  *     sides (DuckDB widens to BIGINT/HUGEINT where Spark stays INT/LONG).
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def money(c: org.apache.spark.sql.Column) = round(c, 2)
+
+  // ---------------------------------------------------------------- scans/aggs
+
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(sum(col("l_quantity"))).as("sum_qty"),
+          money(sum(col("l_extendedprice"))).as("sum_base_price"),
+          money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      round(avg(l_quantity),4) AS avg_qty,
+      round(avg(l_extendedprice),4) AS avg_price,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1,2 ORDER BY 1,2"""))
+
+  private val q02 = Q(
+    "q02_distinct_counts",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+    Some("""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+      count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem"""))
+
+  // --------------------------------------------------------------------- joins
+
+  private val q03 = Q(
+    "q03_top_revenue",
+    (s, d) => {
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON o_orderkey=l_orderkey
+      WHERE c_mktsegment='BUILDING'
+      GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+
+  private val q04 = Q(
+    "q04_region_stats",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          money(sum(col("c_acctbal"))).as("sum_acctbal"),
+          min(col("c_acctbal")).as("min_acctbal"),
+          max(col("c_acctbal")).as("max_acctbal"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS sum_acctbal,
+      min(c_acctbal) AS min_acctbal, max(c_acctbal) AS max_acctbal
+      FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  private val q05 = Q(
+    "q05_customers_no_orders",
+    (s, d) => {
+      // anti-join (incremental-dedup shape, reference test.py:142-146):
+      // customers with no large order on file
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey"""))
+
+  private val q06 = Q(
+    "q06_big_spenders",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey"""))
+
+  private val q07 = Q(
+    "q07_nation_pairs",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val a = n.select(col("n_nationkey").as("ka"), col("n_name").as("nation_a"), col("n_regionkey").as("rka"))
+      val b = n.select(col("n_nationkey").as("kb"), col("n_name").as("nation_b"), col("n_regionkey").as("rkb"))
+      a.join(b, col("rka") === col("rkb") && col("ka") < col("kb"))
+        .join(broadcast(Tables.region(s, d)), col("rka") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("nation_a"), col("nation_b"))
+        .orderBy(col("region"), col("nation_a"), col("nation_b"))
+    },
+    Some("""SELECT r_name AS region, a.n_name AS nation_a, b.n_name AS nation_b
+      FROM nation a JOIN nation b ON a.n_regionkey=b.n_regionkey AND a.n_nationkey<b.n_nationkey
+      JOIN region ON a.n_regionkey=r_regionkey
+      ORDER BY region, nation_a, nation_b"""))
+
+  private val q36 = Q(
+    "q36_min_price_parts",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val mins = p.groupBy(col("p_brand").as("b")).agg(min(col("p_retailprice")).as("m"))
+      p.join(mins, col("p_brand") === col("b") && col("p_retailprice") === col("m"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    },
+    Some("""SELECT p.p_brand AS p_brand, p.p_partkey, p.p_retailprice
+      FROM part p JOIN (SELECT p_brand, min(p_retailprice) AS m FROM part GROUP BY 1) g
+        ON p.p_brand=g.p_brand AND p.p_retailprice=g.m
+      ORDER BY p.p_brand, p.p_partkey"""))
+
+  // ----------------------------------------------------------------- reshaping
+
+  private val q08 = Q(
+    "q08_unpivot_part",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")), "measure", "value")
+        .orderBy(col("p_partkey"), col("measure"))
+    },
+    Some("""SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+      ORDER BY p_partkey, measure"""))
+
+  // ------------------------------------------------------------------- windows
+
+  private val q09 = Q(
+    "q09_topk_orders_per_cust",
+    (s, d) => {
+      Relational.topKPerGroup(
+        Tables.orders(s, d),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        3, "rnk")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rnk"""))
+
+  private val q10 = Q(
+    "q10_order_delta",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  private val q11 = Q(
+    "q11_running_spend",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(sum(col("o_totalprice")).over(w)).as("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // ------------------------------------------------------------ rollup / cube
+
+  private val q12 = Q(
+    "q12_rollup_customers",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          money(sum(col("c_acctbal"))).as("sum_acctbal"),
+          (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("gid"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_customers"), col("sum_acctbal"), col("gid"))
+        .orderBy(col("gid"), col("region"), col("nation"))
+    },
+    Some("""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+      count(*) AS n_customers, round(sum(c_acctbal),2) AS sum_acctbal,
+      CAST(grouping(r_name)*2+grouping(n_name) AS INT) AS gid
+      FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+      GROUP BY ROLLUP(r_name, n_name) ORDER BY gid, region, nation"""))
+
+  private val q13 = Q(
+    "q13_cube_lineitem",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          money(sum(col("l_quantity"))).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("gid"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+    Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag, coalesce(l_linestatus,'ALL') AS linestatus,
+      count(*) AS n, round(sum(l_quantity),2) AS sum_qty,
+      CAST(grouping(l_returnflag)*2+grouping(l_linestatus) AS INT) AS gid
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, returnflag, linestatus"""))
+
+  // ------------------------------------------------------------------- set ops
+
+  private val q14 = Q(
+    "q14_small_spenders_except",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_totalprice") > 300000).select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders
+      EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      ORDER BY custkey"""))
+
+  private val q15 = Q(
+    "q15_nation_presence",
+    (s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL SELECT s_nationkey FROM supplier) t
+      GROUP BY 1 ORDER BY 1"""))
+
+  // ----------------------------------------------------------- scalar functions
+
+  private val q16 = Q(
+    "q16_string_ops",
+    (s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        substring_index(col("c_name"), "#", -1).as("cnum"),
+        regexp_replace(col("c_name"), "[0-9]+", "N").as("cmask"),
+        length(col("c_name")).cast("int").as("name_len"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("int").as("lev"),
+        concat_ws("|", col("c_mktsegment"), col("c_custkey").cast("string")).as("ckey"),
+        regexp_replace(col("c_name"), java.util.regex.Pattern.quote("Customer#"), "C").as("cshort"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("cvowel"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, lower(c_name) AS lname, split_part(c_name,'#',2) AS cnum,
+      regexp_replace(c_name,'[0-9]+','N','g') AS cmask,
+      CAST(length(c_name) AS INT) AS name_len,
+      CAST(levenshtein(c_mktsegment,'BUILDING') AS INT) AS lev,
+      concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS ckey,
+      replace(c_name,'Customer#','C') AS cshort,
+      substr(c_name,1,8) AS prefix8,
+      translate(c_mktsegment,'AEIOU','aeiou') AS cvowel
+      FROM customer ORDER BY c_custkey"""))
+
+  private val q17 = Q(
+    "q17_date_ops",
+    (s, d) => {
+      val od = col("o_orderdate").cast("date")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        od.as("od"),
+        year(od).cast("int").as("yr"),
+        month(od).cast("int").as("mo"),
+        dayofmonth(od).cast("int").as("dom"),
+        datediff(od, lit("1995-01-01")).cast("int").as("days_since"),
+        date_add(od, 30).as("plus30"),
+        trunc(od, "month").as("mstart"),
+        last_day(od).as("mend"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+      CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(day(o_orderdate) AS INT) AS dom,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+      CAST(o_orderdate AS DATE) + 30 AS plus30,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+      last_day(CAST(o_orderdate AS DATE)) AS mend
+      FROM orders ORDER BY o_orderkey"""))
+
+  private val q35 = Q(
+    "q35_orders_monthly",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"))
+        .agg(count(lit(1)).as("n_orders"), money(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  // ------------------------------------------------------------- events / json
+
+  private val q18 = Q(
+    "q18_json_extract",
+    (s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"),
+        col("user_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k, event_type, user_id
+      FROM events ORDER BY event_id"""))
+
+  private val q22 = Q(
+    "q22_event_scan",
+    (s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events ORDER BY event_id"""))
+
+  private val q19 = Q(
+    "q19_hourly_events",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), money(sum(col("value"))).as("sum_value"),
+          max(col("value")).as("max_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"), col("max_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+      count(*) AS n, round(sum(value),2) AS sum_value, max(value) AS max_value
+      FROM events GROUP BY 1,2 ORDER BY 1,2"""))
+
+  private val q20 = Q(
+    "q20_sliding_windows",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("wstart"), col("n"))
+        .orderBy(col("wstart"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+      g AS (SELECT (us // 1800000000) * 1800000000 AS su FROM e
+        UNION ALL SELECT (us // 1800000000) * 1800000000 - 1800000000 AS su FROM e)
+      SELECT CAST(su // 1000000 AS BIGINT) AS wstart, count(*) AS n
+      FROM g GROUP BY 1 ORDER BY 1"""))
+
+  private val q21 = Q(
+    "q21_sessionize",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      Relational.sessionize(ev, col("user_id"), col("us"), 1800000000L, col("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      f AS (SELECT user_id, event_id, us,
+        CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, us,
+        sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n,
+        min(us) AS start_us, max(us) AS end_us
+      FROM g GROUP BY 1,2 ORDER BY 1,2"""))
+
+  // ------------------------------------------------------------ text analysis
+
+  private val q23 = Q(
+    "q23_dedup_exact",
+    (s, d) => {
+      Dedup.exactContentGroups(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("canonical_id"), col("dup_count"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+      count(*) OVER (PARTITION BY sha256(text)) AS dup_count
+      FROM documents ORDER BY doc_id"""))
+
+  private val q24 = Q(
+    "q24_token_stats",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TF.distinctTokenCount(col("text")).cast("bigint").as("n_uniq"),
+        length(col("text")).cast("bigint").as("text_len"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS n_uniq,
+      CAST(length(text) AS BIGINT) AS text_len, n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  private val q25 = Q(
+    "q25_text_quality",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(TF.typeTokenRatio(col("text")), 4).as("ttr"),
+        round(TF.avgTokenLength(col("text")), 4).as("avg_tok_len"),
+        round(TF.stopwordRatio(col("text"), Seq("the", "a", "of", "and", "to")), 4).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS toks FROM documents)
+      SELECT doc_id,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),4) AS ttr,
+        round(CAST(length(replace(text,' ','')) AS DOUBLE)/len(toks),4) AS avg_tok_len,
+        round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)/len(toks),4) AS stop_ratio
+      FROM t ORDER BY doc_id"""))
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "fr" -> Seq("le", "la", "et"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "los", "de"))
+
+  private val q26 = Q(
+    "q26_lang_stopword_score",
+    (s, d) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def hits(words: Seq[String]) =
+        words.map(w => TF.occurrences(padded, s" $w ")).reduce(_ + _).cast("int")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        hits(langProfiles(0)._2).as("en_hits"),
+        hits(langProfiles(1)._2).as("fr_hits"),
+        hits(langProfiles(2)._2).as("de_hits"),
+        hits(langProfiles(3)._2).as("es_hits"),
+        TF.stopwordLanguageScore(col("text"), langProfiles).as("predicted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (SELECT doc_id, lang, ' '||text||' ' AS pt FROM documents),
+      h AS (SELECT doc_id, lang,
+        CAST((length(pt)-length(replace(pt,' the ','')))//5
+           + (length(pt)-length(replace(pt,' a ','')))//3
+           + (length(pt)-length(replace(pt,' of ','')))//4 AS INT) AS en_hits,
+        CAST((length(pt)-length(replace(pt,' le ','')))//4
+           + (length(pt)-length(replace(pt,' la ','')))//4
+           + (length(pt)-length(replace(pt,' et ','')))//4 AS INT) AS fr_hits,
+        CAST((length(pt)-length(replace(pt,' der ','')))//5
+           + (length(pt)-length(replace(pt,' und ','')))//5
+           + (length(pt)-length(replace(pt,' das ','')))//5 AS INT) AS de_hits,
+        CAST((length(pt)-length(replace(pt,' el ','')))//4
+           + (length(pt)-length(replace(pt,' los ','')))//5
+           + (length(pt)-length(replace(pt,' de ','')))//4 AS INT) AS es_hits
+        FROM p)
+      SELECT doc_id, lang, en_hits, fr_hits, de_hits, es_hits,
+        CASE WHEN en_hits>=fr_hits AND en_hits>=de_hits AND en_hits>=es_hits THEN 'en'
+             WHEN fr_hits>=de_hits AND fr_hits>=es_hits THEN 'fr'
+             WHEN de_hits>=es_hits THEN 'de'
+             ELSE 'es' END AS predicted
+      FROM h ORDER BY doc_id"""))
+
+  private val q27 = Q(
+    "q27_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        substring(TF.fingerprint(col("text")), 1, 16).as("fp16"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fp,
+      substr(sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))),1,16) AS fp16
+      FROM documents ORDER BY doc_id"""))
+
+  private val q28 = Q(
+    "q28_shingle_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(
+          col("id_a"), col("id_b"),
+          round(TF.shingleJaccard(col("ta"), col("tb"), 3), 4).as("jaccard3"),
+          round(TF.shingleJaccard(col("ta"), col("tb"), 2), 4).as("jaccard2"))
+        .orderBy(col("id_a"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      s AS (SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s3,
+        list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1])) AS s2
+        FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.s3,b.s3)) AS DOUBLE)/len(list_distinct(list_concat(a.s3,b.s3))),4) AS jaccard3,
+        round(CAST(len(list_intersect(a.s2,b.s2)) AS DOUBLE)/len(list_distinct(list_concat(a.s2,b.s2))),4) AS jaccard2
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"""))
+
+  // ------------------------------------------------------- embeddings / vector
+
+  /** Portable double-precision cosine fragment for the DuckDB side —
+    * list_cosine_similarity computes in float32 and would not hash-match.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a,$b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))"""
+
+  private val q29 = Q(
+    "q29_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+        .crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", round(VF.cosine(col("qe"), col("ce")), 6))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      sc AS (SELECT query_id, neighbor_id, round(${duckCosine("qe", "ce")}, 6) AS sim
+        FROM q, c WHERE neighbor_id != query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+        FROM sc)
+      SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  private val q30 = Q(
+    "q30_embedding_neardup",
+    (s, d) => {
+      Dedup.embeddingNearDuplicates(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${duckCosine("a.embedding", "b.embedding")} AS cosd
+      FROM embeddings a JOIN embeddings b ON a.label=b.label AND a.vec_id<b.vec_id)
+      SELECT id_a, id_b, round(cosd,6) AS sim FROM sc WHERE cosd >= 0.3 ORDER BY id_a, id_b"""))
+
+  // ------------------------------------------------------------ binary columns
+
+  private val q31 = Q(
+    "q31_binary_ops",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        base64(substring(col("text"), 1, 24).cast("binary")).as("b64"),
+        md5(col("text").cast("binary")).as("m5"),
+        length(col("text").cast("binary")).cast("bigint").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, to_base64(CAST(substr(text,1,24) AS BLOB)) AS b64,
+      md5(text) AS m5, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id"""))
+
+  // -------------------------------------- sketch ops (no SQL oracle: rows-only)
+
+  private val q32 = Q(
+    "q32_minhash_bands",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = docs.select(
+        col("doc_id"),
+        HF.minHashSignature(array_distinct(TF.wordShingles(col("text"), 3)), 16).as("sig"))
+      sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), HF.bandKey(col("sig"), b, 4).as("band_key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+        .orderBy(col("doc_id"), col("band"))
+    },
+    None)
+
+  private val q33 = Q(
+    "q33_simhash",
+    (s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        HF.simHash(TF.tokens(col("text")), 48).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  private val q34 = Q(
+    "q34_ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshCosineTopK(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, dim = 64, tables = 6, bitsPerTable = 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  private val q37 = Q(
+    "q37_minhash_neardup_pairs",
+    (s, d) => {
+      Dedup.minHashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  // ---------------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
+    q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34, q35, q36, q37)
+}

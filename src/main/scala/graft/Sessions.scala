@@ -29,6 +29,13 @@ object Sessions {
       // so (if needed) read them as raw Long nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // getOrCreate may return a pre-existing session whose configs differ
+    // from the ones requested above; nanosAsLong in particular changes how
+    // events.ts decodes, so fail loudly instead of silently mis-reading.
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "Sessions.local: existing SparkSession lacks spark.sql.legacy.parquet.nanosAsLong=true; " +
+        "create the graft session before any other SparkSession in this JVM")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

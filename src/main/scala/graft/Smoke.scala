@@ -2,7 +2,7 @@ package graft
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8", "8")
-    val dir = "/root/testdata/sf0.001"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     Seq("region","nation","customer","supplier","part","orders","lineitem","documents","embeddings").foreach { t =>
       val df = Tables.table(spark, dir, t)
       println(s"$t count=${df.count()} schema=${df.schema.simpleString.take(200)}")

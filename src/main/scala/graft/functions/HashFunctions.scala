@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hash-sketch primitives (MinHash, SimHash) as pure Catalyst expression
+  * compositions. Signatures are deterministic functions of the input text
+  * (xxhash64 with per-row salts), so they are stable across runs,
+  * partitionings, and cluster sizes — a requirement for incremental
+  * dedup over a growing 100 TB corpus.
+  */
+object HashFunctions {
+
+  /** k-permutation MinHash signature of a string-array column (shingle
+    * set): element i is `min over s of xxhash64("mh<i>|" ++ s)`.
+    * Returns `array<bigint>` of length k; hashes of an empty set are
+    * Long.MaxValue so empty docs never spuriously collide with content.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val sets = array_distinct(shingles)
+    val cols: Seq[Column] = (0 until k).map { i =>
+      coalesce(array_min(transform(sets, s => xxhash64(concat(lit(s"mh$i|"), s)))), lit(Long.MaxValue))
+    }
+    array(cols: _*)
+  }
+
+  /** LSH band key: hash of rows `[band*rowsPerBand, (band+1)*rowsPerBand)`
+    * of the signature. Two docs whose signatures agree on every row of a
+    * band get the same key — the banding trick that turns near-dup search
+    * into an equi-join (shuffle on (band, key), no all-pairs compare).
+    */
+  def bandKey(signature: Column, band: Int, rowsPerBand: Int): Column =
+    xxhash64(
+      lit(band),
+      array_join(
+        transform(slice(signature, band * rowsPerBand + 1, rowsPerBand), x => x.cast("string")),
+        ","))
+
+  /** SimHash of a token-array column, packed into a Long with `bits`
+    * significant bits (bit j = sign of the sum over tokens of ±1 driven by
+    * bit j of the token's xxhash64). Near-identical token multisets give
+    * signatures within small Hamming distance.
+    */
+  def simHash(toks: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 63, "1..63 bits")
+    (0 until bits).map { j =>
+      val contrib = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Chunk c (of `chunks` equal slices) of a packed simhash — used as an
+    * LSH blocking key: Hamming-close signatures share at least one
+    * identical chunk when distance < chunks.
+    */
+  def simHashChunk(sig: Column, c: Int, bits: Int, chunks: Int): Column = {
+    val w = bits / chunks
+    shiftright(sig, c * w).bitwiseAND((1L << w) - 1L)
+  }
+}

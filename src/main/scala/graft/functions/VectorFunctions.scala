@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` / `array<double>`
+  * columns, built from Catalyst higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — codegen-friendly, no UDFs, no driver-side
+  * collection. At 100 TB the embedding column never leaves the executors.
+  *
+  * Accumulation is double-precision and strictly left-to-right (the
+  * `aggregate` HOF contract), which makes results bit-reproducible and
+  * comparable across engines.
+  */
+object VectorFunctions {
+
+  /** Double-precision dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Squared Euclidean distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2-normalized copy of the vector (unit length); zero vector maps to
+    * itself.
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n)).otherwise(transform(a, x => x.cast("double")))
+  }
+
+  /** Signed random-hyperplane (SimHash-for-vectors) signature: one bit per
+    * plane, packed into a Long (plane 0 = LSB). `planes` are generated
+    * driver-side from a seeded PRNG and inlined as literals, so the
+    * signature is deterministic and computed fully inside codegen.
+    *
+    * This is the LSH primitive for approximate cosine search: vectors with
+    * small angle collide on most bits.
+    */
+  def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63, "1..63 planes per signature word")
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = typedLit(p.toSeq)
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic unit-ish hyperplanes from a seed (Gaussian via
+    * java.util.Random, which is seed-stable across JVMs).
+    */
+  def randomPlanes(dim: Int, count: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Hamming distance between two packed signature Longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image) column operators over opaque `binary` columns.
+  *
+  * Mirrors the reference pipeline's image stage — decode → bounded
+  * aspect-preserving resize (max dim, truncating arithmetic, never
+  * upscale) → JPEG re-encode at a quality setting — re-expressed for
+  * Spark (`/root/reference/test.py:44-59`, `trial-img-processor.py:24-35`):
+  *
+  *   - images live in a BinaryType column (`binaryFile` source or
+  *     parquet), never on the driver;
+  *   - decode/resize/encode are executor-local JVM ops (javax.imageio —
+  *     no native deps), registered as codegen-breaking UDFs deliberately
+  *     isolated in one narrow projection so the rest of the plan stays in
+  *     whole-stage codegen;
+  *   - unreadable bytes produce NULL (+ an error flag), never a task
+  *     failure — one corrupt image in 10^9 must not kill a 100 TB job
+  *     (reference behavior: error-row and continue, `test.py:46-48`).
+  */
+object ImageOps {
+
+  final val DefaultMaxDim = 1024
+  final val DefaultQuality = 0.65f // reference QUALITY=65 (test.py:36)
+
+  /** (width, height) of an image byte array, or null if undecodable. */
+  def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    decode(bytes).map(im => (im.getWidth, im.getHeight))
+
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null) None
+    else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Reference resize semantics (`test.py:50-53`): scale = maxDim /
+    * max(w, h); only applied when scale < 1 (never upscale); new dims use
+    * `int()` truncation.
+    */
+  def boundedResize(im: BufferedImage, maxDim: Int): BufferedImage = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val scale = maxDim.toDouble / math.max(w, h)
+    if (scale >= 1.0) im
+    else {
+      val nw = (w * scale).toInt
+      val nh = (h * scale).toInt
+      val out = new BufferedImage(math.max(nw, 1), math.max(nh, 1), BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(im, 0, 0, math.max(nw, 1), math.max(nh, 1), null)
+      } finally g.dispose()
+      out
+    }
+  }
+
+  def encodeJpeg(im: BufferedImage, quality: Float): Array[Byte] = {
+    // JPEG writer rejects alpha; normalize to RGB first.
+    val rgb =
+      if (im.getType == BufferedImage.TYPE_INT_RGB) im
+      else {
+        val c = new BufferedImage(im.getWidth, im.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics(); try g.drawImage(im, 0, 0, null) finally g.dispose()
+        c
+      }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(rgb, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Full compress step: decode → bounded resize → JPEG(quality); None on
+    * undecodable input.
+    */
+  def compress(bytes: Array[Byte], maxDim: Int, quality: Float): Option[Array[Byte]] =
+    decode(bytes).map(im => encodeJpeg(boundedResize(im, maxDim), quality))
+
+  // ------------------------------------------------------------- column API
+
+  /** struct(width int, height int) or NULL when undecodable. */
+  val imageDims: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => decodeDims(bytes))
+
+  def imageCompress(maxDim: Int = DefaultMaxDim, quality: Float = DefaultQuality)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => compress(bytes, maxDim, quality).orNull)
+
+  /** size in KB rounded to 2 decimals — the reference's metadata metric
+    * (`test.py:58-59`), pure built-ins.
+    */
+  def sizeKb(content: Column): Column = round(length(content) / lit(1024.0), 2)
+
+  /** Annotate a binary-column DataFrame with decoded metadata + compressed
+    * payload. The single UDF projection is the only codegen break; all
+    * derived metrics are Catalyst built-ins on top of it.
+    */
+  def withImageColumns(df: DataFrame, contentCol: String,
+      maxDim: Int = DefaultMaxDim, quality: Float = DefaultQuality): DataFrame = {
+    df.withColumn("dims", imageDims(col(contentCol)))
+      .withColumn("width", col("dims._1"))
+      .withColumn("height", col("dims._2"))
+      .withColumn("decode_error", col("dims").isNull)
+      .withColumn("compressed", imageCompress(maxDim, quality)(col(contentCol)))
+      .withColumn("size_kb", sizeKb(col(contentCol)))
+      .withColumn("compressed_size_kb", sizeKb(col("compressed")))
+      .drop("dims")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for large text/embedding corpora.
+  *
+  * Scale design: every variant reduces to (a) a narrow projection that
+  * computes a per-row sketch inside codegen, then (b) ONE shuffle on the
+  * sketch key. No operator here ever builds an all-pairs comparison; LSH
+  * banding / chunk blocking turn near-dup search into equi-joins whose
+  * build side is the (tiny) bucket co-membership, so the same plan that
+  * runs on 500 docs runs on 10^10 docs with only shuffle-partition
+  * scaling. Generalizes the reference's key-based incremental dedup
+  * (`/root/reference/test.py:103-107,142-146`).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row (lowest `idCol`) per key. One shuffle
+    * (the window partition); no join.
+    */
+  def keepFirstByKey(df: DataFrame, keyCols: Seq[Column], idCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(idCol.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup over a text column via sha-256 content hash:
+    * annotates every row with its canonical (minimum) id and the size of
+    * its duplicate group. Hashing first means the shuffle key is a fixed
+    * 64-char string rather than document bodies — at 100 TB the shuffle
+    * moves hashes, not text.
+    */
+  def exactContentGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.withColumn("__h", sha2(col(textCol), 256))
+    val groups = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+    hashed.join(groups, "__h").drop("__h")
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard verify.
+    *
+    * shingle → k-minhash → band keys → self-equi-join per band →
+    * distinct candidate pairs → verify with exact shingle Jaccard ≥
+    * `threshold`.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. The only shuffles are
+    * the band-key join and the final distinct; the verify re-joins the
+    * shingle sets of candidate pairs only (candidates ≪ all pairs).
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__shingles", array_distinct(TextFunctions.wordShingles(col("__text"), shingleSize)))
+      .withColumn("__sig", HashFunctions.minHashSignature(col("__shingles"), numHashes))
+
+    val banded = withSig.select(
+      col("__id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), HashFunctions.bandKey(col("__sig"), b, rowsPerBand).as("key"))): _*))
+        .as("bk"))
+      .select(col("__id"), col("bk.band"), col("bk.key"))
+
+    val candidates = banded.as("l")
+      .join(banded.as("r"), col("l.band") === col("r.band") && col("l.key") === col("r.key")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+
+    val sh = withSig.select(col("__id"), col("__shingles"))
+    candidates
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__shingles", "__sa"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__shingles", "__sb"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double")
+          / size(array_union(col("__sa"), col("__sb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicates: pairs within `maxHamming` bits. Blocking by
+    * signature chunk (pigeonhole: distance < chunks ⇒ some chunk equal)
+    * keeps this an equi-join too.
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      chunks: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    val sigs = df.select(
+      col(idCol).as("__id"),
+      HashFunctions.simHash(TextFunctions.tokens(col(textCol)), bits).as("__sig"))
+
+    val chunked = sigs.select(
+      col("__id"), col("__sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"), HashFunctions.simHashChunk(col("__sig"), c, bits, chunks).as("ck"))): _*))
+        .as("cc"))
+      .select(col("__id"), col("__sig"), col("cc.c"), col("cc.ck"))
+
+    chunked.as("l")
+      .join(chunked.as("r"), col("l.c") === col("r.c") && col("l.ck") === col("r.ck")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        VectorFunctions.hammingDistance(col("l.__sig"), col("r.__sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, blocked on
+    * `blockCol` (e.g. a cluster/label/LSH-bucket column) so the join is an
+    * equi-join on the block key rather than a cross join.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val slim = df.select(col(idCol).as("__id"), col(embCol).as("__e"), col(blockCol).as("__b"))
+    slim.as("l").join(slim.as("r"), col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("l.__e"), col("r.__e")))
+      .filter(col("cosine") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator helpers that recur across the engine's query
+  * surface: per-group top-k, wide→long reshape, sessionization, and
+  * iterative transitive closure (the `stage_dependency` DAG from the
+  * reference's ER model, `/root/reference/test.mmd:52-58`).
+  */
+object Relational {
+
+  /** Top-k rows per group, deterministic via explicit tie-break columns.
+    * One shuffle (the window partition); with AQE this is the canonical
+    * scalable "first-match" (reference `/root/reference/test.py:163-164`).
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column], k: Int,
+      rankName: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** Gaps-and-islands sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapMicros`. Output adds
+    * `session_id` (1-based per key). Integer arithmetic only — exactly
+    * reproducible. Two stacked windows, one shuffle (same partitioning).
+    */
+  def sessionize(df: DataFrame, keyCol: Column, tsMicrosCol: Column, gapMicros: Long,
+      orderTieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsMicrosCol.asc, orderTieBreak.asc)
+    val newSess = when(
+      tsMicrosCol - lag(tsMicrosCol, 1).over(w) > gapMicros || lag(tsMicrosCol, 1).over(w).isNull, 1L)
+      .otherwise(0L)
+    df.withColumn("__new", newSess)
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Transitive closure of an edge table by iterated self-join doubling
+    * (path-halving: frontier of length-≤2^i paths). Runs on the driver as
+    * a loop of DataFrame jobs; each iteration is one shuffle join +
+    * distinct. `maxIter` bounds runaway graphs; persists intermediate
+    * frontiers and unpersists as soon as superseded.
+    */
+  def transitiveClosure(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame = {
+    var closure = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    var n = closure.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = closure.as("a")
+        .join(closure.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .union(closure)
+        .distinct()
+        .persist()
+      val m = next.count()
+      if (m == n) { converged = true; next.unpersist() }
+      else { closure.unpersist(); closure = next; n = m }
+      iter += 1
+    }
+    closure
+  }
+
+  /** Longest path (in hops) to each node of a DAG from any root —
+    * iterative relaxation; useful for stage-dependency scheduling depth.
+    */
+  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    var depth = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+      .withColumn("depth", lit(0L)).persist()
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val relaxed = depth.as("d").join(e, col("d.node") === col("src"))
+        .select(col("dst").as("node"), (col("depth") + 1L).as("depth"))
+        .union(depth)
+        .groupBy("node").agg(max("depth").as("depth"))
+        .persist()
+      changed = relaxed.as("l").join(depth.as("r"), Seq("node"))
+        .filter(col("l.depth") =!= col("r.depth")).limit(1).count() > 0
+      depth.unpersist()
+      depth = relaxed
+      iter += 1
+    }
+    e.unpersist()
+    depth
+  }
+}

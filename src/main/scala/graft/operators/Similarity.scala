@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Scale shape: the query set is small and broadcast; the corpus streams.
+  * Brute force is the exactness baseline (one broadcast-nested-loop pass,
+  * no shuffle of the corpus); the LSH variant prunes the corpus to
+  * signature-bucket collisions first so the per-query work drops from
+  * O(corpus) to O(bucket), which is the 100 TB path.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` must be small (it is broadcast). Corpus rows never shuffle:
+    * the cross product is a BroadcastNestedLoopJoin, and the only shuffle
+    * is the per-query top-k window over k·|queries| surviving rows.
+    */
+  def bruteForceCosineTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: random-hyperplane signatures over
+    * `tables` independent hash tables of `bitsPerTable` bits each; a
+    * corpus row is a candidate for a query if they collide in ANY table.
+    * Candidates are exactly re-ranked by true cosine.
+    *
+    * Recall/cost dial: more tables → higher recall & more candidates;
+    * more bits → smaller buckets. The corpus-side signature computation is
+    * a codegen projection; the candidate join is an equi-join on
+    * (table, signature) — the corpus never cross-joins the queries.
+    */
+  def lshCosineTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      dim: Int,
+      tables: Int = 8,
+      bitsPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val planes = (0 until tables).map(t =>
+      VectorFunctions.randomPlanes(dim, bitsPerTable, seed + 1000L * t))
+
+    def withSigs(df: DataFrame, id: String, emb: String, idOut: String, embOut: String) =
+      df.select(
+        col(id).as(idOut), col(emb).as(embOut),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"),
+            VectorFunctions.hyperplaneSignature(col(emb), planes(t)).as("sig"))): _*)).as("ts"))
+        .select(col(idOut), col(embOut), col("ts.table"), col("ts.sig"))
+
+    val cs = withSigs(corpus, corpusId, corpusEmb, "neighbor_id", "__ce")
+    val qs = broadcast(withSigs(queries, queryId, queryEmb, "query_id", "__qe"))
+
+    val candidates = cs.join(qs, Seq("table", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qe"), col("__ce"))
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style search: assign every corpus vector to its nearest centroid
+    * (broadcast centroid list), then search only the `nprobe` centroids
+    * closest to each query. Centroids come from `trainCentroids` (or any
+    * external clustering). Returns exact cosine over the probed subset.
+    */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      centroids: DataFrame, // (centroid_id, centroid: array<double>)
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
+
+    def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) = {
+      val w = Window.partitionBy(col(idOut)).orderBy(col("__cd").desc, col("centroid_id").asc)
+      df.select(col(id).as(idOut), col(emb).as(embOut))
+        .crossJoin(cents)
+        .withColumn("__cd", VectorFunctions.cosine(col(embOut), col("centroid")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= keep)
+        .select(col(idOut), col(embOut), col("centroid_id"))
+    }
+
+    val ca = assign(corpus, corpusId, corpusEmb, "neighbor_id", "__ce", 1)
+    val qa = broadcast(assign(queries, queryId, queryEmb, "query_id", "__qe", nprobe))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    ca.join(qa, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Per-group element-wise mean vectors (e.g. per-label centroids):
+    * posexplode → per-dimension avg → re-assemble ordered by position.
+    * Two shuffles regardless of dimension; no vectors on the driver.
+    */
+  def trainCentroids(df: DataFrame, embCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+}

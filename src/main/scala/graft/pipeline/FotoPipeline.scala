@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.multimodal.ImageOps
+import graft.operators.Incremental
+
+/** Spark-first re-expression of the reference's v2 pipeline
+  * (`/root/reference/test.py` — Excel-driven incremental photo ETL):
+  *
+  *   forms export (wide, 8 photo-slot column pairs)
+  *     → unpivot to long                         (test.py:115-137)
+  *     → null-slot filter                        (test.py:136-137)
+  *     → normalize names/keys                    (test.py:129-130,139-140)
+  *     → anti-join vs processed-state            (test.py:103-107,142-146)
+  *     → broadcast slot→folder dim lookup        (test.py:23-32,148-151)
+  *     → image decode/resize/encode              (test.py:44-59)
+  *     → partitioned sink + metadata append      (test.py:172-201)
+  *
+  * Every stage is a declarative DataFrame op (Catalyst pushes the null
+  * filter below the unpivot, broadcast-joins the 8-row dim, and keeps
+  * everything except the image UDF in whole-stage codegen). The pipeline
+  * is one shuffle-free DAG when the state side is broadcastable; at
+  * 10^9-key state, swap the anti-join input through
+  * `Incremental.newRowsBloom`.
+  */
+object FotoPipeline {
+
+  /** The reference's 8 photo slots: (photo URL column, description column). */
+  def slotPairs(n: Int): Seq[(String, String)] =
+    (1 to n).map(i => (s"foto_$i", s"deskripsi_$i"))
+
+  /** Wide → long: one row per non-null photo slot, keeping the composite
+    * business key. Uses `stack`-style unpivot over struct pairs so URL and
+    * description travel together.
+    */
+  def unpivotSlots(wide: DataFrame, keyCols: Seq[String], slots: Seq[(String, String)]): DataFrame = {
+    val pairs = slots.zipWithIndex.map { case ((u, d), i) =>
+      struct(lit(i + 1).as("slot"), col(u).as("link_foto"), coalesce(col(d), lit("")).as("deskripsi_foto"))
+    }
+    wide.select(keyCols.map(col) :+ explode(array(pairs: _*)).as("s"): _*)
+      .select(keyCols.map(col) :+ col("s.slot") :+ col("s.link_foto") :+ col("s.deskripsi_foto"): _*)
+      .filter(col("link_foto").isNotNull)
+  }
+
+  /** Reference name normalization (`test.py:139-140`): URL-decode, take
+    * the path basename, spaces → underscores.
+    */
+  def normalizeFilename(url: Column): Column =
+    regexp_replace(element_at(split(url_decode(url), "/"), -1), " ", "_")
+
+  /** `minggu` normalization (`test.py:130`): string-cast + underscore. */
+  def normalizeKeyPart(c: Column): Column = regexp_replace(c.cast("string"), " ", "_")
+
+  /** Full delta computation: long-form rows not yet present in state,
+    * joined against the slot→folder dimension (unmatched slots become
+    * error rows rather than dropped — reference behavior, test.py:148-151).
+    */
+  def newWork(longRows: DataFrame, state: DataFrame, slotDim: DataFrame): DataFrame = {
+    val keyed = longRows
+      .withColumn("nama_file", normalizeFilename(col("link_foto")))
+      .withColumn("minggu", normalizeKeyPart(col("minggu")))
+      .withColumn("kode_proyek", col("kode_proyek").cast("string"))
+    val fresh = Incremental.newRows(keyed, state, Seq("kode_proyek", "minggu", "nama_file"))
+    fresh.join(broadcast(slotDim), Seq("slot"), "left")
+      .withColumn("error", when(col("folder").isNull, lit("unknown_slot")))
+  }
+
+  /** Image stage + metadata projection: the reference's 6-column output
+    * record (`test.py:186-193`) with the compressed payload alongside.
+    */
+  def processImages(work: DataFrame, contentCol: String,
+      maxDim: Int = ImageOps.DefaultMaxDim, quality: Float = ImageOps.DefaultQuality): DataFrame = {
+    val processed = ImageOps.withImageColumns(work, contentCol, maxDim, quality)
+    processed.withColumn("size_gambar_kb", ImageOps.sizeKb(col("compressed")))
+      .withColumn("link_foto_out",
+        concat_ws("/", col("kode_proyek"), col("minggu"), col("nama_file")))
+  }
+
+  /** Partitioned sink (`test.py:172-173` hive-style layout) + metadata
+    * append (`test.py:197-201`). Partition pruning for downstream readers
+    * comes free from partitionBy.
+    */
+  def writeOutputs(processed: DataFrame, imagesDir: String, metadataDir: String): Unit = {
+    processed
+      .select(col("kode_proyek"), col("minggu"), col("nama_file"), col("compressed"))
+      .write.mode("append").partitionBy("kode_proyek", "minggu").parquet(imagesDir)
+    processed
+      .select(col("kode_proyek"), col("minggu"), col("link_foto_out").as("link_foto"),
+        col("deskripsi_foto"), col("nama_file"), col("size_gambar_kb"))
+      .write.mode("append").parquet(metadataDir)
+  }
+}

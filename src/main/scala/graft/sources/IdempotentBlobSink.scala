@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Idempotent, path-keyed blob sink — the engine form of the reference's
+  * GitHub contents-API upload (`/root/reference/test.py:62-93`): GET the
+  * existing object's version, PUT with that version to overwrite, create
+  * otherwise; per-record failures become error rows, never task aborts.
+  *
+  * The transport is pluggable (`BlobStore`) so the sink logic —
+  * partition-local connection reuse, upsert-by-key idempotency (safe
+  * under Spark task retries, exactly like the reference's sha-overwrite),
+  * row-level error capture — is testable hermetically; a real HTTP store
+  * plugs in without touching the operator. The reference's
+  * `verify=False` TLS bypass (`test.py:70,87`) is deliberately NOT
+  * reproduced.
+  */
+object IdempotentBlobSink {
+
+  /** One logical remote object store. Implementations must be cheap to
+    * construct per partition (or internally pool).
+    */
+  trait BlobStore extends AutoCloseable {
+    /** Current version token of `path`, if the object exists. */
+    def currentVersion(path: String): Option[String]
+    /** Create or overwrite; `expectedVersion` carries the token from
+      * `currentVersion` for conditional overwrite. Returns the stored
+      * object's URL or an error message.
+      */
+    def put(path: String, bytes: Array[Byte], expectedVersion: Option[String]): Either[String, String]
+    def close(): Unit = ()
+  }
+
+  val resultSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("url", StringType),
+    StructField("error", StringType)))
+
+  /** Upload every row's `contentCol` to `pathCol`, one store per
+    * partition, returning (path, url, error) per row. All rows are
+    * attempted; failures surface as `error` values (reference
+    * `test.py:89-91`).
+    */
+  def upload(df: DataFrame, pathCol: String, contentCol: String,
+      storeFactory: () => BlobStore): DataFrame = {
+    val spark = df.sparkSession
+    val slim = df.select(col(pathCol).cast("string").as("p"), col(contentCol).as("c"))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val store = storeFactory()
+      val out = rows.map { r =>
+        val path = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val version = store.currentVersion(path)
+          store.put(path, bytes, version) match {
+            case Right(url) => Row(path, url, null)
+            case Left(err)  => Row(path, null, err)
+          }
+        } catch { case e: Exception => Row(path, null, e.getMessage) }
+      }
+      // drain fully before closing the store
+      val materialized = out.toVector
+      store.close()
+      materialized.iterator
+    }
+    spark.createDataFrame(rdd, resultSchema)
+  }
+}

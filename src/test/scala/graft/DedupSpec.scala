@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Incremental}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact content groups finds duplicate texts") {
+    val df = Seq((1L, "hello world"), (2L, "other text"), (3L, "hello world")).toDF("id", "text")
+    val r = Dedup.exactContentGroups(df, "id", "text")
+      .select("id", "canonical_id", "dup_count").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 1L, 2L)))
+  }
+
+  test("keepFirstByKey keeps lowest id per key") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
+    val kept = Dedup.keepFirstByKey(df, Seq(col("k")), col("id")).as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "k1"), (2L, "k2")))
+  }
+
+  test("minhash LSH finds near-duplicate pair, skips dissimilar") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ")
+    val far = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash near-dup: identical docs distance 0; different docs filtered") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDuplicates(df, "doc_id", "text", bits = 48, chunks = 4, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 0)
+  }
+
+  test("embedding near-dup within block") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.99f, 0.05f), 0),
+      (3L, Seq(-1.0f, 0.0f), 0), (4L, Seq(1.0f, 0.0f), 1)).toDF("id", "emb", "blk")
+    val pairs = Dedup.embeddingNearDuplicates(df, "id", "emb", "blk", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 is opposite; 4 is another block
+  }
+
+  test("incremental: rerun on unchanged input yields zero new rows") {
+    val state = Seq(("p1", "w1", "f1"), ("p1", "w1", "f2")).toDF("kode_proyek", "minggu", "nama_file")
+    val input = Seq(("p1", "w1", "f1"), ("p1", "w1", "f2"), ("p2", "w1", "f1"))
+      .toDF("kode_proyek", "minggu", "nama_file")
+    val fresh = Incremental.newRows(input, state, Seq("kode_proyek", "minggu", "nama_file"))
+    assert(fresh.count() == 1)
+    // after appending, rerun is a no-op — the reference's core invariant
+    val state2 = state.unionByName(fresh)
+    assert(Incremental.newRows(input, state2, Seq("kode_proyek", "minggu", "nama_file")).count() == 0)
+  }
+
+  test("bloom-filtered incremental matches exact anti-join") {
+    val state = (1 to 500).map(i => (s"p$i", "w", s"f$i")).toDF("kode_proyek", "minggu", "nama_file")
+    val input = (400 to 600).map(i => (s"p$i", "w", s"f$i")).toDF("kode_proyek", "minggu", "nama_file")
+    val exact = Incremental.newRows(input, state, Seq("kode_proyek", "minggu", "nama_file"))
+      .as[(String, String, String)].collect().toSet
+    val bloomed = Incremental.newRowsBloom(input, state, Seq("kode_proyek", "minggu", "nama_file"), 500L)
+      .as[(String, String, String)].collect().toSet
+    assert(bloomed == exact)
+  }
+}

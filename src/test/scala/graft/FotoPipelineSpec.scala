@@ -1,0 +1,97 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.FotoPipeline
+import graft.sources.IdempotentBlobSink
+
+class FotoPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("unpivot slots: wide form → long rows, null slots dropped, missing desc defaults empty") {
+    val wide = Seq(
+      ("P1", "7", "http://x/a%20b.jpg", "desc a", "http://x/c.jpg", null: String),
+      ("P2", "9", null: String, null: String, "http://x/d.jpg", "desc d"))
+      .toDF("kode_proyek", "minggu", "foto_1", "deskripsi_1", "foto_2", "deskripsi_2")
+    val long = FotoPipeline.unpivotSlots(wide, Seq("kode_proyek", "minggu"), FotoPipeline.slotPairs(2))
+    val rows = long.orderBy("kode_proyek", "slot").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getAs[String]("deskripsi_foto") == "") // null desc → ""
+  }
+
+  test("filename normalization: url-decode, basename, underscores") {
+    val r = Seq("http://host/path/Foto%20Satu%20x.jpg").toDF("u")
+      .select(FotoPipeline.normalizeFilename(col("u"))).as[String].head()
+    assert(r == "Foto_Satu_x.jpg")
+  }
+
+  test("end-to-end delta pipeline: normalize → anti-join → dim join → image → sinks; rerun no-op") {
+    val tmp = Files.createTempDirectory("foto").toString
+    val wide = Seq(("KDJMI PROV", "minggu 7", "http://x/a.jpg", "pondasi", "http://x/b.jpg", "atap"))
+      .toDF("kode_proyek", "minggu", "foto_1", "deskripsi_1", "foto_2", "deskripsi_2")
+    val long = FotoPipeline.unpivotSlots(wide, Seq("kode_proyek", "minggu"), FotoPipeline.slotPairs(2))
+    val state = Seq.empty[(String, String, String)].toDF("kode_proyek", "minggu", "nama_file")
+    val dim = Seq((1, "Foto Pertama"), (2, "Foto Kedua")).toDF("slot", "folder")
+
+    val work = FotoPipeline.newWork(long, state, dim)
+    assert(work.count() == 2)
+    assert(work.filter(col("error").isNotNull).count() == 0)
+    assert(work.select("minggu").distinct().as[String].head() == "minggu_7")
+
+    val withBytes = work.withColumn("content", lit(jpegBytes(2048, 1024)))
+    val processed = FotoPipeline.processImages(withBytes, "content")
+    FotoPipeline.writeOutputs(processed, s"$tmp/images", s"$tmp/meta")
+
+    val meta = spark.read.parquet(s"$tmp/meta")
+    assert(meta.columns.sorted.toSeq ==
+      Seq("deskripsi_foto", "kode_proyek", "link_foto", "minggu", "nama_file", "size_gambar_kb"))
+    assert(meta.count() == 2)
+
+    // partitioned layout {kode_proyek}/{minggu}
+    val imgDirs = new java.io.File(s"$tmp/images").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(imgDirs.exists(_.startsWith("kode_proyek=")))
+
+    // rerun with updated state → zero new work (reference invariant test.py:203-204)
+    val state2 = state.unionByName(meta.select("kode_proyek", "minggu", "nama_file"))
+    assert(FotoPipeline.newWork(long, state2, dim).count() == 0)
+  }
+
+  test("idempotent blob sink: upsert overwrites, errors become rows") {
+    val store = new InMemoryStore
+    val df = Seq(("p/a.jpg", Array[Byte](1)), ("p/b.jpg", Array[Byte](2)), ("FAIL/c.jpg", Array[Byte](3)))
+      .toDF("path", "content")
+    val r1 = IdempotentBlobSink.upload(df, "path", "content", () => new InMemoryStore)
+    val rows = r1.collect()
+    assert(rows.count(_.isNullAt(2)) == 2)
+    assert(rows.filter(r => r.getString(0).startsWith("FAIL")).forall(!_.isNullAt(2)))
+    // direct store-level upsert semantics
+    assert(store.put("k", Array[Byte](1), None).isRight)
+    val v = store.currentVersion("k")
+    assert(v.isDefined)
+    assert(store.put("k", Array[Byte](2), v).isRight)
+    assert(store.currentVersion("k") != v)
+  }
+}
+
+/** Hermetic BlobStore fake: versions are content hashes; paths starting
+  * with FAIL error out (exercises the row-level error path).
+  */
+class InMemoryStore extends IdempotentBlobSink.BlobStore with Serializable {
+  private val data = scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  override def currentVersion(path: String): Option[String] =
+    data.get(path).map(b => java.util.Arrays.hashCode(b).toString)
+  override def put(path: String, bytes: Array[Byte], expectedVersion: Option[String]): Either[String, String] =
+    if (path.startsWith("FAIL")) Left("simulated failure")
+    else { data.put(path, bytes); Right(s"mem://$path") }
+}

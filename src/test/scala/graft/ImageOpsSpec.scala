@@ -1,0 +1,66 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.ImageOps
+
+class ImageOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    try { g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h) } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("decode dims") {
+    assert(ImageOps.decodeDims(jpeg(640, 480)).contains((640, 480)))
+    assert(ImageOps.decodeDims(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageOps.decodeDims(null).isEmpty)
+  }
+
+  test("bounded resize: downscale with truncating arithmetic, never upscale") {
+    // 2048x1536 → scale 0.5 → 1024x768 (reference test.py:50-53 semantics)
+    val big = ImageOps.decode(jpeg(2048, 1536)).get
+    val resized = ImageOps.boundedResize(big, 1024)
+    assert((resized.getWidth, resized.getHeight) == ((1024, 768)))
+    // 2049x100: scale=1024/2049 → int(2049*s)=1024, int(100*s)=49 (truncate)
+    val odd = ImageOps.boundedResize(ImageOps.decode(jpeg(2049, 100)).get, 1024)
+    assert((odd.getWidth, odd.getHeight) == ((1024, 49)))
+    // no upscale: 648x490 unchanged (reference corpus shape)
+    val small = ImageOps.decode(jpeg(648, 490)).get
+    assert(ImageOps.boundedResize(small, 1024) eq small)
+  }
+
+  test("jpeg encode round-trips and respects dims") {
+    val bytes = ImageOps.encodeJpeg(ImageOps.decode(jpeg(320, 200)).get, 0.65f)
+    assert(ImageOps.decodeDims(bytes).contains((320, 200)))
+  }
+
+  test("full column pipeline: dims, error flag, compressed payload, size metrics") {
+    val rows = Seq(
+      (1L, jpeg(2048, 1024)),
+      (2L, jpeg(500, 300)),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    val out = ImageOps.withImageColumns(rows, "content").orderBy("id").collect()
+    assert(out(0).getAs[Int]("width") == 2048)
+    assert(ImageOps.decodeDims(out(0).getAs[Array[Byte]]("compressed")).contains((1024, 512)))
+    assert(ImageOps.decodeDims(out(1).getAs[Array[Byte]]("compressed")).contains((500, 300)))
+    assert(!out(0).getAs[Boolean]("decode_error") && out(2).getAs[Boolean]("decode_error"))
+    assert(out(2).isNullAt(out(2).fieldIndex("compressed")))
+    val kb = out(1).getAs[Double]("size_kb")
+    assert(kb > 0 && kb == math.rint(kb * 100) / 100)
+  }
+
+  test("size_kb matches reference round(bytes/1024, 2)") {
+    val df = Seq((1L, Array.fill[Byte](39403)(7))).toDF("id", "content")
+    val kb = df.select(ImageOps.sizeKb(col("content"))).as[Double].head()
+    assert(kb == 38.48) // 39403/1024 = 38.479492…
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("brute force topk: ranks are 1..k, self excluded, cosine descending per query") {
+    val r = Similarity.bruteForceCosineTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 4)
+      .collect()
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 4))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = sorted.map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH topk achieves high recall on clustered vectors") {
+    // Clustered corpus: 20 centers × 20 perturbed members. LSH recall is
+    // only meaningful when true neighbors have high cosine (on uniformly
+    // random vectors every cosine ≈ 0 and bucketing carries no signal).
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val centers = Seq.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      m <- 0 until 20
+    } yield ((ci * 20 + m).toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0)
+    def pairs(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceCosineTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5).collect())
+    val approx = pairs(Similarity.lshCosineTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, dim = dim, tables = 8, bitsPerTable = 8).collect())
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("IVF centroids + probe search returns ranked neighbors") {
+    val cents = Similarity.trainCentroids(emb, "embedding", "label")
+    assert(cents.count() == emb.select("label").distinct().count())
+    val r = Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", cents, k = 3, nprobe = 3)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(x => x.getAs[Int]("rank") <= 3))
+  }
+}

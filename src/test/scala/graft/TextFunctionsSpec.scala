@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and counts") {
+    val df = Seq("  a b  c ", "x", "").toDF("t")
+    val r = df.select(TF.tokenCount(col("t"))).as[Int].collect()
+    assert(r(0) == 3 && r(1) == 1)
+  }
+
+  test("word shingles") {
+    val df = Seq("a b c d").toDF("t")
+    val r = df.select(TF.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(r == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t").select(TF.wordShingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("char ngrams") {
+    val r = Seq("abcd").toDF("t").select(TF.charNGrams(col("t"), 2)).as[Seq[String]].head()
+    assert(r == Seq("ab", "bc", "cd"))
+  }
+
+  test("shingle jaccard: identical=1, disjoint=0") {
+    val df = Seq(("a b c d", "a b c d", "x y z w")).toDF("s", "t", "u")
+    val (same, diff) = df.select(
+      TF.shingleJaccard(col("s"), col("t"), 2),
+      TF.shingleJaccard(col("s"), col("u"), 2)).as[(Double, Double)].head()
+    assert(same == 1.0 && diff == 0.0)
+  }
+
+  test("normalize + fingerprint idempotent (F3∘F3 = F3)") {
+    val df = Seq("  A   b  C ").toDF("t")
+    val once = df.select(TF.normalizeText(col("t"))).as[String].head()
+    val twice = df.select(TF.normalizeText(TF.normalizeText(col("t")))).as[String].head()
+    assert(once == "a b c" && twice == once)
+    val fp = df.select(TF.fingerprint(col("t"))).as[String].head()
+    assert(fp.length == 64)
+  }
+
+  test("occurrences counts non-overlapping whole tokens") {
+    val df = Seq(" the cat the dog the ").toDF("t")
+    val n = df.select(TF.occurrences(col("t"), " the ")).as[Int].head()
+    assert(n == 3) // all three padded 'the's; separators don't overlap here
+  }
+
+  test("stopword ratio and ttr") {
+    val df = Seq("the a the b").toDF("t")
+    val (sr, ttr) = df.select(
+      TF.stopwordRatio(col("t"), Seq("the", "a")),
+      TF.typeTokenRatio(col("t"))).as[(Double, Double)].head()
+    assert(sr == 0.75 && ttr == 0.75)
+  }
+
+  test("language scoring picks highest-scoring profile, first-wins ties") {
+    val profiles = Seq("en" -> Seq("the"), "fr" -> Seq("le"))
+    val r = Seq("le chat le the", "nothing here").toDF("t")
+      .select(TF.stopwordLanguageScore(col("t"), profiles)).as[String].collect()
+    assert(r(0) == "fr")
+    assert(r(1) == "en") // 0-0 tie → first profile
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+    (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+    (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+
+  test("dot, norm, cosine") {
+    val rows = df.select(VF.dot(col("a"), col("b")), VF.l2Norm(col("a")),
+      VF.cosine(col("a"), col("b"))).as[(Double, Double, Double)].collect()
+    assert(rows(0) == ((1.0, 1.0, 1.0)))
+    assert(rows(1) == ((0.0, 1.0, 0.0)))
+    assert(rows(2)._2 == 5.0 && math.abs(rows(2)._3 - 1.0) < 1e-12)
+  }
+
+  test("zero vector cosine is 0") {
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(VF.cosine(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("l2 normalize gives unit norm") {
+    val n = df.select(VF.l2Norm(VF.l2Normalize(col("a")))).as[Double].collect()
+    assert(n.forall(x => math.abs(x - 1.0) < 1e-12))
+  }
+
+  test("hyperplane signature: same vector → same bits; deterministic planes") {
+    val planes = VF.randomPlanes(2, 8, seed = 7)
+    val planes2 = VF.randomPlanes(2, 8, seed = 7)
+    assert(planes.map(_.toSeq) == planes2.map(_.toSeq))
+    val sig = df.select(VF.hyperplaneSignature(col("a"), planes)).as[Long].collect()
+    val sigB = df.select(VF.hyperplaneSignature(col("b"), planes)).as[Long].collect()
+    assert(sig(0) == sigB(0)) // identical vectors
+    assert(sig(2) == sigB(2))
+  }
+
+  test("hamming distance") {
+    val d = Seq((5L, 1L)).toDF("x", "y")
+    assert(d.select(VF.hammingDistance(col("x"), col("y"))).as[Int].head() == 1)
+  }
+}

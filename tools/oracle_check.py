@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+the same fixture tables, and compares: row count, column names, and exact
+cell values (column-name-sorted, row-sorted canonicalization).
+
+Dev tool only — not part of the engine (the engine is pure Scala/Spark).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            rr.append((cols[order.index(i)] if False else cols[i], str(v)))
+        out.append(tuple(str(x[1]) for x in rr))
+    out.sort()
+    return sorted(c for c in cols), out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        pdir = os.path.join(out_dir, name)
+        try:
+            mine = con.execute(
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
+            my_cols = [c[0] for c in mine.description]
+            my_rows = mine.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: rows={len(my_rows)}")
+            n_rowsonly += 1
+            continue
+        try:
+            oc = con.execute(oracles[name])
+            o_cols = [c[0] for c in oc.description]
+            o_rows = oc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        mc, mr = canon(my_rows, my_cols)
+        ocn, orr = canon(o_rows, o_cols)
+        if mc != ocn:
+            print(f"FAIL {name}: columns {mc} != {ocn}")
+            n_fail += 1
+        elif len(mr) != len(orr):
+            print(f"FAIL {name}: rows {len(mr)} != {len(orr)}")
+            n_fail += 1
+        elif mr != orr:
+            bad = [(a, b) for a, b in zip(mr, orr) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {bad}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(mr)}")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
