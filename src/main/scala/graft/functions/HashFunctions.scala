@@ -12,14 +12,48 @@ import org.apache.spark.sql.functions._
 object HashFunctions {
 
   /** k-permutation MinHash signature of a string-array column (shingle
-    * set): element i is `min over s of xxhash64("mh<i>|" ++ s)`.
+    * set): element i is `min over s of xxhash64(i, xxhash64(s))`.
     * Returns `array<bigint>` of length k; hashes of an empty set are
     * Long.MaxValue so empty docs never spuriously collide with content.
+    *
+    * Each shingle STRING is hashed exactly once; the k permutations
+    * re-hash the resulting fixed-width long, which is ~10× cheaper than
+    * k string hashes and keeps the codegen tree small. (No affine
+    * `a*h+b` family here: Long multiply overflows throw under ANSI mode.)
     */
-  def minHashSignature(shingles: Column, k: Int): Column = {
-    val sets = array_distinct(shingles)
+  def minHashSignature(shingles: Column, k: Int): Column =
+    minHashFromHashes(hashShingles(shingles), k)
+
+  /** Hash every distinct shingle string to a long — materialize THIS in
+    * its own projection (`.withColumn`) before calling
+    * `minHashFromHashes`, so the string hashing appears once in the plan
+    * rather than k times.
+    */
+  def hashShingles(shingles: Column): Column =
+    transform(array_distinct(shingles), s => xxhash64(s))
+
+  /** Distinct hashed word n-gram shingles computed WITHOUT materializing
+    * shingle strings: xxhash64 chains the n token strings directly
+    * (`xxhash64(tok_i, …, tok_{i+n-1})`), skipping the concat_ws
+    * allocation per shingle — the dominant cost of shingling at corpus
+    * scale. Distinct runs on longs, not strings. Returns array<bigint>.
+    *
+    * PERFORMANCE CONTRACT: `toks` MUST be a materialized column (a plain
+    * attribute from a prior projection), not an inline `split(...)`
+    * expression. Free outer expressions inside a Catalyst lambda are
+    * re-evaluated on every lambda invocation, so an inline tokenizer here
+    * turns shingling O(tokens) → O(tokens²) per document.
+    */
+  def hashedWordShingles(toks: Column, n: Int): Column = {
+    val starts = sequence(lit(0), size(toks) - n)
+    val hashes = transform(starts, i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(hashes)).otherwise(array().cast("array<bigint>"))
+  }
+
+  /** MinHash over pre-hashed shingles (array<bigint>). */
+  def minHashFromHashes(hashes: Column, k: Int): Column = {
     val cols: Seq[Column] = (0 until k).map { i =>
-      coalesce(array_min(transform(sets, s => xxhash64(concat(lit(s"mh$i|"), s)))), lit(Long.MaxValue))
+      coalesce(array_min(transform(hashes, h => xxhash64(lit(i), h))), lit(Long.MaxValue))
     }
     array(cols: _*)
   }
@@ -41,13 +75,19 @@ object HashFunctions {
     * bit j of the token's xxhash64). Near-identical token multisets give
     * signatures within small Hamming distance.
     */
-  def simHash(toks: Column, bits: Int): Column = {
+  def simHash(toks: Column, bits: Int): Column =
+    simHashFromHashes(transform(toks, t => xxhash64(t)), bits)
+
+  /** SimHash over pre-hashed tokens (array<bigint>) — materialize the
+    * hashed array first (one string hash per token, not per bit).
+    */
+  def simHashFromHashes(hashes: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 63, "1..63 bits")
     (0 until bits).map { j =>
       val contrib = aggregate(
-        toks,
+        hashes,
         lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -39,8 +39,15 @@ object TextFunctions {
   /** Word n-gram shingles ("a b c" with n=2 → ["a b", "b c"]).
     * Empty array when there are fewer than n tokens.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Same over an already-tokenized array column. ALWAYS prefer this with
+    * a materialized token column on large data: `element_at(toks, …)`
+    * inside the lambda re-evaluates free outer expressions per
+    * invocation, so an inline `split` makes shingling O(tokens²)/doc,
+    * while a materialized attribute is O(1) to re-read.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val starts = sequence(lit(0), size(toks) - n) // inclusive 0-based starts
     when(size(toks) >= n,
       transform(starts, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))

@@ -31,6 +31,13 @@ object VectorFunctions {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 
+  /** Cosine via the native fused-loop Catalyst expression
+    * ([[graft.plans.CosineSimilarity]]) — bit-identical to [[cosine]],
+    * zero per-row allocation, full codegen. Requires a session built with
+    * [[graft.plans.GraftExtensions]] (graft.Sessions.local does this).
+    */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** Squared Euclidean distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(

@@ -61,9 +61,9 @@ object Dedup {
     val rowsPerBand = numHashes / bands
 
     val withSig = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__shingles", array_distinct(TextFunctions.wordShingles(col("__text"), shingleSize)))
-      .withColumn("__sig", HashFunctions.minHashSignature(col("__shingles"), numHashes))
+      .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"), HashFunctions.hashedWordShingles(col("__toks"), shingleSize).as("__hashes"))
+      .withColumn("__sig", HashFunctions.minHashFromHashes(col("__hashes"), numHashes))
 
     val banded = withSig.select(
       col("__id"),
@@ -78,10 +78,14 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
 
-    val sh = withSig.select(col("__id"), col("__shingles"))
+    // verify on the HASHED shingle sets: set-jaccard over longs is
+    // identical to string-shingle jaccard modulo 64-bit hash collisions
+    // (~n²/2^64), and the arrays shuffled to the verify join are 8-byte
+    // elements instead of shingle strings.
+    val sh = withSig.select(col("__id"), col("__hashes"))
     candidates
-      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__shingles", "__sa"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__shingles", "__sb"), "id_b")
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__hashes", "__sa"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__hashes", "__sb"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__sa"), col("__sb"))).cast("double")
           / size(array_union(col("__sa"), col("__sb"))).cast("double"))
@@ -101,9 +105,10 @@ object Dedup {
       chunks: Int = 4,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    val sigs = df.select(
-      col(idCol).as("__id"),
-      HashFunctions.simHash(TextFunctions.tokens(col(textCol)), bits).as("__sig"))
+    val sigs = df
+      .select(col(idCol).as("__id"),
+        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+      .select(col("__id"), HashFunctions.simHashFromHashes(col("__th"), bits).as("__sig"))
 
     val chunked = sigs.select(
       col("__id"), col("__sig"),
@@ -133,7 +138,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val slim = df.select(col(idCol).as("__id"), col(embCol).as("__e"), col(blockCol).as("__b"))
     slim.as("l").join(slim.as("r"), col("l.__b") === col("r.__b") && col("l.__id") < col("r.__id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("l.__e"), col("r.__e")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("l.__e"), col("r.__e")))
       .filter(col("cosine") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
   }

@@ -33,7 +33,7 @@ object Similarity {
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -83,7 +83,7 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
-      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -110,7 +110,7 @@ object Similarity {
       val w = Window.partitionBy(col(idOut)).orderBy(col("__cd").desc, col("centroid_id").asc)
       df.select(col(id).as(idOut), col(emb).as(embOut))
         .crossJoin(cents)
-        .withColumn("__cd", VectorFunctions.cosine(col(embOut), col("centroid")))
+        .withColumn("__cd", VectorFunctions.cosineNative(col(embOut), col("centroid")))
         .withColumn("__cr", row_number().over(w))
         .filter(col("__cr") <= keep)
         .select(col(idOut), col(embOut), col("centroid_id"))
@@ -123,7 +123,7 @@ object Similarity {
     ca.join(qa, "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", VectorFunctions.cosine(col("__qe"), col("__ce")))
+      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Engine extension point: registers the native expressions as SQL
+  * functions so they are usable from `spark.sql(...)`, `expr(...)`, and
+  * `call_function` — install with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
+  * [[graft.Sessions.local]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException("graft_cosine(a, b) takes 2 arguments")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => SimHash64(c, 48)
+        case Seq(c, Literal(b: Int, IntegerType)) => SimHash64(c, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash(hashes[, bits]) takes array<bigint> and an optional literal bit count")
+      }))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup deterministic with tie-break") {
+    val df = Seq((1, "a", 10.0), (1, "b", 10.0), (1, "c", 5.0), (2, "d", 1.0)).toDF("g", "id", "v")
+    val r = Relational.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc, col("id").asc), 2)
+      .select("g", "id", "rank").as[(Int, String, Int)].collect().toSet
+    assert(r == Set((1, "a", 1), (1, "b", 2), (2, "d", 1)))
+  }
+
+  test("sessionize splits on gap") {
+    val us = (t: Long) => t * 1000000L
+    val df = Seq((1L, us(0), 1L), (1L, us(10), 2L), (1L, us(100), 3L), (2L, us(5), 4L))
+      .toDF("user", "us", "eid")
+    val r = Relational.sessionize(df, col("user"), col("us"), gapMicros = us(30), col("eid"))
+      .select("user", "eid", "session_id").as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("transitive closure of a chain + diamond") {
+    // 1→2→3→4 and 1→5→4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 4L)).toDF("src", "dst")
+    val tc = Relational.transitiveClosure(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(tc == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 4L)))
+  }
+
+  test("dag depth = longest path in hops") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val d = Relational.dagDepth(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamOps.windowedCounts(df, "ts", "event_type", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(5), "a", 2.0), (ts(12), "b", 3.0))
+      // advance watermark far enough to close the first windows
+      input.addData((ts(120), "a", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("a", 2L, 3.0))) // window [0,10): two 'a' rows
+      assert(rows.contains(("b", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "k")
+    val q = StreamOps.dedupStream(df, "ts", Seq("k"), "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "x"), (ts(1), "x"), (ts(2), "y"))
+      q.processAllAvailable()
+      val ks = spark.table("dd").select("k").as[String].collect().toSeq.sorted
+      assert(ks == Seq("x", "y"))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionInput]
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 30L * 60 * 1000000)
+    val q = out.writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamOps.SessionInput(1L, ts(0), 1), StreamOps.SessionInput(1L, ts(5), 2))
+      q.processAllAvailable()
+      // second batch: 90min later → closes session 1 (2 events)
+      input.addData(StreamOps.SessionInput(1L, ts(95), 3))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[StreamOps.SessionOut].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n == 2)
+    } finally q.stop()
+  }
+
+  test("AvailableNow incremental pipeline processes only new files per run") {
+    val base = Files.createTempDirectory("stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(inDir)
+    val q1 = StreamOps.availableNowPipeline(spark, inDir, schema,
+      df => df.withColumn("u", upper(col("v"))), outDir, ckDir)
+    q1.awaitTermination()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // second run with one new file → only the delta is appended
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(inDir)
+    val q2 = StreamOps.availableNowPipeline(spark, inDir, schema,
+      df => df.withColumn("u", upper(col("v"))), outDir, ckDir)
+    q2.awaitTermination()
+    val out = spark.read.parquet(outDir).select("id", "u").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "A"), (2L, "B"), (3L, "C")))
+  }
+}

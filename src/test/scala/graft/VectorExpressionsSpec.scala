@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => HF, VectorFunctions => VF}
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the HOF formulation on fixture embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ib") === col("ia") + 7)
+    val diffs = pairs.select(
+      VF.cosine(col("ea"), col("eb")).as("hof"),
+      VF.cosineNative(col("ea"), col("eb")).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("native cosine handles zero vectors and is registered in SQL") {
+    val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VF.cosineNative(col("a"), col("b"))).as[Double].head() == 0.0)
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) FROM vecs").as[Double].head()
+    assert(viaSql == 0.0)
+  }
+
+  test("native simhash matches the HOF formulation") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
+    val diffs = docs.select(
+      HF.simHashFromHashes(col("th"), 48).as("hof"),
+      call_function("graft_simhash", col("th"), lit(48)).as("native"))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+    // empty token-hash array → all contribs 0 → all bits set
+    val empty = Seq(Seq.empty[Long]).toDF("th")
+      .select(call_function("graft_simhash", col("th"), lit(8)).as("s")).as[Long].head()
+    assert(empty == 255L)
+  }
+
+  test("native expressions survive codegen (non-trivial batch)") {
+    // enough rows that whole-stage codegen actually compiles the loop
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.select(VF.cosineNative(col("embedding"), col("embedding")).as("c"))
+      .filter(col("c") > 0.999999).count()
+    assert(n == 500)
+  }
+}
