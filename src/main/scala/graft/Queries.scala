@@ -697,10 +697,52 @@ object Queries {
     },
     None)
 
+  private val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  private val q38 = Q(
+    "q38_bpe_tokens",
+    (s, d) => {
+      // BPE-ish pre-tokenizer: leading-space word / number / symbol runs
+      // (the GPT-2 pre-tokenization shape restricted to a portable regex)
+      Tables.documents(s, d)
+        .select(col("doc_id"), regexp_extract_all(col("text"), lit(bpePattern), lit(0)).as("bt"))
+        .select(
+          col("doc_id"),
+          size(col("bt")).cast("bigint").as("n_bpe_tokens"),
+          array_join(slice(col("bt"), 1, 5), "|").as("sample"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+      array_to_string(regexp_extract_all(text, '$bpePattern')[1:5], '|') AS sample
+      FROM documents ORDER BY doc_id"""))
+
+  private val q39 = Q(
+    "q39_winnow_fingerprint",
+    (s, d) => {
+      // winnowing: per-window minima of k-gram rolling hashes (native
+      // graft_rollhash expression), the standard near-dup fingerprint set
+      val k = 8; val w = 16
+      Tables.documents(s, d)
+        .select(col("doc_id"), call_function("graft_rollhash", col("text"), lit(k)).as("rh"))
+        .select(col("doc_id"),
+          when(size(col("rh")) >= w,
+            array_distinct(transform(sequence(lit(0), size(col("rh")) - w),
+              i => array_min(slice(col("rh"), i + 1, lit(w))))))
+            .otherwise(array_distinct(col("rh"))).as("fps"))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("bigint").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

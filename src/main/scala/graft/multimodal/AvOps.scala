@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Audio/video column plumbing: opaque `binary` payloads + typed
+  * metadata, batch-shaped executor-local processing.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernels below are clearly-marked DETERMINISTIC STUBS — they
+  * derive stable pseudo-features from the raw bytes. Everything around
+  * them (schemas, the mapPartitions batch shape, partitioning, null/error
+  * handling) is the real engine surface a codec would plug into, mirroring
+  * how ImageOps wraps javax.imageio for the image modality.
+  */
+object AvOps {
+
+  final case class AvRecord(id: Long, media_type: String, content: Array[Byte])
+  final case class FrameRow(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** STUB decode: deterministic fixed-width "feature vector" from byte
+    * content (xxhash-seeded), standing in for e.g. a mel-spectrogram
+    * embedding. Real implementation would decode PCM and run a DSP
+    * kernel here — signature and batch shape stay identical.
+    */
+  def audioFeatureStub(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else {
+        val seed = java.util.Arrays.hashCode(bytes).toLong
+        val rnd = new java.util.Random(seed)
+        Array.fill(dim)(rnd.nextFloat())
+      })
+
+  /** Frame sampling plumbing: emit every `everyN`-th fixed-size window of
+    * the payload as a "frame". A real video decoder would yield encoded
+    * frames at keyframe boundaries; the per-partition iterator shape —
+    * one input row fanning out to many frame rows without materializing
+    * all frames in memory — is the part that matters at scale.
+    */
+  def sampleFrames(ds: Dataset[AvRecord], everyN: Int, frameBytes: Int = 4096)(
+      implicit enc: org.apache.spark.sql.Encoder[FrameRow]): Dataset[FrameRow] =
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.content == null) Iterator.empty
+        else {
+          val nFrames = math.max(r.content.length / frameBytes, 1)
+          (0 until nFrames by everyN).iterator.map { i =>
+            val from = math.min(i * frameBytes, r.content.length)
+            val until = math.min(from + frameBytes, r.content.length)
+            FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.content, from, until))
+          }
+        }
+      }
+    }
+
+  /** Typed metadata columns over any binary payload — pure built-ins. */
+  def withBinaryMeta(df: DataFrame, contentCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(contentCol)).cast("bigint"))
+      .withColumn("content_sha", sha2(col(contentCol), 256))
+      .withColumn("is_empty", coalesce(length(col(contentCol)) === 0, lit(true)))
+}

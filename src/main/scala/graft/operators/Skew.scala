@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers.
+  *
+  * AQE's skew-join split handles most runtime skew; explicit salting is
+  * the deterministic fallback when one join key carries a pathological
+  * share of rows (power-law user_ids, null-like sentinel keys) and the
+  * *other* side is small enough to replicate `saltBuckets` times but too
+  * big / too dynamic to broadcast outright.
+  */
+object Skew {
+
+  /** Inner equi-join with the large (skewed) side salted and the other
+    * side replicated into every salt bucket.
+    *
+    * The salt is derived deterministically from `largeIdCol` so repeated
+    * runs partition identically. One hot key's rows spread over
+    * `saltBuckets` reducers instead of one.
+    */
+  def saltedEquiJoin(
+      large: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      largeIdCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(col(largeIdCol)), lit(saltBuckets.toLong)).cast("int"))
+    val replicated = other.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Per-key frequency profile — use to decide whether salting is needed
+    * (e.g. maxShare > 0.2 on a 200-partition shuffle). One pass, top-k
+    * only on the driver.
+    */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+      .limit(topK)
+}

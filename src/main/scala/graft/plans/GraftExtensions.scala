@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollingHashNGrams].getName, "graft_rollhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(kk: Int, IntegerType)) => RollingHashNGrams(c, kk)
+        case _ => throw new IllegalArgumentException(
+          "graft_rollhash(text, k) takes a string and a literal gram length")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => children match {

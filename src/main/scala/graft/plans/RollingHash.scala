@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Karp–Rabin rolling hashes of every k-byte gram of a string, in one
+  * pass: `out[i] = hash(bytes[i .. i+k))` with the polynomial
+  * `h = Σ b[j]·B^(k-1-j)` over Java-long wraparound arithmetic
+  * (base B = 1000003).
+  *
+  * This is the document-fingerprinting primitive (winnowing selects the
+  * per-window minima of exactly these hashes). A HOF formulation would
+  * re-hash every gram from scratch — O(n·k) with per-gram substring
+  * allocation; this expression is O(n) with a single long[] output, and
+  * fuses into whole-stage codegen.
+  */
+case class RollingHashNGrams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("k must be >= 1")
+    case dt => TypeCheckResult.TypeCheckFailure(s"graft_rollhash expects string, got ${dt.sql}")
+  }
+
+  private val B = 1000003L
+  // B^k with wraparound — subtracting b[i-k]*B^k removes the leading byte
+  private val Bk: Long = {
+    var r = 1L; var i = 0
+    while (i < k) { r *= B; i += 1 }
+    r
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    val m = math.max(n - k + 1, 0)
+    val out = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = h * B + (bytes(i) & 0xff)
+      if (i >= k) h -= Bk * (bytes(i - k) & 0xff)
+      if (i >= k - 1) out(i - k + 1) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val b = ctx.freshName("b"); val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val out = ctx.freshName("out"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $s.getBytes();
+         |int $n = $b.length;
+         |int $m = java.lang.Math.max($n - $k + 1, 0);
+         |long[] $out = new long[$m];
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h = $h * ${B}L + ($b[$i] & 0xff);
+         |  if ($i >= $k) $h -= ${Bk}L * ($b[$i - $k] & 0xff);
+         |  if ($i >= $k - 1) $out[$i - $k + 1] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_rollhash"
+}

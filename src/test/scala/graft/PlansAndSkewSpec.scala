@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+import graft.multimodal.AvOps
+
+class PlansAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling hash: equal grams hash equal, count = n-k+1, matches reference polynomial") {
+    val r = Seq("abcabc").toDF("t")
+      .select(call_function("graft_rollhash", col("t"), lit(3)).as("h"))
+      .as[Seq[Long]].head()
+    assert(r.length == 4)
+    assert(r(0) == r(3)) // "abc" == "abc"
+    assert(r(0) != r(1) && r(1) != r(2))
+    // reference polynomial: h("abc") = ((a*B)+b)*B+c with B=1000003
+    val B = 1000003L
+    val expected = (('a'.toLong * B) + 'b'.toLong) * B + 'c'.toLong
+    assert(r(0) == expected)
+    // shorter than k → empty
+    val short = Seq("ab").toDF("t")
+      .select(call_function("graft_rollhash", col("t"), lit(3)).as("h")).as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("rolling hash works under codegen on the fixture corpus") {
+    val n = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(call_function("graft_rollhash", col("text"), lit(8)).as("h"))
+      .filter(size(col("h")) > 0).count()
+    assert(n == 500)
+  }
+
+  test("salted equi-join equals plain join on skewed data") {
+    val large = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "id")
+    val small = Seq(("hot", "H"), ("k5", "A"), ("k17", "B")).toDF("k", "v")
+    val plain = large.join(small, "k").select("id", "v").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedEquiJoin(large, small, Seq("k"), "id", saltBuckets = 8)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(salted == plain && plain.size == 202)
+  }
+
+  test("skew profile surfaces hottest key") {
+    val df = (1 to 100).map(i => (if (i <= 60) "hot" else s"k$i", i)).toDF("k", "v")
+    val top = Skew.keySkewProfile(df, Seq("k"), 1).as[(String, Long)].head()
+    assert(top == (("hot", 60L)))
+  }
+
+  test("audio feature stub: deterministic, fixed width, null-safe") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null)).toDF("id", "content")
+    val f = AvOps.audioFeatureStub(8)
+    val rows = df.select(col("id"), f(col("content")).as("feat")).orderBy("id").collect()
+    val v1 = rows(0).getSeq[Float](1)
+    assert(v1.length == 8 && rows(1).isNullAt(1))
+    val again = df.select(f(col("content")).as("feat")).orderBy("feat").collect()
+    assert(again.exists(r => !r.isNullAt(0) && r.getSeq[Float](0) == v1))
+  }
+
+  test("frame sampling fans one row into frame rows without collecting") {
+    val payload = Array.tabulate[Byte](4096 * 6)(i => (i % 127).toByte)
+    val ds = Seq(AvOps.AvRecord(7L, "video", payload)).toDS()
+    val frames = AvOps.sampleFrames(ds, everyN = 2, frameBytes = 4096).collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.frame_bytes.length == 4096))
+    assert(frames.forall(_.id == 7L))
+  }
+
+  test("binary meta columns") {
+    val df = Seq((1L, "abc".getBytes), (2L, Array.empty[Byte])).toDF("id", "content")
+    val m = AvOps.withBinaryMeta(df, "content").orderBy("id").collect()
+    assert(m(0).getAs[Long]("n_bytes") == 3L)
+    assert(m(0).getAs[String]("content_sha").length == 64)
+    assert(m(1).getAs[Boolean]("is_empty"))
+  }
+}
