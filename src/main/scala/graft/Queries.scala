@@ -739,10 +739,42 @@ object Queries {
     },
     None)
 
+  private val q40 = Q(
+    "q40_asof_join",
+    (s, d) => {
+      // for each purchase: the most recent click (≤ ts) by the same user
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("c_eid"),
+          col("us").as("click_us"), col("value").as("click_value"))
+      Relational.asOfJoin(purchases, clicks, Seq("user_id"), "us",
+        coalesce(col("event_id"), col("c_eid")))
+        .select(col("user_id"), col("event_id"), col("us"), col("click_us"), col("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events),
+      u AS (
+        SELECT user_id, event_id, us, 1 AS side, NULL::BIGINT AS c_us, NULL::DOUBLE AS c_val
+        FROM e WHERE event_type='purchase'
+        UNION ALL
+        SELECT user_id, event_id, us, 0 AS side, us AS c_us, value AS c_val
+        FROM e WHERE event_type='click'),
+      f AS (
+        SELECT user_id, event_id, us, side,
+          last_value(c_us IGNORE NULLS) OVER w AS click_us,
+          last_value(c_val IGNORE NULLS) OVER w AS click_value
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id, us, click_us, click_value
+      FROM f WHERE side=1 ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }

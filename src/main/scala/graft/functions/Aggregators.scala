@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF exemplars (`Aggregator[IN, BUF, OUT]`) — the engine's
+  * extension point for aggregation logic the built-ins can't express
+  * (SURVEY.md §2.11). Aggregators get Spark's full partial-aggregation
+  * treatment: the buffer is merged map-side first, so a 100 TB scan
+  * reduces to one fixed-size buffer per partition before the shuffle.
+  */
+object Aggregators {
+
+  /** Fixed-bin histogram over a double measure: bin i counts values in
+    * [lo + i·w, lo + (i+1)·w); underflow clamps to bin 0, overflow to the
+    * last bin. Buffer is a fixed Array[Long] — constant size regardless
+    * of input cardinality (the property that makes it shuffle-safe at
+    * any scale). Motivated by the reference's size_gambar_kb metric
+    * (`/root/reference/test.py:58-59`) whose evident use is size
+    * distribution reporting.
+    */
+  final case class BoundedHistogram(lo: Double, hi: Double, bins: Int)
+      extends Aggregator[Double, Array[Long], Seq[Long]] {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    private val width = (hi - lo) / bins
+
+    override def zero: Array[Long] = new Array[Long](bins)
+
+    override def reduce(buf: Array[Long], x: Double): Array[Long] = {
+      val i = math.min(math.max(((x - lo) / width).toInt, 0), bins - 1)
+      buf(i) += 1L
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < bins) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Exact distinct-count-by-key within groups beyond `countDistinct`'s
+    * single-expression form: accumulates a bounded key set and degrades
+    * to a sentinel (-1) once `maxExact` distinct values are seen — the
+    * pattern for "exact when small, flag when not" aggregations. (For
+    * unbounded cardinalities use approx_count_distinct/HLL instead.)
+    */
+  final case class BoundedExactDistinct(maxExact: Int)
+      extends Aggregator[String, Set[String], Long] {
+    override def zero: Set[String] = Set.empty
+    override def reduce(s: Set[String], x: String): Set[String] =
+      if (s.size > maxExact) s else s + x
+    override def merge(a: Set[String], b: Set[String]): Set[String] = {
+      val u = a ++ b
+      if (u.size > maxExact) u.take(maxExact + 1) else u
+    }
+    override def finish(s: Set[String]): Long =
+      if (s.size > maxExact) -1L else s.size.toLong
+    override def bufferEncoder: Encoder[Set[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Set[String]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+}

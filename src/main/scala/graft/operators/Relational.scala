@@ -38,6 +38,37 @@ object Relational {
       .drop("__new")
   }
 
+  /** As-of join: each left row is matched with the latest right row of
+    * the same key whose `tsCol` is ≤ the left row's. Implemented as
+    * union + ordered window (last-non-null carry-forward), NOT as a range
+    * join: one shuffle on (key), no join explosion, no per-row range
+    * probe — the formulation that scales to billions of rows per key
+    * domain. Right-side payload columns must be disjoint from left's.
+    *
+    * Tie semantics: at equal timestamps the right row is visible to the
+    * left row (≤, not <).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieBreak: Column): DataFrame = {
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val l = left.withColumn("__side", lit(1))
+    val r = right.withColumn("__side", lit(0))
+    // materialize the tie-break before any carry-forward fill so the
+    // window ordering never reads a filled column
+    val unioned = l.unionByName(r, allowMissingColumns = true).withColumn("__tie", tieBreak)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side", "__tie")
+  }
+
   /** Transitive closure of an edge table by iterated self-join doubling
     * (path-halving: frontier of length-≤2^i paths). Runs on the driver as
     * a loop of DataFrame jobs; each iteration is one shuffle join +

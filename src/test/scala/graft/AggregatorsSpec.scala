@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+import graft.operators.Relational
+
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded histogram matches groupBy-computed bins on fixture data") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val hist = udaf(Aggregators.BoundedHistogram(0.0, 500000.0, 10))
+    val viaAgg = orders.agg(hist(col("o_totalprice")).as("h")).as[Seq[Long]].head()
+    val viaGroupBy = orders
+      .withColumn("bin", least(greatest((col("o_totalprice") / 50000.0).cast("int"), lit(0)), lit(9)))
+      .groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(viaAgg.length == 10)
+    (0 until 10).foreach(i => assert(viaAgg(i) == viaGroupBy.getOrElse(i, 0L)))
+    assert(viaAgg.sum == orders.count())
+  }
+
+  test("histogram usable per-group") {
+    val hist = udaf(Aggregators.BoundedHistogram(0.0, 100.0, 4))
+    val df = Seq(("a", 10.0), ("a", 30.0), ("a", 99.0), ("b", 50.0)).toDF("g", "v")
+    val r = df.groupBy("g").agg(hist(col("v")).as("h")).orderBy("g").as[(String, Seq[Long])].collect()
+    assert(r(0)._2 == Seq(1L, 1L, 0L, 1L))
+    assert(r(1)._2 == Seq(0L, 0L, 1L, 0L))
+  }
+
+  test("bounded exact distinct degrades to sentinel over the bound") {
+    val bd = udaf(Aggregators.BoundedExactDistinct(3))
+    val df = Seq("a", "b", "b", "c").toDF("x")
+    assert(df.agg(bd(col("x"))).as[Long].head() == 3L)
+    val big = (1 to 100).map(_.toString).toDF("x")
+    assert(big.agg(bd(col("x"))).as[Long].head() == -1L)
+  }
+
+  test("as-of join: latest right row at-or-before each left ts, per key") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 150L, 15.0), (2L, 60L, 6.0))
+      .toDF("k", "t", "payload")
+    val r = Relational.asOfJoin(left, right, Seq("k"), "t", col("tag"))
+      .select("tag", "payload").as[(String, Option[Double])].collect().toMap
+    assert(r("p1").contains(10.0)) // equal ts visible (≤ semantics)
+    assert(r("p2").contains(15.0)) // latest ≤ 200 is 150
+    assert(r("p3").isEmpty)        // no right row ≤ 50 for key 2
+  }
+}
