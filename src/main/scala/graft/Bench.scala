@@ -5,12 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       // noop sink: full materialization of every result row without
       // writing — measures compute, not the local disk.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // untimed warmup pass: JIT + codegen + parquet footer caches, so the
+    // timed pass measures steady-state compute (disable: SPARK_GRAFT_WARMUP=0)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      sorted.foreach { case (n, f) => runOnce(n, f) }
+    val results = sorted.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      runOnce(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+/** End-to-end training-data curation pipeline over a document corpus —
+  * the composite the individual operators exist for:
+  *
+  *   ingest → language-ID → quality filter → exact dedup →
+  *   near-dup (MinHash-LSH) removal → token accounting →
+  *   partitioned output by language
+  *
+  * Every stage is a narrow declarative transform; the only shuffles are
+  * the two dedup stages (hash groupBy + LSH band join) and the final
+  * partitioned write. Filters run FIRST so the expensive dedup stages
+  * see only surviving rows — at 100 TB, ordering the stages this way is
+  * the difference between hashing the whole crawl and hashing the ~half
+  * that passes quality gates.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minTypeTokenRatio: Double = 0.1,
+      langProfiles: Seq[(String, Seq[String])] = Seq(
+        "en" -> Seq("the", "a", "of"),
+        "fr" -> Seq("le", "la", "et"),
+        "de" -> Seq("der", "und", "das"),
+        "es" -> Seq("el", "los", "de")),
+      keepLangs: Set[String] = Set("en", "fr", "de", "es"),
+      nearDupShingleSize: Int = 3,
+      nearDupThreshold: Double = 0.9)
+
+  /** Annotate with language + quality signals (single projection, no
+    * shuffle).
+    */
+  def annotate(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
+    docs
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("ttr", TF.typeTokenRatio(col(textCol)))
+      .withColumn("predicted_lang", TF.stopwordLanguageScore(col(textCol), cfg.langProfiles))
+
+  /** Quality + language gate. */
+  def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
+    annotated.filter(
+      col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("ttr") >= cfg.minTypeTokenRatio &&
+        col("predicted_lang").isInCollection(cfg.keepLangs))
+
+  /** Exact dedup (keep lowest id per content hash), then drop near-dups:
+    * from every MinHash-LSH verified pair, the higher id is removed.
+    */
+  def dedup(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val exact = Dedup.exactContentGroups(df, idCol, textCol)
+      .filter(col(idCol) === col("canonical_id"))
+      .drop("canonical_id", "dup_count")
+    val nearPairs = Dedup.minHashNearDuplicates(
+      exact, idCol, textCol,
+      shingleSize = cfg.nearDupShingleSize, threshold = cfg.nearDupThreshold)
+    val toDrop = nearPairs.select(col("id_b").as(idCol)).distinct()
+    exact.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Full pipeline; returns the curated corpus with accounting columns. */
+  def curate(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
+    val kept = dedup(qualityFilter(annotate(docs, idCol, textCol, cfg), cfg), idCol, textCol, cfg)
+    kept.drop("__toks")
+  }
+
+  /** Write partitioned by predicted language — downstream training jobs
+    * prune to the languages they train on.
+    */
+  def write(curated: DataFrame, outDir: String): Unit =
+    curated.write.mode("overwrite").partitionBy("predicted_lang").parquet(outDir)
+
+  /** Per-language accounting: doc + token counts (the corpus datasheet). */
+  def accounting(curated: DataFrame): DataFrame =
+    curated.groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("predicted_lang"))
+}

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = CorpusPipeline.Config(
+    minTokens = 3, minTypeTokenRatio = 0.0, nearDupThreshold = 0.8)
+
+  test("curate: drops short docs, exact dups, and near-dups; keeps the rest") {
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                    // keeper (canonical)
+      (2L, base),                                    // exact dup of 1 → dropped
+      (3L, base + " extra"),                         // near-dup of 1 → dropped
+      (4L, "too short"),                             // < minTokens → dropped
+      (5L, (100 to 140).map(i => s"zz$i the").mkString(" "))) // distinct keeper
+      .toDF("doc_id", "text")
+    val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg)
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+  }
+
+  test("curate on fixture corpus + partitioned write + accounting") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()
+    val n = curated.count()
+    assert(n > 0 && n <= 500)
+    val out = Files.createTempDirectory("corpus").toString + "/curated"
+    CorpusPipeline.write(curated, out)
+    // partition pruning layout exists
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("predicted_lang=")))
+    // accounting sums match
+    val acct = CorpusPipeline.accounting(curated)
+      .as[(String, Long, Long)].collect()
+    assert(acct.map(_._2).sum == n)
+    curated.unpersist()
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.multimodal.ImageOps
+
+/** Property-based tests (SURVEY.md §5.4) for the pure-function kernels —
+  * plain ScalaCheck Properties (sbt runs these natively), no
+  * SparkSession needed.
+  */
+object PropertiesSpec extends Properties("graft.kernels") {
+
+  private val dimGen = Gen.choose(1, 4000)
+
+  property("resize bound invariant + truncating arithmetic") =
+    forAll(dimGen, dimGen) { (w: Int, h: Int) =>
+      val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = ImageOps.boundedResize(im, 1024)
+      if (math.max(w, h) <= 1024) {
+        // never upscale, never touch in-bounds images (reference test.py:51-53)
+        out.getWidth == w && out.getHeight == h
+      } else {
+        val scale = 1024.0 / math.max(w, h)
+        math.max(out.getWidth, out.getHeight) <= 1024 &&
+          out.getWidth == math.max((w * scale).toInt, 1) &&
+          out.getHeight == math.max((h * scale).toInt, 1)
+      }
+    }
+
+  property("rolling-hash window identity h' = h*B + c - lead*B^k") =
+    forAll(Gen.listOfN(30, Gen.choose('a', 'z')), Gen.choose(2, 8)) { (cs, k) =>
+      val s = cs.mkString
+      val B = 1000003L
+      def poly(sub: String): Long = sub.foldLeft(0L)((h, c) => h * B + c.toLong)
+      val grams = s.sliding(k).map(poly).toSeq
+      var bk = 1L; (0 until k).foreach(_ => bk *= B)
+      Prop(grams.sliding(2).zipWithIndex.forall {
+        case (Seq(h1, h2), i) => h2 == h1 * B + s.charAt(i + k).toLong - bk * s.charAt(i).toLong
+        case _ => true
+      })
+    }
+
+  property("jaccard of distinct sets bounded in [0,1], 1 iff equal sets") =
+    forAll(Gen.listOf(Gen.choose(1, 20)), Gen.listOf(Gen.choose(1, 20))) { (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      if (sa.isEmpty && sb.isEmpty) Prop.passed
+      else {
+        val j = (sa & sb).size.toDouble / (sa | sb).size
+        Prop(j >= 0.0 && j <= 1.0 && ((j == 1.0) == (sa == sb)))
+      }
+    }
+}

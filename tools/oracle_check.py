@@ -44,11 +44,12 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+    names = sorted(d[:-len(".parquet")] for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and d.endswith(".parquet"))
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
-        pdir = os.path.join(out_dir, name)
+        pdir = os.path.join(out_dir, name + ".parquet")
         try:
             mine = con.execute(
                 f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
