@@ -771,10 +771,29 @@ object Queries {
       SELECT user_id, event_id, us, click_us, click_value
       FROM f WHERE side=1 ORDER BY event_id"""))
 
+  private val q41 = Q(
+    "q41_fuzzy_first_match",
+    (s, d) => {
+      // J4 theta join: substring containment against a tiny broadcast
+      // probe list; first-match = min key per term; miss → null row
+      // (the reference's fuzzy file lookup, test.py:158-165)
+      import s.implicits._
+      val terms = Seq("blue", "bolt", "gear", "red", "small", "zzz_none").toDF("term")
+      broadcast(terms)
+        .join(Tables.part(s, d), contains(col("p_name"), col("term")), "left")
+        .groupBy(col("term"))
+        .agg(count(col("p_partkey")).as("n_matches"), min(col("p_partkey")).as("first_partkey"))
+        .orderBy(col("term"))
+    },
+    Some("""SELECT term, count(p_partkey) AS n_matches, min(p_partkey) AS first_partkey
+      FROM (VALUES ('blue'),('bolt'),('gear'),('red'),('small'),('zzz_none')) t(term)
+      LEFT JOIN part ON contains(p_name, term)
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
