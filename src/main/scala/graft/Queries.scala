@@ -790,10 +790,36 @@ object Queries {
       LEFT JOIN part ON contains(p_name, term)
       GROUP BY 1 ORDER BY 1"""))
 
+  private val q42 = Q(
+    "q42_grouping_sets",
+    (s, d) => {
+      // explicit GROUPING SETS beyond rollup/cube: (flag,status), (flag), ()
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          money(sum(col("l_extendedprice"))).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_price"), col("gid"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+    Some("""SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+      coalesce(l_linestatus,'ALL') AS linestatus,
+      count(*) AS n, round(sum(l_extendedprice),2) AS sum_price,
+      CAST(grouping(l_returnflag)*2+grouping(l_linestatus) AS INT) AS gid
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, returnflag, linestatus"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -142,4 +142,39 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("cosine"))
   }
+
+  /** Embedding near-duplicates with NO natural blocking key: block by
+    * random-hyperplane LSH signatures over `tables` independent tables.
+    * High-cosine pairs collide in at least one table with high
+    * probability; every candidate is verified with exact cosine, so
+    * precision is exact and only recall is approximate (tunable via
+    * tables/bits). Same equi-join scale shape as the keyed variant.
+    */
+  def embeddingNearDuplicatesLsh(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      threshold: Double,
+      tables: Int = 6,
+      bitsPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val planes = (0 until tables).map(t =>
+      VectorFunctions.randomPlanes(dim, bitsPerTable, seed + 7000L * t))
+    val slim = df.select(col(idCol).as("__id"), col(embCol).as("__e"))
+    val bucketed = slim.select(
+      col("__id"), col("__e"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), VectorFunctions.hyperplaneSignature(col("__e"), planes(t)).as("sig"))): _*))
+        .as("ts"))
+      .select(col("__id"), col("__e"), col("ts.t"), col("ts.sig"))
+    bucketed.as("l")
+      .join(bucketed.as("r"), col("l.t") === col("r.t") && col("l.sig") === col("r.sig")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"), col("l.__e").as("__ea"), col("r.__e").as("__eb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", VectorFunctions.cosineNative(col("__ea"), col("__eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

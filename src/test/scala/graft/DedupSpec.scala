@@ -48,6 +48,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L))) // 3 is opposite; 4 is another block
   }
 
+  test("LSH-blocked embedding near-dup finds planted high-cosine pairs with exact precision") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = Seq.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    // pairs (2i, 2i+1) are near-dups; everything else is random
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq(
+        (2L * i, v.map(_.toFloat).toSeq),
+        (2L * i + 1, v.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq))
+    }
+    val df = rows.toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDuplicatesLsh(df, "id", "emb", dim, threshold = 0.95,
+      tables = 8, bitsPerTable = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 20).map(i => (2L * i, 2L * i + 1)).toSet
+    // exact precision: nothing below the threshold survives the verify
+    assert(pairs.subsetOf(planted))
+    // high recall on strongly-similar pairs
+    assert((pairs & planted).size >= 16, s"recall too low: ${(pairs & planted).size}/20")
+  }
+
   test("incremental: rerun on unchanged input yields zero new rows") {
     val state = Seq(("p1", "w1", "f1"), ("p1", "w1", "f2")).toDF("kode_proyek", "minggu", "nama_file")
     val input = Seq(("p1", "w1", "f1"), ("p1", "w1", "f2"), ("p2", "w1", "f1"))
