@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object BinaryCorpus {
 
-  /** Recursive scan keeping only the given extensions (case-insensitive). */
+  /** Recursive scan keeping only the given extensions. The glob is
+    * case-sensitive, so lower/UPPER variants of each extension are
+    * matched (the common on-disk forms; reference compares lowercase,
+    * `trial-img-processor.py:61`).
+    */
   def scan(spark: SparkSession, dir: String, extensions: Seq[String]): DataFrame = {
-    val glob = extensions.map(_.toLowerCase).mkString("*.{", ",", "}")
+    val glob = extensions.flatMap(e => Seq(e.toLowerCase, e.toUpperCase)).distinct
+      .mkString("*.{", ",", "}")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
@@ -40,4 +45,31 @@ object BinaryCorpus {
   def normalizedName(df: DataFrame): DataFrame =
     df.withColumn("clean_name",
       regexp_replace(concat_ws("_", col("kode_proyek"), col("minggu"), col("nama_file")), " ", "_"))
+
+  /** Raw-bytes partitioned tree sink: writes each row's binary payload to
+    * `baseDir/{p1}/{p2}/{name}` — the reference's on-disk layout
+    * (`test.py:55-56,172-173`) as a distributed writer. Partition-local
+    * (`foreachPartition`), creates parent dirs on demand, overwrites
+    * by path (idempotent under task retry, like the reference's
+    * sha-overwrite upsert). Hadoop FileSystem API, so the same code
+    * targets local disk, HDFS, or object stores.
+    */
+  def writeBinaryTree(df: DataFrame, baseDir: String,
+      partitionCols: Seq[String], nameCol: String, contentCol: String): Unit = {
+    val cols = (partitionCols :+ nameCol).map(c => col(c).cast("string")) :+ col(contentCol)
+    val hadoopConf = new org.apache.hadoop.conf.Configuration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val nParts = partitionCols.length
+    df.select(cols: _*).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val fs = new org.apache.hadoop.fs.Path(baseDir)
+        .getFileSystem(serConf.value)
+      rows.foreach { r =>
+        val rel = (0 to nParts).map(r.getString).mkString("/")
+        val path = new org.apache.hadoop.fs.Path(baseDir, rel)
+        val out = fs.create(path, true) // overwrite-by-path = idempotent
+        try out.write(r.getAs[Array[Byte]](nParts + 1)) finally out.close()
+      }
+    }
+  }
 }

@@ -67,6 +67,36 @@ class FotoPipelineSpec extends SparkSpec {
     assert(FotoPipeline.newWork(long, state2, dim).count() == 0)
   }
 
+  test("raw binary tree sink writes the reference layout and overwrites idempotently") {
+    val tmp = Files.createTempDirectory("btree").toString
+    val df = Seq(
+      ("P1", "7", "a.jpg", Array[Byte](1, 2)),
+      ("P1", "9", "b.jpg", Array[Byte](3)),
+      ("P2", "7", "c.jpg", Array[Byte](4)))
+      .toDF("kode_proyek", "minggu", "nama_file", "content")
+    graft.sources.BinaryCorpus.writeBinaryTree(df, tmp, Seq("kode_proyek", "minggu"), "nama_file", "content")
+    assert(Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/P1/7/a.jpg")).toSeq == Seq[Byte](1, 2))
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/P2/7/c.jpg")))
+    // rerun = overwrite, not failure (reference v2 upsert semantics)
+    graft.sources.BinaryCorpus.writeBinaryTree(df, tmp, Seq("kode_proyek", "minggu"), "nama_file", "content")
+    assert(Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/P1/9/b.jpg")).toSeq == Seq[Byte](3))
+  }
+
+  test("binary corpus scan: recursive glob filter + path-derived keys") {
+    val tmp = Files.createTempDirectory("scan").toString
+    val df = Seq(
+      ("KDJMI", "7", "x.jpg", Array[Byte](1)),
+      ("KDJMI", "7", "skip.txt", Array[Byte](2)),
+      ("P2", "9", "y.PNG", Array[Byte](3)))
+      .toDF("kode_proyek", "minggu", "nama_file", "content")
+    graft.sources.BinaryCorpus.writeBinaryTree(df, tmp, Seq("kode_proyek", "minggu"), "nama_file", "content")
+    val scanned = graft.sources.BinaryCorpus.withPathKeys(
+      graft.sources.BinaryCorpus.scan(spark, tmp, Seq("jpg", "jpeg", "png", "PNG")))
+    val rows = scanned.select("kode_proyek", "minggu", "nama_file", "length")
+      .as[(String, String, String, Long)].collect().toSet
+    assert(rows == Set(("KDJMI", "7", "x.jpg", 1L), ("P2", "9", "y.PNG", 1L)))
+  }
+
   test("idempotent blob sink: upsert overwrites, errors become rows") {
     val store = new InMemoryStore
     val df = Seq(("p/a.jpg", Array[Byte](1)), ("p/b.jpg", Array[Byte](2)), ("FAIL/c.jpg", Array[Byte](3)))
