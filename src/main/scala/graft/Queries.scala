@@ -816,10 +816,43 @@ object Queries {
       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       ORDER BY gid, returnflag, linestatus"""))
 
+  private val q43 = Q(
+    "q43_histogram_udaf",
+    (s, d) => {
+      // typed Aggregator UDAF (fixed-size buffer, map-side partials)
+      // surfaced as exploded (bin, n) rows; empty bins dropped to align
+      // with the SQL GROUP BY form
+      val hist = udaf(graft.functions.Aggregators.BoundedHistogram(0.0, 500000.0, 10))
+      Tables.orders(s, d)
+        .agg(hist(col("o_totalprice")).as("h"))
+        .select(posexplode(col("h")).as(Seq("bin", "n")))
+        .filter(col("n") > 0)
+        .select(col("bin").cast("int").as("bin"), col("n"))
+        .orderBy(col("bin"))
+    },
+    Some("""SELECT CAST(least(greatest(CAST(floor(o_totalprice/50000.0) AS INT),0),9) AS INT) AS bin,
+      count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  private val q44 = Q(
+    "q44_corpus_curate",
+    (s, d) => {
+      // composite training-data pipeline: language-ID -> quality gate ->
+      // exact dedup -> MinHash near-dup removal -> per-language accounting
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9)
+      val curated = graft.pipeline.CorpusPipeline.curate(
+        Tables.documents(s, d), "doc_id", "text", cfg)
+      graft.pipeline.CorpusPipeline.accounting(curated)
+        .select(col("predicted_lang"), col("n_docs"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+        .orderBy(col("predicted_lang"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }
