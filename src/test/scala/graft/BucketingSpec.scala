@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key join plans with zero shuffle exchanges") {
+    val d = "/root/testdata/sf0.001"
+    // disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Bucketing.writeBucketed(Tables.orders(spark, d), "b_orders",
+        Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", Seq("o_orderkey"), 8, Seq("o_orderkey"))
+
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val executed = joined.groupBy("o_orderstatus").agg(sum("l_quantity"))
+      executed.collect()
+      val plan = executed.queryExecution.executedPlan
+      val shuffles = plan.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+      // exactly one exchange: the groupBy re-partition; the JOIN itself
+      // reads co-located buckets with no shuffle on either side
+      assert(shuffles.size <= 1, s"expected bucket-local join, got plan:\n$plan")
+
+      // and the result matches the unbucketed join
+      val expected = Tables.orders(spark, d)
+        .join(Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
