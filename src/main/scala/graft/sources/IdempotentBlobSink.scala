@@ -52,13 +52,28 @@ object IdempotentBlobSink {
       val out = rows.map { r =>
         val path = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
-        try {
-          val version = store.currentVersion(path)
-          store.put(path, bytes, version) match {
-            case Right(url) => Row(path, url, null)
-            case Left(err)  => Row(path, null, err)
+        // bounded retry with backoff: transient transport failures are
+        // retried; the path-keyed upsert makes retries idempotent
+        var remaining = 2
+        var backoffMs = 50L
+        var result: Row = null
+        while (result == null) {
+          val outcome =
+            try {
+              val version = store.currentVersion(path)
+              store.put(path, bytes, version) match {
+                case Right(url) => Right(Row(path, url, null))
+                case Left(err)  => Left(err)
+              }
+            } catch { case e: Exception => Left(e.getMessage) }
+          outcome match {
+            case Right(row) => result = row
+            case Left(err) if remaining > 0 =>
+              remaining -= 1; Thread.sleep(backoffMs); backoffMs *= 2
+            case Left(err) => result = Row(path, null, err)
           }
-        } catch { case e: Exception => Row(path, null, e.getMessage) }
+        }
+        result
       }
       // drain fully before closing the store
       val materialized = out.toVector

@@ -25,14 +25,11 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = repr(v)
-            rr.append((cols[order.index(i)] if False else cols[i], str(v)))
-        out.append(tuple(str(x[1]) for x in rr))
+                v = "NaN" if math.isnan(v) else repr(v)
+            rr.append(str(v))
+        out.append(tuple(rr))
     out.sort()
-    return sorted(c for c in cols), out
+    return sorted(cols), out
 
 
 def main():
