@@ -849,10 +849,28 @@ object Queries {
     },
     None)
 
+  private val q45 = Q(
+    "q45_topk_native_operator",
+    (s, d) => {
+      // the custom whole-stage TopK operator (TopKPartialExec bounds each
+      // partition BEFORE the shuffle); same rows as the window form
+      Relational.topKPerGroupNative(
+        Tables.orders(s, d),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -38,6 +38,27 @@ object Relational {
       .drop("__new")
   }
 
+  /** Per-group top-k through the engine's custom whole-stage operator
+    * ([[graft.plans.TopKPerGroupPlan]] → TopKPartialExec/TopKFinalExec):
+    * bounded per-group heaps BEFORE the shuffle, so only ≤ k rows per
+    * group per partition hit the exchange — unlike the window form,
+    * which shuffles every input row to rank it. Same row set as
+    * `topKPerGroup` (minus the rank column); requires the graft
+    * extensions (Sessions.local installs them).
+    */
+  def topKPerGroupNative(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    val groupExprs = partitionCols.map(GraftSqlBridge.expression)
+    val sortOrders = orderCols.map(GraftSqlBridge.expression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+    GraftSqlBridge.ofRows(df.sparkSession,
+      graft.plans.TopKPerGroupPlan(groupExprs, sortOrders, k, GraftSqlBridge.logicalPlan(df)))
+  }
+
   /** As-of join: each left row is matched with the latest right row of
     * the same key whose `tsCol` is ≤ the left row's. Implemented as
     * union + ordered window (last-non-null carry-forward), NOT as a range

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+
+  test("native top-k matches the window formulation exactly") {
+    val window = Relational.topKPerGroup(
+      orders, Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val native = Relational.topKPerGroupNative(
+      orders, Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(native == window && native.nonEmpty)
+  }
+
+  test("plans as Partial -> exchange -> Final (partial bound before the shuffle)") {
+    val df = Relational.topKPerGroupNative(
+      orders, Seq(col("o_custkey")), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    df.collect()
+    // AQE wraps stages so tree collect can't see through; assert on the
+    // rendered final plan: Final ABOVE the exchange, Partial BELOW it —
+    // i.e. the per-partition bound happens before any data moves
+    val s = df.queryExecution.executedPlan.toString
+    val finalSection = s.split("== Initial Plan ==").head
+    val (fi, ei, pi) = (finalSection.indexOf("TopKFinal"),
+      finalSection.indexOf("Exchange"), finalSection.indexOf("TopKPartial"))
+    assert(fi >= 0 && ei > fi && pi > ei, s"unexpected plan shape:\n$s")
+  }
+
+  test("ascending order, k=1 returns the minimum per group") {
+    val df = Seq((1, 10.0, "a"), (1, 5.0, "b"), (2, 7.0, "c")).toDF("g", "v", "tag")
+    val r = Relational.topKPerGroupNative(df, Seq(col("g")), Seq(col("v").asc, col("tag").asc), 1)
+      .select("g", "tag").as[(Int, String)].collect().toSet
+    assert(r == Set((1, "b"), (2, "c")))
+  }
+
+  test("works with composite keys and survives further transforms") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val top = Relational.topKPerGroupNative(li,
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc), 2)
+    val agg = top.groupBy("l_returnflag").count().as[(String, Long)].collect().toMap
+    // ≤ 2 per (flag,status) combination, grouped up to flag level
+    assert(agg.values.forall(_ <= 4))
+    assert(agg.nonEmpty)
+  }
+}
