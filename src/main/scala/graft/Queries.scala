@@ -849,6 +849,20 @@ object Queries {
     },
     None)
 
+  private val q46 = Q(
+    "q46_approx_distinct",
+    (s, d) => {
+      // HLL sketch path for 100 TB-scale distinct counting (rows-only:
+      // approximate results have no exact oracle); exact counts alongside
+      // for observable error
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+    None)
+
   private val q45 = Q(
     "q45_topk_native_operator",
     (s, d) => {
@@ -872,5 +886,5 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

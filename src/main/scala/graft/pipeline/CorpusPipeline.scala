@@ -32,7 +32,12 @@ object CorpusPipeline {
         "es" -> Seq("el", "los", "de")),
       keepLangs: Set[String] = Set("en", "fr", "de", "es"),
       nearDupShingleSize: Int = 3,
-      nearDupThreshold: Double = 0.9)
+      nearDupThreshold: Double = 0.9,
+      nearDupNumHashes: Int = 32,
+      nearDupBands: Int = 4) // 4 bands × 8 rows: steep S-curve sized for
+                             // the high threshold — moderate-similarity
+                             // pairs rarely collide, so the candidate
+                             // join stays small on near-dup-light corpora
 
   /** Annotate with language + quality signals (single projection, no
     * shuffle).
@@ -60,7 +65,8 @@ object CorpusPipeline {
       .drop("canonical_id", "dup_count")
     val nearPairs = Dedup.minHashNearDuplicates(
       exact, idCol, textCol,
-      shingleSize = cfg.nearDupShingleSize, threshold = cfg.nearDupThreshold)
+      shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
+      bands = cfg.nearDupBands, threshold = cfg.nearDupThreshold)
     val toDrop = nearPairs.select(col("id_b").as(idCol)).distinct()
     exact.join(toDrop, Seq(idCol), "left_anti")
   }
