@@ -39,15 +39,32 @@ object CorpusPipeline {
                              // pairs rarely collide, so the candidate
                              // join stays small on near-dup-light corpora
 
-  /** Annotate with language + quality signals (single projection, no
-    * shuffle).
+  /** Annotate with language + quality signals (two stacked projections,
+    * no shuffle). Per-language scores are MATERIALIZED columns before the
+    * argmax: inlining them would re-evaluate each occurrence-count
+    * expression once per comparison in the when-chain.
     */
-  def annotate(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame =
-    docs
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("n_tokens", size(col("__toks")))
-      .withColumn("ttr", TF.typeTokenRatio(col(textCol)))
-      .withColumn("predicted_lang", TF.stopwordLanguageScore(col(textCol), cfg.langProfiles))
+  def annotate(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val scored = cfg.langProfiles.zipWithIndex.foldLeft(
+      docs
+        .withColumn("__toks", TF.tokens(col(textCol)))
+        .withColumn("n_tokens", size(col("__toks")))
+        .withColumn("ttr", TF.typeTokenRatio(col(textCol)))) {
+      case (df, ((_, words), i)) =>
+        df.withColumn(s"__score_$i", words.map(w => TF.occurrences(padded, s" $w ")).reduce(_ + _))
+    }
+    // argmax over the materialized score columns, first-wins on ties
+    val predicted = cfg.langProfiles.zipWithIndex.foldRight(
+      lit(cfg.langProfiles.last._1)) { case (((lang, _), i), elseCol) =>
+      val s = col(s"__score_$i")
+      val beatsAllLater = (i + 1 until cfg.langProfiles.size)
+        .map(j => s >= col(s"__score_$j")).foldLeft(lit(true))(_ && _)
+      when(beatsAllLater, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("predicted_lang", predicted)
+      .drop(cfg.langProfiles.indices.map(i => s"__score_$i"): _*)
+  }
 
   /** Quality + language gate. */
   def qualityFilter(annotated: DataFrame, cfg: Config): DataFrame =
