@@ -863,6 +863,41 @@ object Queries {
     },
     None)
 
+  private val q47 = Q(
+    "q47_grouped_collect",
+    (s, d) => {
+      // grouped collect (A3): per-customer order list; sorted then joined
+      // to a string so the result is deterministic and engine-portable
+      Tables.orders(s, d).filter(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+      array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+      FROM orders WHERE o_custkey <= 50 GROUP BY 1 ORDER BY 1"""))
+
+  private val q48 = Q(
+    "q48_map_ops",
+    (s, d) => {
+      // MapType surface: parse the JSON props into map<string,int>,
+      // extract by key, enumerate keys
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_value"),
+          array_join(map_keys(col("m")), ",").as("keys"),
+          size(col("m")).cast("int").as("n_keys"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k_value,
+      'k' AS keys, 1 AS n_keys
+      FROM events ORDER BY event_id"""))
+
   private val q45 = Q(
     "q45_topk_native_operator",
     (s, d) => {
@@ -886,5 +921,6 @@ object Queries {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q46, q47, q48)
 }
