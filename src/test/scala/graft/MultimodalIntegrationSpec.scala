@@ -1,0 +1,50 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.ImageOps
+import graft.operators.{Dedup, Similarity}
+
+/** End-to-end multimodal path: raw image bytes → decoded feature
+  * vectors → the engine's vector similarity operators. This is the
+  * image-corpus near-dup/search story at full pipeline depth: binary
+  * column in, ANN results out, nothing on the driver but the assertions.
+  */
+class MultimodalIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shadeImage(r: Int, g: Int, b: Int, noise: Int, seed: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach { y =>
+      (0 until 32).foreach { x =>
+        def c(v: Int) = math.min(255, math.max(0, v + rnd.nextInt(2 * noise + 1) - noise))
+        im.setRGB(x, y, new java.awt.Color(c(r), c(g), c(b)).getRGB)
+      }
+    }
+    val bos = new ByteArrayOutputStream(); ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image corpus near-dup via features: same-shade images pair up, cross-shade don't") {
+    // two color families, 5 noisy variants each
+    val rows = (0 until 5).map(i => (i.toLong, shadeImage(250, 60, 40, 6, i))) ++
+      (0 until 5).map(i => (5L + i, shadeImage(30, 90, 230, 6, 100 + i)))
+    val df = rows.toDF("id", "content")
+      .withColumn("feat", ImageOps.imageFeatures(col("content")))
+      .withColumn("family", (col("id") < 5).cast("int"))
+    val pairs = Dedup.embeddingNearDuplicates(df, "id", "feat", "family", threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => (a < 5) == (b < 5) })
+
+    // and top-k search from a red query lands on red neighbors
+    val topk = Similarity.bruteForceCosineTopK(df, "id", "feat",
+      df.filter(col("id") === 0), "id", "feat", k = 4)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(topk.filter(_._2 <= 4).map(_._1).count(_ < 5) == 4)
+  }
+}
