@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout, NOT through
+// sbt's logger — the bench contract is ONE bare JSON line on stdout, and
+// the default LoggedOutput prefixes every line with "[info] ", which makes
+// the driver's JSON extractor fail (BENCH_r01/r02 both had parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was too tight for 32 executor threads at sf0.1: allocation-heavy
+  // queries (per-call JSON parsing, wide strings) GC-thrashed the driver's
+  // bench run into 8.5x-of-warm totals. 48g is max heap, not a reservation
+  // (the box has 128 GiB), and G1 keeps pauses bounded at that size.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
 )

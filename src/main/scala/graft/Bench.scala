@@ -13,8 +13,13 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
     // untimed warmup pass: JIT + codegen + parquet footer caches, so the
     // timed pass measures steady-state compute (disable: SPARK_GRAFT_WARMUP=0)
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val w0 = System.nanoTime()
       sorted.foreach { case (n, f) => runOnce(n, f) }
+      System.err.println(
+        f"[bench] warmup pass: ${sorted.size} queries in ${(System.nanoTime() - w0) / 1e9}%.1f s" +
+          s" (heap max ${Runtime.getRuntime.maxMemory() >> 20} MiB)")
+    } else System.err.println("[bench] WARMUP DISABLED — timed pass includes JIT/codegen noise")
     val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       runOnce(name, fn)
@@ -23,7 +28,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's extractor: (1) persist the JSON to a
+    // file next to the repo so a stdout-scrape failure is recoverable,
+    // (2) stop Spark FIRST so no executor-shutdown logging can interleave,
+    // (3) emit the JSON as the final bare stdout line (build.sbt forces
+    // run/outputStrategy := StdoutOutput so sbt does not "[info]"-prefix it).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(line)
+    System.out.flush()
   }
 }

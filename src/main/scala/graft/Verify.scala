@@ -28,7 +28,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit every oracle under BOTH key forms: the bare query name and the
+    // output-artifact directory name ("<name>.parquet"). The driver keys its
+    // per-query correctness records by the artifact name including the
+    // suffix (CORRECTNESS_r02.json), so a bare-keyed oracle map is invisible
+    // to it ("no_oracle" across the board); the duplication is harmless.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -56,12 +56,17 @@ def main():
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_fail += 1
             continue
-        if name not in oracles:
+        # Mirror the driver exactly: it looks up the oracle by the raw
+        # artifact directory name INCLUDING the ".parquet" suffix. Verify
+        # emits both key forms; checking the suffixed one here means local
+        # green implies driver green.
+        raw_key = name + ".parquet"
+        if raw_key not in oracles:
             print(f"ROWS-ONLY {name}: rows={len(my_rows)}")
             n_rowsonly += 1
             continue
         try:
-            oc = con.execute(oracles[name])
+            oc = con.execute(oracles[raw_key])
             o_cols = [c[0] for c in oc.description]
             o_rows = oc.fetchall()
         except Exception as e:
