@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF, HashFunctions => HF}
 import graft.operators.{Dedup, Relational, Similarity}
 
@@ -373,9 +374,14 @@ object Queries {
   private val q18 = Q(
     "q18_json_extract",
     (s, d) => {
+      // from_json with an explicit schema parses each props string ONCE
+      // into a struct (codegen-friendly, no per-path re-parse and far less
+      // allocation than get_json_object — which the round-2 driver bench
+      // recorded at 253 s under memory pressure vs <1 s warm).
       Tables.events(s, d).select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"),
         col("event_type"),
         col("user_id"))
         .orderBy(col("event_id"))

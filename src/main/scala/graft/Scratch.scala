@@ -1,0 +1,29 @@
+package graft
+
+/** Throwaway diagnostic main: `explain` one query's physical plan, or run a
+  * named query N times in one JVM timing each pass (chasing run-count or
+  * host-contention effects seen in Bench).
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "time"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val names = if (args.length > 2) args(2).split(",").toSeq else Seq("q33_simhash")
+    val spark = Sessions.local("8", "8")
+    mode match {
+      case "explain" =>
+        names.foreach { n =>
+          System.err.println(s"===== $n =====")
+          System.err.println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+        }
+      case _ =>
+        val reps = if (args.length > 3) args(3).toInt else 3
+        for (r <- 1 to reps; n <- names) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          System.err.println(f"[scratch] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+    }
+    spark.stop()
+  }
+}

@@ -15,11 +15,28 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Rank a scored candidate set down to k per query: the custom TopK
+    * operator bounds each input partition to k rows per query BEFORE the
+    * exchange (TopKPartialExec), so the shuffle moves ≤ k·|queries| rows
+    * per partition instead of every scored row — the window form's
+    * one-reducer-per-query straggler is the single worst scaling hazard
+    * in this file. The rank column is recovered with a window AFTER the
+    * bound: its input is already ≤ k rows per query and already hash
+    * partitioned by query_id by TopKFinalExec, so no third exchange.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("cosine").desc, col("neighbor_id").asc)
+    val bounded = Relational.topKPerGroupNative(scored, Seq(col("query_id")), order, k)
+    val w = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    bounded.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
-    * `queries` must be small (it is broadcast). Corpus rows never shuffle:
-    * the cross product is a BroadcastNestedLoopJoin, and the only shuffle
-    * is the per-query top-k window over k·|queries| surviving rows.
+    * `queries` must be small (it is broadcast). Corpus rows never shuffle
+    * at full width: the cross product is a BroadcastNestedLoopJoin and the
+    * per-query top-k is heap-bounded per partition before its exchange.
     */
   def bruteForceCosineTopK(
       corpus: DataFrame,
@@ -34,10 +51,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: random-hyperplane signatures over
@@ -81,12 +95,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__qe"), col("__ce"))
       .dropDuplicates("query_id", "neighbor_id")
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(
+      candidates.withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))), k)
   }
 
   /** IVF-style search: assign every corpus vector to its nearest centroid
@@ -104,29 +114,39 @@ object Similarity {
       centroids: DataFrame, // (centroid_id, centroid: array<double>)
       k: Int,
       nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
+    // All centroids as ONE broadcast array row. Assignment is then a pure
+    // per-row projection (argmax over the array) — the previous
+    // crossJoin+window formulation shuffled |corpus|·|centroids| rows just
+    // to keep the best 1, which dies at any real corpus size. Centroid
+    // counts are bounded (≤ ~64k for IVF to make sense), so the array fits
+    // comfortably in a broadcast.
+    val centArr = broadcast(
+      centroids.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
 
-    def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) = {
-      val w = Window.partitionBy(col(idOut)).orderBy(col("__cd").desc, col("centroid_id").asc)
+    // Keep the `keep` nearest centroids per row with zero shuffle:
+    // score every centroid inside a transform(), array_sort ascending by
+    // (cosine, -centroid_id), reverse → (cosine DESC, centroid_id ASC),
+    // slice the prefix, explode.
+    def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) =
       df.select(col(id).as(idOut), col(emb).as(embOut))
-        .crossJoin(cents)
-        .withColumn("__cd", VectorFunctions.cosineNative(col(embOut), col("centroid")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= keep)
-        .select(col(idOut), col(embOut), col("centroid_id"))
-    }
+        .crossJoin(centArr)
+        .withColumn("__ranked", slice(reverse(array_sort(transform(col("__cents"), c =>
+          struct(
+            VectorFunctions.cosineNative(col(embOut), c.getField("centroid")).as("cd"),
+            (-c.getField("centroid_id")).as("neg_id"),
+            c.getField("centroid_id").as("centroid_id"))))), 1, keep))
+        .select(col(idOut), col(embOut),
+          explode(col("__ranked")).as("__c"))
+        .select(col(idOut), col(embOut), col("__c.centroid_id").as("centroid_id"))
 
     val ca = assign(corpus, corpusId, corpusEmb, "neighbor_id", "__ce", 1)
     val qa = broadcast(assign(queries, queryId, queryEmb, "query_id", "__qe", nprobe))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    ca.join(qa, "centroid_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(
+      ca.join(qa, "centroid_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))), k)
   }
 
   /** Per-group element-wise mean vectors (e.g. per-label centroids):

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Whole-operator per-group top-k: the one declared op where composing
@@ -104,8 +104,10 @@ case class TopKFinalExec(
     sortOrders: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends TopKExecBase {
+  // Empty group = GLOBAL top-k: every partial's survivors must meet in
+  // one place or the "final" emits k rows per partition, not k rows.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
   override protected def doExecute(): RDD[InternalRow] =
     executeTopK()
