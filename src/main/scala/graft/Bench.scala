@@ -6,6 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Whole-process CPU time (all 32 executor threads run in this JVM under
+    // local[32], so this captures every core-second the engine burns). CPU
+    // seconds are nearly invariant to external CPU steal, so the wall/cpu
+    // ratio in the artifact self-documents host contention: engine cost is
+    // ~cpu/32..cpu/1 depending on parallelism, while steal inflates wall only.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       // noop sink: full materialization of every result row without
       // writing — measures compute, not the local disk.
@@ -25,25 +32,43 @@ object Bench {
     // with zero JVM/GC/code-cache warnings. One timed pass therefore
     // measures the host's mood, not the engine. Run REPS timed passes
     // (rep-major, so a contention burst hits whole passes, not one query
-    // in every pass) and report each query's MINIMUM — the standard
-    // steady-state estimator under external interference.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
-    for (r <- 1 to reps) {
+    // in every pass) and report each query's MINIMUM wall time — the
+    // standard steady-state estimator under external interference — plus
+    // the process-CPU-seconds of that same best rep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    // Under sustained steal a 60 s pass can take 500+ s; cap total timed
+    // wall so 5 reps in bad weather cannot blow the driver's round budget.
+    // At least 2 reps always run (min-of-1 is not an estimator).
+    val maxTimedSec = sys.env.getOrElse("SPARK_GRAFT_MAX_SEC", "2100").toDouble
+    val bestWall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuAtBest = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val timed0 = System.nanoTime()
+    var repsRun = 0
+    var r = 1
+    while (r <= reps && (r <= 2 || (System.nanoTime() - timed0) / 1e9 < maxTimedSec)) {
       val r0 = System.nanoTime()
       sorted.foreach { case (name, fn) =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         runOnce(name, fn)
-        val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        if (bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
       }
       System.err.println(f"[bench] timed pass $r/$reps: ${(System.nanoTime() - r0) / 1e9}%.1f s")
+      repsRun = r
+      r += 1
     }
-    val results = sorted.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = sorted.map { case (name, _) => name -> bestWall(name) }
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val cpus2 = jmap(sorted.map { case (name, _) => name -> cpuAtBest(name) })
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val cpuTotal = cpuAtBest.values.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec_queries":$cpus2,"cpu_sec_total":$cpuTotal,"reps":$repsRun,""" +
+      s""""note":"cpu_sec is whole-process CPU of the best wall rep; wall >> cpu/cores with low cpu indicates external host contention, not engine cost","sf":"$sfDir"}"""
     // Belt and braces for the driver's extractor: (1) persist the JSON to a
     // file next to the repo so a stdout-scrape failure is recoverable,
     // (2) stop Spark FIRST so no executor-shutdown logging can interleave,

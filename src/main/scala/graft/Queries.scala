@@ -603,14 +603,18 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       val q = broadcast(emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      // Rank over the ROUNDED similarity (matches the oracle's ORDER BY sim):
+      // rounding after ranking could disagree with the oracle on rank ties.
+      // rankTopK heap-bounds each partition to k rows per query BEFORE the
+      // exchange (TopKPartialExec) — no one-reducer-per-query window over
+      // the full |corpus|×|queries| scored set.
       val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
         .crossJoin(q)
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("sim", round(VF.cosineNative(col("qe"), col("ce")), 6))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rnk"))
+        .withColumn("cosine", round(VF.cosineNative(col("qe"), col("ce")), 6))
+      Similarity.rankTopK(scored, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").as("sim"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     },
     Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -33,10 +33,16 @@ object Dedup {
     * moves hashes, not text.
     */
   def exactContentGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", sha2(col(textCol), 256))
-    val groups = hashed.groupBy(col("__h"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
-    hashed.join(groups, "__h").drop("__h")
+    // ONE shuffle: window min/count over the hash, not groupBy + re-join
+    // (which shuffles twice for the same answer). NULL text is hashed to a
+    // sentinel so those rows surface as their own duplicate group instead
+    // of silently vanishing (sha2(null) is null, and the old join form
+    // never matched null keys).
+    val w = Window.partitionBy(col("__h"))
+    df.withColumn("__h", coalesce(sha2(col(textCol), 256), lit("∅null∅")))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .drop("__h")
   }
 
   /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard verify.

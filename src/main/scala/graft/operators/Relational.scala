@@ -102,12 +102,16 @@ object Relational {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = closure.as("a")
+      val grown = closure.as("a")
         .join(closure.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .union(closure)
         .distinct()
-        .persist()
+      // every 5th iteration cut the logical lineage (localCheckpoint
+      // materializes AND truncates the plan) — otherwise the plan tree
+      // doubles per iteration and analysis/serialization cost grows
+      // without bound on deep graphs
+      val next = if (iter % 5 == 4) grown.localCheckpoint() else grown.persist()
       val m = next.count()
       if (m == n) { converged = true; next.unpersist() }
       else { closure.unpersist(); closure = next; n = m }
@@ -119,25 +123,95 @@ object Relational {
   /** Longest path (in hops) to each node of a DAG from any root —
     * iterative relaxation; useful for stage-dependency scheduling depth.
     */
-  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
-    var depth = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-      .withColumn("depth", lit(0L)).persist()
+  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame =
+    dagLongestPath(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), lit(1L).as("__w")),
+      "src", "dst", "__w", maxIter)
+      .withColumnRenamed("dist", "depth")
+
+  /** Weighted longest-path relaxation over a DAG: for every node, the
+    * maximum over all paths of the sum of edge weights reaching it
+    * (floored at 0 — every node starts at 0 and values are only max'd
+    * upward). One shuffle join + one aggregation per iteration; each
+    * iteration extends paths by one edge, so `maxIter` must cover the
+    * DAG's depth. Lineage is truncated every 5 iterations.
+    */
+  def dagLongestPath(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // parallel edges collapse to their max weight — the binding constraint
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(max("w").as("w")).persist()
+    var dist = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
+      .withColumn("dist", lit(0L)).persist()
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
-      val relaxed = depth.as("d").join(e, col("d.node") === col("src"))
-        .select(col("dst").as("node"), (col("depth") + 1L).as("depth"))
-        .union(depth)
-        .groupBy("node").agg(max("depth").as("depth"))
-        .persist()
-      changed = relaxed.as("l").join(depth.as("r"), Seq("node"))
-        .filter(col("l.depth") =!= col("r.depth")).limit(1).count() > 0
-      depth.unpersist()
-      depth = relaxed
+      val step = dist.as("d").join(e, col("d.node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(max("dist").as("dist"))
+      // relaxation adds ONE edge per iteration, so deep DAGs take many
+      // iterations: periodically truncate lineage or the plan grows
+      // linearly and per-iteration planning time dominates
+      val relaxed = if (iter % 5 == 4) step.localCheckpoint() else step.persist()
+      changed = relaxed.as("l").join(dist.as("r"), Seq("node"))
+        .filter(col("l.dist") =!= col("r.dist")).limit(1).count() > 0
+      dist.unpersist()
+      dist = relaxed
       iter += 1
     }
     e.unpersist()
-    depth
+    dist
+  }
+
+  /** Critical-path-method forward pass over the reference's
+    * `STAGE_DEPENDENCY` precedence model (`/root/reference/test.mmd:52-58`):
+    * edges carry `relation_type` FS/SS/FF/SF plus `lag_days`, stages carry
+    * a duration. Each relation type is an inequality on the child's start:
+    *
+    *   FS: child.start  ≥ parent.finish + lag
+    *   SS: child.start  ≥ parent.start  + lag
+    *   FF: child.finish ≥ parent.finish + lag  ⇔ start ≥ p.finish + lag − c.dur
+    *   SF: child.finish ≥ parent.start  + lag  ⇔ start ≥ p.start  + lag − c.dur
+    *
+    * All four reduce to `child.es ≥ parent.es + w` with a PER-EDGE STATIC
+    * weight, so the whole schedule is ONE weighted longest-path pass —
+    * no per-relation branching inside the iteration.
+    *
+    * Returns (stage_id, duration_days, early_start, early_finish) in day
+    * offsets from project start (earliest start floored at 0, the
+    * project-start constraint), plus start/finish dates when
+    * `projectStart` is given.
+    */
+  def cpmSchedule(
+      stages: DataFrame, // (stage_id, duration_days, ...)
+      deps: DataFrame, // (stage_id = child, depends_on_stage_id = parent, relation_type, lag_days)
+      projectStart: Option[java.sql.Date] = None,
+      maxIter: Int = 50): DataFrame = {
+    val dur = stages.select(col("stage_id"), col("duration_days").cast("long").as("__dur"))
+    val rel = upper(trim(col("relation_type")))
+    val weighted = deps
+      .join(dur.select(col("stage_id").as("__p"), col("__dur").as("__pdur")),
+        col("depends_on_stage_id") === col("__p"))
+      .join(dur.select(col("stage_id").as("__c"), col("__dur").as("__cdur")),
+        col("stage_id") === col("__c"))
+      .select(
+        col("depends_on_stage_id").as("src"), col("stage_id").as("dst"),
+        when(rel === "FS", col("__pdur") + col("lag_days"))
+          .when(rel === "SS", col("lag_days").cast("long"))
+          .when(rel === "FF", col("__pdur") + col("lag_days") - col("__cdur"))
+          .when(rel === "SF", col("lag_days") - col("__cdur"))
+          .as("w"))
+    val es = dagLongestPath(weighted, "src", "dst", "w", maxIter)
+      .select(col("node").as("stage_id"), col("dist").as("early_start"))
+    val base = stages.join(es, Seq("stage_id"), "left")
+      .na.fill(0L, Seq("early_start")) // independent stages start at day 0
+      .withColumn("early_finish", col("early_start") + col("duration_days").cast("long"))
+    projectStart.fold(base) { d =>
+      base
+        .withColumn("start_date", date_add(lit(d), col("early_start").cast("int")))
+        .withColumn("finish_date", date_add(lit(d), col("early_finish").cast("int")))
+    }
   }
 }

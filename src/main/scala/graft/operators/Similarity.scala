@@ -24,7 +24,7 @@ object Similarity {
     * bound: its input is already ≤ k rows per query and already hash
     * partitioned by query_id by TopKFinalExec, so no third exchange.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val order = Seq(col("cosine").desc, col("neighbor_id").asc)
     val bounded = Relational.topKPerGroupNative(scored, Seq(col("query_id")), order, k)
     val w = Window.partitionBy(col("query_id")).orderBy(order: _*)

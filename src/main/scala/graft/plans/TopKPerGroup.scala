@@ -5,8 +5,10 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Whole-operator per-group top-k: the one declared op where composing
@@ -113,6 +115,30 @@ case class TopKFinalExec(
     executeTopK()
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** Column pruning through the custom node. Catalyst's built-in
+  * ColumnPruning rule does not know a foreign UnaryNode is
+  * prune-transparent, so without this a `Project` above TopKPerGroupPlan
+  * stops at the operator and the scan below reads every column (a
+  * full-width scan tax at 100 TB). The operator only *reads* its group
+  * and sort attributes and passes rows through otherwise, so any child
+  * column needed by neither the parent Project nor group/sort can be
+  * dropped below it. Runs in the main operator-optimization batch, where
+  * the inserted inner Project is then pushed into the relation by the
+  * built-in rules.
+  */
+object TopKColumnPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, t @ TopKPerGroupPlan(group, order, _, child)) =>
+      val needed = p.references ++
+        AttributeSet(group.flatMap(_.references)) ++
+        AttributeSet(order.flatMap(_.references))
+      val kept = child.output.filter(needed.contains)
+      if (kept.length < child.output.length)
+        Project(projectList, t.copy(child = Project(kept, child)))
+      else p
+  }
 }
 
 object TopKPerGroupStrategy extends SparkStrategy {

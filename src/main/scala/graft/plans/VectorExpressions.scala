@@ -25,6 +25,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Non-null inputs can still yield NULL (length mismatch with positive
+  // norms — see the semantics note on nullSafeEval).
+  override def nullable: Boolean = true
+
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
@@ -38,20 +42,47 @@ case class CosineSimilarity(left: Expression, right: Expression)
   @inline private def elemAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  /** Degenerate-input semantics are defined as EXACTLY what the HOF form
+    * (`when(l2Norm(a) > 0 && l2Norm(b) > 0, dot(a,b)/(na*nb))
+    * .otherwise(0.0)`) produces, case by case:
+    *   - any NULL element in either array → the norm is null → the `when`
+    *     condition is null → `otherwise` fires → **0.0**;
+    *   - length mismatch with both norms > 0 → zip_with pads with nulls so
+    *     the dot is null while the condition is true → **NULL**;
+    *   - zero norm (incl. empty arrays) → condition false → **0.0**;
+    *   - otherwise the fused loop, double accumulation, left-to-right —
+    *     bit identical to the HOF form and the DuckDB oracle fragment.
+    */
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val aFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val bFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val an = a.numElements(); val bn = b.numElements()
+    var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
-      val x = elemAt(a, i, aFloat)
-      val y = elemAt(b, i, bFloat)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (an == bn) {
+      // fast path: ONE fused loop, zero allocation (the 99.99% case)
+      var dot = 0.0
+      while (i < an) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return 0.0
+        val x = elemAt(a, i, aFloat)
+        val y = elemAt(b, i, bFloat)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    } else {
+      while (i < an) {
+        if (a.isNullAt(i)) return 0.0
+        val x = elemAt(a, i, aFloat); na += x * x; i += 1
+      }
+      i = 0
+      while (i < bn) {
+        if (b.isNullAt(i)) return 0.0
+        val y = elemAt(b, i, bFloat); nb += y * y; i += 1
+      }
+      if (na > 0 && nb > 0) null else 0.0
     }
-    if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -62,17 +93,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val nullElem = ctx.freshName("nullElem")
+      // mirrors nullSafeEval: fused single loop when lengths match;
+      // null element → 0.0; mismatch with positive norms → NULL
       s"""
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$aGet($i);
-         |  double $y = (double) $b.$bGet($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |boolean $nullElem = false;
+         |int $an = $a.numElements(), $bn = $b.numElements();
+         |${ev.value} = 0.0;
+         |if ($an == $bn) {
+         |  for (int $i = 0; $i < $an; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem = true; break; }
+         |    double $x = (double) $a.$aGet($i);
+         |    double $y = (double) $b.$bGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!$nullElem && $na > 0 && $nb > 0) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |} else {
+         |  for (int $i = 0; $i < $an && !$nullElem; $i++) {
+         |    if ($a.isNullAt($i)) { $nullElem = true; }
+         |    else { double $x = (double) $a.$aGet($i); $na += $x * $x; }
+         |  }
+         |  for (int $i = 0; $i < $bn && !$nullElem; $i++) {
+         |    if ($b.isNullAt($i)) { $nullElem = true; }
+         |    else { double $y = (double) $b.$bGet($i); $nb += $y * $y; }
+         |  }
+         |  if (!$nullElem && $na > 0 && $nb > 0) { ${ev.isNull} = true; }
          |}
-         |${ev.value} = ($na > 0 && $nb > 0)
-         |  ? $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) : 0.0;
        """.stripMargin
     })
   }

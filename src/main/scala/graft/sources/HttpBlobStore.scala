@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Real HTTP transport for [[IdempotentBlobSink.BlobStore]]: the engine
+  * form of the reference's live contents-API client
+  * (`/root/reference/test.py:62-93` — GET the object's version, PUT
+  * conditioned on it). Re-expressed over the standard HTTP conditional
+  * protocol instead of a vendor API: `currentVersion` is a HEAD returning
+  * the `ETag`, `put` is a `PUT` with `If-Match` when overwriting.
+  *
+  * TLS certificate verification is ON — the JDK client's default. The
+  * reference's `verify=False` bypass (`test.py:70,87`) is deliberately
+  * NOT reproduced.
+  *
+  * Transient failures (5xx, IO errors) surface as `Left`/exceptions and
+  * are retried with backoff by the sink's per-row loop; the version
+  * condition makes those retries idempotent.
+  */
+final class HttpBlobStore(
+    baseUrl: String,
+    authToken: Option[String] = None,
+    timeout: Duration = Duration.ofSeconds(30))
+    extends IdempotentBlobSink.BlobStore {
+
+  private val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  private def uri(path: String): URI = {
+    val base = if (baseUrl.endsWith("/")) baseUrl.dropRight(1) else baseUrl
+    val encoded = path.split("/").filter(_.nonEmpty)
+      .map(seg => java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+    URI.create(s"$base/$encoded")
+  }
+
+  private def withAuth(b: HttpRequest.Builder): HttpRequest.Builder =
+    authToken.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+
+  override def currentVersion(path: String): Option[String] = {
+    val req = withAuth(HttpRequest.newBuilder(uri(path)).timeout(timeout)
+      .method("HEAD", HttpRequest.BodyPublishers.noBody())).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.discarding())
+    resp.statusCode() match {
+      case 200 => Option(resp.headers().firstValue("ETag").orElse(null))
+      case 404 => None
+      // 5xx/4xx here throws so the sink's retry loop re-runs the whole
+      // GET-version → conditional-PUT sequence, not just the PUT
+      case s => throw new java.io.IOException(s"HEAD ${uri(path)} -> HTTP $s")
+    }
+  }
+
+  override def put(path: String, bytes: Array[Byte],
+      expectedVersion: Option[String]): Either[String, String] = {
+    val b = HttpRequest.newBuilder(uri(path)).timeout(timeout)
+      .header("Content-Type", "application/octet-stream")
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
+    expectedVersion.foreach(v => b.header("If-Match", v))
+    val resp = client.send(withAuth(b).build(), HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 | 201 | 204 => Right(uri(path).toString)
+      case s =>
+        val body = Option(resp.body()).getOrElse("").take(200)
+        Left(s"PUT ${uri(path)} -> HTTP $s $body")
+    }
+  }
+}

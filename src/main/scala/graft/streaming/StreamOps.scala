@@ -61,37 +61,51 @@ object StreamOps {
   final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)
 
-  /** Custom stateful sessionization via mapGroupsWithState with processing
-    * time timeout: emits a session row when `gapUs` of silence passes.
-    * The batch analog is Relational.sessionize; this is the always-on
-    * form with per-key state.
+  /** Custom stateful sessionization via flatMapGroupsWithState with a
+    * PROCESSING-time timeout: a closed session is emitted when a later
+    * event of the same key arrives past `gapUs` of event time, and the
+    * LAST open session of a key is flushed when `gapUs/1000` ms of
+    * processing-time silence passes (the `hasTimedOut` branch) — without
+    * the timeout a key's final session would never emit. The batch analog
+    * is Relational.sessionize; this is the always-on form with per-key
+    * state.
     */
   def sessionizeStream(events: Dataset[SessionInput], gapUs: Long)(
       implicit enc1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutMs = math.max(gapUs / 1000L, 1L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          // sorted within batch; across batches state carries the open session
-          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { r =>
-            val us = r.ts.getTime * 1000L
-            cur match {
-              case Some(st) if us - st.lastUs <= gapUs =>
-                cur = Some(st.copy(lastUs = us, n = st.n + 1))
-              case Some(st) =>
-                out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
-                cur = Some(SessionState(us, us, 1))
-              case None =>
-                cur = Some(SessionState(us, us, 1))
+          if (state.hasTimedOut) {
+            // gapUs of wall-clock silence: flush the open session and drop
+            // the state — the contract the scaladoc promises.
+            val open = state.getOption.map(st =>
+              SessionOut(user, st.sessionStartUs, st.lastUs, st.n))
+            state.remove()
+            open.iterator
+          } else {
+            // sorted within batch; across batches state carries the open session
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { r =>
+              val us = r.ts.getTime * 1000L
+              cur match {
+                case Some(st) if us - st.lastUs <= gapUs =>
+                  cur = Some(st.copy(lastUs = us, n = st.n + 1))
+                case Some(st) =>
+                  out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
             }
+            cur.foreach { st => state.update(st); state.setTimeoutDuration(timeoutMs) }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

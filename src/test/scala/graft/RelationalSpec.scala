@@ -36,4 +36,49 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("deep chain: closure and depth survive 50+ iterations (lineage checkpointing)") {
+    val n = 55L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    // doubling closure: chain of 54 edges → all (i, j) i<j pairs
+    val tc = Relational.transitiveClosure(edges, "src", "dst")
+    assert(tc.count() == n * (n - 1) / 2)
+    // one-hop relaxation: needs 54 iterations — the lineage-growth case
+    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    assert(d(n) == n - 1)
+    assert(d(1L) == 0L)
+  }
+
+  test("weighted longest path honors edge weights over hop count") {
+    // 1→3 direct weight 10 beats 1→2→3 (1+1)
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("src", "dst", "w")
+    val d = Relational.dagLongestPath(edges, "src", "dst", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+  }
+
+  test("cpmSchedule: FS/SS/FF/SF anchor arithmetic on a fixture plan") {
+    // durations: s1=5, s2=3, s3=4, s4=2, s5=6
+    val stages = Seq((1L, 5), (2L, 3), (3L, 4), (4L, 2), (5L, 6))
+      .toDF("stage_id", "duration_days")
+    // (child, parent, type, lag)
+    val deps = Seq(
+      (2L, 1L, "FS", 2), // s2.start ≥ s1.finish(5)+2 = 7
+      (3L, 1L, "SS", 1), // s3.start ≥ s1.start(0)+1 = 1
+      (4L, 2L, "FF", 0), // s4.finish ≥ s2.finish(10) → start ≥ 10-2 = 8
+      (5L, 3L, "SF", 4)  // s5.finish ≥ s3.start(1)+4 → start ≥ 5-6 → floor 0
+    ).toDF("stage_id", "depends_on_stage_id", "relation_type", "lag_days")
+    val start = java.sql.Date.valueOf("2024-01-01")
+    val byId = Relational.cpmSchedule(stages, deps, Some(start))
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(r.fieldIndex("early_start")),
+        r.getLong(r.fieldIndex("early_finish")),
+        r.getDate(r.fieldIndex("start_date")).toString)).toMap
+    assert(byId(1L) == ((0L, 5L, "2024-01-01")))
+    assert(byId(2L) == ((7L, 10L, "2024-01-08")))
+    assert(byId(3L) == ((1L, 5L, "2024-01-02")))
+    assert(byId(4L) == ((8L, 10L, "2024-01-09")))
+    assert(byId(5L) == ((0L, 6L, "2024-01-01"))) // SF constraint non-binding → floor 0
+  }
 }

@@ -62,6 +62,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("processing-time timeout flushes the last open session with no later event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionInput]
+    // 0.5 s gap → 500 ms processing-time timeout
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 500000L)
+    val q = out.writeStream.format("memory").queryName("sessTo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamOps.SessionInput(42L, ts(0), 1), StreamOps.SessionInput(42L, ts(0), 2))
+      q.processAllAvailable()
+      Thread.sleep(1500) // let the processing-time deadline pass
+      // unrelated key only DRIVES the next microbatch; key 42 gets no more
+      // events, so its session can only appear via the hasTimedOut flush
+      input.addData(StreamOps.SessionInput(7L, ts(0), 3))
+      q.processAllAvailable()
+      val flushed = spark.table("sessTo").as[StreamOps.SessionOut]
+        .collect().filter(_.user_id == 42L)
+      assert(flushed.length == 1)
+      assert(flushed.head.n == 2)
+    } finally q.stop()
+  }
+
   test("AvailableNow incremental pipeline processes only new files per run") {
     val base = Files.createTempDirectory("stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"

@@ -27,6 +27,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaSql == 0.0)
   }
 
+  test("native cosine matches HOF semantics on degenerate inputs") {
+    // (a, b) pairs covering: length mismatch (positive norms), null
+    // element on either side, zero norm, empty arrays, null input
+    val rows: Seq[(Option[Seq[Option[Double]]], Option[Seq[Option[Double]]])] = Seq(
+      (Some(Seq(Some(1.0), Some(2.0), Some(3.0))), Some(Seq(Some(1.0), Some(2.0)))), // mismatch → NULL
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(1.0), Some(2.0)))),                 // null elem a → 0.0
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(None, Some(2.0)))),                 // null elem b → 0.0
+      (Some(Seq(Some(0.0), Some(0.0))), Some(Seq(Some(1.0), Some(2.0)))),            // zero norm → 0.0
+      (Some(Seq.empty), Some(Seq(Some(1.0)))),                                       // empty → 0.0
+      (None, Some(Seq(Some(1.0)))),                                                  // null input → NULL
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(2.0), Some(1.0)))))            // normal
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VF.cosine(col("a"), col("b")).as("hof"),
+      VF.cosineNative(col("a"), col("b")).as("native")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"row $i nullness: hof=${r.get(0)} native=${r.get(1)}")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), s"row $i value: hof=${r.get(0)} native=${r.get(1)}")
+    }
+    // spot-check the interesting verdicts directly on the native form
+    val native = got.map(r => if (r.isNullAt(1)) null else r.getDouble(1))
+    assert(native(0) == null) // mismatch with positive norms
+    assert(native(1) == 0.0 && native(2) == 0.0) // null elements
+    assert(native(5) == null) // null input
+  }
+
   test("native simhash matches the HOF formulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"),
