@@ -24,11 +24,21 @@ object VectorFunctions {
   /** Euclidean (L2) norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  /** Cosine similarity. Degenerate-input contract (shared bit-for-bit
+    * with [[cosineNative]] — see the semantics note on
+    * [[graft.plans.CosineSimilarity]]):
+    *   - NULL input ARRAY on either side → NULL (standard SQL null-in
+    *     null-out; without the explicit guard the `when` condition would
+    *     be null and `otherwise` would silently turn a missing embedding
+    *     into 0.0);
+    *   - null ELEMENT / zero norm / empty array → 0.0;
+    *   - length mismatch with both norms positive → NULL.
+    */
   def cosine(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .otherwise(when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0)))
   }
 
   /** Cosine via the native fused-loop Catalyst expression

@@ -42,11 +42,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   @inline private def elemAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** Degenerate-input semantics are defined as EXACTLY what the HOF form
-    * (`when(l2Norm(a) > 0 && l2Norm(b) > 0, dot(a,b)/(na*nb))
-    * .otherwise(0.0)`) produces, case by case:
-    *   - any NULL element in either array → the norm is null → the `when`
-    *     condition is null → `otherwise` fires → **0.0**;
+  /** Degenerate-input semantics, shared with the HOF form
+    * ([[graft.functions.VectorFunctions.cosine]]), case by case:
+    *   - NULL input ARRAY on either side → **NULL** (null-in null-out;
+    *     `nullSafeEval`/`nullSafeCodeGen` never run — the HOF form carries
+    *     an explicit `isNull` guard to match);
+    *   - any NULL element in either array → the HOF norm is null → its
+    *     `when` condition is null → `otherwise` fires → **0.0**;
     *   - length mismatch with both norms > 0 → zip_with pads with nulls so
     *     the dot is null while the condition is true → **NULL**;
     *   - zero norm (incl. empty arrays) → condition false → **0.0**;

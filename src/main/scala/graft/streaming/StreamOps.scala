@@ -61,27 +61,35 @@ object StreamOps {
   final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)
 
-  /** Custom stateful sessionization via flatMapGroupsWithState with a
-    * PROCESSING-time timeout: a closed session is emitted when a later
-    * event of the same key arrives past `gapUs` of event time, and the
-    * LAST open session of a key is flushed when `gapUs/1000` ms of
-    * processing-time silence passes (the `hasTimedOut` branch) — without
-    * the timeout a key's final session would never emit. The batch analog
-    * is Relational.sessionize; this is the always-on form with per-key
-    * state.
+  /** Custom stateful sessionization via flatMapGroupsWithState with an
+    * EVENT-time timeout: a closed session is emitted when a later event of
+    * the same key arrives past `gapUs` of event time, and the LAST open
+    * session of a key is flushed once the WATERMARK passes `last event +
+    * gap` (the `hasTimedOut` branch) — without the timeout a key's final
+    * session would never emit.
+    *
+    * Event-time (not processing-time) timeout is deliberate: timeouts fire
+    * only when the watermark advances, i.e. driven by data, so a test's
+    * `processAllAvailable` terminates (a processing-time timeout keeps the
+    * no-new-data microbatch loop re-arming forever), results are
+    * reproducible regardless of wall-clock scheduling, and rows later than
+    * `lateness` are dropped by the watermark instead of double-emitting a
+    * closed session. The batch analog is Relational.sessionize; this is
+    * the always-on form with per-key state.
     */
-  def sessionizeStream(events: Dataset[SessionInput], gapUs: Long)(
-      implicit enc1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+  def sessionizeStream(events: Dataset[SessionInput], gapUs: Long,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val timeoutMs = math.max(gapUs / 1000L, 1L)
+    val gapMs = math.max(gapUs / 1000L, 1L)
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // gapUs of wall-clock silence: flush the open session and drop
-            // the state — the contract the scaladoc promises.
+            // watermark passed lastUs + gap: flush the open session and
+            // drop the state — bounded state at any scale.
             val open = state.getOption.map(st =>
               SessionOut(user, st.sessionStartUs, st.lastUs, st.n))
             state.remove()
@@ -103,7 +111,14 @@ object StreamOps {
                   cur = Some(SessionState(us, us, 1))
               }
             }
-            cur.foreach { st => state.update(st); state.setTimeoutDuration(timeoutMs) }
+            cur.foreach { st =>
+              state.update(st)
+              // deadline must sit strictly above the current watermark or
+              // setTimeoutTimestamp throws (possible when a barely-on-time
+              // row lands with the watermark already near its deadline)
+              val deadline = st.lastUs / 1000L + gapMs
+              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1L))
+            }
             out.iterator
           }
       }

@@ -62,25 +62,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("processing-time timeout flushes the last open session with no later event") {
+  test("event-time timeout flushes the last open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
-    // 0.5 s gap → 500 ms processing-time timeout
-    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 500000L)
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 30L * 60 * 1000000) // 30 min gap
     val q = out.writeStream.format("memory").queryName("sessTo")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(StreamOps.SessionInput(42L, ts(0), 1), StreamOps.SessionInput(42L, ts(0), 2))
       q.processAllAvailable()
-      Thread.sleep(1500) // let the processing-time deadline pass
-      // unrelated key only DRIVES the next microbatch; key 42 gets no more
-      // events, so its session can only appear via the hasTimedOut flush
-      input.addData(StreamOps.SessionInput(7L, ts(0), 3))
+      // an unrelated key 2h later advances the watermark past 42's
+      // deadline (ts(0)+30min); key 42 gets no more events, so its session
+      // can only appear via the hasTimedOut flush, which fires in the
+      // no-data microbatch after the watermark moves
+      input.addData(StreamOps.SessionInput(7L, ts(120), 3))
       q.processAllAvailable()
-      val flushed = spark.table("sessTo").as[StreamOps.SessionOut]
+      def flushed() = spark.table("sessTo").as[StreamOps.SessionOut]
         .collect().filter(_.user_id == 42L)
-      assert(flushed.length == 1)
-      assert(flushed.head.n == 2)
+      // the watermark-advance no-data batch can commit just after
+      // processAllAvailable returns — poll briefly, bounded
+      val deadline = System.currentTimeMillis() + 30000
+      var got = flushed()
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable(); got = flushed()
+      }
+      assert(got.length == 1)
+      assert(got.head.n == 2)
     } finally q.stop()
   }
 
