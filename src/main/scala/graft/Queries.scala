@@ -730,16 +730,16 @@ object Queries {
   private val q39 = Q(
     "q39_winnow_fingerprint",
     (s, d) => {
-      // winnowing: per-window minima of k-gram rolling hashes (native
-      // graft_rollhash expression), the standard near-dup fingerprint set
+      // winnowing: per-window minima of k-gram rolling hashes — BOTH
+      // stages native codegen expressions (graft_rollhash O(n) hashing,
+      // graft_winnow O(n) monotonic-deque sliding min). The HOF
+      // transform/slice/array_min form allocated a slice per window,
+      // interpreted, and swung 26× under heap pressure.
       val k = 8; val w = 16
       Tables.documents(s, d)
         .select(col("doc_id"), call_function("graft_rollhash", col("text"), lit(k)).as("rh"))
         .select(col("doc_id"),
-          when(size(col("rh")) >= w,
-            array_distinct(transform(sequence(lit(0), size(col("rh")) - w),
-              i => array_min(slice(col("rh"), i + 1, lit(w))))))
-            .otherwise(array_distinct(col("rh"))).as("fps"))
+          call_function("graft_winnow", col("rh"), lit(w)).as("fps"))
         .select(
           col("doc_id"),
           size(col("fps")).cast("bigint").as("n_fingerprints"),

@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(ww: Int, IntegerType)) => WinnowMin(c, ww)
+        case _ => throw new IllegalArgumentException(
+          "graft_winnow(hashes, w) takes array<bigint> and a literal window length")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => children match {

@@ -59,7 +59,14 @@ final class HttpBlobStore(
     val b = HttpRequest.newBuilder(uri(path)).timeout(timeout)
       .header("Content-Type", "application/octet-stream")
       .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
-    expectedVersion.foreach(v => b.header("If-Match", v))
+    // overwrite is conditioned on the observed version; create is
+    // conditioned on absence (If-None-Match: *) so two concurrent
+    // creators can't silently clobber each other — the loser gets 412,
+    // re-reads the version, and retries as a conditional overwrite
+    expectedVersion match {
+      case Some(v) => b.header("If-Match", v)
+      case None => b.header("If-None-Match", "*")
+    }
     val resp = client.send(withAuth(b).build(), HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200 | 201 | 204 => Right(uri(path).toString)

@@ -13,6 +13,22 @@ class DedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 1L, 2L)))
   }
 
+  test("exact content groups: NULL texts form their own duplicate group") {
+    // sha2(NULL) is NULL — without the coalesce-to-sentinel the window key
+    // is null-grouped by Spark but the old join form never matched, and
+    // rows silently vanished. NULL texts must dedup AGAINST EACH OTHER,
+    // never against empty-string or real texts.
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("")), (5L, Some("a")))
+      .toDF("id", "text")
+    val r = Dedup.exactContentGroups(df, "id", "text")
+      .select("id", "canonical_id", "dup_count").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (1L, 1L, 2L), // "a" group of 2
+      (2L, 2L, 2L), (3L, 2L, 2L), // both NULLs, one group, canonical = min id
+      (4L, 4L, 1L), // empty string is its own (non-null) group
+      (5L, 1L, 2L)))
+  }
+
   test("keepFirstByKey keeps lowest id per key") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "k")
     val kept = Dedup.keepFirstByKey(df, Seq(col("k")), col("id")).as[(Long, String)].collect().toSet

@@ -1,0 +1,146 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.{HttpBlobStore, IdempotentBlobSink}
+
+/** Integration spec for the REAL transport ([[HttpBlobStore]]) against an
+  * in-process HTTP server speaking the standard conditional protocol the
+  * store targets (HEAD→ETag, PUT + If-Match / If-None-Match) — the engine
+  * form of the reference's versioned upsert (`/root/reference/test.py:62-93`).
+  * Covers: 404→create, ETag→conditional overwrite, the create race
+  * (If-None-Match: * → 412, then retry as overwrite), 5xx→retry-then-
+  * succeed, and row-level error capture end-to-end through
+  * [[IdempotentBlobSink.upload]].
+  */
+class HttpBlobStoreSpec extends SparkSpec {
+
+  // versioned in-memory object store behind a real HTTP listener
+  private val objects = new ConcurrentHashMap[String, (Array[Byte], String)]()
+  private val versionCounter = new AtomicInteger(0)
+  private val failNext5xx = new AtomicInteger(0) // inject N transient 500s
+  private val putCount = new AtomicInteger(0)
+  @volatile private var lastCreateHadIfNoneMatch = false
+
+  private var server: HttpServer = _
+  private def baseUrl = s"http://localhost:${server.getAddress.getPort}/blobs"
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/blobs/")
+    val existing = Option(objects.get(path))
+    (ex.getRequestMethod, path) match {
+      case _ if failNext5xx.getAndUpdate(n => math.max(n - 1, 0)) > 0 =>
+        ex.sendResponseHeaders(500, -1)
+      case ("HEAD", _) =>
+        existing match {
+          case Some((_, etag)) =>
+            ex.getResponseHeaders.set("ETag", etag)
+            ex.sendResponseHeaders(200, -1)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+      case ("PUT", "forbidden.bin") =>
+        ex.sendResponseHeaders(403, -1) // permanent refusal → error row
+      case ("PUT", _) =>
+        putCount.incrementAndGet()
+        val body = ex.getRequestBody.readAllBytes()
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+        val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        (existing, ifMatch, ifNoneMatch) match {
+          case (Some(_), _, Some("*")) => ex.sendResponseHeaders(412, -1) // create race: lost
+          case (Some((_, etag)), Some(v), _) if v != etag => ex.sendResponseHeaders(412, -1)
+          case (None, Some(_), _) => ex.sendResponseHeaders(412, -1) // overwrite of a vanished object
+          case _ =>
+            if (existing.isEmpty) lastCreateHadIfNoneMatch = ifNoneMatch.contains("*")
+            val etag = s""""v${versionCounter.incrementAndGet()}""""
+            objects.put(path, (body, etag))
+            ex.getResponseHeaders.set("ETag", etag)
+            ex.sendResponseHeaders(if (existing.isEmpty) 201 else 200, -1)
+        }
+      case _ => ex.sendResponseHeaders(405, -1)
+    }
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("localhost", 0), 0)
+    server.createContext("/blobs", handle(_))
+    server.start()
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  private def store = new HttpBlobStore(baseUrl)
+
+  test("404 then create: absent object has no version; create lands with If-None-Match: *") {
+    val s = store
+    assert(s.currentVersion("new one.bin").isEmpty)
+    val r = s.put("new one.bin", "hello".getBytes(UTF_8), expectedVersion = None)
+    assert(r.isRight)
+    assert(lastCreateHadIfNoneMatch, "create path must send If-None-Match: *")
+    // path segments are URL-encoded on the wire (the raw request line
+    // carries new%20one.bin); HttpExchange.getRequestURI.getPath decodes,
+    // so the server keys the decoded form — round-trip must agree
+    assert(objects.get("new one.bin")._1.sameElements("hello".getBytes(UTF_8)))
+    assert(s.currentVersion("new one.bin").isDefined)
+  }
+
+  test("conditional overwrite: PUT with the observed ETag succeeds and bumps the version") {
+    val s = store
+    assert(s.put("doc.bin", "v1".getBytes(UTF_8), None).isRight)
+    val etag1 = s.currentVersion("doc.bin")
+    assert(etag1.isDefined)
+    assert(s.put("doc.bin", "v2".getBytes(UTF_8), etag1).isRight)
+    val etag2 = s.currentVersion("doc.bin")
+    assert(etag2.isDefined && etag2 != etag1)
+    assert(objects.get("doc.bin")._1.sameElements("v2".getBytes(UTF_8)))
+  }
+
+  test("stale version and lost create race both surface as Left(412), not silent clobber") {
+    val s = store
+    assert(s.put("race.bin", "first".getBytes(UTF_8), None).isRight)
+    // unconditional create against an existing object: If-None-Match: * → 412
+    val lost = s.put("race.bin", "second".getBytes(UTF_8), None)
+    assert(lost.isLeft && lost.swap.exists(_.contains("412")))
+    // stale If-Match → 412
+    val stale = s.put("race.bin", "third".getBytes(UTF_8), Some("\"v0\""))
+    assert(stale.isLeft && stale.swap.exists(_.contains("412")))
+    assert(objects.get("race.bin")._1.sameElements("first".getBytes(UTF_8)))
+  }
+
+  test("upload end-to-end: transient 5xx retried, permanent 403 captured as an error row") {
+    import spark.implicits._
+    failNext5xx.set(2) // first two requests (HEAD/PUT of some row) blow up
+    val df = Seq(
+      ("a.bin", "aaa".getBytes(UTF_8)),
+      ("b.bin", "bbb".getBytes(UTF_8)),
+      ("forbidden.bin", "ccc".getBytes(UTF_8)))
+      .toDF("path", "content").repartition(1)
+    val url = baseUrl
+    val out = IdempotentBlobSink.upload(df, "path", "content", () => new HttpBlobStore(url))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out("a.bin")._1 != null && out("a.bin")._2 == null)
+    assert(out("b.bin")._1 != null && out("b.bin")._2 == null)
+    assert(out("forbidden.bin")._1 == null && out("forbidden.bin")._2 != null)
+    assert(objects.get("a.bin")._1.sameElements("aaa".getBytes(UTF_8)))
+    assert(objects.get("b.bin")._1.sameElements("bbb".getBytes(UTF_8)))
+    assert(!objects.containsKey("forbidden.bin"))
+  }
+
+  test("rerun is an idempotent conditional overwrite (reference sha-overwrite semantics)") {
+    import spark.implicits._
+    val df = Seq(("rerun.bin", "same".getBytes(UTF_8))).toDF("path", "content")
+    val url = baseUrl
+    def run() = IdempotentBlobSink.upload(df, "path", "content", () => new HttpBlobStore(url)).collect()
+    val first = run()
+    assert(first.forall(_.getString(2) == null))
+    val before = putCount.get()
+    val second = run() // same path: HEAD finds the version, PUT If-Match overwrites
+    assert(second.forall(_.getString(2) == null))
+    assert(putCount.get() == before + 1, "rerun must be exactly one conditional PUT, no 412 loop")
+  }
+}

@@ -31,6 +31,33 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(n == 500)
   }
 
+  test("winnow sliding-min matches the HOF transform/slice/array_min form on the corpus") {
+    val w = 16
+    val rh = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), call_function("graft_rollhash", col("text"), lit(8)).as("rh"))
+    val hof = when(size(col("rh")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("rh")) - w),
+        i => array_min(slice(col("rh"), i + 1, lit(w))))))
+      .otherwise(array_distinct(col("rh")))
+    val diffs = rh.select(
+      hof.as("a"), call_function("graft_winnow", col("rh"), lit(w)).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(diffs == 0)
+  }
+
+  test("winnow degenerate inputs: short, exact-window, empty, duplicate-heavy") {
+    def winnow(xs: Seq[Long], w: Int): Seq[Long] =
+      Seq(Tuple1(xs)).toDF("rh")
+        .select(call_function("graft_winnow", col("rh"), lit(w)).as("f"))
+        .as[Seq[Long]].head()
+    assert(winnow(Seq(5L, 3L, 9L), 16) == Seq(5L, 3L, 9L)) // n < w → distinct of all
+    assert(winnow(Seq(5L, 3L, 9L, 3L), 16) == Seq(5L, 3L, 9L)) // ...deduped, first occurrence
+    assert(winnow(Seq(4L, 2L, 7L), 3) == Seq(2L)) // n == w → one window
+    assert(winnow(Seq.empty, 4) == Seq.empty)
+    assert(winnow(Seq(9L, 8L, 7L, 6L, 5L), 2) == Seq(8L, 7L, 6L, 5L)) // strictly falling
+    assert(winnow(Seq(1L, 1L, 1L, 1L), 2) == Seq(1L))
+  }
+
   test("salted equi-join equals plain join on skewed data") {
     val large = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "id")
     val small = Seq(("hot", "H"), ("k5", "A"), ("k17", "B")).toDF("k", "v")
