@@ -6,30 +6,145 @@ import org.apache.spark.sql.functions._
 /** Audio/video column plumbing: opaque `binary` payloads + typed
   * metadata, batch-shaped executor-local processing.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels below are clearly-marked DETERMINISTIC STUBS — they
-  * derive stable pseudo-features from the raw bytes. Everything around
-  * them (schemas, the mapPartitions batch shape, partitioning, null/error
-  * handling) is the real engine surface a codec would plug into, mirroring
-  * how ImageOps wraps javax.imageio for the image modality.
+  * The AUDIO kernel is real: RIFF/WAV PCM decodes with pure-JDK
+  * javax.sound.sampled (no native codec required), mirroring how ImageOps
+  * wraps javax.imageio for the image modality. VIDEO codecs are NOT
+  * available in this environment, so the frame kernel below is a
+  * clearly-marked DETERMINISTIC STUB — the per-partition iterator shape
+  * (schemas, fan-out, null/error handling) is the real engine surface a
+  * decoder would plug into.
   */
 object AvOps {
 
   final case class AvRecord(id: Long, media_type: String, content: Array[Byte])
   final case class FrameRow(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** STUB decode: deterministic fixed-width "feature vector" from byte
-    * content (xxhash-seeded), standing in for e.g. a mel-spectrogram
-    * embedding. Real implementation would decode PCM and run a DSP
-    * kernel here — signature and batch shape stay identical.
+  /** Decoded-audio summary: time-domain stats plus an `nBands`-bin
+    * spectral energy profile over [0, nyquist).
     */
-  def audioFeatureStub(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  final case class AudioFeatures(
+      sample_rate: Double, channels: Int, n_samples: Long, duration_sec: Double,
+      rms: Double, peak: Double, zero_cross_rate: Double, band_energy: Seq[Double])
+
+  /** WAV PCM → mono samples in [-1, 1]: javax.sound.sampled parses the
+    * RIFF container, a format-conversion stream normalizes any PCM width/
+    * endianness to signed 16-bit little-endian, channels average-downmix.
+    * Undecodable bytes → None (row-level tolerance, like the image kernel).
+    */
+  private def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val data = pcm.readAllBytes()
+      val ch = math.max(target.getChannels, 1)
+      val n = data.length / (2 * ch)
+      val mono = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          acc += ((data(off + 1).toInt << 8) | (data(off) & 0xff)) / 32768.0
+          c += 1
+        }
+        mono(i) = acc / ch
+        i += 1
+      }
+      Some((src.getSampleRate, ch, mono))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Power spectrum |X[k]|² for k in [0, N/2) via iterative radix-2
+    * Cooley–Tukey over the zero-padded input. O(N log N), allocation
+    * bounded by the padded window — safe inside an executor task.
+    */
+  private def fftPower(x: Array[Double]): Array[Double] = {
+    var n = 1
+    while (n < x.length) n <<= 1
+    val re = java.util.Arrays.copyOf(x, n)
+    val im = new Array[Double](n)
+    var j = 0
+    var i = 1
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val wr = math.cos(-2.0 * math.Pi / len)
+      val wi = math.sin(-2.0 * math.Pi / len)
+      var base = 0
+      while (base < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(base + k); val ui = im(base + k)
+          val xr = re(base + k + len / 2); val xi = im(base + k + len / 2)
+          val vr = xr * cwr - xi * cwi
+          val vi = xr * cwi + xi * cwr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr; cwr = nwr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    val p = new Array[Double](math.max(n / 2, 1))
+    var k = 0
+    while (k < p.length) { p(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+    p
+  }
+
+  /** REAL audio kernel: WAV PCM decode + feature extraction as a scalar
+    * UDF over the binary column — rms, peak amplitude, zero-crossing
+    * rate, and spectral energy summed into `nBands` equal-width bands of
+    * [0, nyquist) from an FFT of the first `maxSamples` samples (bounded
+    * work per row regardless of clip length). NULL or undecodable
+    * payloads yield NULL — bad files become filterable rows, never task
+    * failures. UDF (not codegen) is deliberate: the kernel is imperative
+    * DSP, isolated in one projection exactly like the image ops.
+    */
+  def audioFeatures(nBands: Int = 8, maxSamples: Int = 1 << 14)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val seed = java.util.Arrays.hashCode(bytes).toLong
-        val rnd = new java.util.Random(seed)
-        Array.fill(dim)(rnd.nextFloat())
+      if (bytes == null) None
+      else decodeWav(bytes).map { case (sr, ch, mono) =>
+        val n = mono.length
+        var sumSq = 0.0; var peak = 0.0; var zc = 0L
+        var i = 0
+        while (i < n) {
+          val v = mono(i)
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && (v > 0) != (mono(i - 1) > 0)) zc += 1
+          i += 1
+        }
+        val head = if (n > maxSamples) java.util.Arrays.copyOf(mono, maxSamples) else mono
+        val p = fftPower(head)
+        val bands = new Array[Double](nBands)
+        var k = 0
+        while (k < p.length) {
+          bands(math.min(k * nBands / p.length, nBands - 1)) += p(k)
+          k += 1
+        }
+        AudioFeatures(
+          sr.toDouble, ch, n.toLong, if (sr > 0) n / sr.toDouble else 0.0,
+          if (n > 0) math.sqrt(sumSq / n) else 0.0, peak,
+          if (n > 1) zc.toDouble / (n - 1) else 0.0, bands.toSeq)
       })
 
   /** Frame sampling plumbing: emit every `everyN`-th fixed-size window of

@@ -90,14 +90,51 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__side", "__tie")
   }
 
+  /** `Dataset.localCheckpoint()` pins an INTERNAL RDD at the block-manager
+    * level; the returned Dataset has no CacheManager entry, so its
+    * `unpersist()` is a silent no-op and the blocks stay pinned until
+    * driver GC — a leak that compounds across iterations on a long-lived
+    * session. Diff the persistent-RDD ids around the (eager) checkpoint so
+    * the loop can release exactly those blocks when the snapshot is
+    * superseded. The driver loop is single-threaded, so no concurrent
+    * persist can land inside the diff window.
+    */
+  private def localCheckpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint() // eager: materialized before we return
+    (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def releasePinned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+  /** Re-home a (possibly checkpoint-backed) result onto the CacheManager
+    * so the CALLER's plain `unpersist()` works, then drop the checkpoint
+    * blocks it was built from. Materializes the cache first — the
+    * truncated-lineage snapshot cannot be recomputed once released
+    * (MEMORY_AND_DISK then spills rather than drops under pressure).
+    */
+  private def rehomed(df: DataFrame, pinned: Set[Int]): DataFrame = {
+    if (pinned.nonEmpty) {
+      df.persist()
+      df.count()
+      releasePinned(df.sparkSession.sparkContext, pinned)
+    }
+    df
+  }
+
   /** Transitive closure of an edge table by iterated self-join doubling
     * (path-halving: frontier of length-≤2^i paths). Runs on the driver as
     * a loop of DataFrame jobs; each iteration is one shuffle join +
     * distinct. `maxIter` bounds runaway graphs; persists intermediate
-    * frontiers and unpersists as soon as superseded.
+    * frontiers and unpersists (including checkpoint-pinned blocks) as
+    * soon as superseded.
     */
   def transitiveClosure(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     var closure = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    var closurePinned = Set.empty[Int]
     var n = closure.count()
     var iter = 0
     var converged = false
@@ -111,13 +148,18 @@ object Relational {
       // materializes AND truncates the plan) — otherwise the plan tree
       // doubles per iteration and analysis/serialization cost grows
       // without bound on deep graphs
-      val next = if (iter % 5 == 4) grown.localCheckpoint() else grown.persist()
+      val (next, nextPinned) =
+        if (iter % 5 == 4) localCheckpointTracked(grown)
+        else (grown.persist(), Set.empty[Int])
       val m = next.count()
-      if (m == n) { converged = true; next.unpersist() }
-      else { closure.unpersist(); closure = next; n = m }
+      if (m == n) { converged = true; next.unpersist(); releasePinned(sc, nextPinned) }
+      else {
+        closure.unpersist(); releasePinned(sc, closurePinned)
+        closure = next; closurePinned = nextPinned; n = m
+      }
       iter += 1
     }
-    closure
+    rehomed(closure, closurePinned)
   }
 
   /** Longest path (in hops) to each node of a DAG from any root —
@@ -138,12 +180,14 @@ object Relational {
     */
   def dagLongestPath(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
       maxIter: Int = 50): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     // parallel edges collapse to their max weight — the binding constraint
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .groupBy("src", "dst").agg(max("w").as("w")).persist()
     var dist = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
       .withColumn("dist", lit(0L)).persist()
+    var distPinned = Set.empty[Int]
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
@@ -154,15 +198,21 @@ object Relational {
       // relaxation adds ONE edge per iteration, so deep DAGs take many
       // iterations: periodically truncate lineage or the plan grows
       // linearly and per-iteration planning time dominates
-      val relaxed = if (iter % 5 == 4) step.localCheckpoint() else step.persist()
+      val (relaxed, relaxedPinned) =
+        if (iter % 5 == 4) localCheckpointTracked(step)
+        else (step.persist(), Set.empty[Int])
+      // fully materialize BEFORE dropping dist: the convergence probe's
+      // limit(1) may touch only some partitions, and a released
+      // checkpoint snapshot cannot back recomputation later
+      relaxed.count()
       changed = relaxed.as("l").join(dist.as("r"), Seq("node"))
         .filter(col("l.dist") =!= col("r.dist")).limit(1).count() > 0
-      dist.unpersist()
-      dist = relaxed
+      dist.unpersist(); releasePinned(sc, distPinned)
+      dist = relaxed; distPinned = relaxedPinned
       iter += 1
     }
     e.unpersist()
-    dist
+    rehomed(dist, distPinned)
   }
 
   /** Critical-path-method forward pass over the reference's
@@ -202,6 +252,12 @@ object Relational {
           .when(rel === "SS", col("lag_days").cast("long"))
           .when(rel === "FF", col("__pdur") + col("lag_days") - col("__cdur"))
           .when(rel === "SF", col("lag_days") - col("__cdur"))
+          // anything else would silently DROP the precedence constraint
+          // (a when-chain with no otherwise yields NULL) and quietly
+          // produce an early schedule — fail the job instead
+          .otherwise(raise_error(concat(
+            lit("cpmSchedule: unknown relation_type '"),
+            coalesce(col("relation_type"), lit("NULL")), lit("' (expected FS/SS/FF/SF)"))))
           .as("w"))
     val es = dagLongestPath(weighted, "src", "dst", "w", maxIter)
       .select(col("node").as("stage_id"), col("dist").as("early_start"))

@@ -73,14 +73,67 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(top == (("hot", 60L)))
   }
 
-  test("audio feature stub: deterministic, fixed width, null-safe") {
-    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, null)).toDF("id", "content")
-    val f = AvOps.audioFeatureStub(8)
-    val rows = df.select(col("id"), f(col("content")).as("feat")).orderBy("id").collect()
-    val v1 = rows(0).getSeq[Float](1)
-    assert(v1.length == 8 && rows(1).isNullAt(1))
-    val again = df.select(f(col("content")).as("feat")).orderBy("feat").collect()
-    assert(again.exists(r => !r.isNullAt(0) && r.getSeq[Float](0) == v1))
+  private def sineWav(freq: Double, seconds: Double, sr: Int = 8000, amp: Double = 0.5): Array[Byte] = {
+    val n = (seconds * sr).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WAV audio kernel: known sine yields analytic rms/zcr/band energy; bad bytes -> null") {
+    // 440 Hz sine, amplitude 0.5, 0.5 s at 8 kHz mono
+    val df = Seq(
+      (1L, sineWav(440.0, 0.5)),
+      (2L, Array[Byte](1, 2, 3)), // not a WAV → null, not a task failure
+      (3L, null)).toDF("id", "content")
+    val rows = df.select(col("id"), AvOps.audioFeatures(nBands = 8)(col("content")).as("f"))
+      .orderBy("id").collect()
+    val f = rows(0).getStruct(1)
+    assert(f.getDouble(f.fieldIndex("sample_rate")) == 8000.0)
+    assert(f.getInt(f.fieldIndex("channels")) == 1)
+    assert(f.getLong(f.fieldIndex("n_samples")) == 4000L)
+    assert(math.abs(f.getDouble(f.fieldIndex("duration_sec")) - 0.5) < 1e-9)
+    // sine: rms = amp/√2, peak ≈ amp, zcr = 2·f/sr
+    assert(math.abs(f.getDouble(f.fieldIndex("rms")) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f.getDouble(f.fieldIndex("peak")) - 0.5) < 0.01)
+    assert(math.abs(f.getDouble(f.fieldIndex("zero_cross_rate")) - 2 * 440.0 / 8000) < 0.005)
+    // 8 bands over [0, 4000): 440 Hz lives in band 0 and dominates
+    val bands = f.getSeq[Double](f.fieldIndex("band_energy"))
+    assert(bands.length == 8)
+    assert(bands(0) > 0.9 * bands.sum)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
+  test("WAV audio kernel downmixes stereo and survives sample-width conversion") {
+    // stereo 16-bit: same 200 Hz sine on both channels
+    val sr = 8000; val n = 800
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v = (0.25 * math.sin(2 * math.Pi * 200.0 * i / sr) * 32767).toInt.toShort
+      for (c <- 0 to 1) {
+        pcm(4 * i + 2 * c) = (v & 0xff).toByte
+        pcm(4 * i + 2 * c + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val row = Seq((1L, out.toByteArray)).toDF("id", "content")
+      .select(AvOps.audioFeatures()(col("content")).as("f")).head().getStruct(0)
+    assert(row.getInt(row.fieldIndex("channels")) == 2)
+    assert(row.getLong(row.fieldIndex("n_samples")) == n.toLong)
+    assert(math.abs(row.getDouble(row.fieldIndex("rms")) - 0.25 / math.sqrt(2)) < 0.01)
   }
 
   test("frame sampling fans one row into frame rows without collecting") {

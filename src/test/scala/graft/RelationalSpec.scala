@@ -50,6 +50,36 @@ class RelationalSpec extends SparkSpec {
     assert(d(1L) == 0L)
   }
 
+  test("iteration releases checkpoint-pinned blocks: caller unpersist leaves nothing behind") {
+    val sc = spark.sparkContext
+    // flush leftovers from other suites so the delta below is ours alone
+    val preexisting = sc.getPersistentRDDs.keySet.toSet
+    val n = 55L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val tc = Relational.transitiveClosure(edges, "src", "dst") // >5 iters → checkpoints happen
+    assert(tc.count() == n * (n - 1) / 2)
+    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60)
+    assert(d.count() == n)
+    // results are still cached (callable), but through the CacheManager —
+    // so the caller's plain unpersist() actually releases them
+    tc.unpersist(blocking = true)
+    d.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- preexisting
+    assert(leaked.isEmpty, s"pinned RDDs leaked by iteration: $leaked")
+  }
+
+  test("cpmSchedule rejects an unknown relation_type instead of dropping the constraint") {
+    val stages = Seq((1L, 5), (2L, 3)).toDF("stage_id", "duration_days")
+    val deps = Seq((2L, 1L, "XX", 0))
+      .toDF("stage_id", "depends_on_stage_id", "relation_type", "lag_days")
+    val ex = intercept[Exception] {
+      Relational.cpmSchedule(stages, deps).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unknown relation_type")))
+  }
+
   test("weighted longest path honors edge weights over hop count") {
     // 1→3 direct weight 10 beats 1→2→3 (1+1)
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("src", "dst", "w")
