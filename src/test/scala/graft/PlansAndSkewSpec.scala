@@ -58,6 +58,26 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(winnow(Seq(1L, 1L, 1L, 1L), 2) == Seq(1L))
   }
 
+  test("winnow matches an independent Scala model on 200 random seeded arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 200).map { i =>
+      val n = rnd.nextInt(40)
+      val w = 1 + rnd.nextInt(8)
+      // small value range forces duplicate mins and dedup collisions
+      (i.toLong, Seq.fill(n)(rnd.nextInt(6).toLong), w)
+    }
+    def model(xs: Seq[Long], w: Int): Seq[Long] =
+      (if (xs.length >= w) xs.sliding(w).map(_.min).toSeq else xs).distinct
+    val got = cases.groupBy(_._3).toSeq.flatMap { case (w, group) =>
+      group.map(c => (c._1, c._2)).toDF("id", "rh")
+        .select(col("id"), call_function("graft_winnow", col("rh"), lit(w)).as("f"))
+        .as[(Long, Seq[Long])].collect().toSeq
+    }.toMap
+    val expected = cases.map(c => c._1 -> model(c._2, c._3)).toMap
+    assert(got.size == cases.size)
+    got.foreach { case (id, f) => assert(f == expected(id), s"case $id") }
+  }
+
   test("salted equi-join equals plain join on skewed data") {
     val large = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong)).toDF("k", "id")
     val small = Seq(("hot", "H"), ("k5", "A"), ("k17", "B")).toDF("k", "v")
