@@ -53,6 +53,12 @@ object Bench {
         runOnce(name, fn)
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        // straggler forensics: a query far off its best-so-far is either
+        // host steal (cpu ≪ wall) or real in-JVM degradation (cpu ≈ wall,
+        // e.g. interpreted paths going megamorphic late in a session) —
+        // log which, so swings in the recorded min are attributable
+        bestWall.get(name).filter(b => wall > 3 * b && wall > 2.0).foreach(b =>
+          System.err.println(f"[bench] straggler pass $r: $name wall $wall%.1f s (best $b%.1f) cpu $cpu%.1f s"))
         if (bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
       }
       System.err.println(f"[bench] timed pass $r/$reps: ${(System.nanoTime() - r0) / 1e9}%.1f s")

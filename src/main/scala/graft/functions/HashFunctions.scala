@@ -50,8 +50,20 @@ object HashFunctions {
     when(size(toks) >= n, array_distinct(hashes)).otherwise(array().cast("array<bigint>"))
   }
 
-  /** MinHash over pre-hashed shingles (array<bigint>). */
-  def minHashFromHashes(hashes: Column, k: Int): Column = {
+  /** MinHash over pre-hashed shingles (array<bigint>): the native fused
+    * expression ([[graft.plans.MinHashSig]]) — one codegen loop instead of
+    * k interpreted `transform` passes, bit-identical values. (Difference
+    * that never arises in the pipeline: a NULL hashes array yields NULL
+    * here vs all-MaxValue in the HOF form; `hashedWordShingles` always
+    * returns a non-null — possibly empty — array.)
+    */
+  def minHashFromHashes(hashes: Column, k: Int): Column =
+    call_function("graft_minhash", hashes, lit(k))
+
+  /** The original HOF formulation, kept as the independent reference the
+    * equivalence spec checks the native expression against.
+    */
+  def minHashFromHashesHof(hashes: Column, k: Int): Column = {
     val cols: Seq[Column] = (0 until k).map { i =>
       coalesce(array_min(transform(hashes, h => xxhash64(lit(i), h))), lit(Long.MaxValue))
     }

@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(kk: Int, IntegerType)) => MinHashSig(c, kk)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash(hashes, k) takes array<bigint> and a literal permutation count")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow"),
       (children: Seq[Expression]) => children match {

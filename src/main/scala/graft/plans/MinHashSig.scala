@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** k-permutation MinHash signature over pre-hashed shingles
+  * (`array<bigint>` → `array<bigint>` of length k): element i is
+  * `min over h of xxhash64(i, h)`, empty input → `Long.MaxValue` per
+  * element (so empty documents never spuriously collide with content).
+  *
+  * BIT-IDENTICAL to the HOF formulation
+  * `coalesce(array_min(transform(hashes, h -> xxhash64(lit(i), h))), MaxValue)`
+  * stacked k times: Spark's `xxhash64(lit(i), h)` chains
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))`, and the per-permutation
+  * seeds `hashInt(i, 42)` are precomputed once at plan time.
+  *
+  * Why native: higher-order functions never participate in whole-stage
+  * codegen — the HOF form runs k INTERPRETED transforms per row, each
+  * allocating an intermediate array (k=32 → 32 passes + 32 allocations
+  * per document, and interpreted Expression.eval degrades further on
+  * long-lived sessions as call sites go megamorphic). This is one fused
+  * loop, one k-long output allocation, full codegen — the signature step
+  * of the 100 TB near-dup path (Dedup.minHashNearDuplicates).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 1 && k <= 1024 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure("k must be 1..1024")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects array<bigint> (pre-hashed shingles), got ${dt.sql}")
+  }
+
+  // xxhash64(lit(i), h) == hashLong(h, hashInt(i, 42)); seeds are constant
+  // per plan, shared by eval and codegen (inlined as a literal array)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val h = arr.getLong(t)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  long $h = $a.getLong($t);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = $xxh.hashLong($h, $seedsRef[$i]);
+         |    if ($v < $out[$i]) $out[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}

@@ -54,6 +54,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(native(5) == null) // null input
   }
 
+  test("native minhash matches the HOF formulation bit-for-bit on corpus shingles") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), HF.hashedWordShingles(col("toks"), 3).as("hs"))
+    val diffs = docs.select(
+      HF.minHashFromHashesHof(col("hs"), 32).as("hof"),
+      HF.minHashFromHashes(col("hs"), 32).as("native"))
+      .filter(not(col("hof") === col("native")))
+      .count()
+    assert(diffs == 0)
+    // empty shingle set → every permutation floor, Long.MaxValue
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(HF.minHashFromHashes(col("hs"), 4).as("s")).as[Seq[Long]].head()
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("native simhash matches the HOF formulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"),
