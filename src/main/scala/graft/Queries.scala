@@ -676,7 +676,7 @@ object Queries {
     "q33_simhash",
     (s, d) => {
       Tables.documents(s, d)
-        .select(col("doc_id"), transform(TF.tokens(col("text")), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), HF.hashedTokens(TF.tokens(col("text"))).as("th"))
         .select(col("doc_id"), HF.simHashFromHashes(col("th"), 48).as("simhash"))
         .orderBy(col("doc_id"))
     },

@@ -36,15 +36,35 @@ object HashFunctions {
     * shingle strings: xxhash64 chains the n token strings directly
     * (`xxhash64(tok_i, …, tok_{i+n-1})`), skipping the concat_ws
     * allocation per shingle — the dominant cost of shingling at corpus
-    * scale. Distinct runs on longs, not strings. Returns array<bigint>.
+    * scale. Distinct runs on longs, not strings. Returns array<bigint>;
+    * fewer than n tokens (or a NULL token array) → empty array.
     *
-    * PERFORMANCE CONTRACT: `toks` MUST be a materialized column (a plain
-    * attribute from a prior projection), not an inline `split(...)`
-    * expression. Free outer expressions inside a Catalyst lambda are
-    * re-evaluated on every lambda invocation, so an inline tokenizer here
-    * turns shingling O(tokens) → O(tokens²) per document.
+    * Native fused expression ([[graft.plans.ShingleHash]]): one codegen
+    * pass over the tokens, bit-identical to the HOF formulation below.
     */
-  def hashedWordShingles(toks: Column, n: Int): Column = {
+  def hashedWordShingles(toks: Column, n: Int): Column =
+    coalesce(
+      call_function("graft_shingles", toks, lit(n), lit(true)),
+      array().cast("array<bigint>"))
+
+  /** Per-token xxhash64 (`array<string>` → `array<bigint>`, multiset
+    * preserved — NOT distinct), the feed of the SimHash path; native
+    * one-pass equivalent of `transform(toks, t => xxhash64(t))`.
+    */
+  def hashedTokens(toks: Column): Column =
+    call_function("graft_shingles", toks, lit(1), lit(false))
+
+  /** The original HOF shingle formulation, kept as the independent
+    * reference the equivalence spec checks the native expression against.
+    *
+    * PERFORMANCE CONTRACT (why the HOF form demanded care): `toks` MUST
+    * be a materialized column (a plain attribute from a prior
+    * projection), not an inline `split(...)` expression. Free outer
+    * expressions inside a Catalyst lambda are re-evaluated on every
+    * lambda invocation, so an inline tokenizer here turns shingling
+    * O(tokens) → O(tokens²) per document.
+    */
+  def hashedWordShinglesHof(toks: Column, n: Int): Column = {
     val starts = sequence(lit(0), size(toks) - n)
     val hashes = transform(starts, i => xxhash64((0 until n).map(j => element_at(toks, i + j + 1)): _*))
     when(size(toks) >= n, array_distinct(hashes)).otherwise(array().cast("array<bigint>"))
@@ -88,12 +108,22 @@ object HashFunctions {
     * signatures within small Hamming distance.
     */
   def simHash(toks: Column, bits: Int): Column =
-    simHashFromHashes(transform(toks, t => xxhash64(t)), bits)
+    simHashFromHashes(hashedTokens(toks), bits)
 
   /** SimHash over pre-hashed tokens (array<bigint>) — materialize the
-    * hashed array first (one string hash per token, not per bit).
+    * hashed array first (one string hash per token, not per bit). Native
+    * fused expression ([[graft.plans.SimHash64]]): one pass over the
+    * tokens instead of `bits` interpreted `aggregate` passes, bit-identical
+    * values (including empty input → all bits set, the `counts(j) = 0 >= 0`
+    * tie convention both forms share).
     */
-  def simHashFromHashes(hashes: Column, bits: Int): Column = {
+  def simHashFromHashes(hashes: Column, bits: Int): Column =
+    call_function("graft_simhash", hashes, lit(bits))
+
+  /** The original HOF formulation, kept as the independent reference the
+    * equivalence spec checks the native expression against.
+    */
+  def simHashFromHashesHof(hashes: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 63, "1..63 bits")
     (0 until bits).map { j =>
       val contrib = aggregate(

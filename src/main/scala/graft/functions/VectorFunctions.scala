@@ -67,14 +67,22 @@ object VectorFunctions {
   }
 
   /** Signed random-hyperplane (SimHash-for-vectors) signature: one bit per
-    * plane, packed into a Long (plane 0 = LSB). `planes` are generated
-    * driver-side from a seeded PRNG and inlined as literals, so the
-    * signature is deterministic and computed fully inside codegen.
+    * plane, packed into a Long (plane 0 = LSB). Native fused expression
+    * ([[graft.plans.HyperplaneSig]]): planes are regenerated on each
+    * executor from the (dim, bits, seed) literals — deterministic, zero
+    * broadcast, one codegen pass over the vector.
     *
     * This is the LSH primitive for approximate cosine search: vectors with
     * small angle collide on most bits.
     */
-  def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    call_function("graft_hyperplanes", vec, lit(dim), lit(bits), lit(seed))
+
+  /** The original HOF formulation (planes inlined as literals, one
+    * interpreted aggregate pass per bit), kept as the independent
+    * reference the equivalence spec checks the native expression against.
+    */
+  def hyperplaneSignatureHof(vec: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.size <= 63, "1..63 planes per signature word")
     planes.zipWithIndex.map { case (p, i) =>
       val plane = typedLit(p.toSeq)

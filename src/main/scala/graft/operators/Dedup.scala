@@ -113,7 +113,7 @@ object Dedup {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     val sigs = df
       .select(col(idCol).as("__id"),
-        transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)).as("__th"))
+        HashFunctions.hashedTokens(TextFunctions.tokens(col(textCol))).as("__th"))
       .select(col("__id"), HashFunctions.simHashFromHashes(col("__th"), bits).as("__sig"))
 
     val chunked = sigs.select(
@@ -165,13 +165,13 @@ object Dedup {
       tables: Int = 6,
       bitsPerTable: Int = 12,
       seed: Long = 42L): DataFrame = {
-    val planes = (0 until tables).map(t =>
-      VectorFunctions.randomPlanes(dim, bitsPerTable, seed + 7000L * t))
     val slim = df.select(col(idCol).as("__id"), col(embCol).as("__e"))
     val bucketed = slim.select(
       col("__id"), col("__e"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), VectorFunctions.hyperplaneSignature(col("__e"), planes(t)).as("sig"))): _*))
+        struct(lit(t).as("t"),
+          VectorFunctions.hyperplaneSignature(col("__e"), dim, bitsPerTable, seed + 7000L * t)
+            .as("sig"))): _*))
         .as("ts"))
       .select(col("__id"), col("__e"), col("ts.t"), col("ts.sig"))
     bucketed.as("l")

@@ -76,15 +76,13 @@ object Similarity {
       tables: Int = 8,
       bitsPerTable: Int = 12,
       seed: Long = 42L): DataFrame = {
-    val planes = (0 until tables).map(t =>
-      VectorFunctions.randomPlanes(dim, bitsPerTable, seed + 1000L * t))
-
     def withSigs(df: DataFrame, id: String, emb: String, idOut: String, embOut: String) =
       df.select(
         col(id).as(idOut), col(emb).as(embOut),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("table"),
-            VectorFunctions.hyperplaneSignature(col(emb), planes(t)).as("sig"))): _*)).as("ts"))
+            VectorFunctions.hyperplaneSignature(col(emb), dim, bitsPerTable, seed + 1000L * t)
+              .as("sig"))): _*)).as("ts"))
         .select(col(idOut), col(embOut), col("ts.table"), col("ts.sig"))
 
     val cs = withSigs(corpus, corpusId, corpusEmb, "neighbor_id", "__ce")

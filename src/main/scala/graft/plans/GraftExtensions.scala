@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
 /** Engine extension point: registers the native expressions as SQL
   * functions so they are usable from `spark.sql(...)`, `expr(...)`, and
@@ -60,6 +60,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Int, IntegerType)) => SimHash64(c, b)
         case _ => throw new IllegalArgumentException(
           "graft_simhash(hashes[, bits]) takes array<bigint> and an optional literal bit count")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(nn: Int, IntegerType), Literal(d: Boolean, BooleanType)) =>
+          ShingleHash(c, nn, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_shingles(toks, n, distinct) takes array<string> and literal gram length / distinct flag")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplanes"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplanes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(d: Int, IntegerType), Literal(b: Int, IntegerType),
+            Literal(s: Long, LongType)) =>
+          HyperplaneSig(c, d, b, s)
+        case _ => throw new IllegalArgumentException(
+          "graft_hyperplanes(vec, dim, bits, seed) takes array<float|double> and literal dim/bits/seed")
       }))
   }
 }

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed word n-gram shingles of a token array in ONE fused pass:
+  * `array<string>` → `array<bigint>` where element i is the xxhash64
+  * chain of tokens `i .. i+n-1` (seed 42, null tokens skipped — exactly
+  * Spark's variadic `xxhash64(tok_i, …, tok_{i+n-1})`). With
+  * `distinct = true` the result is deduplicated preserving first
+  * occurrence order (exactly `array_distinct`); with `n = 1,
+  * distinct = false` it is precisely `transform(toks, t => xxhash64(t))`
+  * — the token-hash feed of the SimHash path.
+  *
+  * Input with fewer than n tokens yields an empty array; a NULL input
+  * array yields NULL (callers that want the legacy empty-on-null contract
+  * wrap in `coalesce`, see
+  * [[graft.functions.HashFunctions.hashedWordShingles]]).
+  *
+  * Why native: the HOF formulation
+  * `transform(sequence(0, size-n), i => xxhash64(element_at(toks,i+1), …))`
+  * is interpreted (higher-order functions never enter whole-stage
+  * codegen), allocates the index sequence plus per-shingle child rows,
+  * and re-resolves `element_at` bounds per access. Shingling feeds every
+  * near-dup sketch (MinHash q32/q37/q44, SimHash q33) — at 100 TB it runs
+  * once per token of the corpus, so it must be a tight loop.
+  */
+case class ShingleHash(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 && n <= 64 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure("n must be 1..64")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string> (tokens), got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.compute(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleHash.compute($a, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object ShingleHash {
+
+  /** Runtime kernel shared by eval and codegen (a single static call from
+    * generated code — the loop itself is branch-predictable JIT'd Java).
+    */
+  def compute(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val numToks = arr.numElements()
+    val count = numToks - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) {
+          val tok: UTF8String = arr.getUTF8String(i + j)
+          h = XXH64.hashUTF8String(tok, h)
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    // first-occurrence-order dedup (array_distinct semantics) via
+    // open-addressing on the hash values themselves — no boxing
+    var cap = 4
+    while (cap < count * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val kept = new Array[Long](count)
+    var nKept = 0
+    val mask = cap - 1
+    i = 0
+    while (i < count) {
+      val v = out(i)
+      var slot = (java.lang.Long.hashCode(v) & 0x7fffffff) & mask
+      var dup = false
+      var probing = true
+      while (probing) {
+        if (!used(slot)) probing = false
+        else if (table(slot) == v) { dup = true; probing = false }
+        else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        used(slot) = true
+        table(slot) = v
+        kept(nKept) = v
+        nKept += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, nKept))
+  }
+}

@@ -70,12 +70,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(empty == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("native shingle hashing matches the HOF formulation bit-for-bit") {
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    // distinct 3-gram shingles (the MinHash feed)
+    val shingleDiffs = toks.select(
+      HF.hashedWordShinglesHof(col("toks"), 3).as("hof"),
+      HF.hashedWordShingles(col("toks"), 3).as("native"))
+      .filter(not(col("hof") === col("native")))
+      .count()
+    assert(shingleDiffs == 0)
+    // non-distinct per-token hashes (the SimHash feed)
+    val tokenDiffs = toks.select(
+      transform(col("toks"), t => xxhash64(t)).as("hof"),
+      HF.hashedTokens(col("toks")).as("native"))
+      .filter(not(col("hof") === col("native")))
+      .count()
+    assert(tokenDiffs == 0)
+    // degenerate inputs: fewer tokens than n → empty; NULL array → empty
+    // (hashedWordShingles' legacy contract) but NULL through the raw expr
+    val deg = Seq(Option(Seq("only", "two")), None).toDF("toks")
+    val shing = deg.select(HF.hashedWordShingles(col("toks"), 3).as("s"))
+      .as[Seq[Long]].collect()
+    assert(shing(0) == Seq.empty && shing(1) == Seq.empty)
+    val rawNull = deg.filter(col("toks").isNull)
+      .select(call_function("graft_shingles", col("toks"), lit(3), lit(true)))
+      .collect()
+    assert(rawNull(0).isNullAt(0))
+    // duplicate shingles collapse in first-occurrence order, like array_distinct
+    val dup = Seq(Seq("a", "b", "a", "b", "a")).toDF("toks")
+    val hofDup = dup.select(HF.hashedWordShinglesHof(col("toks"), 2).as("s")).as[Seq[Long]].head()
+    val natDup = dup.select(HF.hashedWordShingles(col("toks"), 2).as("s")).as[Seq[Long]].head()
+    assert(natDup == hofDup && natDup.length == 2)
+  }
+
   test("native simhash matches the HOF formulation") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"),
         transform(graft.functions.TextFunctions.tokens(col("text")), t => xxhash64(t)).as("th"))
     val diffs = docs.select(
-      HF.simHashFromHashes(col("th"), 48).as("hof"),
+      HF.simHashFromHashesHof(col("th"), 48).as("hof"),
       call_function("graft_simhash", col("th"), lit(48)).as("native"))
       .filter(col("hof") =!= col("native"))
       .count()

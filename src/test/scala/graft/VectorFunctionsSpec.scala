@@ -33,10 +33,18 @@ class VectorFunctionsSpec extends SparkSpec {
     val planes = VF.randomPlanes(2, 8, seed = 7)
     val planes2 = VF.randomPlanes(2, 8, seed = 7)
     assert(planes.map(_.toSeq) == planes2.map(_.toSeq))
-    val sig = df.select(VF.hyperplaneSignature(col("a"), planes)).as[Long].collect()
-    val sigB = df.select(VF.hyperplaneSignature(col("b"), planes)).as[Long].collect()
+    val sig = df.select(VF.hyperplaneSignature(col("a"), 2, 8, seed = 7)).as[Long].collect()
+    val sigB = df.select(VF.hyperplaneSignature(col("b"), 2, 8, seed = 7)).as[Long].collect()
     assert(sig(0) == sigB(0)) // identical vectors
     assert(sig(2) == sigB(2))
+  }
+
+  test("native hyperplane signature matches the HOF formulation") {
+    val planes = VF.randomPlanes(2, 8, seed = 7)
+    val rows = df.select(
+      VF.hyperplaneSignatureHof(col("a"), planes).as("hof"),
+      VF.hyperplaneSignature(col("a"), 2, 8, seed = 7).as("native")).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1), s"hof=${r.get(0)} native=${r.get(1)}"))
   }
 
   test("hamming distance") {
