@@ -5,7 +5,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
+    // dev loop: SPARK_GRAFT_ONLY=q44,q28 benches just the named queries
+    // (substring match); unset = the full suite the driver records
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     // Whole-process CPU time (all 32 executor threads run in this JVM under
     // local[32], so this captures every core-second the engine burns). CPU
     // seconds are nearly invariant to external CPU steal, so the wall/cpu

@@ -508,14 +508,20 @@ object Queries {
     "q26_lang_stopword_score",
     (s, d) => {
       val padded = concat(lit(" "), col("text"), lit(" "))
-      def hits(words: Seq[String]) =
-        words.map(w => TF.occurrences(padded, s" $w ")).reduce(_ + _).cast("int")
+      // one native multi-needle scan for all 12 stopwords (value-identical
+      // to the per-needle regex idiom the oracle's replace() uses)
+      val allWords = langProfiles.flatMap(_._2)
+      val counts = TF.occurrencesAll(padded, allWords.map(w => s" $w "))
+      val offsets = langProfiles.scanLeft(0)(_ + _._2.size)
+      def hits(p: Int) =
+        langProfiles(p)._2.indices.map(j => element_at(counts, offsets(p) + j + 1))
+          .reduce(_ + _).cast("int")
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
-        hits(langProfiles(0)._2).as("en_hits"),
-        hits(langProfiles(1)._2).as("fr_hits"),
-        hits(langProfiles(2)._2).as("de_hits"),
-        hits(langProfiles(3)._2).as("es_hits"),
+        hits(0).as("en_hits"),
+        hits(1).as("fr_hits"),
+        hits(2).as("de_hits"),
+        hits(3).as("es_hits"),
         TF.stopwordLanguageScore(col("text"), langProfiles).as("predicted"))
         .orderBy(col("doc_id"))
     },

@@ -80,6 +80,15 @@ object TextFunctions {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
       / needle.length).cast("int")
 
+  /** Non-overlapping occurrence counts of EVERY needle in one native pass
+    * ([[graft.plans.NeedleCounts]]) — `array<int>` aligned with `needles`.
+    * Value-identical to stacking [[occurrences]] per needle (the regex
+    * idiom), minus the per-needle regex-engine scans; use this whenever a
+    * scoring expression needs more than one needle over the same text.
+    */
+  def occurrencesAll(text: Column, needles: Seq[String]): Column =
+    call_function("graft_count_all", text, array(needles.map(lit): _*))
+
   /** Ratio of tokens that appear in `stopwords`; 0 for empty docs. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
@@ -120,8 +129,13 @@ object TextFunctions {
     */
   def stopwordLanguageScore(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
     val padded = concat(lit(" "), text, lit(" "))
-    val scores: Seq[(String, Column)] = profiles.map { case (lang, words) =>
-      lang -> words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    // one native multi-needle scan shared by every profile; the repeated
+    // counts subtree is collapsed by codegen subexpression elimination
+    val allWords = profiles.flatMap(_._2)
+    val counts = occurrencesAll(padded, allWords.map(w => s" $w "))
+    val offsets = profiles.scanLeft(0)(_ + _._2.size)
+    val scores: Seq[(String, Column)] = profiles.zipWithIndex.map { case ((lang, words), p) =>
+      lang -> words.indices.map(j => element_at(counts, offsets(p) + j + 1)).reduce(_ + _)
     }
     // argmax with first-wins tie-break: lang_i wins if score_i >= all later and > all earlier
     scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, _), i), elseCol) =>

@@ -46,13 +46,20 @@ object CorpusPipeline {
     */
   def annotate(docs: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
     val padded = concat(lit(" "), col(textCol), lit(" "))
+    // ONE native multi-needle scan over each document for every profile
+    // word (graft_count_all), materialized, then per-language sums — the
+    // regex idiom this replaces ran one regex pass per word (12 scans/doc)
+    val allWords = cfg.langProfiles.flatMap(_._2)
+    val offsets = cfg.langProfiles.scanLeft(0)(_ + _._2.size)
     val scored = cfg.langProfiles.zipWithIndex.foldLeft(
       docs
         .withColumn("__toks", TF.tokens(col(textCol)))
         .withColumn("n_tokens", size(col("__toks")))
-        .withColumn("ttr", TF.typeTokenRatio(col(textCol)))) {
+        .withColumn("ttr", TF.typeTokenRatio(col(textCol)))
+        .withColumn("__wc", TF.occurrencesAll(padded, allWords.map(w => s" $w ")))) {
       case (df, ((_, words), i)) =>
-        df.withColumn(s"__score_$i", words.map(w => TF.occurrences(padded, s" $w ")).reduce(_ + _))
+        df.withColumn(s"__score_$i",
+          words.indices.map(j => element_at(col("__wc"), offsets(i) + j + 1)).reduce(_ + _))
     }
     // argmax over the materialized score columns, first-wins on ties
     val predicted = cfg.langProfiles.zipWithIndex.foldRight(
@@ -63,7 +70,7 @@ object CorpusPipeline {
       when(beatsAllLater, lit(lang)).otherwise(elseCol)
     }
     scored.withColumn("predicted_lang", predicted)
-      .drop(cfg.langProfiles.indices.map(i => s"__score_$i"): _*)
+      .drop("__wc" +: cfg.langProfiles.indices.map(i => s"__score_$i"): _*)
   }
 
   /** Quality + language gate. */

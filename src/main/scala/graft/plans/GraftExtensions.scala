@@ -73,6 +73,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_count_all"),
+      new ExpressionInfo(classOf[NeedleCounts].getName, "graft_count_all"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, arr) if arr.foldable &&
+            arr.dataType == org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, false) =>
+          val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          NeedleCounts(t,
+            (0 until data.numElements()).map(i => data.getUTF8String(i).toString))
+        case _ => throw new IllegalArgumentException(
+          "graft_count_all(text, array('needle', ...)) takes a string and a literal string array")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_hyperplanes"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplanes"),
       (children: Seq[Expression]) => children match {

@@ -120,6 +120,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(empty == 255L)
   }
 
+  test("native needle counting matches the regex idiom exactly") {
+    import graft.functions.{TextFunctions => TF}
+    val needles = Seq(" the ", " a ", " of ", " le ", " und ")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(concat(lit(" "), col("text"), lit(" ")).as("pt"))
+    val regexCounts = array(needles.map(n => TF.occurrences(col("pt"), n)): _*)
+    val diffs = docs.select(
+      regexCounts.as("hof"),
+      TF.occurrencesAll(col("pt"), needles).as("native"))
+      .filter(not(col("hof") === col("native")))
+      .count()
+    assert(diffs == 0)
+    // non-overlapping semantics: " a a a " contains " a " twice by the
+    // leftmost-consuming count (positions 0 and 4), not three times
+    val tricky = Seq(" a a a ").toDF("pt")
+    val got = tricky.select(TF.occurrencesAll(col("pt"), Seq(" a ")).as("c"))
+      .as[Seq[Int]].head()
+    val viaRegex = tricky.select(TF.occurrences(col("pt"), " a ").as("c")).as[Int].head()
+    assert(got == Seq(viaRegex) && got == Seq(2))
+    // NULL text → NULL counts array (null-in null-out, like the regex form)
+    val nullRow = Seq(Option.empty[String]).toDF("pt")
+      .select(TF.occurrencesAll(col("pt"), Seq(" a "))).collect()
+    assert(nullRow(0).isNullAt(0))
+  }
+
   test("native expressions survive codegen (non-trivial batch)") {
     // enough rows that whole-stage codegen actually compiles the loop
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
