@@ -565,12 +565,18 @@ object Queries {
     "q28_shingle_jaccard",
     (s, d) => {
       // shingle sets are computed once per document (pre-join projection),
-      // not once per pair per metric — the join then moves only arrays
+      // not once per pair per metric — the join then moves only arrays.
+      // Sets are HASHED shingles (native one-pass graft_shingles, no
+      // string materialization): distinct counts, and therefore the
+      // jaccard values the string-space oracle computes, are preserved
+      // exactly unless xxhash64 collides within one pair's shingle
+      // union (~10² elements against 2^64 — never at any corpus size
+      // worth naming), and intersect/union run on primitive longs
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokens(col("text")).as("w"))
         .select(col("doc_id"),
-          array_distinct(TF.shinglesFromTokens(col("w"), 3)).as("s3"),
-          array_distinct(TF.shinglesFromTokens(col("w"), 2)).as("s2"))
+          HF.hashedWordShingles(col("w"), 3).as("s3"),
+          HF.hashedWordShingles(col("w"), 2).as("s2"))
       val a = sh.select(col("doc_id").as("id_a"), col("s3").as("sa3"), col("s2").as("sa2"))
       val b = sh.select(col("doc_id").as("id_b"), col("s3").as("sb3"), col("s2").as("sb2"))
       def jac(x: String, y: String) =
