@@ -938,11 +938,45 @@ object Queries {
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
 
+  private val q49 = Q(
+    "q49_cc_sessions",
+    (s, d) => {
+      // sessionization recast as CONNECTED COMPONENTS: an edge joins each
+      // event to its in-gap predecessor (same per-user ordering as q21),
+      // components are sessions, canonical label = min event_id. Long
+      // per-user chains make this an honest stress of the iterative
+      // min-label + pointer-jumping operator, and the gaps-and-islands
+      // oracle pins it exactly.
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val edges = ev
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_id").isNotNull && col("us") - col("prev_us") <= 1800000000L)
+        .select(col("prev_id").as("id_a"), col("event_id").as("id_b"))
+      val cc = Dedup.nearDupClusters(edges)
+      ev.join(cc, ev("event_id") === cc("id"), "left")
+        .select(col("event_id"),
+          coalesce(col("cluster_id"), col("event_id")).as("cluster_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      f AS (SELECT user_id, event_id, us,
+        CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS nf
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      g AS (SELECT user_id, event_id,
+        sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM f)
+      SELECT event_id, CAST(MIN(event_id) OVER (PARTITION BY user_id, grp) AS BIGINT) AS cluster_id
+      FROM g ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48)
+    q46, q47, q48, q49)
 }

@@ -183,4 +183,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Cluster near-duplicate PAIRS into transitive groups: every id that
+    * appears in `pairs` gets the minimum id of its connected component as
+    * `cluster_id` ([[Relational.connectedComponents]]). The principled
+    * canonical-selection semantics for corpus dedup — "keep one
+    * representative per near-dup CLUSTER" — where pair-local dropping
+    * (remove every id_b) can remove documents whose only similarity link
+    * was itself removed.
+    */
+  def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 25): DataFrame =
+    Relational.connectedComponents(pairs, idACol, idBCol, maxIter)
+      .select(col("id"), col("cluster_id"))
+
+  /** Keep exactly one document per near-dup cluster (the minimum id),
+    * passing every unclustered document through: df ⟕ clusters, keep rows
+    * whose id IS its cluster_id or that have no cluster at all. One
+    * broadcast-or-shuffle equi-join on the id.
+    */
+  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val clusters = nearDupClusters(pairs, idACol, idBCol)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(clusters, df(idCol) === col("__cc_id"), "left")
+      .filter(col("cluster_id").isNull || col(idCol) === col("cluster_id"))
+      .drop("__cc_id", "cluster_id")
+  }
 }

@@ -162,6 +162,91 @@ object Relational {
     rehomed(closure, closurePinned)
   }
 
+  /** Connected components of an undirected graph: every node that appears
+    * in `edges` is labeled with the MINIMUM node id reachable from it
+    * (`(id, cluster_id)`; isolated nodes never appear — union them in at
+    * the call site). Min-label propagation with pointer-jumping: each
+    * iteration takes the min of a node's label and its neighbors' labels,
+    * then compresses label chains by one hop (`label := label(label)`),
+    * so convergence is O(log diameter) iterations rather than
+    * O(diameter) — the difference between 4 rounds and 40 on the long
+    * chains a near-dup corpus produces. Each iteration is three
+    * equi-joins/aggregations on (id)-shaped rows: all shuffles are on the
+    * node id, no step materializes anything larger than the edge list
+    * (unlike [[transitiveClosure]], whose output is quadratic in
+    * component size — never use TC for clustering).
+    *
+    * Lineage is truncated (localCheckpoint) every iteration — the plan
+    * would otherwise double per round — and superseded snapshots release
+    * their checkpoint-pinned blocks via the tracked-release helpers.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id"), col("src").as("cid")).distinct()
+    // handle to the EXACT Dataset that holds each round's persisted
+    // snapshot — `labels` is a projection of it, and Dataset.unpersist is
+    // plan-identity-based, so unpersisting the projection would be a no-op
+    var snapshot: DataFrame = null
+    var pinned = Set.empty[Int]
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Alternate round kinds, every plan reading ONLY the cached previous
+      // labels (never an unmaterialized intermediate — a nested self-join
+      // on one would recompute it once per reference):
+      //   nbr rounds  — label := min(label, neighbors' labels); advances
+      //                 one hop, and a no-change nbr round IS the global
+      //                 fixpoint (both endpoints of every edge agree);
+      //   jump round  — label := min(label, label(label)); pointer-jumping
+      //                 halves label-chain depth so long chains converge in
+      //                 O(log diameter) nbr rounds instead of O(diameter).
+      // cadence: three nbr rounds between jumps — small-diameter graphs
+      // (the common near-dup / session shape) converge in the nbr rounds
+      // alone without ever paying for a jump; genuinely deep chains still
+      // get a halving round every 4th iteration
+      val isJump = iter % 4 == 3
+      val cand =
+        if (isJump) {
+          val byId = labels.select(col("id").as("jid"), col("cid").as("jcid"))
+          labels.join(byId, labels("cid") === byId("jid"), "left")
+            .select(labels("id").as("id"), col("cid").as("old"),
+              least(col("cid"), coalesce(col("jcid"), col("cid"))).as("cid"))
+        } else {
+          val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+            .groupBy(col("src")).agg(min(col("cid")).as("nmin"))
+          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+            .select(labels("id").as("id"), col("cid").as("old"),
+              least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
+        }
+      // one materializing action per round (the convergence count); lineage
+      // is cut on the jump rounds so plans cannot compound across rounds
+      val (next, nextPinned) =
+        if (isJump) localCheckpointTracked(cand)
+        else (cand.persist(), Set.empty[Int])
+      val changed = next.filter(col("cid") < col("old")).count()
+      if (snapshot != null) snapshot.unpersist()
+      releasePinned(sc, pinned)
+      snapshot = next
+      labels = next.select(col("id"), col("cid"))
+      pinned = nextPinned
+      if (changed == 0L && !isJump) converged = true
+      iter += 1
+    }
+    sym.unpersist()
+    // re-home onto the output plan so the CALLER's plain unpersist
+    // releases everything this iteration created
+    val out = labels.withColumnRenamed("cid", "cluster_id")
+    out.persist()
+    out.count()
+    if (snapshot != null) snapshot.unpersist()
+    releasePinned(sc, pinned)
+    out
+  }
+
   /** Longest path (in hops) to each node of a DAG from any root —
     * iterative relaxation; useful for stage-dependency scheduling depth.
     */

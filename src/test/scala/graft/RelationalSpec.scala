@@ -111,4 +111,38 @@ class RelationalSpec extends SparkSpec {
     assert(byId(4L) == ((8L, 10L, "2024-01-09")))
     assert(byId(5L) == ((0L, 6L, "2024-01-01"))) // SF constraint non-binding → floor 0
   }
+
+  test("connected components: chains, triangles, separate components, min label") {
+    import graft.operators.Dedup
+    // component A: long chain 1-2-3-4-5-6-7 (exercises >1 propagation round)
+    // component B: triangle 10-11-12 plus pendant 13
+    // component C: single edge 20-21; node 30 is isolated (absent from edges)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val result = Dedup.nearDupClusters(edges)
+    val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(got(_) == 1L))
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(!got.contains(30L)) // isolated nodes are the caller's to union in
+    // the iteration leaves behind at most its own (caller-unpersistable)
+    // cached result — no checkpoint-pinned intermediates
+    result.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"pinned blocks leaked: $leaked")
+  }
+
+  test("keepOnePerCluster keeps exactly the min id per cluster and passes singletons") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (7L, "solo"), (9L, "b"), (10L, "b2"))
+      .toDF("doc_id", "text")
+    // 1-2-3 chained near-dups; 9-10 pair; 7 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 10L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepOnePerCluster(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L, 9L))
+  }
 }
