@@ -972,11 +972,61 @@ object Queries {
       SELECT event_id, CAST(MIN(event_id) OVER (PARTITION BY user_id, grp) AS BIGINT) AS cluster_id
       FROM g ORDER BY event_id"""))
 
+  private val q50 = Q(
+    "q50_quantile_disc",
+    (s, d) => {
+      // exact discrete quantiles (percentile_disc semantics) by integer
+      // rank selection: target row = ceil(p*n) computed as
+      // (n*num + den - 1) div den — pure integer arithmetic on both
+      // engines, so the oracle match is exact by construction (no float
+      // interpolation to drift by an ulp)
+      val ps = Seq((1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75"), (9, 10, "p90"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("rn"), col("n"),
+          explode(array(ps.map { case (nu, de, lbl) =>
+            struct(lit(nu).as("nu"), lit(de).as("de"), lit(lbl).as("lbl")) }: _*)).as("p"))
+        .filter(col("rn") === expr("(n * p.nu + p.de - 1) div p.de"))
+        .groupBy(col("l_returnflag"), col("p.lbl").as("quantile"))
+        .agg(min(col("l_extendedprice")).as("value")) // ties on the target row collapse to one value
+        .orderBy(col("l_returnflag"), col("quantile"))
+    },
+    Some("""WITH r AS (SELECT l_returnflag, l_extendedprice,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+      p(nu, de, lbl) AS (VALUES (1,4,'p25'),(1,2,'p50'),(3,4,'p75'),(9,10,'p90'))
+      SELECT l_returnflag, lbl AS quantile, min(l_extendedprice) AS value
+      FROM r JOIN p ON rn = (n * nu + de - 1) // de
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  private val q51 = Q(
+    "q51_approx_quantiles",
+    (s, d) => {
+      // the 100 TB quantile path: approx_percentile sketch (mergeable,
+      // one pass, bounded memory) with the exact values alongside for
+      // observable error — rows-only like q46's HLL, approximate results
+      // have no exact oracle
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000))
+            .as("approx_p50_p90"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("exact_p50_p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49)
+    q46, q47, q48, q49, q50, q51)
 }

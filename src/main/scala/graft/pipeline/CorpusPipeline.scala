@@ -34,10 +34,16 @@ object CorpusPipeline {
       nearDupShingleSize: Int = 3,
       nearDupThreshold: Double = 0.9,
       nearDupNumHashes: Int = 32,
-      nearDupBands: Int = 4) // 4 bands × 8 rows: steep S-curve sized for
+      nearDupBands: Int = 4, // 4 bands × 8 rows: steep S-curve sized for
                              // the high threshold — moderate-similarity
                              // pairs rarely collide, so the candidate
                              // join stays small on near-dup-light corpora
+      nearDupClusterCanonical: Boolean = false)
+        // false: pair-local dropping (remove every id_b) — one anti-join,
+        //        no iteration; the cheap default.
+        // true:  connected-components clustering + keep the min id per
+        //        near-dup CLUSTER (Dedup.keepOnePerCluster) — transitive
+        //        semantics, a few extra label-propagation rounds.
 
   /** Annotate with language + quality signals (two stacked projections,
     * no shuffle). Per-language scores are MATERIALIZED columns before the
@@ -91,8 +97,12 @@ object CorpusPipeline {
       exact, idCol, textCol,
       shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
       bands = cfg.nearDupBands, threshold = cfg.nearDupThreshold)
-    val toDrop = nearPairs.select(col("id_b").as(idCol)).distinct()
-    exact.join(toDrop, Seq(idCol), "left_anti")
+    if (cfg.nearDupClusterCanonical)
+      Dedup.keepOnePerCluster(exact, idCol, nearPairs)
+    else {
+      val toDrop = nearPairs.select(col("id_b").as(idCol)).distinct()
+      exact.join(toDrop, Seq(idCol), "left_anti")
+    }
   }
 
   /** Full pipeline; returns the curated corpus with accounting columns. */

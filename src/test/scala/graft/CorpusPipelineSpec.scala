@@ -24,6 +24,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
   }
 
+  test("cluster-canonical mode keeps the min id per transitive near-dup chain") {
+    val base = (1 to 40).map(i => s"tok$i the a of").mkString(" ")
+    // 6~7~8 form a chain: 6~7 and 7~8 are near-dups, 6~8 less so; the
+    // cluster mode must keep exactly the min id of the whole chain
+    val docs = Seq(
+      (6L, base),
+      (7L, base + " x1 x2"),
+      (8L, base + " x1 x2 x3 x4"),
+      (9L, (200 to 240).map(i => s"qq$i the").mkString(" "))) // unrelated keeper
+      .toDF("doc_id", "text")
+    val clustered = CorpusPipeline.curate(docs, "doc_id", "text",
+      cfg.copy(nearDupClusterCanonical = true))
+    assert(clustered.select("doc_id").as[Long].collect().toSet == Set(6L, 9L))
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()
