@@ -135,6 +135,29 @@ class RelationalSpec extends SparkSpec {
     assert(leaked.isEmpty, s"pinned blocks leaked: $leaked")
   }
 
+  test("connected components matches brute-force union-find on random graphs") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(20 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      // reference: sequential union-find with path walk
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = nodes.groupBy(v => find(v.toInt)).map { case (r, vs) => r -> vs.min }
+      val expected = nodes.map(v => v -> minOfRoot(find(v.toInt))).toMap
+      val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=${edges.size}")
+    }
+  }
+
   test("keepOnePerCluster keeps exactly the min id per cluster and passes singletons") {
     import graft.operators.Dedup
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (7L, "solo"), (9L, "b"), (10L, "b2"))
