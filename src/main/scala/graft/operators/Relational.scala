@@ -186,7 +186,13 @@ object Relational {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct().persist()
-    var labels = sym.select(col("src").as("id"), col("src").as("cid")).distinct()
+    // seed = one aggregation that already applies the first neighbor-min
+    // round (label_0 = min(id, min neighbor)): one groupBy instead of the
+    // join+agg+join a full round costs, and diameter-2 components (the
+    // bulk of any near-dup graph) then converge after a single round
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cid"))
+      .withColumnRenamed("src", "id")
     // handle to the EXACT Dataset that holds each round's persisted
     // snapshot — `labels` is a projection of it, and Dataset.unpersist is
     // plan-identity-based, so unpersisting the projection would be a no-op

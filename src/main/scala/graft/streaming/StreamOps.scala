@@ -57,6 +57,29 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream INNER equi-join with an event-time interval predicate:
+    * each left row matches right rows of the same key whose timestamp
+    * falls in `[leftTs - lookback, leftTs]` — the canonical streaming
+    * enrichment (events joined to the dimension updates that preceded
+    * them). Both sides carry watermarks and the join condition bounds
+    * event time on BOTH inputs, which is exactly what lets Spark
+    * garbage-collect join state: a right row is dropped from state once
+    * the left watermark passes `rightTs + lookback`, so state is bounded
+    * at any scale. Inner-join matches emit as soon as both rows arrive
+    * (no watermark wait); only state cleanup is watermark-driven.
+    *
+    * Key/timestamp column names must differ between the two inputs
+    * (rename before calling) — the condition is built by name.
+    */
+  def enrichByIntervalJoin(
+      events: DataFrame, evTs: String, evKey: String,
+      updates: DataFrame, upTs: String, upKey: String,
+      lookback: String, watermark: String): DataFrame =
+    events.withWatermark(evTs, watermark)
+      .join(
+        updates.withWatermark(upTs, watermark),
+        expr(s"$evKey = $upKey AND $upTs >= $evTs - INTERVAL $lookback AND $upTs <= $evTs"))
+
   final case class SessionInput(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)

@@ -45,6 +45,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join enriches events with in-window updates only") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val updates = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamOps.enrichByIntervalJoin(
+      events.toDF().toDF("user_id", "ev_ts", "value"), "ev_ts", "user_id",
+      updates.toDF().toDF("up_user", "up_ts", "tag"), "up_ts", "up_user",
+      lookback = "10 minutes", watermark = "1 hour")
+    val q = joined.select("user_id", "value", "tag")
+      .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append()).start()
+    try {
+      updates.addData((1L, ts(0), "A"))
+      // in-window event (5 min after the update), out-of-window event
+      // (25 min after), and a key with no update at all
+      events.addData((1L, ts(5), 10.0), (1L, ts(25), 20.0), (2L, ts(5), 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enr").as[(Long, Double, String)].collect().toSet
+      assert(rows == Set((1L, 10.0, "A"))) // inner join: only the in-window pair
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
