@@ -1022,11 +1022,43 @@ object Queries {
     },
     None)
 
+  private val q52 = Q(
+    "q52_repetition_ratio",
+    (s, d) => {
+      // Gopher-style repetition signal: share of duplicate word n-grams
+      // per document (1 - distinct/total). Both counts come from the ONE
+      // native shingle pass in its distinct / non-distinct forms; values
+      // match the string-space oracle exactly short of an in-document
+      // xxhash64 collision (~10² shingles vs 2^64).
+      def rep(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+        val total = size(call_function("graft_shingles", toks, lit(n), lit(false)))
+        val dist = size(call_function("graft_shingles", toks, lit(n), lit(true)))
+        when(total > 0,
+          round(lit(1.0) - dist.cast("double") / total.cast("double"), 4))
+          .otherwise(lit(0.0))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .select(col("doc_id"), rep(col("w"), 2).as("rep2"), rep(col("w"), 3).as("rep3"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      g AS (SELECT doc_id,
+        list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1]) AS g2,
+        list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS g3
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN len(g2) > 0
+          THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 4) ELSE 0.0 END AS rep2,
+        CASE WHEN len(g3) > 0
+          THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 4) ELSE 0.0 END AS rep3
+      FROM g ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51)
+    q46, q47, q48, q49, q50, q51, q52)
 }

@@ -117,6 +117,27 @@ object CorpusPipeline {
   def write(curated: DataFrame, outDir: String): Unit =
     curated.write.mode("overwrite").partitionBy("predicted_lang").parquet(outDir)
 
+  /** Deterministic stratified sampling: keep each row iff a uniform hash
+    * of (id, seed) falls under its stratum's fraction. Hash-based rather
+    * than `sampleBy`'s RNG-per-partition so the SAME rows are selected
+    * regardless of partitioning, cluster size, or re-runs — the property
+    * that makes a 100 TB corpus sample reproducible and incrementally
+    * extendable (raising a fraction only ADDS rows, never swaps them).
+    * Strata absent from `fractions` default to 0.0 (dropped).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0), "fractions in [0,1]")
+    // xxhash64 → [0,1): shift to 53-bit non-negative mantissa range so the
+    // double division is exact and uniform
+    val u = (shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11).cast("double")
+      / lit((1L << 53).toDouble))
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
   /** Per-language accounting: doc + token counts (the corpus datasheet). */
   def accounting(curated: DataFrame): DataFrame =
     curated.groupBy(col("predicted_lang"))

@@ -39,6 +39,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(clustered.select("doc_id").as[Long].collect().toSet == Set(6L, 9L))
   }
 
+  test("stratified sample: deterministic, partition-invariant, monotone in fraction") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001") // 500 rows, lang column
+    val f = Map("en" -> 0.5, "fr" -> 0.1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.stratifiedSample(df, "doc_id", "lang", f)
+        .select("doc_id").as[Long].collect().toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(7)) // same rows regardless of partitioning
+    assert(a == b && a.nonEmpty)
+    // strata not in the map are dropped entirely
+    val langs = CorpusPipeline.stratifiedSample(docs, "doc_id", "lang", f)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "fr")))
+    // raising a fraction only ADDS rows (incremental extendability)
+    val bigger = ids(docs) ++
+      CorpusPipeline.stratifiedSample(docs, "doc_id", "lang", f.updated("en", 0.8))
+        .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+    // sample rate lands near the requested fraction
+    val en = docs.filter(col("lang") === "en").count()
+    val enKept = CorpusPipeline.stratifiedSample(docs, "doc_id", "lang", f)
+      .filter(col("lang") === "en").count()
+    assert(math.abs(enKept.toDouble / en - 0.5) < 0.15)
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()
