@@ -172,4 +172,28 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(m(0).getAs[String]("content_sha").length == 64)
     assert(m(1).getAs[Boolean]("is_empty"))
   }
+
+  test("q50 plan: both windows share ONE partition exchange; scan pruned to 2 columns") {
+    val df = Queries.all.find(_.name == "q50_quantile_disc").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // row_number and count(*) partition identically (l_returnflag), so the
+    // sort-based window pair must reuse a single hash exchange — a second
+    // hashpartitioning(l_returnflag) exchange means the plan regressed
+    val exchanges = "hashpartitioning\\(l_returnflag".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 group exchange, got $exchanges:\n$plan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_extendedprice")
+      && !read.contains("l_quantity"), read)
+  }
+
+  test("q52 plan: document scan pruned to doc_id + text") {
+    val df = Queries.all.find(_.name == "q52_repetition_ratio").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val read = "ReadSchema: [^\\n]*".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
+  }
 }
