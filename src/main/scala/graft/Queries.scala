@@ -1054,11 +1054,30 @@ object Queries {
           THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 4) ELSE 0.0 END AS rep3
       FROM g ORDER BY doc_id"""))
 
+  private val q53 = Q(
+    "q53_vocab_topk",
+    (s, d) => {
+      // corpus vocabulary: top-50 tokens by frequency, deterministic
+      // tiebreak (count desc, token asc). explode → partial-agg counts
+      // map-side, then a single shuffle on the token — the plan shape
+      // that survives any corpus size; the LIMIT is applied post-sort on
+      // the already-aggregated (≤ |vocab|) rows
+      Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    Some("""SELECT w AS token, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents)
+      GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52)
+    q46, q47, q48, q49, q50, q51, q52, q53)
 }
