@@ -1073,11 +1073,33 @@ object Queries {
       FROM (SELECT unnest(string_split_regex(trim(text),'\s+')) AS w FROM documents)
       GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50"""))
 
+  private val q54 = Q(
+    "q54_decontaminate",
+    (s, d) => {
+      // test-set decontamination: flag corpus docs sharing any 5-gram
+      // with a deterministic "benchmark" slice (doc_id % 97 == 0). The
+      // benchmark collapses to broadcast-sized distinct hashed grams;
+      // the corpus is never shuffled (see Dedup.flagContaminated).
+      val docs = Tables.documents(s, d)
+      Dedup.flagContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0).select(col("text")), "text",
+        n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-4),
+        i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS sh FROM t),
+      b AS (SELECT DISTINCT unnest(sh) AS h FROM s WHERE doc_id % 97 = 0),
+      c AS (SELECT doc_id, unnest(sh) AS h FROM s WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
+      FROM c JOIN b ON c.h = b.h GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -197,6 +197,39 @@ object Dedup {
     Relational.connectedComponents(pairs, idACol, idBCol, maxIter)
       .select(col("id"), col("cluster_id"))
 
+  /** Benchmark decontamination: for every corpus document, count its
+    * word n-gram overlap with a benchmark/eval set (the GPT-3/Pile-style
+    * test-set leakage check). Returns `(idCol, n_hits)` for documents
+    * with at least one overlapping n-gram — join back `left_anti` style
+    * to drop them, or keep the counts for a threshold policy.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT hashed
+    * n-grams (8 bytes each — a few MB for ~1M benchmark grams, far under
+    * broadcast limits even for large eval suites), so the corpus side is
+    * one broadcast hash join on the exploded shingles and one
+    * re-aggregation to doc granularity. The 100 TB corpus is never
+    * shuffled.
+    */
+  def flagContaminated(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ HashFunctions.hashedWordShingles(
+        TextFunctions.tokens(col(textCol)), n).as("__sh"): _*)
+    val benchGrams = broadcast(
+      grams(benchmark.withColumnRenamed(benchTextCol, textCol))
+        .select(explode(col("__sh")).as("__h")).distinct())
+    grams(corpus, col(idCol))
+      .select(col(idCol), explode(col("__sh")).as("__h"))
+      .join(benchGrams, "__h")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__h")).as("n_hits"))
+  }
+
   /** Keep exactly one document per near-dup cluster (the minimum id),
     * passing every unclustered document through: df ⟕ clusters, keep rows
     * whose id IS its cluster_id or that have no cluster at all. One

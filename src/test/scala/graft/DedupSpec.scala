@@ -105,4 +105,17 @@ class DedupSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSet
     assert(bloomed == exact)
   }
+
+  test("decontamination flags docs sharing an n-gram with the benchmark, counts overlap") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog tonight").toDF("text")
+    val corpus = Seq(
+      (1L, "intro words then the quick brown fox jumps over something else"), // one shared 5-gram chain
+      (2L, "completely unrelated content with no overlap at all here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight and more")) // long overlap
+      .toDF("doc_id", "text")
+    val flagged = Dedup.flagContaminated(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L) && flagged.contains(3L) && !flagged.contains(2L))
+    assert(flagged(3L) > flagged(1L)) // longer overlap → more distinct shared grams
+  }
 }
