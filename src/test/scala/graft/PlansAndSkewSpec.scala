@@ -188,6 +188,15 @@ class PlansAndSkewSpec extends SparkSpec {
       && !read.contains("l_quantity"), read)
   }
 
+  test("q54 plan: decontamination joins via broadcast (corpus side not shuffled to join)") {
+    val df = Queries.all.find(_.name == "q54_decontaminate").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge to meet the benchmark:\n$plan")
+  }
+
   test("q52 plan: document scan pruned to doc_id + text") {
     val df = Queries.all.find(_.name == "q52_repetition_ratio").get
       .run(spark, "/root/testdata/sf0.001")
