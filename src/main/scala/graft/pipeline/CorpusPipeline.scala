@@ -111,6 +111,39 @@ object CorpusPipeline {
     kept.drop("__toks")
   }
 
+  /** One incremental curation run — the production mode at corpus scale:
+    * anti-join the ingest against the processed-id state (Bloom pre-pass
+    * when the state dwarfs the delta, see
+    * [[graft.operators.Incremental]]), curate ONLY the new documents,
+    * append their ids to state, and return the newly curated rows.
+    * Re-running on unchanged input is a no-op (the reference pipeline's
+    * core invariant, applied to the corpus pipeline).
+    *
+    * Note the dedup boundary: exact/near-dup runs WITHIN each delta
+    * (cross-delta exact dedup is the caller's choice — e.g. make the
+    * content fingerprint part of the state key to also skip re-ingested
+    * bytes).
+    */
+  def curateIncremental(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      cfg: Config = Config(),
+      bloomExpectedKeys: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val state = graft.operators.Incremental.readState(spark, stateDir, Seq(idCol))
+    val fresh = bloomExpectedKeys match {
+      case Some(n) => graft.operators.Incremental.newRowsBloom(docs, state, Seq(idCol), n)
+      case None => graft.operators.Incremental.newRows(docs, state, Seq(idCol))
+    }
+    val curated = curate(fresh, idCol, textCol, cfg)
+    // state must record every SEEN id (curated or filtered out) or
+    // rejected docs would be re-curated forever
+    graft.operators.Incremental.appendState(fresh, Seq(idCol), stateDir)
+    curated
+  }
+
   /** Write partitioned by predicted language — downstream training jobs
     * prune to the languages they train on.
     */

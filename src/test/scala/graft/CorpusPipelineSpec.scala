@@ -64,6 +64,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(math.abs(enKept.toDouble / en - 0.5) < 0.15)
   }
 
+  test("incremental curation: rerun is a no-op; filtered docs are not re-curated") {
+    val stateDir = Files.createTempDirectory("curstate").toString + "/state"
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val docs = Seq((1L, base), (2L, "too short")).toDF("doc_id", "text")
+    val first = CorpusPipeline.curateIncremental(docs, "doc_id", "text", stateDir, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L))
+    // rerun on identical input: nothing new — including the REJECTED doc,
+    // which must be remembered as seen, not re-curated forever
+    val second = CorpusPipeline.curateIncremental(docs, "doc_id", "text", stateDir, cfg)
+    assert(second.count() == 0)
+    // a genuinely new doc flows through on a later run
+    val more = docs.union(Seq((3L, (50 to 90).map(i => s"yy$i the").mkString(" ")))
+      .toDF("doc_id", "text"))
+    val third = CorpusPipeline.curateIncremental(more, "doc_id", "text", stateDir, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(third == Set(3L))
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()
