@@ -94,13 +94,16 @@ object HashFunctions {
     * of the signature. Two docs whose signatures agree on every row of a
     * band get the same key — the banding trick that turns near-dup search
     * into an equi-join (shuffle on (band, key), no all-pairs compare).
+    *
+    * Band and width are plan-time literals, so the key is a variadic
+    * `xxhash64` over `element_at` refs — fully codegen, zero allocation
+    * (the previous formulation built a comma-joined STRING per band per
+    * row through an interpreted `transform`).
     */
   def bandKey(signature: Column, band: Int, rowsPerBand: Int): Column =
     xxhash64(
-      lit(band),
-      array_join(
-        transform(slice(signature, band * rowsPerBand + 1, rowsPerBand), x => x.cast("string")),
-        ","))
+      lit(band) +: (0 until rowsPerBand).map(r =>
+        element_at(signature, band * rowsPerBand + r + 1)): _*)
 
   /** SimHash of a token-array column, packed into a Long with `bits`
     * significant bits (bit j = sign of the sum over tokens of ±1 driven by
