@@ -1095,11 +1095,101 @@ object Queries {
       SELECT c.doc_id, count(DISTINCT c.h) AS n_hits
       FROM c JOIN b ON c.h = b.h GROUP BY 1 ORDER BY 1"""))
 
+  private val q55 = Q(
+    "q55_deterministic_split",
+    (s, d) => {
+      // hash-deterministic train/val/test assignment: split is a pure
+      // function of (doc_id, salt) — re-runs and re-partitionings never
+      // migrate a holdout row. Verified against DuckDB recomputing the
+      // identical sha-256 bucket assignment.
+      graft.pipeline.CorpusPipeline.deterministicSplit(
+        Tables.documents(s, d), "doc_id", "graft")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) % 10000 AS h
+        FROM documents)
+      SELECT CASE WHEN h < 9800 THEN 'train' WHEN h < 9900 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, sum(doc_id) AS sum_ids
+      FROM b GROUP BY 1 ORDER BY 1"""))
+
+  private val q56 = Q(
+    "q56_boilerplate_prune",
+    (s, d) => {
+      // document-frequency unit pruning (CorpusPipeline.removeFrequentUnits
+      // — same core as line-level boilerplate removal; units here are
+      // tokens so the pass bites on the single-line fixture): drop units
+      // present in ≥ half the corpus, keep per-doc order, account removals
+      val docs = Tables.documents(s, d)
+      val minDocs = math.max(1L, math.ceil(docs.count() * 0.5).toLong)
+      graft.pipeline.CorpusPipeline.removeFrequentUnits(
+        docs, "doc_id", TF.tokens(col("text")), minDocs)
+        .select(col("doc_id"), array_join(col("kept_units"), " ").as("kept_text"),
+          col("n_kept"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      u AS (SELECT t.doc_id, x.tok, x.i
+        FROM t, LATERAL (SELECT unnest(w) AS tok, generate_subscripts(w,1) AS i) x),
+      f AS (SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS df FROM u GROUP BY 1)
+        WHERE df >= (SELECT CAST(ceil(count(*) * 0.5) AS BIGINT) FROM documents)),
+      k AS (SELECT u.doc_id, u.tok, u.i, (f.tok IS NOT NULL) AS rm
+        FROM u LEFT JOIN f ON u.tok = f.tok)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY i), '') AS kept_text,
+        count(CASE WHEN NOT rm THEN 1 END) AS n_kept,
+        count(CASE WHEN rm THEN 1 END) AS n_removed
+      FROM k GROUP BY 1 ORDER BY 1"""))
+
+  private val q57 = Q(
+    "q57_pii_redact",
+    (s, d) => {
+      // PII redaction for corpus release: the fixture text carries no PII,
+      // so the query PLANTS a deterministic email/IP/phone per row and the
+      // oracle replays the identical regex passes in RE2 — byte-for-byte
+      // redaction parity across engines is the point of the restricted
+      // regex subset (TextFunctions.redactPii).
+      val synth = concat_ws(" ",
+        concat(col("source"), lit("@example.com")),
+        concat(lit("10.0.0."), (col("doc_id") % 256).cast("string")),
+        concat(lit("555-123-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.redactPii(synth).as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        source || '@example.com' || ' ' || '10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' ' ||
+          '555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      FROM documents ORDER BY doc_id"""))
+
+  private val q58 = Q(
+    "q58_pack_sequences",
+    (s, d) => {
+      // token-budget sequence packing (next-fit-decreasing per hash
+      // partition, streaming — see CorpusPipeline.packSequences). seq_ids
+      // depend on the deterministic internal partitioning, not on input
+      // layout, but have no SQL equivalent → rows-only like q34/q39.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.CorpusPipeline.packSequences(docs, "doc_id", "n_tokens", budget = 512L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
+        .orderBy(col("seq_id"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

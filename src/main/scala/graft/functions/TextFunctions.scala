@@ -122,6 +122,24 @@ object TextFunctions {
   def digitRatio(text: Column): Column = charClassRatio(text, "[0-9]")
   def upperRatio(text: Column): Column = charClassRatio(text, "[A-Z]")
 
+  /** PII redaction for training-data release: emails, then dotted-quad
+    * IPs, then NNN-NNN-NNNN phone numbers → typed placeholders. Three
+    * codegen'd regexp passes, no shuffle; the patterns stay within the
+    * regex subset that evaluates identically under Java regex and RE2
+    * (character classes, bounded repetition, `\b`), so external auditors
+    * can reproduce the redaction byte-for-byte. IP runs before phone so a
+    * dotted quad is never half-eaten as a phone fragment.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   /** Stopword-list language scoring: per-language occurrence counts of
     * marker words (padded-space matching so only whole tokens count).
     * Returns the language whose marker count is highest; ties resolve in

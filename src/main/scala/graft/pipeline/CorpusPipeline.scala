@@ -176,4 +176,112 @@ object CorpusPipeline {
     curated.groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("predicted_lang"))
+
+  /** Deterministic train/val/test assignment: each row's split is a pure
+    * function of (id, salt) — stable across partitioning, cluster size,
+    * and re-runs, so a 100 TB corpus can be re-split identically by any
+    * job that knows the salt, and no holdout row ever migrates into
+    * train when the corpus is re-processed. The hash is sha-256 (not
+    * xxhash) so external systems can reproduce the assignment from the
+    * spec alone; one narrow projection, no shuffle.
+    *
+    * `splits` are (label, weight) with weights summing to ≤ 1; rows
+    * hashing past the last cumulative bound get the final label.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+      : DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9, "weights sum to <= 1")
+    // first 8 hex chars of sha-256 → uniform int in [0, 2^32) → [0, 10000)
+    val bucket = conv(substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 8),
+      16, 10).cast("long") % 10000L
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * 10000).toLong)
+    val label = splits.init.zip(bounds.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), elseCol) => when(bucket < hi, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Remove text units (lines, paragraphs, tokens — any exploded array)
+    * that occur in at least `minDocs` distinct documents: the
+    * boilerplate-removal pass of web-corpus curation (nav bars, cookie
+    * banners, license headers repeat across pages; prose does not).
+    *
+    * Returns (idCol, kept_units, n_kept, n_removed) with original unit
+    * order preserved. Three shuffles, all equi: distinct (unit, doc)
+    * pairs → per-unit document frequency; frequent-unit join back; per-doc
+    * reassembly. The frequent set is the HEAD of the unit-frequency
+    * distribution (boilerplate by definition repeats), so at corpus scale
+    * the join side stays small and AQE broadcasts it.
+    */
+  def removeFrequentUnits(docs: DataFrame, idCol: String, unitsCol: Column,
+      minDocs: Long): DataFrame = {
+    val exploded = docs.select(col(idCol), posexplode_outer(unitsCol).as(Seq("__pos", "__unit")))
+    val frequent = exploded.filter(col("__unit").isNotNull)
+      .select(col("__unit"), col(idCol)).distinct()
+      .groupBy(col("__unit")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__unit"), lit(true).as("__freq"))
+    exploded.join(frequent, Seq("__unit"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(when(col("__freq").isNull && col("__unit").isNotNull,
+            struct(col("__pos"), col("__unit"))))),
+          x => x.getField("__unit")).as("kept_units"),
+        count(when(col("__freq").isNull && col("__unit").isNotNull, 1)).as("n_kept"),
+        count(col("__freq")).as("n_removed"))
+  }
+
+  /** Line-level boilerplate removal over a text column: units are
+    * newline-separated lines; returns the cleaned text with per-doc
+    * removal accounting.
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame =
+    removeFrequentUnits(docs, idCol, split(col(textCol), "\n"), minDocs)
+      .withColumn("kept_text", array_join(col("kept_units"), "\n"))
+      .drop("kept_units")
+
+  /** Pack documents into fixed token-budget training sequences:
+    * next-fit-decreasing within each hash partition. Returns
+    * (seq_id, idCol, n_tokens) with every input doc in exactly one
+    * sequence and every multi-doc sequence within budget (a single doc
+    * longer than the budget gets its own sequence — truncation is the
+    * tokenizer's decision, not the packer's).
+    *
+    * Scale shape: one shuffle (deterministic hash repartition by id), a
+    * partition-local sort by (tokens desc, id), then a STREAMING single
+    * pass — only the current bin's fill is held in memory, never the
+    * partition. Packing quality is partition-local (no global optimum),
+    * which is the right trade at 100 TB: bin fill loss vs. sorted
+    * next-fit is a few percent, a global pack is a cluster-wide sort.
+    * seq_ids are deterministic for a given (input, numPartitions).
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val packed = docs
+      .select(col(idCol).cast("long").as("id"), col(nTokensCol).cast("long").as("n"))
+      .repartition(p, pmod(xxhash64(col("id")), lit(p)))
+      .sortWithinPartitions(col("n").desc, col("id"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        var bin = 0L
+        var fill = 0L
+        var empty = true
+        rows.map { case (id, n) =>
+          if (!empty && fill + n > budget) { bin += 1L; fill = 0L }
+          empty = false
+          fill += n
+          ((part << 32) | bin, id, n)
+        }
+      }
+    packed.toDF("seq_id", idCol, "n_tokens")
+  }
 }

@@ -83,6 +83,78 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(third == Set(3L))
   }
 
+  test("deterministic split: stable across partitioning, weights respected, no migration") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.deterministicSplit(df, "doc_id", "s1")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val a = splits(docs)
+    val b = splits(docs.repartition(7))
+    assert(a == b) // pure function of (id, salt): partitioning-invariant
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~98% train at 500 docs: allow generous tolerance but catch a swap
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.9)
+    // a different salt is a different (valid) assignment
+    val c = CorpusPipeline.deterministicSplit(docs, "doc_id", "s2")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(c != a)
+    // 50/50 split: both labels materially populated
+    val even = CorpusPipeline.deterministicSplit(docs, "doc_id", "s1",
+      Seq("a" -> 0.5, "b" -> 0.5))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(even.keySet == Set("a", "b") && even.values.forall(_ > 100))
+  }
+
+  test("boilerplate line removal: frequent lines drop, prose stays, order preserved") {
+    val nav = "HOME | ABOUT | CONTACT"
+    val footer = "(c) example.com all rights reserved"
+    val docs = Seq(
+      (1L, s"$nav\nunique prose one\n$footer"),
+      (2L, s"$nav\nanother unique paragraph\nmore text here\n$footer"),
+      (3L, s"$nav\nthird doc body\n$footer"),
+      (4L, "standalone doc with no boilerplate at all"),
+      (5L, "")) // empty doc must survive (split("") = [""]: one empty unit)
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "kept_text", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "unique prose one", 1L, 2L)))
+    assert(out(2L) == ((2L, "another unique paragraph\nmore text here", 2L, 2L)))
+    assert(out(3L) == ((3L, "third doc body", 1L, 2L)))
+    assert(out(4L) == ((4L, "standalone doc with no boilerplate at all", 1L, 0L)))
+    assert(out(5L)._2 == "" && out(5L)._4 == 0L)
+  }
+
+  test("sequence packing: every doc exactly once, budget respected, deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val budget = 200L
+    val packed = CorpusPipeline.packSequences(docs, "doc_id", "n_tokens", budget).cache()
+    // exactly-once: the packed ids are precisely the input ids
+    val inIds = docs.select("doc_id").as[Long].collect().sorted.toSeq
+    val outIds = packed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(outIds == inIds)
+    // every multi-doc sequence within budget; single oversize docs allowed
+    val over = packed.groupBy("seq_id")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("fill"))
+      .filter(col("fill") > budget && col("n") > 1).count()
+    assert(over == 0L)
+    // deterministic under input re-partitioning (internal hash repartition)
+    val again = CorpusPipeline.packSequences(docs.repartition(5), "doc_id", "n_tokens", budget)
+      .select("seq_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(again == packed.select("seq_id", "doc_id").as[(Long, Long)].collect().toSet)
+    packed.unpersist()
+    // a doc bigger than the budget gets its own bin rather than vanishing
+    val tiny = Seq((1L, 500L), (2L, 10L), (3L, 20L)).toDF("doc_id", "n_tokens")
+    val t = CorpusPipeline.packSequences(tiny, "doc_id", "n_tokens", budget = 100L)
+      .select("seq_id", "doc_id").as[(Long, Long)].collect()
+    assert(t.map(_._2).toSet == Set(1L, 2L, 3L))
+    val byBin = t.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBin.values.exists(_ == Set(1L))) // oversize doc isolated
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()

@@ -63,4 +63,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) == "fr")
     assert(r(1) == "en") // 0-0 tie → first profile
   }
+
+  test("PII redaction: emails, IPs, phones replaced; near-misses untouched") {
+    val rows = Seq(
+      "mail a.b+c@sub.example.org now" -> "mail <EMAIL> now",
+      "host 192.168.0.1 up" -> "host <IP> up",
+      "call 555-123-4567 today" -> "call <PHONE> today",
+      // all three in one text, order independent of pattern order
+      "x@y.io 10.0.0.7 555-000-1111" -> "<EMAIL> <IP> <PHONE>",
+      // near-misses must survive: no TLD, 5-part quad is not an IPv4,
+      // 4-3-4 digits is not a NNN-NNN-NNNN phone
+      "not-an-email a@b c 1.2.3.4.5 5555-123-4567" ->
+        "not-an-email a@b c <IP>.5 5555-123-4567",
+      "plain prose stays" -> "plain prose stays")
+    val out = rows.map(_._1).toDF("t").select(TF.redactPii(col("t"))).as[String].collect()
+    rows.map(_._2).zip(out).foreach { case (want, got) => assert(got == want, s"$want != $got") }
+  }
 }
