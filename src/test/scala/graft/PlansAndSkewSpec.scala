@@ -205,4 +205,39 @@ class PlansAndSkewSpec extends SparkSpec {
       .findFirstIn(df.queryExecution.executedPlan.toString).getOrElse("")
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
   }
+
+  test("q55 plan: split assignment reads ONLY doc_id (text never scanned)") {
+    val df = Queries.all.find(_.name == "q55_deterministic_split").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val read = "ReadSchema: [^\\n]*".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).getOrElse("")
+    // the split is a pure function of doc_id — a scan that also reads the
+    // text column would drag the whole corpus through the hash projection
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
+
+  test("q57 plan: redaction is scan -> project -> sort, no hash exchange") {
+    val df = Queries.all.find(_.name == "q57_pii_redact").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // redaction must stay embarrassingly parallel: the only exchange is the
+    // final presentation orderBy (range), never a hash shuffle
+    assert(!plan.contains("hashpartitioning"), s"unexpected hash exchange:\n$plan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("source") && read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
+    for (name <- Seq("q56_boilerplate_prune", "q58_pack_sequences")) {
+      val df = Queries.all.find(_.name == name).get.run(spark, "/root/testdata/sf0.001")
+      df.write.mode("overwrite").format("noop").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+      assert(read.contains("doc_id") && !read.contains("lang") && !read.contains("source"),
+        s"$name: $read")
+    }
+  }
 }
