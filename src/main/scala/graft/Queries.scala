@@ -1185,11 +1185,68 @@ object Queries {
     },
     None)
 
+  private val q59 = Q(
+    "q59_quality_classifier",
+    (s, d) => {
+      // model-based quality filtering (TextFunctions.linearScoreMilli):
+      // hashed-bucket linear classifier over the token bag, integer
+      // milli-unit accumulation so the DuckDB oracle replays the model
+      // bit-for-bit. One codegen'd pass per document, zero shuffle before
+      // the final sort — the shape trained-classifier scoring runs at
+      // 100 TB (only the weight source changes).
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          TF.linearScoreMilli(col("w"), 1024).as("w_sum"),
+          size(col("w")).cast("long").as("n_tokens"))
+        .withColumn("verdict",
+          when(col("w_sum") >= 0, lit("keep")).otherwise(lit("drop")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      b AS (SELECT doc_id,
+        ((CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 1024) * 2654435761) % 2001 - 1000 AS wt
+        FROM u)
+      SELECT t.doc_id, coalesce(s.w_sum, 0) AS w_sum, len(t.w) AS n_tokens,
+        CASE WHEN coalesce(s.w_sum, 0) >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+      FROM t LEFT JOIN (SELECT doc_id, sum(wt) AS w_sum FROM b GROUP BY 1) s
+        ON t.doc_id = s.doc_id
+      ORDER BY t.doc_id"""))
+
+  private val q60 = Q(
+    "q60_domain_cap",
+    (s, d) => {
+      // per-domain document cap (crawl-curation staple: no host may
+      // dominate the corpus). The fixture has no URL column, so one is
+      // synthesized deterministically from (source, doc_id) and the
+      // domain is re-parsed out of the url string — the real pipeline
+      // shape. The cap is the native TopK operator: per-partition heaps
+      // bound every domain to k rows BEFORE the exchange, so the shuffle
+      // carries <= k*domains*partitions rows however large the crawl.
+      val docs = Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://www."), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string")))
+        .withColumn("domain", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      Relational.topKPerGroupNative(docs,
+        Seq(col("domain")), Seq(col("n_chars").desc, col("doc_id").asc), 5)
+        .select(col("doc_id"), col("domain"), col("n_chars"))
+        .orderBy(col("domain"), col("n_chars").desc, col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, n_chars,
+        regexp_extract('https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR),
+          '^https://([^/]+)/', 1) AS domain
+        FROM documents),
+      r AS (SELECT doc_id, domain, n_chars,
+        row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn FROM d)
+      SELECT doc_id, domain, n_chars FROM r WHERE rn <= 5
+      ORDER BY domain, n_chars DESC, doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

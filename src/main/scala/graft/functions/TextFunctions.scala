@@ -140,6 +140,36 @@ object TextFunctions {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Hashed-feature linear classifier — the "model-based quality filter"
+    * slot of a curation pipeline (fastText-style: bag of hashed token
+    * features x a weight vector, reference corpus filters run exactly
+    * this shape). Three deliberate design points for the 100 TB posture:
+    *   - features are HASHED buckets (`sha-256` prefix mod `k`), so the
+    *     feature space is fixed-width regardless of vocabulary — no
+    *     vocabulary broadcast, no dictionary join, one codegen'd pass
+    *     over the token array, zero shuffle;
+    *   - the score is accumulated in INTEGER milli-units (each bucket
+    *     weight is an integer in [-1000, 1000]), so results are exact on
+    *     any engine — no float summation-order drift — and the DuckDB
+    *     oracle can replay the classifier bit-for-bit;
+    *   - the demo weight for bucket `b` is the Knuth-hash residue
+    *     `(b * 2654435761) mod 2001 - 1000` — swapping in TRAINED weights
+    *     means replacing [[bucketWeightMilli]] with an `element_at` on a
+    *     literal weight array; the plan shape does not change.
+    */
+  def featureBucket(tok: Column, k: Int): Column =
+    conv(substring(sha2(tok, 256), 1, 8), 16, 10).cast("long") % k
+
+  def bucketWeightMilli(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % lit(2001L) - lit(1000L)
+
+  /** Total classifier score of a token array, in milli-units. */
+  def linearScoreMilli(toks: Column, k: Int): Column =
+    aggregate(
+      transform(toks, t => bucketWeightMilli(featureBucket(t, k))),
+      lit(0L),
+      (acc, x) => acc + x)
+
   /** Stopword-list language scoring: per-language occurrence counts of
     * marker words (padded-space matching so only whole tokens count).
     * Returns the language whose marker count is highest; ties resolve in

@@ -80,6 +80,42 @@ object StreamOps {
         updates.withWatermark(upTs, watermark),
         expr(s"$evKey = $upKey AND $upTs >= $evTs - INTERVAL $lookback AND $upTs <= $evTs"))
 
+  /** Checkpointed incremental upload: the streaming front half of the
+    * reference's rerun contract wired to its upload back half. Each
+    * `AvailableNow` run discovers only files the checkpoint has not seen,
+    * and every microbatch flows through
+    * [[graft.sources.IdempotentBlobSink.upload]] via `foreachBatch`. The
+    * checkpoint gives at-least-once batch delivery; the sink's path-keyed
+    * upsert makes redelivery idempotent — together, effective
+    * exactly-once to the remote store (the reference achieves the same
+    * with its processed-keyset skip + sha-conditioned overwrite,
+    * `/root/reference/test.py:99-111,70-81`).
+    *
+    * `transform` must produce the (path, content) columns; `handleResults`
+    * receives the per-row (path, url, error) outcome frame of each batch
+    * (default: materialize-and-discard — the upload IS the effect).
+    */
+  def incrementalUpload(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      pathCol: String, contentCol: String,
+      storeFactory: () => graft.sources.IdempotentBlobSink.BlobStore,
+      checkpointDir: String,
+      handleResults: DataFrame => Unit =
+        _.write.mode("overwrite").format("noop").save()): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    transform(in).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        handleResults(
+          graft.sources.IdempotentBlobSink.upload(batch, pathCol, contentCol, storeFactory))
+      }
+      .start()
+  }
+
   final case class SessionInput(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)

@@ -229,6 +229,29 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(read.contains("source") && read.contains("text") && !read.contains("lang"), read)
   }
 
+  test("q59 plan: classifier scoring is scan -> project -> sort, no hash exchange") {
+    val df = Queries.all.find(_.name == "q59_quality_classifier").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-document scoring is embarrassingly parallel: the only exchange
+    // is the final presentation orderBy (range), never a hash shuffle
+    assert(!plan.contains("hashpartitioning"), s"unexpected hash exchange:\n$plan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("q60 plan: domain cap runs through TopKPartial below the exchange") {
+    val df = Queries.all.find(_.name == "q60_domain_cap").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // the partial heap must sit below the exchange so each partition sends
+    // at most k rows per domain; the window form would shuffle every row
+    assert(plan.contains("TopKPartial"), s"expected native TopK operator:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not fall back to the window form:\n$plan")
+  }
+
   test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
     for (name <- Seq("q56_boilerplate_prune", "q58_pack_sequences")) {
       val df = Queries.all.find(_.name == name).get.run(spark, "/root/testdata/sf0.001")

@@ -64,6 +64,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(1) == "en") // 0-0 tie → first profile
   }
 
+  test("hashed linear classifier: integer-exact, order-invariant, empty=0") {
+    // reference score computed independently (JDK MessageDigest, BigInt
+    // arithmetic) — pins the sha-prefix bucket and Knuth-residue weight
+    // contract the DuckDB oracle replays
+    def refScore(text: String, k: Int): Long =
+      text.trim.split("\\s+").map { tok =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val bucket = java.lang.Long.parseLong(hex.take(8), 16) % k
+        (bucket * 2654435761L) % 2001L - 1000L
+      }.sum
+    val texts = Seq("the quick brown fox", "fox brown quick the", "lone")
+    val got = texts.toDF("t")
+      .select(TF.linearScoreMilli(TF.tokens(col("t")), 1024)).as[Long].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == refScore(t, 1024), s"score mismatch for '$t'") }
+    // bag-of-words: token order cannot change the integer sum
+    assert(got(0) == got(1))
+    // empty token array → identity element
+    val empty = Seq(Seq.empty[String]).toDF("w")
+      .select(TF.linearScoreMilli(col("w"), 1024)).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("PII redaction: emails, IPs, phones replaced; near-misses untouched") {
     val rows = Seq(
       "mail a.b+c@sub.example.org now" -> "mail <EMAIL> now",
