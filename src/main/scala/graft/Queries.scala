@@ -1242,11 +1242,84 @@ object Queries {
       SELECT doc_id, domain, n_chars FROM r WHERE rn <= 5
       ORDER BY domain, n_chars DESC, doc_id"""))
 
+  private val q61 = Q(
+    "q61_mixture_sample",
+    (s, d) => {
+      // data mixing (CorpusPipeline.sampleToTokenBudget): 800 tokens per
+      // source, hash-ordered prefix selection, integer accounting — the
+      // DuckDB oracle reproduces the sample row-for-row from the spec
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.CorpusPipeline.sampleToTokenBudget(
+        docs, "doc_id", "source", "n_tokens", 800L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+        len(string_split_regex(trim(text),'\s+')) AS n_tokens,
+        CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS h
+        FROM documents),
+      w AS (SELECT doc_id, source, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, cum_tokens FROM w
+      WHERE cum_tokens <= 800 ORDER BY source, cum_tokens, doc_id"""))
+
+  private val q62 = Q(
+    "q62_url_canonicalize",
+    (s, d) => {
+      // URL-level crawl dedup: messy variants (case, default port,
+      // fragment, tracking params) are synthesized per row, canonicalized
+      // (TextFunctions.canonicalizeUrl), and grouped — variants of the
+      // same page collapse to one canonical key. The oracle replays the
+      // identical regex passes in RE2.
+      val m7 = (col("doc_id") % 7).cast("string")
+      val messy = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW."), col("source"), lit(".Example.COM:80/a/b?utm_source=x&page="), m7, lit("#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://www."), col("source"), lit(".example.com/a/b?page="), m7))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), col("source"), lit(".Example.com:443/c?fbclid=abc123")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".example.com/c")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.canonicalizeUrl(messy).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical_url"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/b?utm_source=x&page=' || CAST(doc_id % 7 AS VARCHAR) || '#frag'
+             WHEN doc_id % 4 = 1 THEN 'http://www.' || source || '.example.com/a/b?page=' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN doc_id % 4 = 2 THEN 'https://' || source || '.Example.com:443/c?fbclid=abc123'
+             ELSE 'https://' || source || '.example.com/c' END AS url
+        FROM documents),
+      nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM d),
+      p AS (SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS hostport,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+        FROM nf),
+      h AS (SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        regexp_replace(regexp_replace(regexp_replace(rest,
+          '[?&](utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)', '', 'g'),
+          '^([^?]*)&', '\1?'),
+          '[?&]$', '') AS path
+        FROM p)
+      SELECT scheme || '://' || host || CASE WHEN path = '' THEN '/' ELSE path END AS canonical_url,
+        count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61, q62)
 }

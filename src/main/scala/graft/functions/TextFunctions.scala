@@ -140,6 +140,36 @@ object TextFunctions {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** URL canonicalization — the primitive under URL-level crawl dedup
+    * (the same page is crawled as `HTTP://Host:80/a?utm_source=x#top` and
+    * `http://host/a`; canonical keys collapse them before any content
+    * hashing runs). Normalizations, in order: strip fragment; lowercase
+    * scheme and host; drop the scheme's default port (:80 / :443); strip
+    * tracking params (`utm_*`, `fbclid`, `gclid`) and repair the query
+    * separator; empty path → `/`. Non-`scheme://` inputs pass through
+    * unchanged (garbage stays observable rather than collapsing to a
+    * shared key). Pure regexp/codegen pipeline, no shuffle; the regex
+    * subset evaluates identically under Java regex and RE2, so external
+    * systems can reproduce the canonical key byte-for-byte.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://.*$", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noTrack = regexp_replace(rest, "[?&](utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)", "")
+    // a stripped leading param leaves "/path&k=v" — promote the first '&'
+    // back to '?' (anchored: at most one match on either engine)
+    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noTrailing = regexp_replace(fixedQ, "[?&]$", "")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host,
+        when(noTrailing === "", lit("/")).otherwise(noTrailing)))
+  }
+
   /** Hashed-feature linear classifier — the "model-based quality filter"
     * slot of a curation pipeline (fastText-style: bag of hashed token
     * features x a weight vector, reference corpus filters run exactly

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 import graft.operators.Dedup
@@ -169,6 +170,31 @@ object CorpusPipeline {
       when(col(stratumCol) === k, lit(f)).otherwise(acc)
     }
     df.filter(u < frac)
+  }
+
+  /** Token-budget mixture sampling ("data mixing"): from each stratum
+    * (source, language, quality band, …) keep the hash-ordered prefix of
+    * documents whose cumulative token count fits `budgetPerStratum` — the
+    * deterministic form of "take N tokens per source". Selection order is
+    * sha-256 of (id, salt), so the sample is a pure function of the
+    * corpus snapshot + salt: any engine reproduces it row-for-row, and
+    * re-partitioning or re-running cannot swap rows. Token accounting is
+    * INTEGER end-to-end (cumulative sum of token counts), no float
+    * fractions. A document whose tokens alone exceed the budget is never
+    * selected.
+    *
+    * Cost shape: one narrow projection + ONE hash exchange on the
+    * stratum (the running sum needs per-stratum order) — the same
+    * exchange any per-stratum quota needs; no joins, no second pass.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, stratumCol: String,
+      tokensCol: String, budgetPerStratum: Long, salt: String = "graft"): DataFrame = {
+    val h = conv(substring(sha2(concat(col(idCol).cast("string"), lit(salt)), 256), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetPerStratum)
   }
 
   /** Per-language accounting: doc + token counts (the corpus datasheet). */

@@ -64,6 +64,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(math.abs(enKept.toDouble / en - 0.5) < 0.15)
   }
 
+  test("token-budget mixture sample: budget bound, partition-invariant, oversize excluded") {
+    val docs = ((1L to 40L).map(i => (i, if (i <= 20) "a" else "b", 10L))
+      :+ (99L, "a", 1000L)).toDF("id", "src", "toks") // 99 alone exceeds any 50-token budget
+    val picked = CorpusPipeline.sampleToTokenBudget(docs, "id", "src", "toks", 50L)
+      .select(col("id"), col("src"), col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 10-token docs against a 50-token budget: exactly 5 per stratum
+    assert(picked.count(_._2 == "a") == 5 && picked.count(_._2 == "b") == 5)
+    assert(picked.forall(_._3 <= 50L))
+    assert(!picked.exists(_._1 == 99L), "oversize doc must never be selected")
+    // pure function of (id, salt): physical layout cannot change the sample
+    val repicked = CorpusPipeline.sampleToTokenBudget(
+      docs.repartition(13), "id", "src", "toks", 50L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(repicked == picked.map(_._1).toSet)
+  }
+
   test("incremental curation: rerun is a no-op; filtered docs are not re-curated") {
     val stateDir = Files.createTempDirectory("curstate").toString + "/state"
     val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")

@@ -88,6 +88,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("URL canonicalization collapses variants; non-URLs pass through") {
+    val rows = Seq(
+      // case + default port + fragment + tracking param → one canonical key
+      "HTTP://WWW.Site.COM:80/a/b?utm_source=x&page=2#frag" -> "http://www.site.com/a/b?page=2",
+      "http://www.site.com/a/b?page=2" -> "http://www.site.com/a/b?page=2",
+      "https://Site.com:443/c?fbclid=zz" -> "https://site.com/c",
+      "https://site.com/c" -> "https://site.com/c",
+      // non-default port survives; PATH case is significant and survives
+      "https://site.com:8443/Api" -> "https://site.com:8443/Api",
+      // all params tracking → bare path; bare host → '/'
+      "https://a.io/p?utm_a=1&utm_b=2" -> "https://a.io/p",
+      "https://a.io?gclid=1" -> "https://a.io/",
+      // mid-query tracking param: separator repaired for the survivor
+      "https://a.io/p?utm_a=1&keep=2&utm_b=3" -> "https://a.io/p?keep=2",
+      // not a URL → unchanged
+      "just some text" -> "just some text")
+    val got = rows.map(_._1).toDF("u").select(TF.canonicalizeUrl(col("u"))).as[String].collect()
+    rows.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$want != $g") }
+  }
+
   test("PII redaction: emails, IPs, phones replaced; near-misses untouched") {
     val rows = Seq(
       "mail a.b+c@sub.example.org now" -> "mail <EMAIL> now",
