@@ -1314,6 +1314,36 @@ object Queries {
         count(*) AS n_docs, min(doc_id) AS first_doc
       FROM h GROUP BY 1 ORDER BY 1"""))
 
+  private val q63 = Q(
+    "q63_span_dedup",
+    (s, d) => {
+      // span-level dedup (CorpusPipeline.removeDuplicateSpans): 3-token
+      // windows recurring across documents are masked out of every doc.
+      // Spark side hashes grams (graft_shingles, codegen); the oracle
+      // replays with string grams — identical short of an in-corpus
+      // xxhash64 collision (~10^4 grams vs 2^64)
+      graft.pipeline.CorpusPipeline.removeDuplicateSpans(
+        Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select(col("doc_id"), array_join(col("kept_units"), " ").as("kept_text"),
+          col("n_kept"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 2)) AS i, w FROM t),
+      h AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM g),
+      dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM h GROUP BY 1) WHERE c > 1),
+      ds AS (SELECT DISTINCT h.doc_id, h.i FROM h JOIN dup USING (gram)),
+      k AS (SELECT t.doc_id, x.tok, x.j
+        FROM t, LATERAL (SELECT unnest(w) AS tok, generate_subscripts(w, 1) AS j) x),
+      m AS (SELECT k.doc_id, k.tok, k.j,
+        EXISTS (SELECT 1 FROM ds WHERE ds.doc_id = k.doc_id AND k.j >= ds.i AND k.j < ds.i + 3) AS rm
+        FROM k)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY j), '') AS kept_text,
+        count(CASE WHEN NOT rm THEN 1 END) AS n_kept,
+        count(CASE WHEN rm THEN 1 END) AS n_removed
+      FROM m GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1321,5 +1351,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62)
+    q61, q62, q63)
 }

@@ -172,6 +172,52 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Cross-document duplicate-SPAN removal — the span-level dedup pass of
+    * training-data curation. Document-level near-dup keeps one copy of a
+    * page; this pass removes the boilerplate paragraphs and quoted
+    * passages that recur INSIDE otherwise-distinct documents. A span is
+    * any `n`-token window whose gram occurs in more than one document;
+    * every token covered by such a window is dropped, per-doc order
+    * preserved.
+    *
+    * Distributed shape (the n-gram/MapReduce standard — suffix-array span
+    * dedup is inherently single-node): one narrow pass computes hashed
+    * positional n-grams (`graft_shingles`, O(tokens), codegen); one
+    * shuffle aggregates per-gram distinct-document counts (partial aggs
+    * map-side); the duplicated-gram set joins back by hash equi-join
+    * (candidates only); a final grouped pass masks and reassembles.
+    * Masking is positional (covered-by-any-window), so overlapping
+    * duplicate windows compose; per-token mask cost is O(|dup windows in
+    * the doc|), bounded by doc length.
+    *
+    * Returns (idCol, kept_units, n_kept, n_removed).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = docs.select(col(idCol), TF.tokens(col(textCol)).as("w"))
+    val grams = toks.select(col(idCol),
+      posexplode(call_function("graft_shingles", col("w"), lit(n), lit(false))))
+      .toDF(idCol, "pos", "gh")
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count_distinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("gh"))
+    val dupStarts = grams.join(dupGrams, "gh")
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("w"),
+        coalesce(col("dup_starts"), array().cast("array<int>")).as("ds"))
+      .select(col(idCol),
+        filter(
+          transform(col("w"), (t, i) =>
+            when(exists(col("ds"), p => i >= p && i < p + lit(n)),
+              lit(null).cast("string")).otherwise(t)),
+          _.isNotNull).as("kept_units"),
+        col("w"))
+      .select(col(idCol), col("kept_units"),
+        size(col("kept_units")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept_units"))).cast("long").as("n_removed"))
+  }
+
   /** Token-budget mixture sampling ("data mixing"): from each stratum
     * (source, language, quality band, …) keep the hash-ordered prefix of
     * documents whose cumulative token count fits `budgetPerStratum` — the

@@ -81,6 +81,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(repicked == picked.map(_._1).toSet)
   }
 
+  test("duplicate-span removal: shared window masked in BOTH docs, unique prose kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one two three"),
+      (2L, "prefix words alpha beta gamma delta suffix tail"),
+      (3L, "completely different text with no shared spans at all")).toDF("id", "text")
+    val out = CorpusPipeline.removeDuplicateSpans(docs, "id", "text", n = 4)
+      .select(col("id"), array_join(col("kept_units"), " "), col("n_removed"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    // "alpha beta gamma delta" is the one cross-doc 4-gram: its 4 tokens
+    // vanish from BOTH docs (span dedup keeps zero copies, unlike
+    // document dedup), everything else survives in order
+    assert(out(0) == ((1L, "unique one two three", 4L)))
+    assert(out(1) == ((2L, "prefix words suffix tail", 4L)))
+    assert(out(2)._2.startsWith("completely different") && out(2)._3 == 0L)
+    // overlap composition: two overlapping dup windows mask their union
+    val o2 = CorpusPipeline.removeDuplicateSpans(Seq(
+      (1L, "a b c d e tail1"), (2L, "a b c d e tail2")).toDF("id", "text"), "id", "text", 4)
+      .select(col("id"), array_join(col("kept_units"), " ")).as[(Long, String)]
+      .collect().toMap
+    // windows [a b c d] and [b c d e] overlap; union a..e masked in both
+    assert(o2(1L) == "tail1" && o2(2L) == "tail2")
+  }
+
   test("incremental curation: rerun is a no-op; filtered docs are not re-curated") {
     val stateDir = Files.createTempDirectory("curstate").toString + "/state"
     val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
