@@ -6,7 +6,9 @@ object PlanAudit {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = Set("q01_pricing_summary", "q03_top_revenue", "q19_hourly_events",
       "q29_cosine_topk", "q30_embedding_neardup", "q23_dedup_exact", "q05_customers_no_orders",
-      "q37_minhash_neardup_pairs", "q40_asof_join", "q41_fuzzy_first_match")
+      "q37_minhash_neardup_pairs", "q40_asof_join", "q41_fuzzy_first_match",
+      "q59_quality_classifier", "q60_domain_cap", "q61_mixture_sample",
+      "q62_url_canonicalize", "q63_span_dedup")
     Queries.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n================= ${q.name} =================")
       println(q.run(spark, d).queryExecution.explainString(

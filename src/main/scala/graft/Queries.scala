@@ -1344,6 +1344,26 @@ object Queries {
         count(CASE WHEN rm THEN 1 END) AS n_removed
       FROM m GROUP BY 1 ORDER BY 1"""))
 
+  private val q64 = Q(
+    "q64_pivot",
+    (s, d) => {
+      // long→wide pivot (the inverse of q08's unpivot): revenue by order
+      // priority with statuses as columns. The value list is EXPLICIT, so
+      // Spark skips the distinct-values pre-query and the whole pivot
+      // compiles to ONE hash aggregate over CASE projections — map-side
+      // combinable, single shuffle, any corpus size.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(money(sum(col("o_totalprice"))))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+      round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+      round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1351,5 +1371,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63)
+    q61, q62, q63, q64)
 }

@@ -39,12 +39,22 @@ object CorpusPipeline {
                              // the high threshold — moderate-similarity
                              // pairs rarely collide, so the candidate
                              // join stays small on near-dup-light corpora
-      nearDupClusterCanonical: Boolean = false)
+      nearDupClusterCanonical: Boolean = false,
         // false: pair-local dropping (remove every id_b) — one anti-join,
         //        no iteration; the cheap default.
         // true:  connected-components clustering + keep the min id per
         //        near-dup CLUSTER (Dedup.keepOnePerCluster) — transitive
         //        semantics, a few extra label-propagation rounds.
+      // ---- opt-in release stages (None/off = q44-compatible pipeline) ----
+      classifierBuckets: Option[Int] = None,
+        // model-based quality gate: drop docs whose hashed-linear score
+        // (TextFunctions.linearScoreMilli) is negative
+      spanDedupN: Option[Int] = None,
+        // cross-document duplicate-span removal at this gram length;
+        // kept text replaces the original text column
+      tokenBudgetPerLang: Option[Long] = None)
+        // token-budget mixture sampling per predicted language
+        // (deterministic hash-prefix selection)
 
   /** Annotate with language + quality signals (two stacked projections,
     * no shuffle). Per-language scores are MATERIALIZED columns before the
@@ -106,10 +116,37 @@ object CorpusPipeline {
     }
   }
 
-  /** Full pipeline; returns the curated corpus with accounting columns. */
+  /** Full pipeline; returns the curated corpus with accounting columns.
+    * Stage order is deliberate: cheap projection gates (quality,
+    * classifier) run before the shuffling stages (dedup, span removal)
+    * so the expensive passes see only surviving rows; the token-budget
+    * mixture cut runs LAST so the mix is computed over what actually
+    * ships.
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
-    val kept = dedup(qualityFilter(annotate(docs, idCol, textCol, cfg), cfg), idCol, textCol, cfg)
-    kept.drop("__toks")
+    val gated0 = qualityFilter(annotate(docs, idCol, textCol, cfg), cfg)
+    val gated = cfg.classifierBuckets match {
+      case Some(k) => gated0.filter(TF.linearScoreMilli(col("__toks"), k) >= 0L)
+      case None => gated0
+    }
+    val deduped = dedup(gated, idCol, textCol, cfg)
+    val spanned = cfg.spanDedupN match {
+      case Some(n) =>
+        // re-home the doc on its span-cleaned text; token accounting
+        // follows the text it describes
+        deduped.drop(textCol, "n_tokens")
+          .join(removeDuplicateSpans(deduped, idCol, textCol, n)
+            .select(col(idCol), array_join(col("kept_units"), " ").as(textCol),
+              col("n_kept").as("n_tokens")), Seq(idCol))
+      case None => deduped
+    }
+    val mixed = cfg.tokenBudgetPerLang match {
+      case Some(budget) =>
+        sampleToTokenBudget(spanned, idCol, "predicted_lang", "n_tokens", budget)
+          .drop("cum_tokens")
+      case None => spanned
+    }
+    mixed.drop("__toks")
   }
 
   /** One incremental curation run — the production mode at corpus scale:

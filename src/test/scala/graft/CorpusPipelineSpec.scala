@@ -81,6 +81,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(repicked == picked.map(_._1).toSet)
   }
 
+  test("curate opt-in release stages: classifier gate, span removal, token budget compose") {
+    import graft.functions.{TextFunctions => TF}
+    // every doc ends with the same sentence, so whichever subset survives
+    // the classifier gate still shares the span; prefixes are distinct so
+    // near-dup never fires
+    val docs = (1L to 8L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i eps$i zeta$i the a of unique$i words$i " +
+        "shared span goes right here")).toDF("id", "text")
+    val cfg0 = cfg.copy(classifierBuckets = Some(64), spanDedupN = Some(4))
+    val out = CorpusPipeline.curate(docs, "id", "text", cfg0)
+      .select(col("id"), col("text"), col("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // classifier wiring: survivors are exactly the docs scoring >= 0
+    val expected = docs
+      .filter(TF.linearScoreMilli(TF.tokens(col("text")), 64) >= 0L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(expected.size >= 2, s"degenerate fixture: $expected") // span test needs >= 2 survivors
+    assert(out.map(_._1).toSet == expected)
+    // span wiring: the shared sentence is gone, per-doc prose survives,
+    // and n_tokens follows the CLEANED text
+    out.foreach { case (i, t, n) =>
+      assert(!t.contains("shared span"), s"doc $i kept the duplicated span: $t")
+      assert(t.contains(s"unique$i"))
+      assert(n == t.trim.split("\\s+").length)
+    }
+    // budget wiring: a binding per-language budget caps the shipped tokens
+    val capped = CorpusPipeline.curate(docs, "id", "text",
+      cfg0.copy(tokenBudgetPerLang = Some(20L)))
+      .groupBy(col("predicted_lang")).agg(sum(col("n_tokens")).as("s"))
+      .select(col("s")).as[Long].collect()
+    assert(capped.forall(_ <= 20L))
+  }
+
   test("duplicate-span removal: shared window masked in BOTH docs, unique prose kept") {
     val docs = Seq(
       (1L, "alpha beta gamma delta unique one two three"),
