@@ -1364,6 +1364,60 @@ object Queries {
       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  private val q65 = Q(
+    "q65_window_extras",
+    (s, d) => {
+      // distribution window functions (ntile / percent_rank / cume_dist)
+      // over a total per-partition order. All three share ONE sort+
+      // exchange; percent_rank/cume_dist are single divisions of the same
+      // integers on both engines, so the doubles match bit-for-bit.
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_totalprice, o_orderkey"""))
+
+  private val q66 = Q(
+    "q66_full_outer_reconcile",
+    (s, d) => {
+      // FULL OUTER reconciliation: per-nation totals from two independent
+      // aggregates (customer balances vs supplier balances) joined full
+      // outer so nations present on either side surface, absences as 0.
+      // Both aggregates reduce BEFORE the join, so the full-outer joins
+      // ~25 rows, not base tables — the reconciliation shape at any scale.
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(money(sum(col("c_acctbal"))).as("cust_bal"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+        .agg(money(sum(col("s_acctbal"))).as("supp_bal"))
+      c.join(su, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+          coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+        .withColumn("gap", round(col("cust_bal") - col("supp_bal"), 2))
+        .orderBy(col("nationkey"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS nk, round(sum(c_acctbal),2) AS cust_bal
+        FROM customer GROUP BY 1),
+      s AS (SELECT s_nationkey AS nk, round(sum(s_acctbal),2) AS supp_bal
+        FROM supplier GROUP BY 1)
+      SELECT coalesce(c.nk, s.nk) AS nationkey,
+        coalesce(cust_bal, 0.0) AS cust_bal,
+        coalesce(supp_bal, 0.0) AS supp_bal,
+        round(coalesce(cust_bal, 0.0) - coalesce(supp_bal, 0.0), 2) AS gap
+      FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1371,5 +1425,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64)
+    q61, q62, q63, q64, q65, q66)
 }

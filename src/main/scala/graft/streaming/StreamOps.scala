@@ -80,6 +80,28 @@ object StreamOps {
         updates.withWatermark(upTs, watermark),
         expr(s"$evKey = $upKey AND $upTs >= $evTs - INTERVAL $lookback AND $upTs <= $evTs"))
 
+  /** Gap-based session aggregation via the BUILT-IN `session_window` —
+    * the idiomatic form when the per-session output is an aggregate:
+    * Spark owns session merge, state, and watermark eviction; zero custom
+    * state code; identical API in batch and streaming. Use
+    * [[sessionizeStream]] only when per-event logic inside the session is
+    * genuinely required — this form keeps the whole plan inside the
+    * built-in stateful operator (preferred at scale: state store format
+    * is upgrade-stable and AQE/metrics aware).
+    *
+    * Session bounds follow Spark semantics: start = first event ts,
+    * end = last event ts + gap.
+    */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n"))
+
   /** Checkpointed incremental upload: the streaming front half of the
     * reference's rerun contract wired to its upload back half. Each
     * `AvailableNow` run discovers only files the checkpoint has not seen,

@@ -112,6 +112,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window aggregation matches gap semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionWindowCounts(df, "ts", "user_id", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sw").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5min apart (one session), then one 95min later
+      // (second session); a far-future event closes everything
+      input.addData((ts(0), 1L), (ts(5), 1L), (ts(95), 1L))
+      q.processAllAvailable()
+      input.addData((ts(600), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .select("user_id", "session_start_us", "session_end_us", "n")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L).sortBy(_._2)
+      assert(rows.length == 2)
+      // session bounds: start = first event, end = last event + gap
+      assert(rows(0) == ((1L, ts(0).getTime * 1000L, (ts(5).getTime + 30 * 60000L) * 1000L, 2L)))
+      assert(rows(1)._4 == 1L)
+    } finally q.stop()
+  }
+
   test("AvailableNow incremental pipeline processes only new files per run") {
     val base = Files.createTempDirectory("stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
