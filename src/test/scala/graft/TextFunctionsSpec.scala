@@ -106,6 +106,11 @@ class TextFunctionsSpec extends SparkSpec {
       "just some text" -> "just some text")
     val got = rows.map(_._1).toDF("u").select(TF.canonicalizeUrl(col("u"))).as[String].collect()
     rows.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"$want != $g") }
+    // idempotence: a canonical URL is its own canonical form (dedup keys
+    // must be stable under re-canonicalization)
+    val twice = rows.map(_._1).toDF("u")
+      .select(TF.canonicalizeUrl(TF.canonicalizeUrl(col("u")))).as[String].collect()
+    got.zip(twice).foreach { case (once, again) => assert(once == again, s"$once re-canonicalized to $again") }
   }
 
   test("PII redaction: emails, IPs, phones replaced; near-misses untouched") {
