@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
@@ -147,6 +147,27 @@ object CorpusPipeline {
       case None => spanned
     }
     mixed.drop("__toks")
+  }
+
+  /** [[curate]] with free funnel accounting: `Observation` metrics are
+    * collected ON the existing job (accumulator-backed, zero extra
+    * passes, zero extra shuffles), so a 100 TB run reports its ingest
+    * and ship counts without re-scanning anything — unlike a
+    * `count()`-based funnel, which would re-execute the pipeline per
+    * stage. Returns (curated, ingestObs, shipObs); read
+    * `obs.get("n_docs"/"n_tokens")` after the caller's terminal action.
+    */
+  def curateObserved(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): (DataFrame, Observation, Observation) = {
+    val ingest = new Observation("corpus_ingest")
+    val ship = new Observation("corpus_ship")
+    val observedIn = docs.observe(ingest,
+      count(lit(1)).as("n_docs"),
+      sum(TF.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val curated = curate(observedIn, idCol, textCol, cfg)
+    val observedOut = curated.observe(ship,
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    (observedOut, ingest, ship)
   }
 
   /** One incremental curation run — the production mode at corpus scale:

@@ -228,6 +228,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byBin.values.exists(_ == Set(1L))) // oversize doc isolated
   }
 
+  test("curateObserved reports the funnel on the same job, no extra pass") {
+    val docs = (1L to 12L).map(i =>
+      (i, if (i <= 3) "too short" // dropped by the quality gate
+          else s"word$i more$i text$i the a of plus$i enough$i tokens$i here$i")).toDF("id", "text")
+    val (out, ingest, ship) = CorpusPipeline.curateObserved(docs, "id", "text", cfg)
+    val shipped = out.collect() // ONE action drives both observations
+    assert(ingest.get("n_docs") == 12L)
+    assert(ingest.get("n_tokens").asInstanceOf[Long] > 0L)
+    assert(ship.get("n_docs") == shipped.length.toLong)
+    assert(ship.get("n_tokens") ==
+      shipped.map(_.getAs[Int]("n_tokens").toLong).sum)
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()
