@@ -248,6 +248,14 @@ object CorpusPipeline {
     * duplicate windows compose; per-token mask cost is O(|dup windows in
     * the doc|), bounded by doc length.
     *
+    * Note the gram stream is CONSUMED TWICE (dup-gram aggregation and the
+    * join-back), and there is no exchange boundary between them for Spark
+    * to reuse — the text is scanned and re-shingled once per consumer. At
+    * 100 TB, persist (or checkpoint) the tokenized projection before
+    * calling, or accept 2× scan; the alternative single-pass shape
+    * (collect (doc,pos) lists per gram) puts a pathological hot gram's
+    * entire postings list in one task, which is worse.
+    *
     * Returns (idCol, kept_units, n_kept, n_removed).
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
