@@ -100,4 +100,26 @@ object VectorFunctions {
 
   /** Hamming distance between two packed signature Longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * absmax scaling onto [-127, 127], returned as
+    * `struct<scale: double, q: array<tinyint>>`. At 100 TB of float32
+    * embeddings this is the 4× storage/shuffle-volume cut the ANN
+    * candidate stages run on — re-rank the shortlisted candidates with
+    * the full-precision vectors ([[graft.operators.Similarity]] already
+    * re-ranks candidates only, so quantization slots in upstream of the
+    * bucket join without touching recall-critical scoring). Pure HOF
+    * expressions, no UDF; zero vector → scale 1.0, all-zero codes
+    * (round-trips to itself).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
+    struct(scale.as("scale"),
+      transform(v, x => round(x.cast("double") / scale).cast("byte")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `array<double>` reconstruction. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), b => b.cast("double") * qs.getField("scale"))
 }

@@ -51,4 +51,27 @@ class VectorFunctionsSpec extends SparkSpec {
     val d = Seq((5L, 1L)).toDF("x", "y")
     assert(d.select(VF.hammingDistance(col("x"), col("y"))).as[Int].head() == 1)
   }
+
+  test("int8 quantization: cosine preserved within 1e-3, zero vector round-trips") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)(Seq.fill(64)(rnd.nextGaussian().toFloat * 10f))
+    val q = vecs.toDF("v")
+      .select(VF.cosine(VF.dequantizeInt8(VF.quantizeInt8(col("v"))), col("v")).as("c"),
+        VF.l2Norm(VF.dequantizeInt8(VF.quantizeInt8(col("v")))).as("qn"),
+        VF.l2Norm(col("v")).as("n"))
+      .as[(Double, Double, Double)].collect()
+    q.foreach { case (c, qn, n) =>
+      assert(c > 0.999, s"cosine degraded to $c")         // direction preserved
+      assert(math.abs(qn - n) / n < 0.01, s"norm drifted $qn vs $n") // magnitude preserved
+    }
+    // degenerate: the zero vector reconstructs exactly
+    val z = Seq(Seq(0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(VF.dequantizeInt8(VF.quantizeInt8(col("v")))).as[Seq[Double]].head()
+    assert(z == Seq(0.0, 0.0, 0.0))
+    // codes are genuinely int8: max |code| is 127 on the absmax coordinate
+    val codes = vecs.toDF("v").select(VF.quantizeInt8(col("v")).getField("q"))
+      .as[Seq[Byte]].collect()
+    assert(codes.forall(_.forall(b => b >= -127 && b <= 127)))
+    assert(codes.forall(_.exists(b => math.abs(b) == 127)))
+  }
 }
