@@ -47,6 +47,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
   }
 
+  test("int8-quantized candidate search overlaps exact top-k >= 90%") {
+    import graft.functions.{VectorFunctions => VF}
+    // the designed deployment: candidate generation runs on 4×-smaller
+    // int8 reconstructions, exact re-rank keeps full precision — top-k
+    // overlap against the all-float32 run must stay high
+    val qemb = emb.withColumn("embedding",
+      transform(VF.dequantizeInt8(VF.quantizeInt8(col("embedding"))), _.cast("float")))
+    val queries = emb.filter(col("vec_id") < 10)
+    def topSets(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val exact = topSets(emb)
+    val quant = topSets(qemb)
+    val overlaps = exact.map { case (q, ex) => (ex & quant(q)).size.toDouble / ex.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"quantized top-10 overlap degraded to $mean")
+  }
+
   test("IVF centroids + probe search returns ranked neighbors") {
     val cents = Similarity.trainCentroids(emb, "embedding", "label")
     assert(cents.count() == emb.select("label").distinct().count())
