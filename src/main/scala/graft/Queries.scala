@@ -1418,6 +1418,46 @@ object Queries {
       FROM c FULL OUTER JOIN s ON c.nk = s.nk
       ORDER BY 1"""))
 
+  private val q67 = Q(
+    "q67_funnel",
+    (s, d) => {
+      // ordered-sequence funnel (view → click → purchase): each stage is
+      // the MIN event time strictly after the user's previous-stage time,
+      // within a 24-hour conversion window (so the funnel genuinely
+      // narrows instead of matching any eventual later event).
+      // Every step is a pre-aggregated per-user frame equi-joined on the
+      // funnel key — the per-stage frames are one row per user, so each
+      // join input shrinks monotonically down the funnel; no window over
+      // the raw event stream, no self-join of events against events.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val view = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val windowUs = 86400000000L // conversion window: next stage within 24h
+      val click = ev.filter(col("event_type") === "click")
+        .join(view, "user_id")
+        .filter(col("us") > col("t_view") && col("us") <= col("t_view") + windowUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .join(click, "user_id")
+        .filter(col("us") > col("t_click") && col("us") <= col("t_click") + windowUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      view.join(click.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(purchase.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(us) AS t_click FROM e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND us > t_view AND us <= t_view + 86400000000 GROUP BY 1),
+      p AS (SELECT e.user_id, min(us) AS t_purchase FROM e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND us > t_click AND us <= t_click + 86400000000 GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+        (SELECT count(*) FROM c) AS n_click,
+        (SELECT count(*) FROM p) AS n_purchase"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1425,5 +1465,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66)
+    q61, q62, q63, q64, q65, q66, q67)
 }
