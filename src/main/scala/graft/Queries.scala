@@ -1458,6 +1458,33 @@ object Queries {
         (SELECT count(*) FROM c) AS n_click,
         (SELECT count(*) FROM p) AS n_purchase"""))
 
+  private val q68 = Q(
+    "q68_cohort_retention",
+    (s, d) => {
+      // cohort retention matrix: users keyed by first-activity DAY
+      // (cohort), re-counted at each later day offset k. The (user,
+      // week) activity frame is DISTINCT-ed before anything joins — one
+      // row per user-day regardless of event volume — and the cohort
+      // frame is one row per user, so the join moves user-cardinality
+      // rows, never events. Day ids are integer division of epoch
+      // micros (`div`), so both engines bucket identically.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("wk"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .withColumn("k", col("wk") - col("cohort_wk"))
+        .filter(col("k") <= 3)
+        .groupBy(col("cohort_wk"), col("k"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("k"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS wk FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+      SELECT c.cohort_wk, a.wk - c.cohort_wk AS k, count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c USING (user_id) WHERE a.wk - c.cohort_wk <= 3
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1465,5 +1492,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67)
+    q61, q62, q63, q64, q65, q66, q67, q68)
 }

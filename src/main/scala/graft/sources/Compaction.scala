@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet directories — the sink-hygiene pass
+  * every long-lived ingest needs: incremental appends (the reference's
+  * per-run appends, streaming microbatches, per-partition task outputs)
+  * accumulate files far below the efficient scan size, and at corpus
+  * scale the resulting footer/open overhead dominates read cost.
+  *
+  * `compactParquetDir` sizes the rewrite from the ACTUAL on-disk bytes:
+  * output file count = ceil(totalBytes / targetBytes), written via one
+  * `repartition` (a round-robin shuffle — the only way to get even
+  * output sizes from skewed inputs), then swapped into place.
+  *
+  * The swap is write-temp → delete-old → rename — NOT atomic. That is a
+  * deliberate scope line: atomic replace is a table-format commit
+  * protocol (transaction log + snapshot pointer), not a directory
+  * operation; run compaction in the same single-writer window the
+  * ingest already requires (the reference's pipeline is single-writer
+  * by construction). Readers mid-swap see a missing directory, never
+  * partial data.
+  */
+object Compaction {
+
+  /** Parquet data files under `dir` (non-recursive), with sizes. */
+  def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Rewrite `dir` into ~`targetBytes` files when it is fragmented
+    * (more files than the byte-optimal count). Returns
+    * (filesBefore, filesAfter); no-op (and no rewrite job) when the
+    * directory is already within budget.
+    */
+  def compactParquetDir(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val before = dataFiles(spark, dir)
+    if (before.isEmpty) return (0, 0)
+    val totalBytes = before.map(_._2).sum
+    val wantFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before.size <= wantFiles) return (before.size, before.size)
+
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).repartition(wantFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.size, dataFiles(spark, dir).size)
+  }
+}

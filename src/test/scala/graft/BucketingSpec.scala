@@ -38,4 +38,22 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compaction rewrites fragmented dirs, preserves data, no-ops when within budget") {
+    import spark.implicits._
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 10000L).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir)
+    assert(Compaction.dataFiles(spark, dir).size == 40)
+    val (before, after) = Compaction.compactParquetDir(spark, dir, targetBytes = 10L << 20)
+    assert(before == 40 && after == 1, s"$before -> $after")
+    // byte-identical contents after the rewrite
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == (1L to 10000L).map(i => (i, s"row$i")).toSet)
+    // already-compact dir: reported as-is, nothing rewritten
+    val files = Compaction.dataFiles(spark, dir).map(_._1).toSet
+    assert(Compaction.compactParquetDir(spark, dir, 10L << 20) == ((1, 1)))
+    assert(Compaction.dataFiles(spark, dir).map(_._1).toSet == files, "no-op must not rewrite")
+  }
 }
