@@ -1485,6 +1485,173 @@ object Queries {
       FROM a JOIN c USING (user_id) WHERE a.wk - c.cohort_wk <= 3
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  private val q69 = Q(
+    "q69_markup_strip",
+    (s, d) => {
+      // markup→text extraction (TextFunctions.stripMarkup) proven
+      // end-to-end: each document is wrapped in deterministic HTML —
+      // script/style bodies, a comment, entities — then stripped back.
+      // The synthesized page exercises every removal class: the script
+      // body contains `<`/`&&` (leaks if tag-stripping ran alone), the
+      // entities include a double-encoded `&amp;lt;` (order-sensitive),
+      // and the whole chain is regexp/replace codegen — no shuffle, scan
+      // → project only, the shape a 100 TB crawl-extraction pass needs.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { color: #333; }</style></head><body>" +
+          "<h1>Header &amp; Title</h1><p>"),
+        substring(col("text"), 1, 80),
+        lit("</p><script type=\"text/javascript\">if (x < 2 && y > 1) " +
+          "{ alert(\"hi\"); }</script><!-- trailing comment --><p>&lt;em&gt;&nbsp;"),
+        col("lang"), lit(" &amp;lt;fin&amp;gt;</p></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.stripMarkup(html).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>p { color: #333; }</style></head><body>' ||
+        '<h1>Header &amp; Title</h1><p>' || substr(text, 1, 80) ||
+        '</p><script type="text/javascript">if (x < 2 && y > 1) { alert("hi"); }</script>' ||
+        '<!-- trailing comment --><p>&lt;em&gt;&nbsp;' || lang ||
+        ' &amp;lt;fin&amp;gt;</p></body></html>' AS html
+        FROM documents),
+      s AS (SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS clean_text FROM h)
+      SELECT doc_id, clean_text, length(clean_text) AS clean_len
+      FROM s ORDER BY doc_id"""))
+
+  private val q70 = Q(
+    "q70_chunk_overlap",
+    (s, d) => {
+      // overlapping token-window chunking (CorpusPipeline.chunkDocuments):
+      // 64-token chunks, 16-token overlap (step 48). Integer-exact chunk
+      // arithmetic means the oracle reproduces every boundary; the plan is
+      // tokenize-once → generator → slice, zero shuffles.
+      graft.pipeline.CorpusPipeline.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0),
+      n AS (SELECT doc_id, toks, len(toks) AS nt,
+        1 + (greatest(nt - 64, 0) + 47) // 48 AS nchunks FROM d),
+      e AS (SELECT doc_id, toks, nt,
+        unnest(generate_series(0, nchunks - 1)) AS idx FROM n),
+      x AS (SELECT doc_id, toks, nt, CAST(idx AS BIGINT) AS chunk_idx FROM e),
+      c AS (SELECT doc_id, chunk_idx,
+        list_slice(toks, chunk_idx * 48 + 1,
+          least(chunk_idx * 48 + 64, nt)) AS chunk FROM x)
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(chunk, ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
+  private val q71 = Q(
+    "q71_snapshot_diff",
+    (s, d) => {
+      // snapshot reconciliation (Incremental.snapshotDiff): old/new corpus
+      // snapshots are deterministic slices of documents (drop multiples of
+      // 7 / of 11; multiples of 5 rewritten in the new snapshot), so every
+      // status class is populated and the oracle rebuilds both sides
+      // exactly. Both sides reduce to (key, hash) BEFORE the full-outer —
+      // the join never moves document text.
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      graft.operators.Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH o AS (SELECT doc_id,
+        sha256(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS old_hash
+        FROM documents WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id,
+        sha256(lower(trim(regexp_replace(t,'\s+',' ','g')))) AS new_hash
+        FROM (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS t
+          FROM documents WHERE doc_id % 11 <> 0)),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT doc_id,
+        CASE WHEN old_hash IS NULL THEN 'added'
+             WHEN new_hash IS NULL THEN 'removed'
+             WHEN old_hash <> new_hash THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM j ORDER BY doc_id"""))
+
+  private val q72 = Q(
+    "q72_vocab_drift",
+    (s, d) => {
+      // vocabulary drift between two corpus slices (the between-snapshot
+      // QA check for distribution shift): conditional aggregation gives
+      // both slices' term counts in ONE shuffle on the token — no
+      // explode-twice, no self-join; partial aggregation runs map-side.
+      // All-integer output, total order, top 50.
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select((col("doc_id") % 2 === 0).as("in_a"),
+          explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("cnt_b"))
+        .withColumn("drift", abs(col("cnt_a") - col("cnt_b")))
+        .orderBy(col("drift").desc, col("tok"))
+        .limit(50)
+    },
+    Some("""WITH t AS (SELECT doc_id % 2 = 0 AS in_a,
+        unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      c AS (SELECT tok,
+        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        FROM t GROUP BY tok)
+      SELECT tok, cnt_a, cnt_b, abs(cnt_a - cnt_b) AS drift
+      FROM c ORDER BY drift DESC, tok LIMIT 50"""))
+
+  private val q73 = Q(
+    "q73_term_stats",
+    (s, d) => {
+      // corpus term-statistics table (the build under TF-IDF / lexical
+      // retrieval): per-(doc, term) frequency + global document
+      // frequency. Scale shape: tf aggregates on (doc_id, tok) — ONE
+      // exchange over the exploded stream with map-side partials; df is a
+      // second aggregation OF TF'S OUTPUT (vocab cardinality, tiny) and
+      // joins back as a BROADCAST — the doc-term frame never reshuffles
+      // on tok. All-integer columns; weights (log idf etc.) are the
+      // consumer's float decision, not this table's.
+      val tf = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("tok"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM t GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df
+      FROM tf JOIN df USING (tok) ORDER BY doc_id, tok"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1492,5 +1659,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

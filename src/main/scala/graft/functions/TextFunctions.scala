@@ -140,6 +140,34 @@ object TextFunctions {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Markup→text extraction — the first stage of any web-crawl curation
+    * pipeline (raw HTML in, trainable prose out). Removal order matters
+    * and is part of the contract:
+    *   1. `<script>`/`<style>` blocks go first (their BODIES are code,
+    *      not prose — tag-stripping alone would leak them into the text);
+    *   2. comments, then remaining tags → single spaces;
+    *   3. character entities decode LAST (`&amp;` after the others so
+    *      `&amp;lt;` decodes to the literal `&lt;`, not `<`), which also
+    *      means a decoded `&lt;b&gt;` stays visible text rather than
+    *      being re-eaten by the tag pass;
+    *   4. whitespace collapses to single spaces, trimmed.
+    * Pure regexp/replace codegen chain — no UDF, no shuffle, and the
+    * patterns stay in the Java-regex/RE2-identical subset (inline
+    * `(?is)` flags, lazy `.*?`, character classes) so the DuckDB oracle
+    * reproduces the extraction byte-for-byte.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => call_function("replace", c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** URL canonicalization — the primitive under URL-level crawl dedup
     * (the same page is crawled as `HTTP://Host:80/a?utm_source=x#top` and
     * `http://host/a`; canonical keys collapse them before any content

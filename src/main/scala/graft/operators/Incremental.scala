@@ -49,6 +49,32 @@ object Incremental {
   def appendState(newlyProcessed: DataFrame, keys: Seq[String], stateDir: String): Unit =
     newlyProcessed.select(keys.map(col): _*).write.mode("append").parquet(stateDir)
 
+  /** Snapshot reconciliation — classify every key across two corpus
+    * snapshots as `added` / `removed` / `changed` / `unchanged`, the
+    * audit primitive between crawl or curation runs ("what did this
+    * refresh actually do to the corpus?"). Content identity is the
+    * normalized sha-256 fingerprint ([[graft.functions.TextFunctions
+    * .fingerprint]]), so a whitespace-only rewrite is `unchanged`.
+    *
+    * Scale shape: each side is REDUCED to (key, 64-char hash) before the
+    * full-outer join — the join moves key-cardinality fingerprint pairs,
+    * never document bodies, and both sides shuffle once on the key
+    * (co-partitioned by the same hash, so the join itself is local).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    def prep(df: DataFrame, hashName: String) = df.select(
+      col(keyCol),
+      graft.functions.TextFunctions.fingerprint(col(contentCol)).as(hashName))
+    prep(oldSnap, "old_hash")
+      .join(prep(newSnap, "new_hash"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Read state, tolerating a first run with no state yet
     * (reference `test.py:109-111`).
     */

@@ -381,6 +381,43 @@ object CorpusPipeline {
       .withColumn("kept_text", array_join(col("kept_units"), "\n"))
       .drop("kept_units")
 
+  /** Overlapping fixed-window token chunking — the document→chunk
+    * fan-out under RAG indexing and long-document training prep: each
+    * document becomes `1 + ceil(max(n_tokens - chunkTokens, 0) / step)`
+    * chunks of up to `chunkTokens` whitespace tokens, consecutive chunks
+    * sharing `overlapTokens` tokens (`step = chunkTokens -
+    * overlapTokens`). The final chunk is the (possibly short) remainder
+    * — every token lands in at least one chunk, and no chunk start is
+    * ever past the end of the document.
+    *
+    * Scale shape: tokenize once into a materialized array column, then
+    * a single generator (posexplode over the start offsets) and
+    * partition-local `slice` projections — no shuffle, no UDF, and the
+    * chunk arithmetic is integer-exact so external systems (and the
+    * DuckDB oracle) reproduce chunk boundaries identically. Emits
+    * (idCol, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens > 0")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "0 <= overlapTokens < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    val over = greatest(col("n_toks") - chunkTokens, lit(0))
+    val nChunks = lit(1) + floor((over + lit(step - 1)) / lit(step)).cast("long")
+    docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("chunk_idx", "chunk_no")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx").cast("int") * step + 1, lit(chunkTokens)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Pack documents into fixed token-budget training sequences:
     * next-fit-decreasing within each hash partition. Returns
     * (seq_id, idCol, n_tokens) with every input doc in exactly one

@@ -241,6 +241,50 @@ class CorpusPipelineSpec extends SparkSpec {
       shipped.map(_.getAs[Int]("n_tokens").toLong).sum)
   }
 
+  test("chunking: boundaries exact, overlap shared, every token covered, short docs intact") {
+    // 5-token window, 2-token overlap → step 3; 11 tokens → starts 0,3,6
+    // (start 6 covers t7..t11 — coverage is complete with no redundant
+    // trailing chunk); 12 tokens → a genuine short remainder at start 9
+    val doc = (1 to 11).map(i => s"t$i").mkString(" ")
+    val doc12 = (1 to 12).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "x y z p q"), (4L, "   "),
+      (5L, doc12)).toDF("doc_id", "text")
+    val got = CorpusPipeline.chunkDocuments(df, "doc_id", "text", chunkTokens = 5, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L).map(c => (c._2, c._4))
+    assert(d1.toSeq == Seq(
+      0L -> "t1 t2 t3 t4 t5",
+      1L -> "t4 t5 t6 t7 t8",     // 2-token overlap with the previous chunk
+      2L -> "t7 t8 t9 t10 t11"))
+    // 12 tokens: last full window ends at t11, so a short remainder chunk
+    // picks up t10..t12 (still overlap-2 with its predecessor, never empty)
+    assert(got.filter(_._1 == 5L).map(c => (c._2, c._4)).toSeq == Seq(
+      0L -> "t1 t2 t3 t4 t5",
+      1L -> "t4 t5 t6 t7 t8",
+      2L -> "t7 t8 t9 t10 t11",
+      3L -> "t10 t11 t12"))
+    // short doc (n < chunk) and exact-size doc (n == chunk) → one chunk each
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 5L, "x y z p q")))
+    // blank doc filtered, not chunked into [""]
+    assert(!got.exists(_._1 == 4L))
+    // coverage: concatenating chunks at stride `step` reconstructs the doc
+    val strideTokens = d1.map(_._2.split(" ")).zipWithIndex
+      .flatMap { case (toks, i) => if (i == 0) toks else toks.drop(2) }
+    assert(strideTokens.toSeq == (1 to 11).map(i => s"t$i"))
+  }
+
+  test("snapshot diff: added/removed/changed/unchanged; whitespace-only rewrite is unchanged") {
+    val oldSnap = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (5L, "eps")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha beta"), (2L, "gamma NEW"), (4L, "zeta"),
+      (5L, "  eps  ")).toDF("doc_id", "text") // 5: normalization-invariant edit
+    val got = graft.operators.Incremental.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
   test("curate on fixture corpus + partitioned write + accounting") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val curated = CorpusPipeline.curate(docs, "doc_id", "text", cfg).cache()

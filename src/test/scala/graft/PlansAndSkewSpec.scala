@@ -252,6 +252,45 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"cap must not fall back to the window form:\n$plan")
   }
 
+  test("q69/q70 plans: extraction and chunking are shuffle-free (presentation sort only)") {
+    for (name <- Seq("q69_markup_strip", "q70_chunk_overlap")) {
+      val df = Queries.all.find(_.name == name).get.run(spark, "/root/testdata/sf0.001")
+      df.write.mode("overwrite").format("noop").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // both are per-document projections (q70 adds a generator): at crawl
+      // scale they must stay embarrassingly parallel — the only exchange
+      // is the final presentation orderBy (range), never a hash shuffle
+      assert(!plan.contains("hashpartitioning"), s"$name: unexpected hash exchange:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("q72 plan: both slices' counts from ONE token exchange with map-side partials") {
+    val df = Queries.all.find(_.name == "q72_vocab_drift").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // conditional aggregation: one hash exchange on tok serves BOTH slice
+    // counts (an explode-per-slice or self-join form would double it), and
+    // the partial aggregate must sit below the exchange (map-side combine
+    // collapses the exploded token stream before any network move)
+    val exchanges = "hashpartitioning\\(tok".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 token exchange, got $exchanges:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q73 plan: df joins back as broadcast — the doc-term frame never reshuffles on tok") {
+    val df = Queries.all.find(_.name == "q73_term_stats").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // df is vocab-cardinality (tiny after aggregation); a sort-merge join
+    // here would reshuffle every (doc, term) row on tok for nothing
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"doc-term frame must not reshuffle:\n$plan")
+  }
+
   test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
     for (name <- Seq("q56_boilerplate_prune", "q58_pack_sequences")) {
       val df = Queries.all.find(_.name == name).get.run(spark, "/root/testdata/sf0.001")

@@ -128,4 +128,27 @@ class TextFunctionsSpec extends SparkSpec {
     val out = rows.map(_._1).toDF("t").select(TF.redactPii(col("t"))).as[String].collect()
     rows.map(_._2).zip(out).foreach { case (want, got) => assert(got == want, s"$want != $got") }
   }
+
+  test("markup strip: script/style bodies dropped, entities decode last, whitespace collapsed") {
+    val rows = Seq(
+      // script/style BODIES must vanish (tag-strip alone would leak them);
+      // multiline + attribute-bearing + case-insensitive tags
+      "<p>keep</p><script type=\"x\">if (a < 2 && b > 1)\n{ leak(); }</script><STYLE>p{color:red}</STYLE>done"
+        -> "keep done",
+      // comments out, tags → spaces so adjacent words never fuse
+      "a<!-- no\nthing -->b<br>c<div class=\"x\">d</div>" -> "a b c d",
+      // entities decode; &amp; decodes LAST so &amp;lt; is the literal
+      // string "&lt;", and a decoded &lt;b&gt; stays visible (never
+      // re-eaten by the tag pass)
+      "&lt;b&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp; &amp;lt;raw&amp;gt;"
+        -> "<b> \"q\" 's' x y & &lt;raw&gt;",
+      "pre <b>mid</b> post" -> "pre mid post",
+      // unclosed script: the lazy block-match finds no terminator so only
+      // the TAG is stripped — extraction degrades to leaking that body
+      // rather than eating the rest of the document
+      "keep <script>x = leak()" -> "keep x = leak()",
+      "   spaced\t\tout\n\n doc  " -> "spaced out doc")
+    val got = rows.map(_._1).toDF("h").select(TF.stripMarkup(col("h"))).as[String].collect()
+    rows.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"[$want] != [$g]") }
+  }
 }
