@@ -1652,6 +1652,38 @@ object Queries {
       SELECT tf.doc_id, tf.tok, tf.tf, df.df
       FROM tf JOIN df USING (tok) ORDER BY doc_id, tok"""))
 
+  private val q74 = Q(
+    "q74_zorder_key",
+    (s, d) => {
+      // Z-order (Morton) clustering key over (user bucket, day bucket) —
+      // the ingest-side primitive under data-skipping layout
+      // (sources/Layout.writeZOrdered). Pure shift/and/or bit arithmetic,
+      // integer-exact on any engine: the oracle replays the full
+      // parallel-prefix spread, pinning cluster assignment bit-for-bit.
+      val ev = Tables.events(s, d).select(
+        col("event_id"),
+        (col("user_id") % 256).as("x"),
+        (expr("unix_micros(ts) div 86400000000") % 256).as("y"))
+      ev.select(col("event_id"), col("x"), col("y"),
+        graft.sources.Layout.mortonZ(col("x"), col("y")).as("zval"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id % 256 AS x,
+        (epoch_us(ts) // 86400000000) % 256 AS y FROM events),
+      sx0 AS (SELECT event_id, x, y, x & 2147483647 AS a, y & 2147483647 AS b FROM e),
+      sx1 AS (SELECT event_id, x, y,
+        (a | (a << 16)) & 281470681808895 AS a, (b | (b << 16)) & 281470681808895 AS b FROM sx0),
+      sx2 AS (SELECT event_id, x, y,
+        (a | (a << 8)) & 71777214294589695 AS a, (b | (b << 8)) & 71777214294589695 AS b FROM sx1),
+      sx3 AS (SELECT event_id, x, y,
+        (a | (a << 4)) & 1085102592571150095 AS a, (b | (b << 4)) & 1085102592571150095 AS b FROM sx2),
+      sx4 AS (SELECT event_id, x, y,
+        (a | (a << 2)) & 3689348814741910323 AS a, (b | (b << 2)) & 3689348814741910323 AS b FROM sx3),
+      sx5 AS (SELECT event_id, x, y,
+        (a | (a << 1)) & 6148914691236517205 AS a, (b | (b << 1)) & 6148914691236517205 AS b FROM sx4)
+      SELECT event_id, x, y, a | (b << 1) AS zval
+      FROM sx5 ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1659,5 +1691,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

@@ -275,6 +275,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(strideTokens.toSeq == (1 to 11).map(i => s"t$i"))
   }
 
+  test("chunking invariants on random docs: exact slices, count formula, coverage to the end") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 60).map { i =>
+      val n = 1 + rnd.nextInt(150)
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, overlap) <- Seq((8, 0), (16, 4), (32, 31))) { // incl. step=1 stress
+      val step = size - overlap
+      val got = CorpusPipeline.chunkDocuments(df, "doc_id", "text", size, overlap)
+        .as[(Long, Long, Long, String)].collect().groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val chunks = got(id).sortBy(_._2).map(_._4.split(" ").toSeq).toSeq
+        val expected = 1 + math.ceil(math.max(toks.length - size, 0).toDouble / step).toInt
+        assert(chunks.length == expected, s"size=$size overlap=$overlap n=${toks.length}")
+        chunks.zipWithIndex.foreach { case (c, k) =>
+          assert(c == toks.slice(k * step, math.min(k * step + size, toks.length)),
+            s"size=$size overlap=$overlap n=${toks.length} chunk=$k")
+        }
+        // the last chunk always reaches the final token (full coverage)
+        assert((chunks.length - 1) * step + chunks.last.length == toks.length)
+      }
+    }
+  }
+
   test("snapshot diff: added/removed/changed/unchanged; whitespace-only rewrite is unchanged") {
     val oldSnap = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"), (5L, "eps")).toDF("doc_id", "text")
     val newSnap = Seq((1L, "alpha beta"), (2L, "gamma NEW"), (4L, "zeta"),
