@@ -8,7 +8,10 @@ object PlanAudit {
       "q29_cosine_topk", "q30_embedding_neardup", "q23_dedup_exact", "q05_customers_no_orders",
       "q37_minhash_neardup_pairs", "q40_asof_join", "q41_fuzzy_first_match",
       "q59_quality_classifier", "q60_domain_cap", "q61_mixture_sample",
-      "q62_url_canonicalize", "q63_span_dedup")
+      "q62_url_canonicalize", "q63_span_dedup",
+      "q69_markup_strip", "q70_chunk_overlap", "q71_snapshot_diff",
+      "q72_vocab_drift", "q73_term_stats", "q74_zorder_key",
+      "q75_incremental_neardup")
     Queries.all.filter(q => names(q.name)).foreach { q =>
       println(s"\n================= ${q.name} =================")
       println(q.run(spark, d).queryExecution.explainString(

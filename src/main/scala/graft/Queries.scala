@@ -1684,6 +1684,29 @@ object Queries {
       SELECT event_id, x, y, a | (b << 1) AS zval
       FROM sx5 ORDER BY event_id"""))
 
+  private val q75 = Q(
+    "q75_incremental_neardup",
+    (s, d) => {
+      // incremental near-dup (Dedup.minHashNearDuplicatesVsState): docs
+      // below 250 play the accumulated corpus (signature state only —
+      // the batch never touches their text), docs from 250 up are the
+      // new crawl, plus 50 planted near-copies of state docs (their text
+      // with one token appended, re-keyed above 10000). Sketch-based →
+      // rows-only check; estimate/threshold semantics pinned by DedupSpec.
+      val docs = Tables.documents(s, d)
+      val stateDocs = docs.filter(col("doc_id") < 250)
+      val state = Dedup.minHashSignatures(stateDocs, "doc_id", "text")
+      val planted = stateDocs.filter(col("doc_id") < 50).select(
+        (col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      Dedup.minHashNearDuplicatesVsState(batch, "doc_id", "text", state)
+        .select(col("doc_id"), col("dup_of"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1691,5 +1714,5 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

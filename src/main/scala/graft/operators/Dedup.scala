@@ -99,6 +99,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The persistable MinHash state row for [[minHashNearDuplicatesVsState]]:
+    * (idCol, sig array<long>). At 10^10 docs the signature store is
+    * k×8 bytes/doc (~2.5 TB at k=32) — three orders under the text it
+    * summarizes, and the ONLY thing incremental dedup ever reads back.
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32): DataFrame =
+    df.select(col(idCol),
+      HashFunctions.minHashFromHashes(
+        HashFunctions.hashedWordShingles(
+          TextFunctions.tokens(col(textCol)), shingleSize), numHashes).as("sig"))
+
+  /** Incremental near-dup: flag each doc of a NEW batch that
+    * near-duplicates any previously-KEPT doc, against the accumulated
+    * signature state — the production dedup shape at corpus scale, where
+    * "dedup the new crawl" must never re-shingle or re-scan the corpus.
+    *
+    * Both sides band identically (state bands derive from stored
+    * signatures — cheap array slicing, no text); candidates come from the
+    * band equi-join; similarity on candidates is the signature-agreement
+    * ESTIMATE (matching positions / k — the standard state-store trade:
+    * exact verify would require shipping shingle sets, estimate error is
+    * O(1/√k)). Returns the batch keyed rows annotated with
+    * (dup_of, est_jaccard) — `dup_of` NULL for survivors; append the
+    * survivors' [[minHashSignatures]] to state after each run.
+    *
+    * Shuffles: band join + one aggregation on the batch id. State side
+    * moves (id, 8-byte band key) rows only.
+    */
+  def minHashNearDuplicatesVsState(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateSigs: DataFrame, // (idCol, sig) from minHashSignatures
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame, side: String) = sigs.select(
+      col(idCol).as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), HashFunctions.bandKey(col("sig"), b, rowsPerBand).as("key"))): _*))
+        .as("bk"))
+      .select(col(s"${side}_id"), col(s"${side}_sig"), col("bk.band"), col("bk.key"))
+
+    val b = banded(minHashSignatures(batch, idCol, textCol, shingleSize, numHashes), "b")
+    val s = banded(stateSigs, "s")
+    val est = aggregate(
+      zip_with(col("b_sig"), col("s_sig"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / numHashes
+    val matches = b.join(s, Seq("band", "key"))
+      .select(col("b_id"), col("s_id"), est.as("est_j"))
+      .filter(col("est_j") >= threshold)
+      .groupBy(col("b_id"))
+      // deterministic best match: highest estimate, ties to the larger id
+      .agg(max(struct(col("est_j"), col("s_id"))).as("m"))
+      .select(col("b_id"), col("m.s_id").as("dup_of"), col("m.est_j").as("est_jaccard"))
+    batch.join(matches, batch(idCol) === matches("b_id"), "left").drop("b_id")
+  }
+
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Blocking by
     * signature chunk (pigeonhole: distance < chunks ⇒ some chunk equal)
     * keeps this an equi-join too.

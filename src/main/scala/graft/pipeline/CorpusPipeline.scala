@@ -203,6 +203,48 @@ object CorpusPipeline {
     curated
   }
 
+  /** [[curateIncremental]] plus CROSS-DELTA near-dup — the full
+    * production loop: each delta is curated, then deduplicated against
+    * the MinHash signature store of everything previously KEPT
+    * ([[graft.operators.Dedup.minHashNearDuplicatesVsState]]), and the
+    * survivors' signatures append to that store. A re-crawled page that
+    * arrives under a new id in a later batch is dropped here — the
+    * within-delta dedup of [[curate]] cannot see it, and re-reading the
+    * corpus to find it would defeat incrementality. Corpus text is never
+    * re-read: the cross-delta check costs one band equi-join against a
+    * k×8-byte-per-doc store.
+    *
+    * The near-dup decision uses the signature-agreement ESTIMATE at
+    * `cfg.nearDupThreshold` (O(1/√k) error — the state-store trade;
+    * within-delta dedup stays exact).
+    */
+  def curateIncrementalNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      sigStateDir: String,
+      cfg: Config = Config(),
+      bloomExpectedKeys: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val curated = curateIncremental(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys)
+    val sigPath = new org.apache.hadoop.fs.Path(sigStateDir)
+    val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept =
+      if (fs.exists(sigPath)) {
+        val sigs = spark.read.parquet(sigStateDir)
+        Dedup.minHashNearDuplicatesVsState(curated, idCol, textCol, sigs,
+          cfg.nearDupShingleSize, cfg.nearDupNumHashes, cfg.nearDupBands,
+          cfg.nearDupThreshold)
+          .filter(col("dup_of").isNull)
+          .drop("dup_of", "est_jaccard")
+      } else curated
+    Dedup.minHashSignatures(kept, idCol, textCol,
+      cfg.nearDupShingleSize, cfg.nearDupNumHashes)
+      .write.mode("append").parquet(sigStateDir)
+    kept
+  }
+
   /** Write partitioned by predicted language — downstream training jobs
     * prune to the languages they train on.
     */

@@ -156,6 +156,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(third == Set(3L))
   }
 
+  test("incremental near-dup vs signature store: re-crawled page under a NEW id is dropped") {
+    val stateDir = Files.createTempDirectory("curstate2").toString + "/state"
+    val sigDir = Files.createTempDirectory("sigstate").toString + "/sigs"
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val other = (50 to 90).map(i => s"yy$i the").mkString(" ")
+    val run1 = CorpusPipeline.curateIncrementalNearDup(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, sigDir, cfg)
+    assert(run1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // run 2: a near-copy of doc 1 under a NEW id (id anti-join can't see
+    // it; within-delta dedup can't either) plus a genuinely fresh doc
+    val nearCopy = base + " extra"
+    val freshDoc = (200 to 240).map(i => s"qq$i the").mkString(" ")
+    val run2 = CorpusPipeline.curateIncrementalNearDup(
+      Seq((10L, nearCopy), (11L, freshDoc)).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, sigDir, cfg)
+    assert(run2.select("doc_id").as[Long].collect().toSet == Set(11L),
+      "near-copy must be dropped by the signature store, fresh doc kept")
+    // the fresh doc's signature joined the store: a re-crawl of IT now drops too
+    val run3 = CorpusPipeline.curateIncrementalNearDup(
+      Seq((20L, freshDoc + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", stateDir, sigDir, cfg)
+    assert(run3.count() == 0)
+  }
+
   test("deterministic split: stable across partitioning, weights respected, no migration") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def splits(df: org.apache.spark.sql.DataFrame) =

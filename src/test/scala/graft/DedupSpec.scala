@@ -46,6 +46,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("incremental near-dup vs signature state: planted copy flagged, fresh doc survives") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (50 to 90).map(i => s"yy$i").mkString(" ")
+    val stateDocs = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val state = Dedup.minHashSignatures(stateDocs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32)
+    val nearCopy = ((1 to 38).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ")
+    val fresh = (200 to 240).map(i => s"qq$i").mkString(" ")
+    val exact = base // identical re-crawl under a new id
+    val batch = Seq((10L, nearCopy), (11L, fresh), (12L, exact)).toDF("doc_id", "text")
+    val got = Dedup.minHashNearDuplicatesVsState(batch, "doc_id", "text", state,
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+      .toMap
+    assert(got(10L)._1.contains(1L), s"near copy must match state doc 1: $got")
+    assert(got(11L)._1.isEmpty, s"fresh doc must survive: $got")
+    assert(got(12L)._1.contains(1L) && got(12L)._2 == 1.0,
+      s"identical re-crawl: estimate must be exactly 1.0: $got")
+    // batch keyed rows come back exactly once each (left join, grouped match)
+    assert(got.size == 3)
+  }
+
   test("simhash near-dup: identical docs distance 0; different docs filtered") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, a), (2L, a), (3L, "completely different words entirely")).toDF("doc_id", "text")
