@@ -1627,12 +1627,15 @@ object Queries {
     (s, d) => {
       // corpus term-statistics table (the build under TF-IDF / lexical
       // retrieval): per-(doc, term) frequency + global document
-      // frequency. Scale shape: tf aggregates on (doc_id, tok) — ONE
-      // exchange over the exploded stream with map-side partials; df is a
-      // second aggregation OF TF'S OUTPUT (vocab cardinality, tiny) and
+      // frequency. Scale shape: tf aggregates on (doc_id, tok) with
+      // map-side partials; df re-aggregates to vocab cardinality and
       // joins back as a BROADCAST — the doc-term frame never reshuffles
-      // on tok. All-integer columns; weights (log idf etc.) are the
-      // consumer's float decision, not this table's.
+      // on tok. Stateless form pays a second scan+explode for df (AQE
+      // does not reuse the diverging subplans — pinned in
+      // PlansAndSkewSpec); the production form writes the tf table (the
+      // operator's real output) and derives df from it, no double scan.
+      // All-integer columns; weights (log idf etc.) are the consumer's
+      // float decision, not this table's.
       val tf = Tables.documents(s, d)
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))

@@ -289,6 +289,15 @@ class PlansAndSkewSpec extends SparkSpec {
     // here would reshuffle every (doc, term) row on tok for nothing
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"doc-term frame must not reshuffle:\n$plan")
+    // KNOWN SHAPE (deliberate, same class as q63's documented tradeoff):
+    // tf feeds both join inputs and AQE does NOT reuse its shuffle (the
+    // canonical subplans diverge), so the stateless query scans + explodes
+    // the corpus twice. The production form removes it for free: WRITE the
+    // tf table (it is the operator's real output), derive df from the
+    // written table — zero double-scan. Pinned so a regression to a THIRD
+    // scan, or to a sort-merge reshuffle, is caught.
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected exactly 2 corpus scans (documented tradeoff), got $scans:\n$plan")
   }
 
   test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
