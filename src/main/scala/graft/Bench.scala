@@ -2,6 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    val procStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - procStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
@@ -22,13 +24,50 @@ object Bench {
       // writing — measures compute, not the local disk.
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // Kill-safety (round-6 lesson: a driver-side kill mid-pass-5 left
+    // `parsed: null` for the whole round because the artifact was written
+    // only at the very end): the wall budget is measured from PROCESS start
+    // (so warmup + session init count against it), it is enforced PER-QUERY
+    // (a pass can stop mid-flight), and the artifact file is rewritten after
+    // EVERY timed query, so an external kill at any moment leaves the best
+    // measurements taken so far on disk.
+    val maxTotalSec = sys.env.getOrElse("SPARK_GRAFT_MAX_SEC", "1700").toDouble
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    val bestWall = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuAtBest = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var passesCompleted = 0
+    def artifactJson(finalLine: Boolean): String = {
+      def jmap(m: Seq[(String, Double)]): String =
+        m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val measured = sorted.collect { case (name, _) if bestWall.contains(name) => name }
+      val qs = jmap(measured.map(n => n -> bestWall(n)))
+      val cpus2 = jmap(measured.map(n => n -> cpuAtBest(n)))
+      val total = measured.map(bestWall).sum
+      val cpuTotal = measured.map(cpuAtBest).sum
+      val partial = if (measured.size < sorted.size) ""","partial":true""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""cpu_sec_queries":$cpus2,"cpu_sec_total":$cpuTotal,"reps":$passesCompleted,""" +
+        s""""queries_measured":${measured.size},"queries_declared":${sorted.size}$partial,""" +
+        s""""note":"cpu_sec is whole-process CPU of the best wall rep; wall >> cpu/cores with low cpu indicates external host contention, not engine cost","sf":"$sfDir"}"""
+    }
+    def persist(): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), artifactJson(finalLine = false) + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     // untimed warmup pass: JIT + codegen + parquet footer caches, so the
-    // timed pass measures steady-state compute (disable: SPARK_GRAFT_WARMUP=0)
+    // timed pass measures steady-state compute (disable: SPARK_GRAFT_WARMUP=0).
+    // Under heavy steal the warmup itself can eat the round budget — bail out
+    // of the remaining warmups past 35% of it; pass 1 still covers every query.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val w0 = System.nanoTime()
-      sorted.foreach { case (n, f) => runOnce(n, f) }
+      var warmed = 0
+      sorted.foreach { case (n, f) =>
+        if (elapsed < 0.35 * maxTotalSec) { runOnce(n, f); warmed += 1 }
+      }
+      if (warmed < sorted.size)
+        System.err.println(s"[bench] warmup bailed at $warmed/${sorted.size} queries (budget)")
       System.err.println(
-        f"[bench] warmup pass: ${sorted.size} queries in ${(System.nanoTime() - w0) / 1e9}%.1f s" +
+        f"[bench] warmup pass: $warmed queries in ${(System.nanoTime() - w0) / 1e9}%.1f s" +
           s" (heap max ${Runtime.getRuntime.maxMemory() >> 20} MiB)")
     } else System.err.println("[bench] WARMUP DISABLED — timed pass includes JIT/codegen noise")
     // The VM this runs in sees transient host-level CPU steal: identical
@@ -39,48 +78,48 @@ object Bench {
     // in every pass) and report each query's MINIMUM wall time — the
     // standard steady-state estimator under external interference — plus
     // the process-CPU-seconds of that same best rep.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
-    // Under sustained steal a 60 s pass can take 500+ s; cap total timed
-    // wall so 5 reps in bad weather cannot blow the driver's round budget.
-    // At least 2 reps always run (min-of-1 is not an estimator).
-    val maxTimedSec = sys.env.getOrElse("SPARK_GRAFT_MAX_SEC", "2100").toDouble
-    val bestWall = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val cpuAtBest = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val timed0 = System.nanoTime()
-    var repsRun = 0
+    var lastPassSec = 0.0
     var r = 1
-    while (r <= reps && (r <= 2 || (System.nanoTime() - timed0) / 1e9 < maxTimedSec)) {
+    var budgetHit = false
+    // pass 1 always runs to completion (every query needs >= 1 measurement);
+    // later passes start only if half of the previous pass still fits, and
+    // bail between queries the moment the budget is gone.
+    while (r <= reps && !budgetHit &&
+        (r == 1 || elapsed + 0.5 * lastPassSec < maxTotalSec)) {
       val r0 = System.nanoTime()
+      var bailed = false
       sorted.foreach { case (name, fn) =>
-        val c0 = osBean.getProcessCpuTime
-        val t0 = System.nanoTime()
-        runOnce(name, fn)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-        // straggler forensics: a query far off its best-so-far is either
-        // host steal (cpu ≪ wall) or real in-JVM degradation (cpu ≈ wall,
-        // e.g. interpreted paths going megamorphic late in a session) —
-        // log which, so swings in the recorded min are attributable
-        bestWall.get(name).filter(b => wall > 3 * b && wall > 2.0).foreach(b =>
-          System.err.println(f"[bench] straggler pass $r: $name wall $wall%.1f s (best $b%.1f) cpu $cpu%.1f s"))
-        if (bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
+        if (r > 1 && elapsed >= maxTotalSec) {
+          if (!bailed) System.err.println(
+            f"[bench] budget ($maxTotalSec%.0f s) hit mid-pass $r at $name — bailing")
+          bailed = true; budgetHit = true
+        } else {
+          val c0 = osBean.getProcessCpuTime
+          val t0 = System.nanoTime()
+          runOnce(name, fn)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+          // straggler forensics: a query far off its best-so-far is either
+          // host steal (cpu ≪ wall) or real in-JVM degradation (cpu ≈ wall,
+          // e.g. interpreted paths going megamorphic late in a session) —
+          // log which, so swings in the recorded min are attributable
+          bestWall.get(name).filter(b => wall > 3 * b && wall > 2.0).foreach(b =>
+            System.err.println(f"[bench] straggler pass $r: $name wall $wall%.1f s (best $b%.1f) cpu $cpu%.1f s"))
+          if (bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
+          persist()
+        }
       }
-      System.err.println(f"[bench] timed pass $r/$reps: ${(System.nanoTime() - r0) / 1e9}%.1f s")
-      repsRun = r
+      if (!bailed) {
+        passesCompleted = r
+        lastPassSec = (System.nanoTime() - r0) / 1e9
+        System.err.println(f"[bench] timed pass $r/$reps: $lastPassSec%.1f s (elapsed $elapsed%.1f s)")
+        persist()
+      }
       r += 1
     }
-    val results = sorted.map { case (name, _) => name -> bestWall(name) }
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results)
-    val cpus2 = jmap(sorted.map { case (name, _) => name -> cpuAtBest(name) })
-    val total = results.map(_._2).sum
-    val cpuTotal = cpuAtBest.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_sec_queries":$cpus2,"cpu_sec_total":$cpuTotal,"reps":$repsRun,""" +
-      s""""note":"cpu_sec is whole-process CPU of the best wall rep; wall >> cpu/cores with low cpu indicates external host contention, not engine cost","sf":"$sfDir"}"""
-    // Belt and braces for the driver's extractor: (1) persist the JSON to a
-    // file next to the repo so a stdout-scrape failure is recoverable,
+    val line = artifactJson(finalLine = true)
+    // Belt and braces for the driver's extractor: (1) the JSON is already
+    // persisted next to the repo so a stdout-scrape failure is recoverable,
     // (2) stop Spark FIRST so no executor-shutdown logging can interleave,
     // (3) emit the JSON as the final bare stdout line (build.sbt forces
     // run/outputStrategy := StdoutOutput so sbt does not "[info]"-prefix it).

@@ -1010,14 +1010,19 @@ object Queries {
       // the 100 TB quantile path: approx_percentile sketch (mergeable,
       // one pass, bounded memory) with the exact values alongside for
       // observable error — rows-only like q46's HLL, approximate results
-      // have no exact oracle
+      // have no exact oracle. Outputs are flattened to scalar columns:
+      // the driver's canonicalizer cannot sort array-typed cells.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)), lit(10000))
-            .as("approx_p50_p90"),
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("exact_p50_p90"),
+            .as("ap"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ep"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("ap").getItem(0).as("approx_p50"), col("ap").getItem(1).as("approx_p90"),
+          col("ep").getItem(0).as("exact_p50"), col("ep").getItem(1).as("exact_p90"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     },
     None)
@@ -1112,7 +1117,7 @@ object Queries {
         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) % 10000 AS h
         FROM documents)
       SELECT CASE WHEN h < 9800 THEN 'train' WHEN h < 9900 THEN 'val' ELSE 'test' END AS split,
-        count(*) AS n_docs, sum(doc_id) AS sum_ids
+        count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
       FROM b GROUP BY 1 ORDER BY 1"""))
 
   private val q56 = Q(
@@ -1208,9 +1213,9 @@ object Queries {
       b AS (SELECT doc_id,
         ((CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 1024) * 2654435761) % 2001 - 1000 AS wt
         FROM u)
-      SELECT t.doc_id, coalesce(s.w_sum, 0) AS w_sum, len(t.w) AS n_tokens,
+      SELECT t.doc_id, CAST(coalesce(s.w_sum, 0) AS BIGINT) AS w_sum, len(t.w) AS n_tokens,
         CASE WHEN coalesce(s.w_sum, 0) >= 0 THEN 'keep' ELSE 'drop' END AS verdict
-      FROM t LEFT JOIN (SELECT doc_id, sum(wt) AS w_sum FROM b GROUP BY 1) s
+      FROM t LEFT JOIN (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS w_sum FROM b GROUP BY 1) s
         ON t.doc_id = s.doc_id
       ORDER BY t.doc_id"""))
 
@@ -1261,8 +1266,8 @@ object Queries {
         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) AS h
         FROM documents),
       w AS (SELECT doc_id, source, n_tokens,
-        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t)
       SELECT doc_id, source, n_tokens, cum_tokens FROM w
       WHERE cum_tokens <= 800 ORDER BY source, cum_tokens, doc_id"""))
@@ -1694,13 +1699,17 @@ object Queries {
       // below 250 play the accumulated corpus (signature state only —
       // the batch never touches their text), docs from 250 up are the
       // new crawl, plus 50 planted near-copies of state docs (their text
-      // with one token appended, re-keyed above 10000). Sketch-based →
-      // rows-only check; estimate/threshold semantics pinned by DedupSpec.
+      // with one token appended, re-keyed above every real id). Sketch-based
+      // → rows-only check; estimate/threshold semantics pinned by DedupSpec.
       val docs = Tables.documents(s, d)
       val stateDocs = docs.filter(col("doc_id") < 250)
       val state = Dedup.minHashSignatures(stateDocs, "doc_id", "text")
+      // planted-id offset derives from the corpus (max id + 1): a constant
+      // would collide with genuine batch ids once sf grows the table past
+      // it, yielding duplicate keys and nondeterministic orderBy(doc_id)
+      val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
       val planted = stateDocs.filter(col("doc_id") < 50).select(
-        (col("doc_id") + 10000).as("doc_id"),
+        (col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
       val batch = docs.filter(col("doc_id") >= 250)
         .select(col("doc_id"), col("text")).unionByName(planted)

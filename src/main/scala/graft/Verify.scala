@@ -12,8 +12,17 @@ object Verify {
     // dev loop: SPARK_GRAFT_ONLY=q70,q73 dumps just the named queries
     // (substring match); unset = the full surface the driver checks
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    // a leaked dev filter in the driver environment would silently shrink
+    // the round's official correctness record — shout if it is active
+    only.foreach { o =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_ONLY=${o.mkString(",")} ACTIVE — " +
+          s"dumping ${selected.size}/${SparkEntry.queries.size} queries; " +
+          "unset it for an official correctness run")
+    }
+    selected
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

@@ -139,7 +139,17 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    def banded(sigs: DataFrame, side: String) = sigs.select(
+    // Empty-shingle guard: a doc with fewer tokens than `shingleSize` gets
+    // the all-MaxValue sentinel signature (HashFunctions.minHashFromHashes),
+    // so two unrelated short docs would band-collide everywhere and the
+    // agreement estimate would read exactly 1.0. The pair-wise path rejects
+    // these through its exact-Jaccard verify (0/0 → null → filtered); this
+    // estimate-only path must exclude sentinel rows from banding on BOTH
+    // sides instead (position 0 of a non-empty signature is a min over real
+    // xxhash64 values — MaxValue only with probability 2^-64 per shingle).
+    def banded(sigs: DataFrame, side: String) = sigs
+      .filter(col("sig").getItem(0) =!= Long.MaxValue)
+      .select(
       col(idCol).as(s"${side}_id"), col("sig").as(s"${side}_sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), HashFunctions.bandKey(col("sig"), b, rowsPerBand).as("key"))): _*))

@@ -170,85 +170,111 @@ object Relational {
     * then compresses label chains by one hop (`label := label(label)`),
     * so convergence is O(log diameter) iterations rather than
     * O(diameter) — the difference between 4 rounds and 40 on the long
-    * chains a near-dup corpus produces. Each iteration is three
-    * equi-joins/aggregations on (id)-shaped rows: all shuffles are on the
-    * node id, no step materializes anything larger than the edge list
-    * (unlike [[transitiveClosure]], whose output is quadratic in
-    * component size — never use TC for clustering).
+    * chains a near-dup corpus produces. Each ROUND (one driver-scheduled
+    * action) advances TWO neighbor-min hops fused into a single job: the
+    * edge table carries explicit self-loops, so the neighbor-min step
+    * reads the label table exactly once (a node's own label arrives
+    * through its (id, id) edge) and two hops compose without recomputing
+    * the inner one. Halving the action count matters because at bench
+    * scale the per-job driver overhead — not the shuffled bytes — is what
+    * straggles under host contention. All shuffles are on the node id, no
+    * step materializes anything larger than the edge list (unlike
+    * [[transitiveClosure]], whose output is quadratic in component size —
+    * never use TC for clustering).
     *
-    * Lineage is truncated (localCheckpoint) every iteration — the plan
-    * would otherwise double per round — and superseded snapshots release
-    * their checkpoint-pinned blocks via the tracked-release helpers.
+    * Lineage is truncated (localCheckpoint) on jump rounds — the plan
+    * would otherwise compound across rounds — and superseded snapshots
+    * release their checkpoint-pinned blocks via the tracked-release
+    * helpers.
+    *
+    * `maxIter` bounds ROUNDS; every round advances ≥2 hops and every
+    * third also pointer-jumps, so the reachable diameter for a given
+    * budget is strictly larger than the previous one-hop-per-round form.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct().persist()
-    // seed = one aggregation that already applies the first neighbor-min
-    // round (label_0 = min(id, min neighbor)): one groupBy instead of the
-    // join+agg+join a full round costs, and diameter-2 components (the
-    // bulk of any near-dup graph) then converge after a single round
-    var labels = sym.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("cid"))
+      .distinct()
+    // self-loop edges (one per node — every node appears as src in the
+    // symmetric table) are what make `hop` single-reference over labels
+    val symSelf = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .persist()
+    // one neighbor-min hop; own label included via the self-loop row.
+    // Alias-qualified references (not df("col")) so the fused plan — in
+    // which symSelf appears on both sides of the join — resolves cleanly.
+    def hop(l: DataFrame): DataFrame =
+      symSelf.as("e").join(l.as("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src")).agg(min(col("l.cid")).as("cid"))
+        .withColumnRenamed("src", "id")
+    // seed = the first hop folded into one aggregation (label_0 =
+    // min(id, min neighbor)): diameter-2 components (the bulk of any
+    // near-dup graph) then need a single confirming round
+    var labels = symSelf.groupBy(col("src")).agg(min(col("dst")).as("cid"))
       .withColumnRenamed("src", "id")
     // handle to the EXACT Dataset that holds each round's persisted
     // snapshot — `labels` is a projection of it, and Dataset.unpersist is
     // plan-identity-based, so unpersisting the projection would be a no-op
-    var snapshot: DataFrame = null
+    var snapshot: DataFrame = labels
+    snapshot.persist()
     var pinned = Set.empty[Int]
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // Alternate round kinds, every plan reading ONLY the cached previous
-      // labels (never an unmaterialized intermediate — a nested self-join
-      // on one would recompute it once per reference):
-      //   nbr rounds  — label := min(label, neighbors' labels); advances
-      //                 one hop, and a no-change nbr round IS the global
-      //                 fixpoint (both endpoints of every edge agree);
-      //   jump round  — label := min(label, label(label)); pointer-jumping
-      //                 halves label-chain depth so long chains converge in
-      //                 O(log diameter) nbr rounds instead of O(diameter).
-      // cadence: three nbr rounds between jumps — small-diameter graphs
-      // (the common near-dup / session shape) converge in the nbr rounds
-      // alone without ever paying for a jump; genuinely deep chains still
-      // get a halving round every 4th iteration
-      val isJump = iter % 4 == 3
-      val cand =
+      // Round kinds, every plan reading only cached labels or a
+      // once-referenced fused intermediate:
+      //   hop∘hop   — two neighbor-min hops, one job;
+      //   jump∘hop  — label := min(label, label(label)) (pointer jumping:
+      //               halves label-chain depth, so long chains converge in
+      //               O(log diameter) rounds) with a neighbor hop fused on
+      //               top. The jump reads `labels` twice, but labels is
+      //               always the cached snapshot, so nothing recomputes.
+      // cadence: two fused-hop rounds, then a jump round, repeating.
+      val isJump = iter % 3 == 2
+      val stepped =
         if (isJump) {
-          val byId = labels.select(col("id").as("jid"), col("cid").as("jcid"))
-          labels.join(byId, labels("cid") === byId("jid"), "left")
-            .select(labels("id").as("id"), col("cid").as("old"),
-              least(col("cid"), coalesce(col("jcid"), col("cid"))).as("cid"))
-        } else {
-          val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-            .groupBy(col("src")).agg(min(col("cid")).as("nmin"))
-          labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-            .select(labels("id").as("id"), col("cid").as("old"),
-              least(col("cid"), coalesce(col("nmin"), col("cid"))).as("cid"))
-        }
-      // one materializing action per round (the convergence count); lineage
-      // is cut on the jump rounds so plans cannot compound across rounds
+          val jumped = labels.as("a")
+            .join(labels.as("b"), col("a.cid") === col("b.id"), "left")
+            .select(col("a.id").as("id"),
+              least(col("a.cid"), coalesce(col("b.cid"), col("a.cid"))).as("cid"))
+          hop(jumped)
+        } else hop(hop(labels))
+      // one materializing action per round; lineage is cut on the jump
+      // rounds so plans cannot compound across rounds
       val (next, nextPinned) =
-        if (isJump) localCheckpointTracked(cand)
-        else (cand.persist(), Set.empty[Int])
-      val changed = next.filter(col("cid") < col("old")).count()
-      if (snapshot != null) snapshot.unpersist()
+        if (isJump) localCheckpointTracked(stepped)
+        else (stepped.persist(), Set.empty[Int])
+      // Labels only ever decrease (hop includes self, jump takes least),
+      // so a no-change round pins the whole sandwich L ≥ hop(L) ≥ L_new
+      // to equality — hop(L) = L means both endpoints of every edge
+      // already agree, i.e. the global fixpoint. Valid after jump rounds
+      // too, for the same monotonicity reason.
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cid") < col("p.cid")).count()
+      snapshot.unpersist()
       releasePinned(sc, pinned)
       snapshot = next
       labels = next.select(col("id"), col("cid"))
       pinned = nextPinned
-      if (changed == 0L && !isJump) converged = true
+      if (changed == 0L) converged = true
       iter += 1
     }
-    sym.unpersist()
+    symSelf.unpersist()
     // re-home onto the output plan so the CALLER's plain unpersist
-    // releases everything this iteration created
+    // releases everything this iteration created. `out` is a pure rename
+    // of the final snapshot, so for persist-backed snapshots CacheManager
+    // dedupes both onto ONE entry (sameResult match) — do NOT unpersist
+    // the snapshot here: that would drop out's cache with it and leave a
+    // lineage pointing at released checkpoint blocks. The caller's
+    // out.unpersist() releases the shared entry; for checkpoint-backed
+    // snapshots (jump-round exit) out.persist() is a fresh entry and the
+    // pinned blocks are safe to release once out has materialized.
     val out = labels.withColumnRenamed("cid", "cluster_id")
     out.persist()
     out.count()
-    if (snapshot != null) snapshot.unpersist()
     releasePinned(sc, pinned)
     out
   }

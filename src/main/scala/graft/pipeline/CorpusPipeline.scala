@@ -227,22 +227,59 @@ object CorpusPipeline {
       cfg: Config = Config(),
       bloomExpectedKeys: Option[Long] = None): DataFrame = {
     val spark = docs.sparkSession
-    val curated = curateIncremental(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys)
+    // Snapshot eagerly at each state boundary — with localCheckpoint, NOT
+    // persist. This call APPENDS to stateDir (inside curateIncremental) and
+    // to sigStateDir below, and the un-snapshotted lineage reads both. A
+    // cache()d plan is WORSE than the bare lineage here: the sig append's
+    // parquet commit fires recacheByPath on every cached plan that scans
+    // sigStateDir, lazily rebuilding it with a REFRESHED file listing — so
+    // the caller's first action would recompute `kept` against a store that
+    // now holds the batch's own signatures, and every survivor would
+    // self-match as a duplicate. An eager localCheckpoint truncates the
+    // plan to a LogicalRDD (no parquet path for recache to match) and also
+    // stops the curate/anti-join lineage re-running once per downstream
+    // reference (banded side, final left join, signature write, caller's
+    // terminal action).
+    val (curated, curatedPinned) =
+      snapshotTracked(curateIncremental(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys))
     val sigPath = new org.apache.hadoop.fs.Path(sigStateDir)
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kept =
       if (fs.exists(sigPath)) {
         val sigs = spark.read.parquet(sigStateDir)
-        Dedup.minHashNearDuplicatesVsState(curated, idCol, textCol, sigs,
-          cfg.nearDupShingleSize, cfg.nearDupNumHashes, cfg.nearDupBands,
-          cfg.nearDupThreshold)
-          .filter(col("dup_of").isNull)
-          .drop("dup_of", "est_jaccard")
+        val (k, _) = snapshotTracked(
+          Dedup.minHashNearDuplicatesVsState(curated, idCol, textCol, sigs,
+            cfg.nearDupShingleSize, cfg.nearDupNumHashes, cfg.nearDupBands,
+            cfg.nearDupThreshold)
+            .filter(col("dup_of").isNull)
+            .drop("dup_of", "est_jaccard"))
+        // curated's snapshot is superseded by k's — release its blocks now
+        // rather than waiting for driver GC
+        curatedPinned.foreach(id => spark.sparkContext.getPersistentRDDs
+          .get(id).foreach(_.unpersist(blocking = false)))
+        k
       } else curated
     Dedup.minHashSignatures(kept, idCol, textCol,
       cfg.nearDupShingleSize, cfg.nearDupNumHashes)
       .write.mode("append").parquet(sigStateDir)
+    // the returned rows are a materialized snapshot: the caller's actions
+    // can never re-list the appended dirs. Its blocks release when the
+    // Dataset is garbage-collected (ContextCleaner) — localCheckpoint
+    // results have no CacheManager entry for unpersist() to act on.
     kept
+  }
+
+  /** Eager localCheckpoint with the checkpoint-pinned RDD ids tracked, so
+    * a superseded snapshot's blocks can be released explicitly instead of
+    * waiting for driver GC (same pattern as the iterative operators in
+    * [[graft.operators.Relational]]). Single-threaded callers only: the
+    * id diff window assumes no concurrent persist.
+    */
+  private def snapshotTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val cp = df.localCheckpoint(eager = true)
+    (cp, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
   /** Write partitioned by predicted language — downstream training jobs
