@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The AUDIO kernel is real: RIFF/WAV PCM decodes with pure-JDK
   * javax.sound.sampled (no native codec required), mirroring how ImageOps
-  * wraps javax.imageio for the image modality. VIDEO codecs are NOT
-  * available in this environment, so the frame kernel below is a
-  * clearly-marked DETERMINISTIC STUB — the per-partition iterator shape
-  * (schemas, fan-out, null/error handling) is the real engine surface a
-  * decoder would plug into.
+  * wraps javax.imageio for the image modality. The VIDEO kernel is real
+  * for one concrete container+codec: MJPEG-in-AVI ([[videoKeyFrames]])
+  * — the RIFF demux is pure JVM and each extracted frame is a plain JPEG
+  * that javax.imageio (ImageOps) decodes. Inter-coded codecs (H.264…)
+  * would need a native decoder; they plug into the same frame-ref
+  * iterator. [[sampleFrames]] remains the codec-agnostic byte-window
+  * fallback for payloads with no demuxer.
   */
 object AvOps {
 
@@ -147,11 +149,104 @@ object AvOps {
           if (n > 1) zc.toDouble / (n - 1) else 0.0, bands.toSeq)
       })
 
+  /** One video frame located inside an AVI payload — an (offset, length)
+    * slice reference, so demuxing stays copy-free until a frame is
+    * actually emitted.
+    */
+  private final case class AviFrameRef(offset: Int, length: Int, keyframe: Boolean)
+
+  /** Minimal RIFF-AVI demuxer (public container spec: RIFF chunks are
+    * fourcc + u32-LE size + word-aligned payload; LIST chunks nest; video
+    * stream data lives in '##db'/'##dc' chunks under LIST 'movi', with
+    * keyframe flags in the optional 'idx1' index, AVIIF_KEYFRAME=0x10).
+    * Returns frame slice refs for the FIRST video stream, None if the
+    * payload is not an AVI. Intra-only codecs (MJPEG) have no delta
+    * frames, so when idx1 is absent every frame counts as a keyframe.
+    * Truncated files yield the frames that fit — row-level tolerance,
+    * never a task failure.
+    */
+  private def aviVideoFrames(bytes: Array[Byte]): Option[Seq[AviFrameRef]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    def isVideoData(ck: String): Boolean =
+      ck.length == 4 && ck(0).isDigit && ck(1).isDigit &&
+        (ck.substring(2) == "db" || ck.substring(2) == "dc")
+    val slices = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    val idxFlags = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val ck = fourcc(pos)
+        val sz = u32(pos + 4).toInt
+        val dataStart = pos + 8
+        val dataEnd = math.min(dataStart + math.max(sz, 0), end)
+        if (ck == "LIST" && sz >= 4)
+          // 'movi' children are frames; 'rec ' sub-lists group interleaved
+          // chunks and stay inside movi scope
+          walk(dataStart + 4, dataEnd, inMovi || fourcc(dataStart) == "movi")
+        else if (inMovi && isVideoData(ck))
+          slices += ((ck, dataStart, dataEnd - dataStart))
+        else if (ck == "idx1") {
+          var p = dataStart
+          while (p + 16 <= dataEnd) { // 16-byte entries: ckid, flags, off, size
+            val ckid = fourcc(p)
+            if (isVideoData(ckid)) idxFlags += ((ckid, (u32(p + 4) & 0x10L) != 0L))
+            p += 16
+          }
+        }
+        pos = dataEnd + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(8 + u32(4), bytes.length.toLong).toInt, inMovi = false)
+    if (slices.isEmpty) return Some(Seq.empty)
+    val stream = slices.head._1.substring(0, 2) // first video stream only
+    val mine = slices.filter(_._1.startsWith(stream))
+    val flags = idxFlags.filter(_._1.startsWith(stream)).map(_._2)
+    Some(mine.zipWithIndex.map { case ((_, off, len), i) =>
+      AviFrameRef(off, len, if (i < flags.length) flags(i) else true)
+    }.toSeq)
+  }
+
+  /** REAL video kernel for MJPEG-in-AVI: demux the container, keep
+    * keyframes only, emit every `everyN`-th as a FrameRow whose
+    * `frame_bytes` is a standalone JPEG — decodable downstream by the
+    * image kernel ([[graft.multimodal.ImageOps]]). Same per-partition
+    * fan-out contract as [[sampleFrames]]: one row yields many frame rows
+    * lazily (slice refs are indexed eagerly, payload bytes copy only when
+    * a frame is emitted), and non-AVI / null payloads yield zero rows
+    * rather than failing the task. `frame_idx` is the frame's position in
+    * the stream (so skipped delta frames leave visible gaps).
+    */
+  def videoKeyFrames(ds: Dataset[AvRecord], everyN: Int = 1)(
+      implicit enc: org.apache.spark.sql.Encoder[FrameRow]): Dataset[FrameRow] =
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviVideoFrames(r.content) match {
+          case None => Iterator.empty
+          case Some(refs) =>
+            refs.iterator.zipWithIndex
+              .filter { case (ref, _) => ref.keyframe }
+              .zipWithIndex
+              .filter { case (_, ki) => ki % math.max(everyN, 1) == 0 }
+              .map { case ((ref, i), _) =>
+                FrameRow(r.id, i,
+                  java.util.Arrays.copyOfRange(r.content, ref.offset, ref.offset + ref.length))
+              }
+        }
+      }
+    }
+
   /** Frame sampling plumbing: emit every `everyN`-th fixed-size window of
-    * the payload as a "frame". A real video decoder would yield encoded
-    * frames at keyframe boundaries; the per-partition iterator shape —
-    * one input row fanning out to many frame rows without materializing
-    * all frames in memory — is the part that matters at scale.
+    * the payload as a "frame" — the codec-agnostic fallback for payloads
+    * no demuxer claims ([[videoKeyFrames]] is the real AVI path). The
+    * per-partition iterator shape — one input row fanning out to many
+    * frame rows without materializing all frames in memory — is the part
+    * that matters at scale.
     */
   def sampleFrames(ds: Dataset[AvRecord], everyN: Int, frameBytes: Int = 4096)(
       implicit enc: org.apache.spark.sql.Encoder[FrameRow]): Dataset[FrameRow] =

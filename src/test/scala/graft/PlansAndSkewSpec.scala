@@ -156,6 +156,74 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(math.abs(row.getDouble(row.fieldIndex("rms")) - 0.25 / math.sqrt(2)) < 0.01)
   }
 
+  // --- MJPEG-in-AVI fixture: a spec-conformant RIFF AVI (hdrl with
+  // avih/strh/strf, movi with one 00dc chunk per JPEG frame, idx1 with
+  // per-frame keyframe flags) that a standard player could open.
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def chunk(ck: String, data: Array[Byte]): Array[Byte] =
+    ck.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def list(typ: String, children: Array[Byte]*): Array[Byte] =
+    chunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+  private def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+  private def mjpegAvi(frames: Seq[Array[Byte]], keyFlags: Seq[Boolean]): Array[Byte] = {
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(32) ++ le32(24) ++
+      Array.fill(16)(0.toByte))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      Array.fill(48)(0.toByte))
+    // BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = chunk("strf", le32(40) ++ le32(32) ++ le32(24) ++ le32(1 | (24 << 16)) ++
+      "MJPG".getBytes("US-ASCII") ++ Array.fill(20)(0.toByte))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+    val idx1 = chunk("idx1", frames.zip(keyFlags).flatMap { case (f, key) =>
+      "00dc".getBytes("US-ASCII") ++ le32(if (key) 0x10 else 0) ++ le32(0) ++ le32(f.length)
+    }.toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih, list("strl", strh, strf)) ++ movi ++ idx1
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("AVI keyframe kernel: demuxes MJPEG frames, honors idx1 flags, frames decode as JPEG") {
+    // 3 frames: red (key), green (delta per idx1), blue (key)
+    val avi = mjpegAvi(
+      Seq(jpegFrame(0xff0000), jpegFrame(0x00ff00), jpegFrame(0x0000ff)),
+      Seq(true, false, true))
+    val ds = Seq(
+      AvOps.AvRecord(7L, "video", avi),
+      AvOps.AvRecord(8L, "video", Array[Byte](1, 2, 3)), // not an AVI → zero rows
+      AvOps.AvRecord(9L, "video", null)).toDS()
+    val frames = AvOps.videoKeyFrames(ds).collect().sortBy(_.frame_idx)
+    // delta frame 1 skipped; stream positions preserved
+    assert(frames.map(f => (f.id, f.frame_idx)).toSeq == Seq((7L, 0), (7L, 2)))
+    // each emitted frame is a standalone JPEG with the planted dominant color
+    val colors = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      val c = new java.awt.Color(img.getRGB(16, 12))
+      (c.getRed, c.getGreen, c.getBlue)
+    }
+    assert(colors(0)._1 > 200 && colors(0)._2 < 80 && colors(0)._3 < 80, s"not red: ${colors(0)}")
+    assert(colors(1)._3 > 200 && colors(1)._1 < 80 && colors(1)._2 < 80, s"not blue: ${colors(1)}")
+  }
+
+  test("AVI keyframe kernel: everyN strides over keyframes; missing idx1 means all-key") {
+    val avi = mjpegAvi(
+      (0 until 6).map(i => jpegFrame(0x101010 * i)), Seq.empty) // no idx1 flags → all key
+    val ds = Seq(AvOps.AvRecord(1L, "video", avi)).toDS()
+    assert(AvOps.videoKeyFrames(ds).collect().map(_.frame_idx).sorted.toSeq == (0 until 6))
+    assert(AvOps.videoKeyFrames(ds, everyN = 3).collect().map(_.frame_idx).sorted.toSeq == Seq(0, 3))
+  }
+
   test("frame sampling fans one row into frame rows without collecting") {
     val payload = Array.tabulate[Byte](4096 * 6)(i => (i % 127).toByte)
     val ds = Seq(AvOps.AvRecord(7L, "video", payload)).toDS()
