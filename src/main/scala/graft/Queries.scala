@@ -1719,6 +1719,33 @@ object Queries {
     },
     None)
 
+  private val q76 = Q(
+    "q76_training_interleave",
+    (s, d) => {
+      // deterministic training-mix interleave: order-by-slot cycles
+      // round-robin across sources (CorpusPipeline.roundRobinInterleave)
+      // — rank within stratum by salted sha-256, slot by per-row
+      // arithmetic, no global sort
+      graft.pipeline.CorpusPipeline.roundRobinInterleave(
+        Tables.documents(s, d), "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("rank_in_stratum"), col("slot"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH s AS (SELECT source,
+        CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx,
+        CAST(count(*) OVER () AS BIGINT) AS k
+        FROM (SELECT DISTINCT source FROM documents)),
+      h AS (SELECT doc_id, source,
+        sha256(CAST(doc_id AS VARCHAR) || 'mix') AS hh FROM documents),
+      r AS (SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS BIGINT)
+          AS rank_in_stratum
+        FROM h)
+      SELECT r.doc_id, r.source, r.rank_in_stratum,
+        CAST((r.rank_in_stratum - 1) * s.k + s.sidx AS BIGINT) AS slot
+      FROM r JOIN s ON r.source = s.source
+      ORDER BY r.doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1726,5 +1753,6 @@ object Queries {
     q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76)
 }

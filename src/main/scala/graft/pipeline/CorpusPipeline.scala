@@ -309,6 +309,42 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Deterministic training-mix interleave: assign every row a global
+    * `slot` such that ordering by it cycles round-robin across strata
+    * (source, language, …) — the training-order shaping step that stops a
+    * data loader from seeing an hour of one crawl followed by an hour of
+    * another. Within each stratum, rows are ranked by a salted sha-256 of
+    * the id (deterministic shuffle: partition-count- and rerun-invariant,
+    * same property as [[deterministicSplit]]); the global slot is then
+    * pure per-row arithmetic, `(rank-1) * n_strata + stratum_index` —
+    * unique by construction, NO global sort or single-partition window
+    * over the data. Shuffles: one exchange on the stratum for the
+    * per-stratum rank; the stratum→index map is a tiny broadcast
+    * (strata cardinality is small by definition — languages, sources).
+    * Uneven strata leave slot gaps once the smaller strata exhaust;
+    * gaps preserve the cycling property and order-by-slot is all a
+    * writer needs.
+    */
+  def roundRobinInterleave(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String = "mix"): DataFrame = {
+    val strata = df.select(col(stratumCol)).distinct()
+    // single-partition window over the DISTINCT strata only — a handful
+    // of rows however large the corpus
+    val w = Window.orderBy(col(stratumCol))
+    val idx = strata
+      .withColumn("__sidx", row_number().over(w).cast("long") - 1)
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+    val rankW = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", sha2(concat(col(idCol).cast("string"), lit(salt)), 256))
+      .withColumn("rank_in_stratum", row_number().over(rankW).cast("long"))
+      .join(broadcast(idx), Seq(stratumCol))
+      .withColumn("slot",
+        (col("rank_in_stratum") - lit(1L)) * col("__k") + col("__sidx"))
+      .drop("__h", "__sidx", "__k")
+  }
+
   /** Cross-document duplicate-SPAN removal — the span-level dedup pass of
     * training-data curation. Document-level near-dup keeps one copy of a
     * page; this pass removes the boilerplate paragraphs and quoted

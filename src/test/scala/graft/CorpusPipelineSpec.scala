@@ -181,6 +181,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(run3.count() == 0)
   }
 
+  test("round-robin interleave: slots unique, order cycles strata, partition-invariant") {
+    val docs = (1L to 30L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "source")
+    val out = CorpusPipeline.roundRobinInterleave(docs, "doc_id", "source")
+      .select(col("doc_id"), col("source"), col("slot")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 30)
+    assert(out.map(_._3).distinct.length == 30, "slots must be unique")
+    // ordering by slot cycles a,b,c while all strata have rows (10 each here)
+    val cycled = out.sortBy(_._3).map(_._2)
+    assert(cycled.grouped(3).forall(_.toSet == Set("a", "b", "c")),
+      s"each consecutive triple must cover all strata: ${cycled.toSeq}")
+    // deterministic shuffle: identical slots under a different partitioning
+    val repart = CorpusPipeline.roundRobinInterleave(docs.repartition(7), "doc_id", "source")
+      .select(col("doc_id"), col("slot")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
+  }
+
   test("deterministic split: stable across partitioning, weights respected, no migration") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def splits(df: org.apache.spark.sql.DataFrame) =

@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("incremental near-dup vs state: empty-shingle docs never band-collide") {
+    // docs with fewer tokens than shingleSize get the all-MaxValue sentinel
+    // signature; without the banding guard, any two such docs "agree" at
+    // every position (estimate exactly 1.0) and unrelated short docs get
+    // silently dropped as duplicates of each other
+    val state = Dedup.minHashSignatures(
+      Seq((1L, "just two"), (2L, (50 to 90).map(i => s"yy$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", shingleSize = 3, numHashes = 32)
+    val batch = Seq((10L, "also short"), (11L, "ok"), (12L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashNearDuplicatesVsState(batch, "doc_id", "text", state,
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.7)
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got == Map(10L -> true, 11L -> true, 12L -> true),
+      s"short docs must not match the state's short doc: $got")
+  }
+
   test("simhash near-dup: identical docs distance 0; different docs filtered") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, a), (2L, a), (3L, "completely different words entirely")).toDF("doc_id", "text")
