@@ -668,6 +668,11 @@ object Queries {
 
   // -------------------------------------- sketch ops (no SQL oracle: rows-only)
 
+  // rows-only by design: band keys derive from xxhash64, which DuckDB
+  // 1.0.0 cannot compute (its hash() is a different function), and oracle
+  // SQL runs over the input tables only — no clean SQL formulation exists
+  // without contorting the query (round-7 adjudication of the round-6
+  // stretch ask). Value semantics are spec-pinned in VectorExpressionsSpec.
   private val q32 = Q(
     "q32_minhash_bands",
     (s, d) => {
