@@ -1751,6 +1751,29 @@ object Queries {
       FROM r JOIN s ON r.source = s.source
       ORDER BY r.doc_id"""))
 
+  private val q77 = Q(
+    "q77_embed_decontaminate",
+    (s, d) => {
+      // embedding-space decontamination (Similarity.embeddingDecontaminate):
+      // vec_id < 20 plays the benchmark, the rest the corpus; flag corpus
+      // vectors within cosine 0.3 of any benchmark vector with their best
+      // match — the paraphrase-robust complement of q54's n-gram pass
+      val emb = Tables.embeddings(s, d)
+      Similarity.embeddingDecontaminate(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "vec_id", "embedding", 0.3)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS be FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 20),
+      sc AS (SELECT c.vec_id, b.bench_id, round(${duckCosine("ce", "be")}, 6) AS sim
+        FROM c, b),
+      r AS (SELECT vec_id, bench_id, sim,
+        row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC) AS rn
+        FROM sc WHERE sim >= 0.3)
+      SELECT vec_id, bench_id AS matched_bench_id, sim FROM r WHERE rn = 1
+      ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1759,5 +1782,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76)
+    q76, q77)
 }

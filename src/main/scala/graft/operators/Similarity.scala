@@ -147,6 +147,39 @@ object Similarity {
         .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))), k)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic-similarity
+    * counterpart of the n-gram pass ([[Dedup.decontaminate]]): flag every
+    * corpus row whose embedding has cosine ≥ `threshold` to ANY benchmark
+    * embedding, reporting the best-matching benchmark id. Catches the
+    * paraphrased test-set leakage that exact n-gram overlap misses.
+    *
+    * Scale shape: the benchmark side is broadcast (benchmarks are small
+    * by definition), similarities are the native codegen cosine, and the
+    * per-corpus-row argmax is `max(struct(sim, id))` with map-side
+    * partial aggregation — the corpus is never shuffled; the one exchange
+    * carries at most one (id, best-match) row per FLAGGED corpus row.
+    * Similarities are rounded to 6 decimals BEFORE the threshold and the
+    * argmax so rank ties resolve identically to a SQL oracle (same
+    * discipline as [[bruteForceCosineTopK]]'s callers); ties on the
+    * rounded sim break to the larger benchmark id.
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      corpusId: String, corpusEmb: String,
+      benchId: String, benchEmb: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(benchmark.select(
+      col(benchId).as("__bid"), col(benchEmb).as("__be")))
+    corpus.select(col(corpusId).as("__cid"), col(corpusEmb).as("__ce"))
+      .crossJoin(b)
+      .withColumn("sim", round(VectorFunctions.cosineNative(col("__ce"), col("__be")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(max(struct(col("sim"), col("__bid"))).as("m"))
+      .select(col("__cid").as(corpusId),
+        col("m.__bid").as("matched_bench_id"), col("m.sim").as("sim"))
+  }
+
   /** Per-group element-wise mean vectors (e.g. per-label centroids):
     * posexplode → per-dimension avg → re-assemble ordered by position.
     * Two shuffles regardless of dimension; no vectors on the driver.

@@ -24,6 +24,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding decontamination flags planted near-benchmark vectors with best match") {
+    // benchmark: two orthogonal unit vectors; corpus: one near-copy of each
+    // (same direction, scaled — cosine 1.0), one mixture closer to bench 1,
+    // and one orthogonal to both (must not be flagged)
+    val bench = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2.0f, 0.0f, 0.0f)),   // = bench 1 direction
+      (11L, Seq(0.0f, 0.5f, 0.0f)),   // = bench 2 direction
+      (12L, Seq(0.9f, 0.5f, 0.0f)),   // leans bench 1
+      (13L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingDecontaminate(
+      corpus, bench, "vec_id", "embedding", "vec_id", "embedding", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L), s"orthogonal doc must survive: $got")
+    assert(got(10L) == ((1L, 1.0)) && got(11L) == ((2L, 1.0)))
+    assert(got(12L)._1 == 1L && got(12L)._2 > 0.8)
+  }
+
   test("LSH topk achieves high recall on clustered vectors") {
     // Clustered corpus: 20 centers × 20 perturbed members. LSH recall is
     // only meaningful when true neighbors have high cosine (on uniformly
