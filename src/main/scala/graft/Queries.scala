@@ -1774,6 +1774,26 @@ object Queries {
       SELECT vec_id, bench_id AS matched_bench_id, sim FROM r WHERE rn = 1
       ORDER BY vec_id"""))
 
+  private val q78 = Q(
+    "q78_stratified_sample",
+    (s, d) => {
+      // deterministic k-per-stratum sample (CorpusPipeline.samplePerStratum):
+      // rank by salted sha-256 of the id, keep the 7 smallest per source
+      // through the native TopK operator — heap-bounded BEFORE the exchange
+      graft.pipeline.CorpusPipeline.samplePerStratum(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars")),
+        "doc_id", "source", 7)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT doc_id, source, lang, n_chars,
+        sha256(CAST(doc_id AS VARCHAR) || 'sample') AS hh FROM documents),
+      r AS (SELECT doc_id, source, lang, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+        FROM h)
+      SELECT doc_id, source, lang, n_chars FROM r WHERE rn <= 7
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1782,5 +1802,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77)
+    q76, q77, q78)
 }

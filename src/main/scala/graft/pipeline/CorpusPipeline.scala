@@ -309,6 +309,24 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Deterministic uniform sample of `k` rows per stratum (the "give me
+    * 500 random docs per language for eval" op): rank by a salted sha-256
+    * of the id — uniform AND reproducible (partition-count- and
+    * rerun-invariant, the [[deterministicSplit]] property) — and keep the
+    * k smallest per stratum through the native TopK operator
+    * ([[graft.operators.Relational.topKPerGroupNative]]), whose
+    * per-partition heaps bound every stratum to k rows BEFORE the
+    * exchange: the shuffle moves ≤ k·strata·partitions rows however large
+    * the corpus, where a window row_number would shuffle everything.
+    */
+  def samplePerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, salt: String = "sample"): DataFrame =
+    graft.operators.Relational.topKPerGroupNative(
+      df.withColumn("__h", sha2(concat(col(idCol).cast("string"), lit(salt)), 256)),
+      Seq(col(stratumCol)),
+      Seq(col("__h").asc, col(idCol).asc), k)
+      .drop("__h")
+
   /** Deterministic training-mix interleave: assign every row a global
     * `slot` such that ordering by it cycles round-robin across strata
     * (source, language, …) — the training-order shaping step that stops a

@@ -200,6 +200,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
   }
 
+  test("stratified sample: exactly k per stratum, deterministic, partition-invariant") {
+    val docs = (1L to 100L).map(i => (i, if (i % 4 == 0) "web" else if (i % 4 == 1) "code" else "books"))
+      .toDF("doc_id", "source")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.samplePerStratum(df, "doc_id", "source", 5)
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    val out = sample(docs)
+    assert(out.length == 15, "3 strata x k=5")
+    assert(out.groupBy(_._2).forall(_._2.length == 5), "exactly k per stratum")
+    // deterministic AND partition-invariant: identical rows under a different layout
+    assert(sample(docs.repartition(7)).toSet == out.toSet)
+    // small strata are kept whole (k exceeds size)
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(sample(tiny).toSet == Set((1L, "a"), (2L, "a"), (3L, "b")))
+    // output carries no helper column
+    assert(!CorpusPipeline.samplePerStratum(docs, "doc_id", "source", 5)
+      .columns.contains("__h"))
+  }
+
   test("deterministic split: stable across partitioning, weights respected, no migration") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def splits(df: org.apache.spark.sql.DataFrame) =
