@@ -1794,6 +1794,28 @@ object Queries {
       SELECT doc_id, source, lang, n_chars FROM r WHERE rn <= 7
       ORDER BY doc_id"""))
 
+  private val q79 = Q(
+    "q79_text_normalize",
+    (s, d) => {
+      // unicode-correct cleanup (TextFunctions.cleanText): native NFC
+      // composition + control/zero-width strip + whitespace collapse —
+      // the canonicalization pass that runs before every fingerprint and
+      // dedup sketch. Pure stacked codegen projection, zero exchanges.
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_raw"),
+          TF.cleanText(col("text")).as("clean"))
+        .withColumn("n_clean", length(col("clean")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+          '[ \t\n\r\f\x{000B}]+', ' ', 'g')) AS clean,
+        CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+          '[ \t\n\r\f\x{000B}]+', ' ', 'g'))) AS BIGINT) AS n_clean
+      FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1802,5 +1824,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78)
+    q76, q77, q78, q79)
 }

@@ -36,6 +36,28 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = sha2(normalizeText(text), 256)
 
+  /** Unicode-correct text cleanup, the canonicalization pass that runs
+    * FIRST in a crawl pipeline — before fingerprinting, shingling, or any
+    * dedup sketch — so that byte-different renderings of the same visible
+    * text (composed vs decomposed accents, zero-width joiners, stray
+    * control bytes from broken transcoding) collapse to one form:
+    *   1. NFC canonical composition ([[graft.plans.NfcNormalize]], native
+    *      — Spark has no normalization builtin);
+    *   2. strip control/format chars: C0 (except the whitespace ones,
+    *      which step 3 folds into spaces), DEL+C1, zero-widths
+    *      U+200B-U+200D, BOM;
+    *   3. collapse whitespace runs (space \t \n \r \f \x0B) to a single
+    *      space and trim.
+    * Steps 2-3 are builtin `regexp_replace` (codegen'd); the char classes
+    * use explicit ranges so Java regex and DuckDB's RE2 (the q79 oracle)
+    * agree by construction — no `\s`, whose definition differs between
+    * the engines.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(call_function("graft_nfc", text),
+      "[\\x{0000}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
+      "[ \\t\\n\\r\\f\\x{000B}]+", " "))
+
   /** Word n-gram shingles ("a b c" with n=2 → ["a b", "b c"]).
     * Empty array when there are fewer than n tokens.
     */

@@ -96,5 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_hyperplanes(vec, dim, bits, seed) takes array<float|double> and literal dim/bits/seed")
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException("graft_nfc(text) takes 1 argument")
+      }))
   }
 }

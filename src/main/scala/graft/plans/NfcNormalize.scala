@@ -1,0 +1,60 @@
+package graft.plans
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (`string` → `string`), the canonicalization
+  * pass every text corpus needs before hashing or deduplication: the same
+  * visible text can arrive composed (U+00E9 "é") or decomposed
+  * (U+0065 U+0301 "e"+combining acute) depending on the source system, and
+  * every downstream fingerprint/shingle/dedup operator would treat the two
+  * as different documents. Spark ships no normalization function, so this
+  * is a native expression wrapping `java.text.Normalizer` (ICU-equivalent
+  * canonical composition per Unicode TR-15 — DuckDB's `nfc_normalize`
+  * replays it exactly, which is what makes the q79 oracle possible).
+  *
+  * Fast path: `Normalizer.isNormalized` is a cheap scan (ASCII and most
+  * already-composed text short-circuits per char via the NFC quick-check
+  * property) and the overwhelmingly common case at corpus scale — only
+  * strings that actually need recomposition pay the allocate-and-rebuild.
+  * NULL input → NULL (standard null-intolerant unary semantics).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.NfcNormalize.compute($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nfc"
+}
+
+object NfcNormalize {
+
+  /** Runtime kernel shared by eval and codegen. Returns the input object
+    * unchanged (no copy) when the string is already NFC.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}

@@ -151,4 +151,27 @@ class TextFunctionsSpec extends SparkSpec {
     val got = rows.map(_._1).toDF("h").select(TF.stripMarkup(col("h"))).as[String].collect()
     rows.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"[$want] != [$g]") }
   }
+
+  test("cleanText: NFC composes, zero-widths/controls strip, whitespace folds") {
+    val decomposed = "caf" + "e" + "\u0301"        // e + combining acute
+    val composed = "café"                     // precomposed é
+    val rows = Seq(
+      decomposed -> composed,                      // NFC canonical composition
+      composed -> composed,                        // already-NFC fast path is identity
+      ("zero\u200Bwidth\u200D\uFEFFgone") -> "zerowidthgone", // format chars strip to nothing
+      ("ctrl\u0001\u0002here") -> "ctrlhere",      // C0 controls strip
+      ("del\u007F\u0085c1\u009Fx") -> "delc1x",    // DEL + C1 strip
+      ("a\u000Bb\fc") -> "a b c",                  // VT/FF are whitespace: fold, don't glue
+      ("  tabs\t\tand\n\nnewlines  ") -> "tabs and newlines",
+      "" -> "")
+    val got = rows.map(_._1).toDF("t").select(TF.cleanText(col("t"))).as[String].collect()
+    rows.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"[$want] != [$g]") }
+    // NULL in → NULL out (null-intolerant unary expression semantics)
+    val n = Seq[String](null).toDF("t").select(TF.cleanText(col("t"))).collect()
+    assert(n.head.isNullAt(0))
+    // idempotent: cleanText(cleanText(x)) == cleanText(x)
+    val once = rows.map(_._1).toDF("t").select(TF.cleanText(col("t")).as("c"))
+    val twice = once.select(TF.cleanText(col("c"))).as[String].collect()
+    assert(twice.toSeq == got.toSeq)
+  }
 }
