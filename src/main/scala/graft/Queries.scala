@@ -1816,6 +1816,38 @@ object Queries {
           '[ \t\n\r\f\x{000B}]+', ' ', 'g'))) AS BIGINT) AS n_clean
       FROM documents ORDER BY doc_id"""))
 
+  private val q80 = Q(
+    "q80_adaptive_quality",
+    (s, d) => {
+      // adaptive per-source quality gate (CorpusPipeline
+      // .adaptiveQualityFilter): each source keeps its own top 75% by the
+      // hashed-bucket classifier score — integer milli-units and integer
+      // rank selection, so the keep/drop boundary is exact on both
+      // engines. Only the (doc_id, source, score) stream shuffles.
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.linearScoreMilli(TF.tokens(col("text")), 1024).as("w_sum"))
+      graft.pipeline.CorpusPipeline
+        .adaptiveQualityFilter(scored, "w_sum", "source", 1, 4)
+        .select(col("doc_id"), col("source"), col("w_sum"), col("thr"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      b AS (SELECT doc_id,
+        ((CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 1024) * 2654435761) % 2001 - 1000 AS wt
+        FROM u),
+      s AS (SELECT t.doc_id, t.source, CAST(coalesce(x.w_sum, 0) AS BIGINT) AS w_sum
+        FROM t LEFT JOIN (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS w_sum FROM b GROUP BY 1) x
+          ON t.doc_id = x.doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY w_sum) AS rn,
+        count(*) OVER (PARTITION BY source) AS n FROM s),
+      thr AS (SELECT source, CAST(min(w_sum) AS BIGINT) AS thr FROM r
+        WHERE rn = (n * 1 + 3) // 4 GROUP BY 1)
+      SELECT s.doc_id, s.source, s.w_sum, thr.thr
+      FROM s JOIN thr ON s.source = thr.source
+      WHERE s.w_sum >= thr.thr ORDER BY s.doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1824,5 +1856,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79)
+    q76, q77, q78, q79, q80)
 }

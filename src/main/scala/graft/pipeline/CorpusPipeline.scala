@@ -309,6 +309,49 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Adaptive per-stratum quality filtering: keep rows whose score is at
+    * or above their OWN stratum's p-th discrete percentile (p = num/den),
+    * rather than one corpus-global cutoff — the standard guard against a
+    * fixed threshold gutting a stylistically-different source (code vs
+    * prose vs forum text score on different scales). Appends the
+    * stratum's cutoff as `thr` and filters.
+    *
+    * `exact = true` (the oracle-checkable path) selects the cutoff by
+    * integer rank (target row `ceil(p*n)` = `(n*num + den - 1) div den`,
+    * the q50 percentile_disc construction — the k-th smallest value of a
+    * multiset is deterministic even when row_number breaks score ties
+    * arbitrarily, and integer milli-scores compare exactly, so no float
+    * interpolation can drift at the keep/drop boundary). One shuffle, of
+    * ONLY the (id, stratum, score) stream — document text never moves.
+    * Caveat at 100 TB: a window over stratum puts each stratum in one
+    * partition; with few giant strata prefer `exact = false`, which
+    * estimates the cutoff with a mergeable t-digest sketch
+    * (`percentile_approx`: map-side partials, no row stream shuffled at
+    * all) and broadcasts the tiny per-stratum cutoff table back.
+    */
+  def adaptiveQualityFilter(scored: DataFrame, scoreCol: String,
+      stratumCol: String, num: Int, den: Int, exact: Boolean = true): DataFrame = {
+    require(num > 0 && den > 0 && num < den, "percentile must be in (0,1)")
+    if (exact) {
+      val w = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol))
+      val wn = Window.partitionBy(col(stratumCol))
+      scored
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .withColumn("thr",
+          max(when(col("__rn") === expr(s"(__n * $num + ${den - 1}) div $den"),
+            col(scoreCol))).over(wn))
+        .filter(col(scoreCol) >= col("thr"))
+        .drop("__rn", "__n")
+    } else {
+      val thr = scored.groupBy(col(stratumCol))
+        .agg(percentile_approx(col(scoreCol), lit(num.toDouble / den),
+          lit(10000)).as("thr"))
+      scored.join(broadcast(thr), stratumCol)
+        .filter(col(scoreCol) >= col("thr"))
+    }
+  }
+
   /** Deterministic uniform sample of `k` rows per stratum (the "give me
     * 500 random docs per language for eval" op): rank by a salted sha-256
     * of the id — uniform AND reproducible (partition-count- and

@@ -200,6 +200,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
   }
 
+  test("adaptive quality filter: per-stratum discrete-p25 cutoff, ties kept, both modes") {
+    // stratum "a": scores 1..8 → target row ceil(0.25*8)=2 → thr=2, keeps 2..8
+    // stratum "b": scores 100x then 200 over ties → per-stratum cutoffs independent
+    val a = (1 to 8).map(i => (i.toLong, "a", i.toLong))
+    val b = Seq((101L, "b", 100L), (102L, "b", 100L), (103L, "b", 100L),
+      (104L, "b", 100L), (105L, "b", 200L), (106L, "b", 200L),
+      (107L, "b", 200L), (108L, "b", 200L))
+    val df = (a ++ b).toDF("id", "stratum", "score")
+    val out = CorpusPipeline.adaptiveQualityFilter(df, "score", "stratum", 1, 4)
+      .select(col("id"), col("thr")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet.filter(_ <= 8L) == (2L to 8L).toSet, "a drops only score 1")
+    assert(out.filter(_._1 <= 8L).values.toSet == Set(2L), "a's cutoff is the rank-2 value")
+    // b: target row = 2 → thr = 100; ALL rows tied at the cutoff survive
+    assert(out.keySet.filter(_ > 100L) == (101L to 108L).toSet, "boundary ties kept")
+    assert(out(101L) == 100L)
+    // partition-invariant: same survivors under a different layout
+    val re = CorpusPipeline.adaptiveQualityFilter(df.repartition(5), "score", "stratum", 1, 4)
+      .select(col("id")).as[Long].collect().toSet
+    assert(re == out.keySet)
+    // approx mode (the no-shuffle 100 TB path): same survivors on a
+    // distribution whose quartile is unambiguous
+    val skewed = ((1 to 4).map(i => (i.toLong, "s", 0L)) ++
+      (5 to 16).map(i => (i.toLong, "s", 100L))).toDF("id", "stratum", "score")
+    val ex = CorpusPipeline.adaptiveQualityFilter(skewed, "score", "stratum", 1, 4)
+      .select(col("id")).as[Long].collect().toSet
+    val ap = CorpusPipeline.adaptiveQualityFilter(skewed, "score", "stratum", 1, 4, exact = false)
+      .select(col("id")).as[Long].collect().toSet
+    assert(ex == ap, "exact and sketch cutoffs agree when the quartile is unambiguous")
+  }
+
   test("stratified sample: exactly k per stratum, deterministic, partition-invariant") {
     val docs = (1L to 100L).map(i => (i, if (i % 4 == 0) "web" else if (i % 4 == 1) "code" else "books"))
       .toDF("doc_id", "source")
