@@ -1848,6 +1848,33 @@ object Queries {
       FROM s JOIN thr ON s.source = thr.source
       WHERE s.w_sum >= thr.thr ORDER BY s.doc_id"""))
 
+  private val q81 = Q(
+    "q81_bm25_retrieval",
+    (s, d) => {
+      // lexical retrieval (Retrieval.bm25): score every doc containing at
+      // least one query term; the only exchange over corpus-sized data
+      // moves matched (doc, term) postings. round(4) AFTER the final sum
+      // on both engines.
+      graft.operators.Retrieval.bm25(
+        Tables.documents(s, d), "doc_id", "text", Seq("dup", "join", "scan"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"), col("n_terms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM documents),
+      d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      p AS (SELECT doc_id, tok, count(*) AS tf FROM u
+        WHERE tok IN ('dup', 'join', 'scan') GROUP BY 1, 2),
+      f AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+      c AS (SELECT p.doc_id,
+          ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) * (p.tf * 2.2) /
+            (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS contrib
+        FROM p JOIN f ON p.tok = f.tok JOIN d ON p.doc_id = d.doc_id CROSS JOIN st)
+      SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1856,5 +1883,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80)
+    q76, q77, q78, q79, q80, q81)
 }

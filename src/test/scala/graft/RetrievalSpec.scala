@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: closed-form values, non-matching docs absent, rarity ordering") {
+    val docs = Seq(
+      (1L, "a a b"),    // dl=3, tf_a=2
+      (2L, "a c c c"),  // dl=4, tf_a=1, tf_c=3
+      (3L, "x y")       // no query term
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    // closed form: N=3, avgdl=3; idf_a=ln(1+1.5/2.5), idf_c=ln(1+2.5/1.5)
+    val idfA = math.log(1.0 + 1.5 / 2.5)
+    val idfC = math.log(1.0 + 2.5 / 1.5)
+    def w(tf: Long, dl: Long, idf: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    assert(out.keySet == Set(1L, 2L), "doc 3 matches nothing and must be absent")
+    assert(math.abs(out(1L)._1 - w(2, 3, idfA)) < 1e-9)
+    assert(math.abs(out(2L)._1 - (w(1, 4, idfA) + w(3, 4, idfC))) < 1e-9)
+    assert(out(1L)._2 == 1 && out(2L)._2 == 2, "n_terms counts distinct matched terms")
+    // the rare term must out-weigh the common one at equal tf/dl
+    assert(idfC > idfA)
+  }
+
+  test("bm25: deterministic across partitioning") {
+    val docs = (1L to 60L).map(i => (i, s"t${i % 7} t${i % 3} filler word$i"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25(df, "doc_id", "text", Seq("t0", "t1", "t2"))
+        .select(col("doc_id"), round(col("bm25"), 9), col("n_terms"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+}
