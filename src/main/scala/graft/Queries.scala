@@ -1875,6 +1875,55 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n_terms
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  private val q82 = Q(
+    "q82_keep_best_per_cluster",
+    (s, d) => {
+      // quality-aware dedup survivor selection (Dedup.keepBestPerCluster):
+      // plant a lower/higher-scoring near-copy of each doc below 100
+      // (q75's planted-id construction) with an EXPLICIT pair edge, so the
+      // full path — connected components over the pairs, per-cluster
+      // argmax by classifier score, unclustered pass-through — is
+      // DuckDB-replayable and hash-checked, with the sketch step swapped
+      // for the explicit edges that sketches would have produced.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val planted = docs.filter(col("doc_id") < 100).select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" extra extra extra")).as("text"))
+      val scored = docs.unionByName(planted)
+        .select(col("doc_id"),
+          TF.linearScoreMilli(TF.tokens(col("text")), 1024).as("w_sum"))
+      val pairs = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + offset).as("id_b"))
+      Dedup.keepBestPerCluster(scored, "doc_id", "w_sum", pairs)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+      alls AS (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT off FROM mx), text || ' extra extra extra'
+        FROM documents WHERE doc_id < 100),
+      t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w FROM alls),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      b AS (SELECT doc_id,
+        ((CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) % 1024) * 2654435761) % 2001 - 1000 AS wt
+        FROM u),
+      s AS (SELECT t.doc_id, CAST(coalesce(x.w_sum, 0) AS BIGINT) AS w_sum
+        FROM t LEFT JOIN (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS w_sum FROM b GROUP BY 1) x
+          ON t.doc_id = x.doc_id),
+      g AS (SELECT s.doc_id, s.w_sum,
+          CASE WHEN s.doc_id < 100 THEN s.doc_id
+               WHEN s.doc_id >= (SELECT off FROM mx) THEN s.doc_id - (SELECT off FROM mx)
+          END AS cl
+        FROM s),
+      r AS (SELECT doc_id, w_sum, cl,
+          row_number() OVER (PARTITION BY cl ORDER BY w_sum DESC, doc_id DESC) AS rn
+        FROM g WHERE cl IS NOT NULL)
+      SELECT doc_id, w_sum FROM g WHERE cl IS NULL
+      UNION ALL
+      SELECT doc_id, w_sum FROM r WHERE rn = 1
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1883,5 +1932,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81)
+    q76, q77, q78, q79, q80, q81, q82)
 }

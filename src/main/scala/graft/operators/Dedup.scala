@@ -315,4 +315,33 @@ object Dedup {
       .filter(col("cluster_id").isNull || col(idCol) === col("cluster_id"))
       .drop("__cc_id", "cluster_id")
   }
+
+  /** Keep the HIGHEST-`scoreCol` document of every near-dup cluster
+    * (ties to the larger id — total because ids are unique), passing every
+    * unclustered document through. This is what production curation
+    * actually wants from dedup: [[keepOnePerCluster]]'s min-id pick is
+    * arbitrary, while here the longest/cleanest/highest-classifier-score
+    * copy survives and its shorter or boilerplate-wrapped near-copies are
+    * the ones dropped.
+    *
+    * Cost over keepOnePerCluster: the clustered rows (a small fraction of
+    * the corpus — only docs appearing in `pairs`) take one extra
+    * exchange on cluster_id for the per-cluster argmax; unclustered rows
+    * never shuffle. `max_by` keeps whole rows, so no second join back to
+    * the corpus is needed.
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val clusters = nearDupClusters(pairs, idACol, idBCol)
+      .withColumnRenamed("id", "__cc_id")
+    val joined = df.join(clusters, df(idCol) === col("__cc_id"), "left")
+    val unclustered = joined.filter(col("cluster_id").isNull)
+      .drop("__cc_id", "cluster_id")
+    val winners = joined.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(max_by(struct(df.columns.map(df(_)): _*),
+        struct(col(scoreCol), col(idCol))).as("__w"))
+      .select(col("__w.*"))
+    unclustered.unionByName(winners)
+  }
 }

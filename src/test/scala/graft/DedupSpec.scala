@@ -161,4 +161,24 @@ class DedupSpec extends SparkSpec {
     assert(flagged.contains(1L) && flagged.contains(3L) && !flagged.contains(2L))
     assert(flagged(3L) > flagged(1L)) // longer overlap → more distinct shared grams
   }
+
+  test("keepBestPerCluster: highest score survives, ties to larger id, singletons pass") {
+    // cluster {1,2,3} via transitive edges 1-2, 2-3; cluster {10,11} tied
+    // on score; 20 unclustered
+    val df = Seq(
+      (1L, 5L, "a"), (2L, 9L, "b"), (3L, 7L, "c"),
+      (10L, 4L, "d"), (11L, 4L, "e"),
+      (20L, 1L, "f")).toDF("id", "score", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(df, "id", "score", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (2L, 9L, "b"),   // transitive cluster: max score wins, payload intact
+      (11L, 4L, "e"),  // score tie → larger id, deterministic
+      (20L, 1L, "f"))) // unclustered passes through
+    // contrast with keepOnePerCluster, whose pick is the min id
+    val one = Dedup.keepOnePerCluster(df, "id", pairs)
+      .select(col("id")).as[Long].collect().toSet
+    assert(one == Set(1L, 10L, 20L))
+  }
 }
