@@ -1924,6 +1924,37 @@ object Queries {
       SELECT doc_id, w_sum FROM r WHERE rn = 1
       ORDER BY doc_id"""))
 
+  private val q83 = Q(
+    "q83_column_profile",
+    (s, d) => {
+      // per-column ingest health report (Profiling.profile): row/null/
+      // distinct counts + min/max as strings, one aggregation pass
+      graft.operators.Profiling.profile(
+        Tables.documents(s, d),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+    Some("""WITH p AS (
+        SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+          count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+          CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+        FROM documents
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+          min(text), max(text) FROM documents
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+          min(lang), max(lang) FROM documents
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+          min(source), max(source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+          CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+      SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_distinct AS BIGINT) AS n_distinct,
+        min_val, max_val
+      FROM p ORDER BY col_name"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1932,5 +1963,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82)
+    q76, q77, q78, q79, q80, q81, q82, q83)
 }

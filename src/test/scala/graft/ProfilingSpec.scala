@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: nulls, distincts, string-rendered range, sorted long format") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("b"))
+    ).toDF("id", "tag")
+    val out = Profiling.profile(df, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("tag") == ((4L, 1L, 2L, "a", "b"))) // null excluded from distinct & range
+    assert(out.keys.toSeq.sorted == Seq("id", "tag"))
+  }
+
+  test("profile: approx mode matches exact on small cardinalities") {
+    val df = (1L to 200L).map(i => (i, s"v${i % 9}")).toDF("id", "v")
+    val exact = Profiling.profile(df, Seq("v")).collect().head
+    val approx = Profiling.profile(df, Seq("v"), exact = false).collect().head
+    assert(exact.getLong(3) == 9L)
+    // HLL is exact at tiny cardinality; row/null/min/max identical by construction
+    assert(approx.getLong(3) == 9L)
+    assert(exact.getString(4) == approx.getString(4))
+    assert(exact.getString(5) == approx.getString(5))
+  }
+}
