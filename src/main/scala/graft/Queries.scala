@@ -1955,6 +1955,59 @@ object Queries {
         min_val, max_val
       FROM p ORDER BY col_name"""))
 
+  private val q84 = Q(
+    "q84_unigram_surprisal",
+    (s, d) => {
+      // CCNet-style perplexity filtering, in its SQL-expressible unigram
+      // form: token surprisal -ln(tf/total) under the corpus's own
+      // unigram LM, averaged per document. High mean surprisal = gibberish
+      // / rare-token soup; low = boilerplate. Two exchanges, both of
+      // narrow exploded pairs: tf groupBy(tok), then the (doc, tok)
+      // stream joins tf on tok and re-aggregates per doc. The corpus
+      // unigram table is the same single-exchange tf of q73; at 100 TB
+      // the production form reads tf from its written table.
+      graft.pipeline.CorpusPipeline
+        .unigramSurprisal(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), round(col("mean_surprisal"), 4).as("mean_surprisal"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS tok
+        FROM documents),
+      tf AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+      tot AS (SELECT sum(c) AS total FROM tf)
+      SELECT u.doc_id,
+        round(avg(-ln(CAST(tf.c AS DOUBLE) / tot.total)), 4) AS mean_surprisal,
+        CAST(count(*) AS BIGINT) AS n_tokens
+      FROM u JOIN tf ON u.tok = tf.tok CROSS JOIN tot
+      GROUP BY u.doc_id ORDER BY u.doc_id"""))
+
+  private val q85 = Q(
+    "q85_mixture_weights",
+    (s, d) => {
+      // temperature-scaled mixture weights (the T5/multilingual-LM
+      // sampling rule): w_s ∝ tokens_s^α with α=0.3 — upweights small
+      // sources relative to their natural share without letting any
+      // source dominate. Produces the weight table that q61's
+      // token-budget sampler consumes. One exchange (groupBy source on
+      // map-side-combined token sums); the normalizing Σ is a 1-row
+      // aggregate broadcast-crossed back; output is #sources rows.
+      graft.pipeline.CorpusPipeline
+        .mixtureWeights(Tables.documents(s, d), "source", "text", 0.3)
+        .select(col("source"), col("toks"),
+          round(col("natural_share"), 6).as("natural_share"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH b AS (SELECT source, CAST(sum(len(string_split_regex(trim(text),'\s+'))) AS BIGINT) AS toks
+        FROM documents GROUP BY 1),
+      n AS (SELECT CAST(sum(toks) AS BIGINT) AS total_toks,
+        sum(pow(CAST(toks AS DOUBLE), 0.3)) AS z FROM b)
+      SELECT b.source, b.toks,
+        round(CAST(b.toks AS DOUBLE) / n.total_toks, 6) AS natural_share,
+        round(pow(CAST(b.toks AS DOUBLE), 0.3) / n.z, 6) AS weight
+      FROM b CROSS JOIN n ORDER BY b.source"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1963,5 +2016,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

@@ -309,6 +309,52 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Per-document mean token surprisal −ln p(tok) under the corpus's own
+    * unigram LM — the SQL-expressible analog of CCNet's KenLM perplexity
+    * filter: high mean surprisal flags rare-token soup / gibberish, low
+    * flags boilerplate; curation keeps the middle band. Returns
+    * `(idCol, mean_surprisal, n_tokens)`.
+    *
+    * Two exchanges, both of narrow exploded (doc, token) pairs: the tf
+    * groupBy (q73's single-exchange unigram table) and the re-aggregation
+    * per doc after the tok join. At 100 TB the production form reads tf
+    * from its written table instead of recomputing it in-plan.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum(col("c")).as("total"))
+    toks.join(tf, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(-log(col("c").cast("double") / col("total"))).as("mean_surprisal"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
+  /** Temperature-scaled mixture weights (the T5/multilingual-LM sampling
+    * rule): `w_s ∝ toks_s^alpha`, normalized. `alpha = 1` reproduces the
+    * natural share; `alpha → 0` approaches uniform — in between, small
+    * sources are upweighted without letting any source dominate. Returns
+    * one row per stratum: `(stratumCol, toks, natural_share, weight)` —
+    * the weight table a token-budget sampler consumes. One exchange
+    * (map-side-combined token sums per stratum); the normalizer is a
+    * 1-row aggregate broadcast-crossed back.
+    */
+  def mixtureWeights(docs: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
+    val bySource = docs
+      .select(col(stratumCol), TF.tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy(col(stratumCol)).agg(sum(col("__n")).as("toks"))
+    val norm = bySource.agg(
+      sum(col("toks")).as("__total"),
+      sum(pow(col("toks").cast("double"), alpha)).as("__z"))
+    bySource.crossJoin(broadcast(norm))
+      .select(col(stratumCol), col("toks"),
+        (col("toks").cast("double") / col("__total")).as("natural_share"),
+        (pow(col("toks").cast("double"), alpha) / col("__z")).as("weight"))
+  }
+
   /** Adaptive per-stratum quality filtering: keep rows whose score is at
     * or above their OWN stratum's p-th discrete percentile (p = num/den),
     * rather than one corpus-global cutoff — the standard guard against a

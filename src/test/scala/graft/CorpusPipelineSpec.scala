@@ -200,6 +200,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
   }
 
+  test("unigram surprisal: closed-form on a known distribution, rare > common") {
+    // corpus: tokens a×4, b×2, x×1, y×1 (total 8)
+    val docs = Seq((1L, "a a b"), (2L, "a a b x"), (3L, "y")).toDF("doc_id", "text")
+    val out = CorpusPipeline.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    def s(c: Long) = -math.log(c / 8.0)
+    assert(math.abs(out(1L)._1 - (2 * s(4) + s(2)) / 3.0) < 1e-9)
+    assert(math.abs(out(2L)._1 - (2 * s(4) + s(2) + s(1)) / 4.0) < 1e-9)
+    assert(math.abs(out(3L)._1 - s(1)) < 1e-9)
+    assert(out(1L)._2 == 3 && out(2L)._2 == 4 && out(3L)._2 == 1)
+    // the all-rare doc is the most surprising; the all-common the least
+    assert(out(3L)._1 > out(2L)._1 && out(2L)._1 > out(1L)._1)
+  }
+
+  test("mixture weights: alpha=1 is the natural share, small alpha compresses") {
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "tok tok tok tok") }
+      .toDF("doc_id", "source", "text")
+    def w(alpha: Double) =
+      CorpusPipeline.mixtureWeights(docs, "source", "text", alpha)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val natural = w(1.0)
+    assert(natural("big")._1 == 360 && natural("small")._1 == 40)
+    assert(math.abs(natural("big")._3 - 0.9) < 1e-9, "alpha=1 reproduces natural share")
+    val temp = w(0.3)
+    assert(temp("small")._3 > 0.1 && temp("big")._3 < 0.9,
+      "temperature upweights the small source")
+    assert(math.abs(temp("big")._3 + temp("small")._3 - 1.0) < 1e-9, "weights normalize")
+    assert(temp("big")._3 > temp("small")._3, "but never inverts the order")
+  }
+
   test("adaptive quality filter: per-stratum discrete-p25 cutoff, ties kept, both modes") {
     // stratum "a": scores 1..8 → target row ceil(0.25*8)=2 → thr=2, keeps 2..8
     // stratum "b": scores 100x then 200 over ties → per-stratum cutoffs independent
