@@ -302,6 +302,43 @@ object Dedup {
       .agg(count_distinct(col("__h")).as("n_hits"))
   }
 
+  /** [[flagContaminated]]'s sketch-side scale path: when the benchmark
+    * gram set outgrows what a broadcast hash join should carry (very
+    * large eval suites, or decontaminating against another CORPUS rather
+    * than a benchmark), collapse it to a Bloom filter — `fpp` at 1e-4
+    * costs ~2.4 bytes/gram vs 8+ for the exact set, and membership
+    * pushes into the corpus scan as a `might_contain` filter instead of a
+    * join. Bloom filters have NO false negatives, so every genuinely
+    * contaminated doc is still flagged; false positives (rate `fpp`)
+    * over-flag — the conservative direction for decontamination. Counts
+    * are therefore upper bounds; callers needing exact counts re-check
+    * flagged docs (a tiny fraction) with the exact path.
+    */
+  def flagContaminatedBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 5,
+      fpp: Double = 1e-4): DataFrame = {
+    val benchGrams = benchmark
+      .select(HashFunctions.hashedWordShingles(
+        TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
+      .select(explode(col("__sh")).as("__h")).distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("__h", expected, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    corpus
+      .select(col(idCol), HashFunctions.hashedWordShingles(
+        TextFunctions.tokens(col(textCol)), n).as("__sh"))
+      .select(col(idCol), explode(col("__sh")).as("__h"))
+      .filter(mightContain(col("__h")))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("__h")).as("n_hits"))
+  }
+
   /** Keep exactly one document per near-dup cluster (the minimum id),
     * passing every unclustered document through: df ⟕ clusters, keep rows
     * whose id IS its cluster_id or that have no cluster at all. One

@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
     assert(flagged(3L) > flagged(1L)) // longer overlap → more distinct shared grams
   }
 
+  test("bloom decontamination: no false negatives vs exact path, clean doc survives") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (2L, "completely unrelated clean content with plenty of words here"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight and more"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.flagContaminated(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.flagContaminatedBloom(corpus, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit appears with at least its count
+    exact.foreach { case (id, hits) =>
+      assert(bloom.contains(id) && bloom(id) >= hits, s"doc $id lost hits in the sketch path") }
+    // at fpp=1e-4 on this tiny vocabulary the clean doc stays clean
+    assert(!bloom.contains(2L))
+  }
+
   test("keepBestPerCluster: highest score survives, ties to larger id, singletons pass") {
     // cluster {1,2,3} via transitive edges 1-2, 2-3; cluster {10,11} tied
     // on score; 20 unclustered
