@@ -80,6 +80,33 @@ object StreamOps {
         updates.withWatermark(upTs, watermark),
         expr(s"$evKey = $upKey AND $upTs >= $evTs - INTERVAL $lookback AND $upTs <= $evTs"))
 
+  /** Streaming benchmark-contamination guard: documents arrive as a
+    * stream (the live crawl); the benchmark is STATIC, so its distinct
+    * hashed n-grams are materialized ONCE at stream definition and enter
+    * the plan as a single array literal — the per-batch check is a pure
+    * codegen projection (`array_intersect` against the literal), with no
+    * join, no state store, and nothing watermark-dependent: the guard
+    * runs at any throughput. Emits only the CLEAN documents, so test-set
+    * leakage is dropped at ingest, before it ever reaches the corpus
+    * store. Gram construction is bit-identical to the batch
+    * [[graft.operators.Dedup.flagContaminated]], so batch and streaming
+    * decide identically; like that path's broadcast, the literal set
+    * assumes an eval-suite-sized benchmark — beyond that, pre-filter
+    * with [[graft.operators.Dedup.flagContaminatedBloom]]'s sketch.
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    val benchGrams: Array[Long] = benchmark
+      .select(graft.functions.HashFunctions.hashedWordShingles(
+        graft.functions.TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
+      .select(explode(col("__sh")).as("__h")).distinct()
+      .collect().map(_.getLong(0))
+    docs.filter(size(array_intersect(
+      graft.functions.HashFunctions.hashedWordShingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), n),
+      typedLit(benchGrams))) === 0)
+  }
+
   /** Gap-based session aggregation via the BUILT-IN `session_window` —
     * the idiomatic form when the per-session output is an aggregate:
     * Spark owns session merge, state, and watermark eviction; zero custom

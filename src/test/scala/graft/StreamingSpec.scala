@@ -45,6 +45,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = StreamOps.decontaminateStream(df, "doc_id", "text", bench, "text")
+      .writeStream.format("memory").queryName("dc").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "prefix the quick brown fox jumps over the lazy dog suffix"), // leaked
+        (2L, "completely unrelated clean content with plenty of words"))
+      input.addData( // second micro-batch: stateless guard decides identically
+        (3L, "more the quick brown fox jumps over the lazy dog again"),
+        (4L, "another clean document streaming through the pipeline"))
+      q.processAllAvailable()
+      val ids = spark.table("dc").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 4L), "contaminated docs dropped in every batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join enriches events with in-window updates only") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Timestamp, Double)]
