@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.sources.JsonlCorpus
+
+class JsonlCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("doc_id", LongType).add("text", StringType).add("url", StringType)
+
+  test("round-trip: write then read preserves rows under explicit schema") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    val docs = Seq(
+      (1L, "first doc", "http://a"),
+      (2L, "second \"quoted\" doc", "http://b"),
+      (3L, null.asInstanceOf[String], "http://c")) // null field survives
+      .toDF("doc_id", "text", "url")
+    JsonlCorpus.write(docs, dir, partitions = 2)
+    val back = JsonlCorpus.read(spark, dir, schema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(back == Set(
+      (1L, Some("first doc"), "http://a"),
+      (2L, Some("second \"quoted\" doc"), "http://b"),
+      (3L, None, "http://c")))
+  }
+
+  test("malformed lines: dropped in DROPMALFORMED, quarantined in PERMISSIVE") {
+    val dir = Files.createTempDirectory("jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 1, "text": "good", "url": "u1"}
+        |this is not json at all
+        |{"doc_id": 2, "text": "also good", "url": "u2"}
+        |{"doc_id": "not-a-number", "text": "type drift", "url": "u3"}
+        |""".stripMargin)
+    val dropped = JsonlCorpus.read(spark, dir, schema)
+    assert(dropped.select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "both the non-JSON line and the type-drifted row are dropped")
+    // persist before the corrupt-only projection (Spark refuses it on a
+    // raw scan — the column can't populate without parsing data columns)
+    val kept = JsonlCorpus.readWithCorrupt(spark, dir, schema).cache()
+    assert(kept.count() == 4, "PERMISSIVE loses nothing")
+    val corrupt = kept.filter(col("_corrupt").isNotNull)
+      .select("_corrupt").as[String].collect()
+    assert(corrupt.length == 2)
+    assert(corrupt.exists(_.contains("not json")))
+    assert(corrupt.exists(_.contains("not-a-number")), "type drift is quarantined, not coerced")
+  }
+}
