@@ -46,6 +46,11 @@ object CorpusPipeline {
         //        near-dup CLUSTER (Dedup.keepOnePerCluster) — transitive
         //        semantics, a few extra label-propagation rounds.
       // ---- opt-in release stages (None/off = q44-compatible pipeline) ----
+      normalizeUnicode: Boolean = false,
+        // stage 0: NFC + control/zero-width strip + whitespace fold
+        // (TextFunctions.cleanText) BEFORE any hashing — composed vs
+        // decomposed renderings of the same text otherwise carry
+        // different fingerprints and sail through exact dedup
       classifierBuckets: Option[Int] = None,
         // model-based quality gate: drop docs whose hashed-linear score
         // (TextFunctions.linearScoreMilli) is negative
@@ -124,7 +129,13 @@ object CorpusPipeline {
     * ships.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String, cfg: Config = Config()): DataFrame = {
-    val gated0 = qualityFilter(annotate(docs, idCol, textCol, cfg), cfg)
+    // stage 0 (opt-in): byte-level canonicalization feeds every later
+    // fingerprint/shingle — a pure projection folded into the first scan
+    val input =
+      if (cfg.normalizeUnicode)
+        docs.withColumn(textCol, TF.cleanText(col(textCol)))
+      else docs
+    val gated0 = qualityFilter(annotate(input, idCol, textCol, cfg), cfg)
     val gated = cfg.classifierBuckets match {
       case Some(k) => gated0.filter(TF.linearScoreMilli(col("__toks"), k) >= 0L)
       case None => gated0

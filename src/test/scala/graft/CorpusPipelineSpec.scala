@@ -200,6 +200,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
   }
 
+  test("curate normalizeUnicode: NFC variants collapse to one doc in exact dedup") {
+    val base = "the quick brown fox jumps over the lazy dog caf"
+    val composed = (1L, base + "\u00e9 here and plenty of extra tokens to pass quality gates")
+    val decomposed = (2L, base + "e\u0301 here and plenty of extra tokens to pass quality gates")
+    val docs = Seq(composed, decomposed).toDF("doc_id", "text")
+    // without normalization the byte-different renderings both survive
+    val off = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5))
+    assert(off.count() == 2, "NFC variants defeat exact dedup when normalization is off")
+    // with stage 0 on, they fingerprint identically and dedup keeps one
+    val on = CorpusPipeline.curate(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5, normalizeUnicode = true))
+    assert(on.count() == 1, "normalized variants collapse")
+    assert(on.select(max(length(col("text")))).as[Int].head ==
+      on.select(min(length(col("text")))).as[Int].head)
+  }
+
   test("unigram surprisal: closed-form on a known distribution, rare > common") {
     // corpus: tokens a×4, b×2, x×1, y×1 (total 8)
     val docs = Seq((1L, "a a b"), (2L, "a a b x"), (3L, "y")).toDF("doc_id", "text")
