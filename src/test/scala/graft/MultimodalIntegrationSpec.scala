@@ -5,7 +5,7 @@ import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.functions._
-import graft.multimodal.ImageOps
+import graft.multimodal.{AvOps, ImageOps}
 import graft.operators.{Dedup, Similarity}
 
 /** End-to-end multimodal path: raw image bytes → decoded feature
@@ -46,5 +46,45 @@ class MultimodalIntegrationSpec extends SparkSpec {
       df.filter(col("id") === 0), "id", "feat", k = 4)
       .select("neighbor_id", "rank").as[(Long, Int)].collect()
     assert(topk.filter(_._2 <= 4).map(_._1).count(_ < 5) == 4)
+  }
+
+  private def sineWav(freq: Double, amp: Double, sr: Int = 8000): Array[Byte] = {
+    val n = (0.25 * sr).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio corpus near-dup via band energies: same-pitch clips pair, cross-pitch don't") {
+    // low-pitch family (band 0) vs high-pitch family (band 5); amplitude
+    // and small frequency jitter vary WITHIN a family — cosine on the
+    // band-energy vector is scale-invariant, so variants still match
+    val rows = (0 until 4).map(i => (i.toLong, sineWav(435.0 + 3 * i, 0.3 + 0.1 * i))) ++
+      (0 until 4).map(i => (4L + i, sineWav(2710.0 + 3 * i, 0.3 + 0.1 * i)))
+    val df = rows.toDF("id", "content")
+      .select(col("id"),
+        AvOps.audioFeatures(nBands = 8)(col("content")).getField("band_energy")
+          .cast("array<float>").as("feat"))
+      .withColumn("blk", lit(0)) // one block: let cosine do the separating
+    val pairs = Dedup.embeddingNearDuplicates(df, "id", "feat", "blk", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => (a < 4) == (b < 4) },
+      "no pair may bridge the two pitch families")
+    // search from a low-pitch query returns the low-pitch family
+    val topk = Similarity.bruteForceCosineTopK(df, "id", "feat",
+      df.filter(col("id") === 0), "id", "feat", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(topk.filter(_._2 <= 3).map(_._1).count(_ < 4) == 3)
   }
 }
