@@ -87,4 +87,28 @@ class MultimodalIntegrationSpec extends SparkSpec {
       .select("neighbor_id", "rank").as[(Long, Int)].collect()
     assert(topk.filter(_._2 <= 3).map(_._1).count(_ < 4) == 3)
   }
+
+  test("video duplicate-clip detection: shared keyframes pair across videos") {
+    import AvFixtures.{jpegFrame, mjpegAvi}
+    // video 10 and video 11 share a red keyframe (the reused clip);
+    // their other keyframes are unrelated colors
+    val vids = Seq(
+      AvOps.AvRecord(10L, "video", mjpegAvi(
+        Seq(jpegFrame(0xe01010), jpegFrame(0x1010e0)), Seq(true, true))),
+      AvOps.AvRecord(11L, "video", mjpegAvi(
+        Seq(jpegFrame(0xe21412), jpegFrame(0x10e010)), Seq(true, true)))).toDS()
+    val frames = AvOps.videoKeyFrames(vids)
+      .map(f => (f.id * 100 + f.frame_idx, f.id, f.frame_bytes))
+      .toDF("frame_key", "video_id", "bytes")
+      .withColumn("feat", ImageOps.imageFeatures(col("bytes")))
+      .withColumn("blk", lit(0))
+    val pairs = Dedup.embeddingNearDuplicates(frames, "frame_key", "feat", "blk",
+      threshold = 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // the ONLY cross-video pair is the two red frames (frame 0 of each)
+    val crossVideo = pairs.filter { case (a, b) => a / 100 != b / 100 }
+    assert(crossVideo.nonEmpty, "the reused clip must be detected")
+    assert(crossVideo.forall { case (a, b) =>
+      Set(a, b) == Set(1000L, 1100L) }, s"unexpected cross-video pairs: ${crossVideo.toSeq}")
+  }
 }
