@@ -320,6 +320,31 @@ object CorpusPipeline {
     df.filter(u < frac)
   }
 
+  /** Partitioned corpus release with a certifying manifest: write the
+    * curated corpus partitioned by `partCol` (the layout trainers consume
+    * — per-language/per-source file trees), then compute the manifest
+    * FROM THE WRITTEN FILES, not from the input plan, so it certifies
+    * what actually landed on disk (a lost partition or a failed task
+    * shows up as a count/signature mismatch, not a silent gap). Manifest
+    * rows are `(partCol, n_docs, n_tokens, content_sig)` where
+    * `content_sig` is the bit-XOR of per-doc xxhash64(text) — order- and
+    * partitioning-invariant, so two releases of the same corpus match
+    * bit-for-bit however they were shuffled. The manifest is also
+    * written inside the release as `_manifest` (JSONL): the underscore
+    * prefix keeps Spark's file discovery from reading it back as data.
+    */
+  def writeRelease(df: DataFrame, dir: String, partCol: String,
+      textCol: String): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+    val manifest = df.sparkSession.read.parquet(dir)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        bit_xor(xxhash64(col(textCol))).as("content_sig"))
+    graft.sources.JsonlCorpus.write(manifest, s"$dir/_manifest", partitions = 1)
+    manifest
+  }
+
   /** Per-document mean token surprisal −ln p(tok) under the corpus's own
     * unigram LM — the SQL-expressible analog of CCNet's KenLM perplexity
     * filter: high mean surprisal flags rare-token soup / gibberish, low

@@ -200,6 +200,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._3).toMap == repart, "slot must not depend on partitioning")
   }
 
+  test("writeRelease: partitioned layout, manifest certifies written data, sig is layout-invariant") {
+    val dir = Files.createTempDirectory("release").toString + "/corpus"
+    val docs = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four five"),
+      (3L, "fr", "un deux trois quatre")).toDF("doc_id", "lang", "text")
+    val manifest = CorpusPipeline.writeRelease(docs, dir, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest("en")._1 == 2 && manifest("en")._2 == 5)
+    assert(manifest("fr")._1 == 1 && manifest("fr")._2 == 4)
+    // release re-reads as data; the _manifest dir is invisible to discovery
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3 && back.columns.toSet == Set("doc_id", "lang", "text"))
+    // content signature is invariant to physical layout...
+    val dir2 = Files.createTempDirectory("release").toString + "/corpus"
+    val manifest2 = CorpusPipeline.writeRelease(docs.repartition(7), dir2, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(manifest2("en") == manifest("en")._3 && manifest2("fr") == manifest("fr")._3)
+    // ...but not to content
+    val dir3 = Files.createTempDirectory("release").toString + "/corpus"
+    val tampered = docs.withColumn("text",
+      when(col("doc_id") === 1L, lit("one two CHANGED")).otherwise(col("text")))
+    val manifest3 = CorpusPipeline.writeRelease(tampered, dir3, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(manifest3("en") != manifest("en")._3, "content change must change the signature")
+    assert(manifest3("fr") == manifest("fr")._3, "untouched partition keeps its signature")
+  }
+
   test("curate normalizeUnicode: NFC variants collapse to one doc in exact dedup") {
     val base = "the quick brown fox jumps over the lazy dog caf"
     val composed = (1L, base + "\u00e9 here and plenty of extra tokens to pass quality gates")
