@@ -1817,11 +1817,11 @@ object Queries {
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
-        trim(regexp_replace(regexp_replace(nfc_normalize(text),
-          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        trim(regexp_replace(nfc_normalize(regexp_replace(text,
+          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g')),
           '[ \t\n\r\f\x{000B}]+', ' ', 'g')) AS clean,
-        CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        CAST(length(trim(regexp_replace(nfc_normalize(regexp_replace(text,
+          '[\x{0000}-\x{0008}\x{000E}-\x{001F}\x{007F}-\x{009F}\x{200B}-\x{200D}\x{FEFF}]', '', 'g')),
           '[ \t\n\r\f\x{000B}]+', ' ', 'g'))) AS BIGINT) AS n_clean
       FROM documents ORDER BY doc_id"""))
 

@@ -41,21 +41,24 @@ object TextFunctions {
     * dedup sketch — so that byte-different renderings of the same visible
     * text (composed vs decomposed accents, zero-width joiners, stray
     * control bytes from broken transcoding) collapse to one form:
-    *   1. NFC canonical composition ([[graft.plans.NfcNormalize]], native
-    *      — Spark has no normalization builtin);
-    *   2. strip control/format chars: C0 (except the whitespace ones,
+    *   1. strip control/format chars: C0 (except the whitespace ones,
     *      which step 3 folds into spaces), DEL+C1, zero-widths
-    *      U+200B-U+200D, BOM;
+    *      U+200B-U+200D, BOM — BEFORE normalization, because a format
+    *      char sitting between a base char and its combining mark blocks
+    *      NFC composition ("e"+ZWSP+U+0301 stays decomposed under
+    *      NFC-first and only composes once the ZWSP is gone);
+    *   2. NFC canonical composition ([[graft.plans.NfcNormalize]], native
+    *      — Spark has no normalization builtin);
     *   3. collapse whitespace runs (space \t \n \r \f \x0B) to a single
     *      space and trim.
-    * Steps 2-3 are builtin `regexp_replace` (codegen'd); the char classes
-    * use explicit ranges so Java regex and DuckDB's RE2 (the q79 oracle)
-    * agree by construction — no `\s`, whose definition differs between
-    * the engines.
+    * Steps 1 and 3 are builtin `regexp_replace` (codegen'd); the char
+    * classes use explicit ranges so Java regex and DuckDB's RE2 (the q79
+    * oracle) agree by construction — no `\s`, whose definition differs
+    * between the engines.
     */
   def cleanText(text: Column): Column =
-    trim(regexp_replace(regexp_replace(call_function("graft_nfc", text),
-      "[\\x{0000}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]", ""),
+    trim(regexp_replace(call_function("graft_nfc", regexp_replace(text,
+      "[\\x{0000}-\\x{0008}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}\\x{200B}-\\x{200D}\\x{FEFF}]", "")),
       "[ \\t\\n\\r\\f\\x{000B}]+", " "))
 
   /** Word n-gram shingles ("a b c" with n=2 → ["a b", "b c"]).

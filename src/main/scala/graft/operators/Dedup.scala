@@ -326,8 +326,13 @@ object Dedup {
       .select(HashFunctions.hashedWordShingles(
         TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
       .select(explode(col("__sh")).as("__h")).distinct()
-    val expected = math.max(benchGrams.count(), 1L)
-    val bloom = benchGrams.stat.bloomFilter("__h", expected, fpp)
+      .persist() // two actions follow (count + bloom build): one job each,
+                 // not two full tokenize-shingle-distinct pipelines
+    val bloom =
+      try {
+        val expected = math.max(benchGrams.count(), 1L)
+        benchGrams.stat.bloomFilter("__h", expected, fpp)
+      } finally benchGrams.unpersist(blocking = false)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     corpus

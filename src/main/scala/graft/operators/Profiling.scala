@@ -31,7 +31,9 @@ object Profiling {
       if (exact) c => count_distinct(col(c))
       else c => approx_count_distinct(col(c))
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // coalesce: sum over ZERO rows is NULL, and an empty table is the
+      // ingest failure a profile gate most needs to report as 0, not null
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c"),
       nd(c).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")))

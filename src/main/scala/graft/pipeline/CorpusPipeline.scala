@@ -327,20 +327,30 @@ object CorpusPipeline {
     * what actually landed on disk (a lost partition or a failed task
     * shows up as a count/signature mismatch, not a silent gap). Manifest
     * rows are `(partCol, n_docs, n_tokens, content_sig)` where
-    * `content_sig` is the bit-XOR of per-doc xxhash64(text) — order- and
-    * partitioning-invariant, so two releases of the same corpus match
-    * bit-for-bit however they were shuffled. The manifest is also
+    * `content_sig` is the bit-XOR of per-ROW xxhash64 over ALL columns —
+    * order- and partitioning-invariant, so two releases of the same
+    * corpus match bit-for-bit however they were shuffled. XOR cancels
+    * duplicate rows pairwise, so the signature assumes rows are unique
+    * (an id column makes them so — the corpus invariant); hashing the
+    * whole row rather than just the text is what keeps two DIFFERENT
+    * duplicate-pairs from certifying as equal. The manifest is also
     * written inside the release as `_manifest` (JSONL): the underscore
     * prefix keeps Spark's file discovery from reading it back as data.
+    *
+    * The returned manifest is an eager snapshot (localCheckpoint): it
+    * certifies THIS write, and later actions on it can never silently
+    * re-read a directory that has since been overwritten.
     */
   def writeRelease(df: DataFrame, dir: String, partCol: String,
       textCol: String): DataFrame = {
     df.write.mode("overwrite").partitionBy(partCol).parquet(dir)
-    val manifest = df.sparkSession.read.parquet(dir)
+    val back = df.sparkSession.read.parquet(dir)
+    val manifest = back
       .groupBy(col(partCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TF.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
-        bit_xor(xxhash64(col(textCol))).as("content_sig"))
+        bit_xor(xxhash64(back.columns.map(col): _*)).as("content_sig"))
+      .localCheckpoint(true)
     graft.sources.JsonlCorpus.write(manifest, s"$dir/_manifest", partitions = 1)
     manifest
   }

@@ -82,29 +82,29 @@ object StreamOps {
 
   /** Streaming benchmark-contamination guard: documents arrive as a
     * stream (the live crawl); the benchmark is STATIC, so its distinct
-    * hashed n-grams are materialized ONCE at stream definition and enter
-    * the plan as a single array literal — the per-batch check is a pure
-    * codegen projection (`array_intersect` against the literal), with no
-    * join, no state store, and nothing watermark-dependent: the guard
-    * runs at any throughput. Emits only the CLEAN documents, so test-set
-    * leakage is dropped at ingest, before it ever reaches the corpus
-    * store. Gram construction is bit-identical to the batch
-    * [[graft.operators.Dedup.flagContaminated]], so batch and streaming
-    * decide identically; like that path's broadcast, the literal set
-    * assumes an eval-suite-sized benchmark — beyond that, pre-filter
-    * with [[graft.operators.Dedup.flagContaminatedBloom]]'s sketch.
+    * hashed n-grams are materialized ONCE at stream definition into a
+    * broadcast hash set — every micro-batch is then a stateless filter
+    * (per-doc cost O(doc grams), set lookups O(1)): no stream join, no
+    * state store, nothing watermark-dependent. Emits only the CLEAN
+    * documents, so test-set leakage is dropped at ingest, before it ever
+    * reaches the corpus store. Gram construction is bit-identical to the
+    * batch [[graft.operators.Dedup.flagContaminated]], so batch and
+    * streaming decide identically. The set is one 8-byte hash per
+    * distinct benchmark gram — eval-suite scale; against a corpus-sized
+    * reference set use [[graft.operators.Dedup.flagContaminatedBloom]]'s
+    * sketch instead (~2.4 B/gram) with the same broadcast-filter shape.
     */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
-    val benchGrams: Array[Long] = benchmark
+    val benchGrams: Set[Long] = benchmark
       .select(graft.functions.HashFunctions.hashedWordShingles(
         graft.functions.TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
       .select(explode(col("__sh")).as("__h")).distinct()
-      .collect().map(_.getLong(0))
-    docs.filter(size(array_intersect(
-      graft.functions.HashFunctions.hashedWordShingles(
-        graft.functions.TextFunctions.tokens(col(textCol)), n),
-      typedLit(benchGrams))) === 0)
+      .collect().map(_.getLong(0)).toSet
+    val gramsBc = docs.sparkSession.sparkContext.broadcast(benchGrams)
+    val clean = udf((sh: Seq[Long]) => sh == null || !sh.exists(gramsBc.value.contains))
+    docs.filter(clean(graft.functions.HashFunctions.hashedWordShingles(
+      graft.functions.TextFunctions.tokens(col(textCol)), n)))
   }
 
   /** Gap-based session aggregation via the BUILT-IN `session_window` —

@@ -17,6 +17,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out.keys.toSeq.sorted == Seq("id", "tag"))
   }
 
+  test("profile: empty table reports zeros, not nulls") {
+    val df = Seq.empty[(Long, String)].toDF("id", "tag")
+    val out = Profiling.profile(df, Seq("id", "tag")).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L,
+        "counts must be 0 on an empty load (the failure a profile gate exists to catch)")
+      assert(r.isNullAt(4) && r.isNullAt(5), "range of an empty table is null")
+    }
+  }
+
   test("profile: approx mode matches exact on small cardinalities") {
     val df = (1L to 200L).map(i => (i, s"v${i % 9}")).toDF("id", "v")
     val exact = Profiling.profile(df, Seq("v")).collect().head

@@ -159,6 +159,9 @@ class TextFunctionsSpec extends SparkSpec {
       decomposed -> composed,                      // NFC canonical composition
       composed -> composed,                        // already-NFC fast path is identity
       ("zero\u200Bwidth\u200D\uFEFFgone") -> "zerowidthgone", // format chars strip to nothing
+      // a format char BETWEEN base char and combining mark would block
+      // NFC if normalization ran first; strip-then-compose yields \u00E9
+      ("caf" + "e" + "\u200B" + "\u0301") -> "caf\u00E9",
       ("ctrl\u0001\u0002here") -> "ctrlhere",      // C0 controls strip
       ("del\u007F\u0085c1\u009Fx") -> "delc1x",    // DEL + C1 strip
       ("a\u000Bb\fc") -> "a b c",                  // VT/FF are whitespace: fold, don't glue
