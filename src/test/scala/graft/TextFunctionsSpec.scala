@@ -176,5 +176,9 @@ class TextFunctionsSpec extends SparkSpec {
     val once = rows.map(_._1).toDF("t").select(TF.cleanText(col("t")).as("c"))
     val twice = once.select(TF.cleanText(col("c"))).as[String].collect()
     assert(twice.toSeq == got.toSeq)
+    // the native expression is registered for SQL too
+    rows.map(_._1).toDF("t").createOrReplaceTempView("clean_in")
+    val viaSql = spark.sql("SELECT graft_nfc(t) FROM clean_in").count()
+    assert(viaSql == rows.size)
   }
 }
