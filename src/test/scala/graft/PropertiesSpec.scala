@@ -40,6 +40,36 @@ object PropertiesSpec extends Properties("graft.kernels") {
       })
     }
 
+  private val bmpCharGen: Gen[Char] = Gen.frequency(
+    (6, Gen.choose(32, 126).map(_.toChar)),            // ASCII
+    (2, Gen.oneOf('é', 'ü', 'ñ', 'č', '中', 'я')),      // precomposed / non-Latin
+    (2, Gen.oneOf('́', '̈', '̧')))       // combining marks
+
+  property("NFC kernel: matches java.text.Normalizer, idempotent") =
+    forAll(Gen.listOf(bmpCharGen).map(_.mkString)) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val once = graft.plans.NfcNormalize.compute(u).toString
+      val again = graft.plans.NfcNormalize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      Prop(once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC) &&
+        again == once)
+    }
+
+  property("NFC kernel: already-normalized input returns the same object (no copy)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      Prop(graft.plans.NfcNormalize.compute(u) eq u)
+    }
+
+  property("bm25 term weight: monotone in tf, saturates below (k1+1)·idf") =
+    forAll(Gen.choose(1L, 1000L), Gen.choose(1L, 2000L), Gen.choose(1.0, 500.0)) {
+      (tf, dl, avgdl) =>
+      val (k1, b) = (1.2, 0.75)
+      def w(t: Long) = (t * (k1 + 1)) / (t + k1 * (1 - b + b * dl / avgdl))
+      // idf factors out; the tf-saturation term does the shaping
+      Prop(w(tf) <= k1 + 1 + 1e-12 && w(tf + 1) > w(tf))
+    }
+
   property("jaccard of distinct sets bounded in [0,1], 1 iff equal sets") =
     forAll(Gen.listOf(Gen.choose(1, 20)), Gen.listOf(Gen.choose(1, 20))) { (a, b) =>
       val (sa, sb) = (a.toSet, b.toSet)
