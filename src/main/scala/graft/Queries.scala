@@ -2017,6 +2017,25 @@ object Queries {
         round(pow(CAST(b.toks AS DOUBLE), 0.3) / n.z, 6) AS weight
       FROM b CROSS JOIN n ORDER BY b.source"""))
 
+  private val q86 = Q(
+    "q86_bpe_train",
+    (s, d) => {
+      // tokenizer training on the corpus (Bpe.learnMerges): ONE corpus
+      // pass builds the word-frequency table, then every merge round is
+      // a pair-count + argmax over that vocab-sized table only. Iterative
+      // with per-round driver actions → no SQL oracle (rows-only by
+      // design); the algorithm itself is pinned by BpeSpec (expected
+      // merges on the classic fixture, determinism under repartition).
+      import s.implicits._
+      val merges = graft.operators.Bpe.learnMerges(
+        Tables.documents(s, d), "text", 12)
+      merges.zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+        .toDF("rank", "sym_a", "sym_b", "weighted_freq")
+        .orderBy(col("rank"))
+    },
+    None)
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2025,5 +2044,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

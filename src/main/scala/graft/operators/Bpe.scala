@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Byte-pair-encoding tokenizer training and exact encoding — the
+  * sentencepiece-training step of an LLM data pipeline, and the exact
+  * token accounting that a regex pre-tokenizer (q38) only approximates.
+  * Character-level BPE (no byte fallback; merges never cross word
+  * boundaries), the algorithm of Sennrich et al. 2016.
+  *
+  * Scale shape: training runs against the WORD-FREQUENCY table, not the
+  * corpus — one corpus pass builds `(word, freq)` (vocab-sized: millions
+  * of rows however many petabytes the corpus is), and every merge
+  * iteration is a pair-count + argmax + merge-apply over that table
+  * only. The corpus is never re-read. Each iteration's best pair is one
+  * tiny driver action; the symbol table re-snapshots per iteration so
+  * lineage cannot compound (same discipline as the CC operator).
+  */
+object Bpe {
+
+  /** Learn `numMerges` ranked merges from the corpus. Returns the merge
+    * list in application order, each with the weighted pair frequency
+    * that won its round. Ties break lexicographically on the pair, so
+    * training is deterministic for a given corpus.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
+    val spark = docs.sparkSession
+    // ONE corpus pass: word frequencies, then symbols = one char each
+    var vocab = docs.select(explode(TF.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "(?!^)").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      // weighted adjacent-pair counts over the vocab table: zip syms with
+      // its own tail, explode, sum freq — all codegen until the final agg
+      val best = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))))).as("p"))
+        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .head(1)
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, n))
+        val mergeOne = udf((syms: Seq[String]) => Bpe.applyMerge(syms, a, b))
+        vocab = vocab.select(col("freq"), mergeOne(col("syms")).as("syms"))
+          .localCheckpoint(true) // cut lineage: iteration i never replays i-1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge pass over a symbol sequence (leftmost-first, as BPE
+    * defines it): every adjacent (a, b) becomes the fused symbol.
+    */
+  def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    if (syms == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Encode every word of a text with a learned merge list: merges apply
+    * in RANK order (the order [[learnMerges]] returned them), exactly as
+    * at training time, so encoding is reproducible anywhere the merge
+    * list travels. Returns the per-word token arrays flattened into one
+    * token sequence per row.
+    */
+  def encodeUdf(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) =>
+      if (text == null) null
+      else text.trim.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
+        var syms: Seq[String] = w.split("(?!^)").toSeq
+        merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+        syms
+      })
+
+  /** Exact BPE token count per document — the budget-enforcement number
+    * q38's regex pre-tokenizer approximates. One projection, no shuffle;
+    * the merge list rides the closure (it is vocab-sized, i.e. small).
+    */
+  def tokenCount(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    size(encodeUdf(merges)(col(textCol)))
+}

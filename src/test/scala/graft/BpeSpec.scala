@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges: classic low/lower corpus learns the expected first merges") {
+    // Sennrich-style fixture: 'lo' is the most frequent adjacent pair
+    // (in every word below), then 'low' once lo exists
+    val docs = Seq(
+      "low low low lower lower lowest").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 3)
+    assert(merges.head._1 == "l" && merges.head._2 == "o",
+      s"first merge must be (l,o): $merges")
+    assert(merges(1)._1 == "lo" && merges(1)._2 == "w",
+      s"second merge must be (lo,w): $merges")
+    // weighted by word frequency: 6 words all contain l+o
+    assert(merges.head._3 == 6L)
+  }
+
+  test("applyMerge: leftmost-first, non-overlapping, fused symbol") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("l", "o", "w"), "l", "o") == Seq("lo", "w"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+    assert(Bpe.applyMerge(Seq.empty, "a", "b") == Seq.empty)
+  }
+
+  test("encode: rank-ordered merges reproduce training segmentation; counts drop as merges grow") {
+    val docs = Seq("low lower newest lowest").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 6).map(m => (m._1, m._2))
+    val encoded = docs.select(Bpe.encodeUdf(merges)(col("text"))).as[Seq[String]].head()
+    // every learned merge is a substring of some word; tokens reassemble the text
+    assert(encoded.mkString == "lowlowernewestlowest")
+    // token budget: more merges → fewer (or equal) tokens, floor = word count
+    val n0 = docs.select(Bpe.tokenCount(docs, "text", Seq.empty)).as[Int].head()
+    val n3 = docs.select(Bpe.tokenCount(docs, "text", merges.take(3))).as[Int].head()
+    val n6 = docs.select(Bpe.tokenCount(docs, "text", merges)).as[Int].head()
+    assert(n0 == "lowlowernewestlowest".length, "zero merges = character count")
+    assert(n3 > n6 || n3 == n6)
+    assert(n6 >= 4, "never fewer tokens than words")
+    assert(n6 < n0, "learned merges must compress the training text")
+  }
+
+  test("training is deterministic: rerun and repartition give identical merges") {
+    val docs = (1 to 50).map(i => s"alpha beta gamma alpha beta doc$i").toDF("text")
+    val a = Bpe.learnMerges(docs, "text", 5)
+    val b = Bpe.learnMerges(docs.repartition(7), "text", 5)
+    assert(a == b)
+  }
+}
