@@ -35,6 +35,7 @@ object Bpe {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
+    var sinceSnapshot = 0
     while (merges.size < numMerges && !done) {
       // weighted adjacent-pair counts over the vocab table: zip syms with
       // its own tail, explode, sum freq — all codegen until the final agg
@@ -52,7 +53,14 @@ object Bpe {
         merges += ((a, b, n))
         val mergeOne = udf((syms: Seq[String]) => Bpe.applyMerge(syms, a, b))
         vocab = vocab.select(col("freq"), mergeOne(col("syms")).as("syms"))
-          .localCheckpoint(true) // cut lineage: iteration i never replays i-1
+        // snapshot every SECOND merge: a two-projection lineage is cheap
+        // to replay in the next round's argmax, and halving the eager
+        // materialization jobs halves training's fixed per-round cost
+        sinceSnapshot += 1
+        if (sinceSnapshot == 2) {
+          vocab = vocab.localCheckpoint(true)
+          sinceSnapshot = 0
+        }
       }
     }
     merges.toSeq
