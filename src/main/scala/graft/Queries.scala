@@ -2036,6 +2036,57 @@ object Queries {
     },
     None)
 
+  private val q87 = Q(
+    "q87_kmv_overlap",
+    (s, d) => {
+      // corpus-merge accounting via KMV sketches (operators/Sketches):
+      // distinct-token estimates for two corpus halves plus their union
+      // AND intersection — the question HLL cannot answer. The sketch is
+      // plain data (k smallest sha-60 hashes), so unlike every other
+      // sketch op this one is fully DuckDB-replayable and hash-checked.
+      import s.implicits._
+      val k = 256
+      val toks = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("side"), explode(TF.tokens(col("text"))).as("tok"))
+      def sketch(side: Int): Array[Long] =
+        graft.operators.Sketches.kmvSketch(
+          toks.filter(col("side") === side), col("tok"), k)
+          .select("h").as[Long].collect()
+      val (a, b) = (sketch(0), sketch(1))
+      val (estU, estI) = graft.operators.Sketches.kmvUnionIntersection(a, b, k)
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r4(graft.operators.Sketches.kmvEstimate(a, k)),
+        r4(graft.operators.Sketches.kmvEstimate(b, k)), r4(estU), r4(estI)))
+        .toDF("est_a", "est_b", "est_union", "est_intersection")
+    },
+    Some("""WITH t AS (SELECT doc_id % 2 AS side,
+          unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+      hh AS (SELECT DISTINCT side,
+          CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      a AS (SELECT h FROM hh WHERE side = 0 ORDER BY h LIMIT 256),
+      b AS (SELECT h FROM hh WHERE side = 1 ORDER BY h LIMIT 256),
+      comb AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT 256),
+      ea AS (SELECT count(*) AS n, max(h) AS kth FROM a),
+      eb AS (SELECT count(*) AS n, max(h) AS kth FROM b),
+      ec AS (SELECT count(*) AS n, max(h) AS kth FROM comb),
+      j AS (SELECT CAST((SELECT count(*) FROM comb
+            WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS DOUBLE)
+          / (SELECT count(*) FROM comb) AS jac),
+      est AS (SELECT
+        CASE WHEN ea.n < 256 THEN CAST(ea.n AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60) / ea.kth END AS est_a,
+        CASE WHEN eb.n < 256 THEN CAST(eb.n AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60) / eb.kth END AS est_b,
+        CASE WHEN ec.n < 256 THEN CAST(ec.n AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60) / ec.kth END AS est_union,
+        j.jac AS jac
+        FROM ea, eb, ec, j)
+      SELECT round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+        round(est_union, 4) AS est_union,
+        round(est_union * jac, 4) AS est_intersection
+      FROM est"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2044,5 +2095,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketches — the mergeable
+  * estimator for the corpus-merge questions HLL cannot answer: HLL gives
+  * |A∪B| but not |A∩B|, while two KMV sketches combine into union AND
+  * intersection estimates ("how many NEW distinct tokens does this crawl
+  * snapshot add?" is the curation question this exists for).
+  *
+  * The sketch is just the k smallest hash values of the distinct items —
+  * plain DATA, deterministic for a given input, which is what makes the
+  * whole estimate DuckDB-replayable (q87) where HLL's register file is
+  * not. Hashing is a sha-256 prefix read as a 60-bit integer: uniform,
+  * stable across engines (DuckDB has sha256 but not xxhash64), and
+  * collision-safe far beyond sketch resolution.
+  *
+  * Scale shape: one exchange for the distinct, then the k-smallest is a
+  * TopK-style bounded sort (LIMIT k after ORDER BY pushes a per-partition
+  * heap bound below the final merge) — the sketch never exceeds k rows
+  * however large the corpus.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash from the sha-256 hex prefix (15 hex chars).
+    * `conv` returns the value as a string; the cast finishes the trip.
+    * All builtin codegen'd expressions — replayable in DuckDB 1.0.0 as
+    * `CAST(('0x' || substr(sha256(x), 1, 15)) AS BIGINT)`.
+    */
+  def sha60(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+  /** The KMV sketch of a column: the k smallest sha60 values of its
+    * distinct items, ascending. At most k rows come back.
+    */
+  def kmvSketch(df: DataFrame, c: Column, k: Int): DataFrame =
+    df.select(sha60(c).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a full sketch: (k−1) / (kth-min / M)
+    * where M = 2^60 is the hash range — the classic KMV estimator
+    * (Bar-Yossef et al.). If the sketch holds fewer than k values the
+    * input had fewer than k distincts and the count is EXACT.
+    */
+  def kmvEstimate(sketch: Array[Long], k: Int): Double = {
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble * Sketches.M / sketch(k - 1)
+  }
+
+  /** Union and intersection estimates from two sketches (Beyer et al.):
+    * combine to the k smallest of the union of both sketches; the union
+    * estimate is KMV on that combined sketch, and the intersection
+    * scales it by the Jaccard estimate = |both sketches ∩ combined| / k.
+    */
+  def kmvUnionIntersection(a: Array[Long], b: Array[Long], k: Int): (Double, Double) = {
+    val combined = (a ++ b).distinct.sorted.take(k)
+    val union = kmvEstimate(combined, k)
+    val inBoth = combined.count(h => a.contains(h) && b.contains(h))
+    val jaccard = inBoth.toDouble / combined.length
+    (union, union * jaccard)
+  }
+
+  val M: Double = math.pow(2.0, 60)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(items: Seq[String], k: Int): Array[Long] =
+    Sketches.kmvSketch(items.toDF("x"), col("x"), k).select("h").as[Long].collect()
+
+  test("kmv: exact below k, within ~3/sqrt(k) relative error above") {
+    val small = sketchOf((1 to 100).map("s" + _), 256)
+    assert(Sketches.kmvEstimate(small, 256) == 100.0, "fewer than k distincts = exact count")
+    val n = 20000
+    val big = sketchOf((1 to n).map("item" + _), 256)
+    assert(big.length == 256)
+    val est = Sketches.kmvEstimate(big, 256)
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(256), s"estimate $est too far from $n")
+  }
+
+  test("kmv union/intersection: disjoint ~0 overlap, identical ~full overlap, partial in between") {
+    val k = 256
+    val a = sketchOf((1 to 5000).map("a" + _), k)
+    val b = sketchOf((1 to 5000).map("b" + _), k)
+    val (u, i) = Sketches.kmvUnionIntersection(a, b, k)
+    assert(math.abs(u - 10000) / 10000 < 0.25 && i < 0.05 * u, "disjoint sets: tiny intersection")
+    val (u2, i2) = Sketches.kmvUnionIntersection(a, a, k)
+    assert(u2 == Sketches.kmvEstimate(a, k) && math.abs(i2 - u2) < 1e-9,
+      "identical sketches: intersection = union")
+    // half-overlapping: a1..6000 vs a4001..10000 → true |∩|/|∪| = 0.2
+    val c = sketchOf((1 to 6000).map("a" + _), k)
+    val d = sketchOf((4001 to 10000).map("a" + _), k)
+    val (u3, i3) = Sketches.kmvUnionIntersection(c, d, k)
+    assert(math.abs(u3 - 10000) / 10000 < 0.25)
+    assert(i3 > 0.08 * u3 && i3 < 0.35 * u3, s"overlap estimate $i3 of union $u3 off 0.2")
+  }
+
+  test("kmv sketch is deterministic data: repartition cannot change it") {
+    val items = (1 to 3000).map("x" + _)
+    val a = sketchOf(items, 128).toSeq
+    val b = Sketches.kmvSketch(items.toDF("x").repartition(11), col("x"), 128)
+      .select("h").as[Long].collect().toSeq
+    assert(a == b)
+  }
+}
