@@ -2087,6 +2087,42 @@ object Queries {
         round(est_union * jac, 4) AS est_intersection
       FROM est"""))
 
+  private val q88 = Q(
+    "q88_jaccard_join_exact",
+    (s, d) => {
+      // EXACT set-similarity self-join by prefix filtering (Similarity
+      // .jaccardSimilarityJoin) — recall 1.0, no sketch. Planted
+      // near-copies (drop first token, append a marker) of the docs
+      // below 100 give the corpus known high-Jaccard pairs; the doc_id
+      // bound keeps the all-pairs DuckDB oracle tractable and the
+      // query's cost constant across scale factors.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 100)
+      val offset = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1
+      val toks = TF.tokens(col("text"))
+      val planted = docs.select((col("doc_id") + offset).as("doc_id"),
+        concat(array_join(slice(toks, lit(2), size(toks) - 1), " "),
+          lit(" zzdup")).as("text"))
+      Similarity.jaccardSimilarityJoin(
+        docs.unionByName(planted), "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+      base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      planted AS (SELECT doc_id + (SELECT off FROM mx) AS doc_id,
+          array_to_string(string_split_regex(trim(text),'\s+')[2:], ' ') || ' zzdup' AS text
+        FROM base),
+      alls AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+      st AS (SELECT doc_id, list_distinct(string_split_regex(trim(text),'\s+')) AS ts
+        FROM alls),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.ts, b.ts))) AS j
+        FROM st a JOIN st b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
+      WHERE j >= 0.8 ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2095,5 +2131,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

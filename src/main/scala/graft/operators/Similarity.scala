@@ -184,6 +184,63 @@ object Similarity {
     * posexplode → per-dimension avg → re-assemble ordered by position.
     * Two shuffles regardless of dimension; no vectors on the driver.
     */
+  /** EXACT set-similarity self-join (prefix filtering — the AllPairs /
+    * PPJoin family): all pairs of documents whose token-SET Jaccard is
+    * ≥ `threshold`, with no probabilistic misses — the exact counterpart
+    * of the MinHash-LSH path ([[Dedup.minHashNearDuplicates]]), for when
+    * recall must be 1.0 (legal/contractual dedup, eval-set policing).
+    *
+    * The algorithm's exactness argument: order every doc's tokens by
+    * ascending global document frequency (rarest first; ties
+    * lexicographic) and keep only the first `n − ceil(t·n) + 1` as its
+    * PREFIX. Two sets with Jaccard ≥ t must share ≥ ceil(t·n) tokens,
+    * so by pigeonhole they share at least one PREFIX token — the prefix
+    * equi-join therefore misses nothing, and the exact
+    * `array_intersect / array_union` verify on candidates removes all
+    * false positives.
+    *
+    * Scale shape: the candidate join is an equi-join on single (rare!)
+    * prefix tokens — frequency-ascending ordering is what keeps 'the'
+    * out of every prefix, so candidate fan-out tracks rare-token df², not
+    * corpus df². Rank assignment is one exchange on tok; the verify joins
+    * full token arrays back by id (two hash joins). No all-pairs stage
+    * exists anywhere.
+    */
+  def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val sets = docs.select(col(idCol),
+      array_distinct(graft.functions.TextFunctions.tokens(col(textCol))).as("__toks"))
+    // global token order: df ascending, lexicographic tiebreak. The
+    // (df, tok) struct IS the order key — any order-preserving key works
+    // for prefix selection, so no global row_number (which would be a
+    // single-partition window over the vocabulary) is ever needed.
+    val rank = sets.select(explode(col("__toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted by rarity → prefix of length n - ceil(t*n) + 1
+    val prefixes = sets
+      .select(col(idCol), size(col("__toks")).as("n"), explode(col("__toks")).as("tok"))
+      .join(rank, "tok")
+      .groupBy(col(idCol), col("n"))
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
+        lit(1), (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+      .select(col(idCol), explode(col("pre.tok")).as("tok"))
+    val cands = prefixes.as("l")
+      .join(prefixes.as("r"), col("l.tok") === col("r.tok") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    // exact verify on candidates only
+    val a = sets.select(col(idCol).as("id_a"), col("__toks").as("__ta"))
+    val b = sets.select(col(idCol).as("id_b"), col("__toks").as("__tb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("double") /
+          size(array_union(col("__ta"), col("__tb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def trainCentroids(df: DataFrame, embCol: String, groupCol: String): DataFrame =
     df.select(col(groupCol).as("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy(col("centroid_id"), col("pos"))

@@ -96,4 +96,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(x => x.getAs[Int]("rank") <= 3))
   }
+
+  test("prefix-filter jaccard join: exactly the brute-force pairs, recall 1.0") {
+    import spark.implicits._
+    // 60 docs over a shared vocab with planted high-overlap pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 40).map("w" + _)
+    def doc(): String = rnd.shuffle(vocab).take(12).mkString(" ")
+    val base = (1L to 50L).map(i => (i, doc()))
+    // planted: near-copies of docs 1..5 (swap one token) → jaccard 11/13 ≈ 0.846
+    val planted = (1L to 5L).map(i =>
+      (100L + i, base(i.toInt - 1)._2.split(" ").drop(1).mkString(" ") + " zz" + i))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val t = 0.7
+    val got = Similarity.jaccardSimilarityJoin(docs, "doc_id", "text", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs (test-only oracle)
+    val sets = (base ++ planted).map { case (id, s) => id -> s.split(" ").toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= t
+    } yield (ia, ib)).toSet
+    assert(want.size >= 5, s"fixture must plant pairs: $want")
+    assert(got == want, s"prefix filtering must be EXACT: got $got want $want")
+  }
 }
