@@ -2046,13 +2046,18 @@ object Queries {
       // sketch op this one is fully DuckDB-replayable and hash-checked.
       import s.implicits._
       val k = 256
+      // persist: the two per-side sketch actions would otherwise scan
+      // and tokenize the corpus twice
       val toks = Tables.documents(s, d)
         .select((col("doc_id") % 2).as("side"), explode(TF.tokens(col("text"))).as("tok"))
+        .persist()
       def sketch(side: Int): Array[Long] =
         graft.operators.Sketches.kmvSketch(
           toks.filter(col("side") === side), col("tok"), k)
           .select("h").as[Long].collect()
-      val (a, b) = (sketch(0), sketch(1))
+      val (a, b) =
+        try (sketch(0), sketch(1))
+        finally toks.unpersist(blocking = false)
       val (estU, estI) = graft.operators.Sketches.kmvUnionIntersection(a, b, k)
       def r4(x: Double): Double =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -96,11 +96,12 @@ object Bpe {
         syms
       })
 
-  /** Exact BPE token count per document — the budget-enforcement number
-    * q38's regex pre-tokenizer approximates. One projection, no shuffle;
-    * the merge list rides the closure (it is vocab-sized, i.e. small).
+  /** Exact BPE token count — the budget-enforcement number q38's regex
+    * pre-tokenizer approximates. A pure Column (apply it to any frame
+    * with `textCol`): one projection, no shuffle; the merge list rides
+    * the closure (it is vocab-sized, i.e. small).
     */
-  def tokenCount(docs: DataFrame, textCol: String,
+  def tokenCount(textCol: String,
       merges: Seq[(String, String)]): org.apache.spark.sql.Column =
     size(encodeUdf(merges)(col(textCol)))
 }

@@ -184,6 +184,13 @@ object Similarity {
     * posexplode → per-dimension avg → re-assemble ordered by position.
     * Two shuffles regardless of dimension; no vectors on the driver.
     */
+  def trainCentroids(df: DataFrame, embCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
   /** EXACT set-similarity self-join (prefix filtering — the AllPairs /
     * PPJoin family): all pairs of documents whose token-SET Jaccard is
     * ≥ `threshold`, with no probabilistic misses — the exact counterpart
@@ -209,8 +216,14 @@ object Similarity {
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // eager snapshot: `sets` feeds FIVE downstream subtrees (rank, both
+    // prefix self-join sides, both verify sides) and AQE does not reuse
+    // diverging aggregate subplans — without this the corpus would be
+    // re-scanned and re-tokenized up to 6 times (same discipline as
+    // Bpe.learnMerges)
     val sets = docs.select(col(idCol),
       array_distinct(graft.functions.TextFunctions.tokens(col(textCol))).as("__toks"))
+      .localCheckpoint(true)
     // global token order: df ascending, lexicographic tiebreak. The
     // (df, tok) struct IS the order key — any order-preserving key works
     // for prefix selection, so no global row_number (which would be a
@@ -222,9 +235,16 @@ object Similarity {
       .select(col(idCol), size(col("__toks")).as("n"), explode(col("__toks")).as("tok"))
       .join(rank, "tok")
       .groupBy(col(idCol), col("n"))
+      // epsilon before ceil: n·t in doubles can overshoot an exact
+      // integer by one ulp (100·0.55 = 55.000000000000007), and
+      // ceil'ing that would shorten the prefix by one token — a silent
+      // recall hole in an operator sold as exact. 1e-9 dominates the
+      // ~2^-52·n rounding error for any real n without reaching the
+      // smallest true fractional part of a rational threshold.
       .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
-        lit(1), (col("n") - ceil(col("n") * threshold) + 1).cast("int")).as("pre"))
+        lit(1), (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")).as("pre"))
       .select(col(idCol), explode(col("pre.tok")).as("tok"))
+      .localCheckpoint(true) // self-joined next: one aggregation, not two
     val cands = prefixes.as("l")
       .join(prefixes.as("r"), col("l.tok") === col("r.tok") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
@@ -241,11 +261,4 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  def trainCentroids(df: DataFrame, embCol: String, groupCol: String): DataFrame =
-    df.select(col(groupCol).as("centroid_id"), posexplode(col(embCol)).as(Seq("pos", "v")))
-      .groupBy(col("centroid_id"), col("pos"))
-      .agg(avg(col("v")).as("m"))
-      .groupBy(col("centroid_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 }

@@ -119,5 +119,21 @@ class SimilaritySpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(want.size >= 5, s"fixture must plant pairs: $want")
     assert(got == want, s"prefix filtering must be EXACT: got $got want $want")
+
+    // t=0.55 with 100-distinct-token docs: 100·0.55 = 55.000000000000007
+    // in doubles — the ceil-overshoot case that silently shortened the
+    // prefix by one token. Exactness must hold here too.
+    val vocab100 = (1 to 120).map("v" + _)
+    val b2 = (1L to 30L).map(i => (i, rnd.shuffle(vocab100).take(100).mkString(" ")))
+    val docs2 = b2.toDF("doc_id", "text")
+    val got2 = Similarity.jaccardSimilarityJoin(docs2, "doc_id", "text", 0.55)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sets2 = b2.map { case (id, t2) => id -> t2.split(" ").toSet }
+    val want2 = (for {
+      (ia, sa) <- sets2; (ib, sb) <- sets2 if ia < ib
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= 0.55
+    } yield (ia, ib)).toSet
+    assert(want2.nonEmpty, "120-token vocab with 100-token docs must overlap heavily")
+    assert(got2 == want2, s"exactness at the float-ceil boundary: got $got2 want $want2")
   }
 }
