@@ -78,6 +78,16 @@ object VectorFunctions {
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long): Column =
     call_function("graft_hyperplanes", vec, lit(dim), lit(bits), lit(seed))
 
+  /** Johnson-Lindenstrauss random projection to `k` dims
+    * ([[graft.plans.RandomProjection]], native one-pass codegen):
+    * pairwise angles survive within O(√(log n / k)), so ANN candidate
+    * stages run on k ≪ dim doubles per row and only the exact verify
+    * touches full vectors — the 100 TB embedding-budget lever alongside
+    * int8 quantization below.
+    */
+  def randomProjection(vec: Column, dim: Int, k: Int, seed: Long): Column =
+    call_function("graft_project", vec, lit(dim), lit(k), lit(seed))
+
   /** The original HOF formulation (planes inlined as literals, one
     * interpreted aggregate pass per bit), kept as the independent
     * reference the equivalence spec checks the native expression against.

@@ -98,6 +98,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_project"),
+      new ExpressionInfo(classOf[RandomProjection].getName, "graft_project"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(d: Int, IntegerType), Literal(kk: Int, IntegerType),
+            Literal(s: Long, LongType)) =>
+          RandomProjection(c, d, kk, s)
+        case _ => throw new IllegalArgumentException(
+          "graft_project(vec, dim, k, seed) takes array<float|double> and literal dim/k/seed")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => children match {

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Johnson-Lindenstrauss random projection of an embedding column in one
+  * fused pass: `array<float|double>` (length `dim`) → `array<double>`
+  * (length `k`), element j = `vec · g_j / sqrt(k)` over `k` seeded
+  * Gaussian directions — the dimensionality-reduction step that makes
+  * the 100 TB embedding path affordable: pairwise cosines/distances are
+  * preserved within O(√(log n / k)), so candidate generation (LSH
+  * bucketing, IVF probing, brute-force scoring) runs on k ≪ dim floats
+  * per row and only the exact verify touches full vectors.
+  *
+  * Directions regenerate deterministically from (dim, k, seed) with the
+  * same draw-order convention as [[HyperplaneSig]] (`java.util.Random
+  * .nextGaussian`, row-major k×dim), so projections are stable across
+  * executors, runs, and cluster sizes with no matrix broadcast.
+  * Degenerate cases: shorter input rows project over their available
+  * prefix (missing trailing dims contribute 0); a NULL element yields
+  * 0 contribution for that term; NULL input → NULL.
+  */
+case class RandomProjection(child: Expression, dim: Int, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if k >= 1 && dim >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure("need k >= 1 and dim >= 1")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_project expects array<float> or array<double>, got ${dt.sql}")
+  }
+
+  // k × dim Gaussian matrix, row-major, HyperplaneSig draw order
+  private lazy val dirs: Array[Double] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(k * dim)(rnd.nextGaussian())
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RandomProjection.compute(input.asInstanceOf[ArrayData], dirs, dim, k, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dirsRef = ctx.addReferenceObj("jldirs", dirs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RandomProjection.compute($a, $dirsRef, $dim, $k, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_project"
+}
+
+object RandomProjection {
+
+  /** Runtime kernel shared by eval and codegen: k dot products over one
+    * pass of the input, scaled by 1/sqrt(k).
+    */
+  def compute(arr: ArrayData, dirs: Array[Double], dim: Int, k: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](k)
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        var j = 0
+        while (j < k) {
+          out(j) += v * dirs(j * dim + i)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < k) { out(j) *= inv; j += 1 }
+    new GenericArrayData(out)
+  }
+}

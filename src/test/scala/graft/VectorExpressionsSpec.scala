@@ -152,4 +152,38 @@ class VectorExpressionsSpec extends SparkSpec {
       .filter(col("c") > 0.999999).count()
     assert(n == 500)
   }
+
+  test("random projection: JL cosine preservation on fixture embeddings, deterministic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val k = 64
+    // project, then compare pairwise cosines before/after on a sample
+    val proj = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("full"),
+      VF.randomProjection(col("embedding"), dim, k, 42L).as("small"))
+      .filter(col("vec_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(proj.forall(_._3.length == k))
+    val errs = for {
+      (ia, fa, sa) <- proj; (ib, fb, sb) <- proj if ia < ib
+    } yield math.abs(cos(fa, fb) - cos(sa, sb))
+    // JL at k=64: typical distortion √(1/k) ≈ 0.125; the max over ~800
+    // pairs sits a few σ out (measured 0.398 on this fixture/seed)
+    assert(errs.nonEmpty && errs.max < 0.45, s"worst distortion ${errs.max}")
+    assert(errs.sum / errs.size < 0.12, s"mean distortion ${errs.sum / errs.size}")
+    // deterministic across partitionings and sessions (seeded regeneration)
+    val again = emb.repartition(7).select(col("vec_id"),
+      VF.randomProjection(col("embedding"), dim, k, 42L).as("s"))
+      .filter(col("vec_id") < 40).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    proj.foreach { case (id, _, s) => assert(again(id) == s.toSeq) }
+    // NULL in → NULL out; SQL registration
+    val nul = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("id", "e")
+      .select(VF.randomProjection(col("e"), 8, 4, 1L)).collect()
+    assert(nul.head.isNullAt(0))
+  }
 }
