@@ -2128,6 +2128,35 @@ object Queries {
       SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
       WHERE j >= 0.8 ORDER BY id_a, id_b"""))
 
+  private val q89 = Q(
+    "q89_range_join_brackets",
+    (s, d) => {
+      // point-in-interval enrichment (Relational.rangeJoin): revenue per
+      // irregular price bracket. The inequality predicate quantizes into
+      // a bucket equi-join (broadcast exploded brackets) instead of the
+      // BroadcastNestedLoopJoin Spark would plan for BETWEEN — the
+      // lineitem side never shuffles and never nested-loops.
+      import s.implicits._
+      val brackets = Seq(
+        (0L, 2000L, "b1_micro"), (2000L, 8000L, "b2_small"),
+        (8000L, 20000L, "b3_mid"), (20000L, 45000L, "b4_large"),
+        (45000L, 200000L, "b5_jumbo")).toDF("lo", "hi", "bracket")
+      Relational.rangeJoin(
+        Tables.lineitem(s, d).select(col("l_extendedprice")),
+        "l_extendedprice", brackets, "lo", "hi", bucketWidth = 2000L)
+        .groupBy(col("bracket"))
+        .agg(count(lit(1)).as("n"), money(sum(col("l_extendedprice"))).as("revenue"))
+        .orderBy(col("bracket"))
+    },
+    Some("""WITH b(lo, hi, bracket) AS (VALUES
+        (0, 2000, 'b1_micro'), (2000, 8000, 'b2_small'),
+        (8000, 20000, 'b3_mid'), (20000, 45000, 'b4_large'),
+        (45000, 200000, 'b5_jumbo'))
+      SELECT bracket, CAST(count(*) AS BIGINT) AS n,
+        round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem JOIN b ON l_extendedprice >= lo AND l_extendedprice < hi
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2136,5 +2165,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -90,6 +90,35 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__side", "__tie")
   }
 
+  /** Point-in-interval range join (the IP-to-geo / price-to-bracket
+    * lookup): every point row matches the range rows with
+    * `lo <= point < hi`. Spark's native answer to an inequality-only
+    * join predicate is BroadcastNestedLoopJoin — O(points × ranges)
+    * comparisons even when broadcast — so this instead QUANTIZES the
+    * predicate into an equi-join: ranges explode to the fixed-width
+    * buckets they overlap, points compute their single bucket, the join
+    * is a hash equi-join on bucket, and the exact `[lo, hi)` filter on
+    * the (few) bucket-collisions removes quantization slack. Overlapping
+    * ranges are supported (a point matches each containing range).
+    *
+    * `bucketWidth` trades fan-out for selectivity: explode factor is
+    * ~(range span / width) per range row, probe-side collisions shrink
+    * as width shrinks. Ranges tables are small in practice (geo DBs,
+    * bracket tables) — the exploded side broadcasts, and the points
+    * side never shuffles at all.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String, ranges: DataFrame,
+      loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = broadcast(ranges.withColumn("__b",
+      explode(sequence(floor(col(loCol) / bucketWidth),
+        floor((col(hiCol) - 1) / bucketWidth)))))
+    points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+      .join(b, Seq("__b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__b")
+  }
+
   /** `Dataset.localCheckpoint()` pins an INTERNAL RDD at the block-manager
     * level; the returned Dataset has no CacheManager entry, so its
     * `unpersist()` is a silent no-op and the blocks stay pinned until

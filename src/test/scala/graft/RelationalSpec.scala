@@ -168,4 +168,23 @@ class RelationalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 7L, 9L))
   }
+
+  test("rangeJoin: boundaries half-open, overlaps multi-match, equals the naive BETWEEN join") {
+    val ranges = Seq(
+      (0L, 10L, "a"), (10L, 30L, "b"),      // adjacent: 10 belongs to b only
+      (25L, 50L, "c"),                      // overlaps b on [25,30)
+      (100L, 101L, "d")).toDF("lo", "hi", "tag")
+    val points = Seq(0L, 9L, 10L, 26L, 29L, 30L, 49L, 50L, 100L, 99L).toDF("p")
+    def run(width: Long) = Relational.rangeJoin(points, "p", ranges, "lo", "hi", width)
+      .select(col("p"), col("tag")).as[(Long, String)].collect().toSet
+    val got = run(7L)
+    val naive = points.join(ranges, col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("p"), col("tag")).as[(Long, String)].collect().toSet
+    assert(got == naive, "bucketed join must equal the naive inequality join")
+    assert(got.contains((10L, "b")) && !got.contains((10L, "a")), "hi is exclusive, lo inclusive")
+    assert(got.filter(_._1 == 26L).map(_._2) == Set("b", "c"), "overlapping ranges both match")
+    assert(!got.exists(_._1 == 50L) && !got.exists(_._1 == 99L), "gaps and past-end points drop")
+    // bucket width must not change results, only fan-out
+    assert(run(1L) == naive && run(64L) == naive)
+  }
 }
