@@ -106,14 +106,37 @@ object Relational {
     * as width shrinks. Ranges tables are small in practice (geo DBs,
     * bracket tables) — the exploded side broadcasts, and the points
     * side never shuffles at all.
+    *
+    * Bounds must be INTEGRAL (the `hi − 1` top-bucket arithmetic and
+    * the `div` bucketing are exact only then — a fractional `hi` would
+    * silently drop its last partial bucket); points may be any numeric
+    * (bucketed by their floor, compared exactly in the residual).
+    * Bucketing is integral `div` end to end — `/` would route ~2^60
+    * nanosecond timestamps through a double and mis-bucket near bucket
+    * boundaries, the exact trap Tables.events documents. `div` is
+    * monotone, and both sides use it, which is all containment needs.
+    * Degenerate ranges (`hi <= lo`) produce zero rows instead of a
+    * descending `sequence` exploding (lo−hi)/width spurious build rows.
     */
   def rangeJoin(points: DataFrame, pointCol: String, ranges: DataFrame,
       loCol: String, hiCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val b = broadcast(ranges.withColumn("__b",
-      explode(sequence(floor(col(loCol) / bucketWidth),
-        floor((col(hiCol) - 1) / bucketWidth)))))
-    points.withColumn("__b", floor(col(pointCol) / bucketWidth))
+    require(!points.columns.contains("__b") && !ranges.columns.contains("__b"),
+      "__b is reserved by rangeJoin")
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral(ranges, loCol) && integral(ranges, hiCol),
+      s"range bounds $loCol/$hiCol must be integral (byte/short/int/long)")
+    val b = broadcast(ranges
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__b", explode(sequence(
+        expr(s"`$loCol` div $bucketWidth"),
+        expr(s"(`$hiCol` - 1) div $bucketWidth")))))
+    points
+      .withColumn("__b", expr(s"CAST(FLOOR(`$pointCol`) AS BIGINT) div $bucketWidth"))
       .join(b, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__b")

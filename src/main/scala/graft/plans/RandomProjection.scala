@@ -40,10 +40,23 @@ case class RandomProjection(child: Expression, dim: Int, k: Int, seed: Long)
       s"graft_project expects array<float> or array<double>, got ${dt.sql}")
   }
 
-  // k × dim Gaussian matrix, row-major, HyperplaneSig draw order
+  // k × dim Gaussian matrix. DRAWN row-major (HyperplaneSig draw-order
+  // convention — determinism contract), then STORED transposed
+  // (column-major, element (j, i) at i*k + j): the kernel's inner loop
+  // over j becomes unit-stride instead of dim-strided, which at
+  // realistic sizes (dim=1024, k=64 → a 512 KB matrix) is the
+  // difference between k cache misses per input element and none.
   private lazy val dirs: Array[Double] = {
     val rnd = new java.util.Random(seed)
-    Array.fill(k * dim)(rnd.nextGaussian())
+    val rowMajor = Array.fill(k * dim)(rnd.nextGaussian())
+    val t = new Array[Double](k * dim)
+    var j = 0
+    while (j < k) {
+      var i = 0
+      while (i < dim) { t(i * k + j) = rowMajor(j * dim + i); i += 1 }
+      j += 1
+    }
+    t
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -64,7 +77,8 @@ case class RandomProjection(child: Expression, dim: Int, k: Int, seed: Long)
 object RandomProjection {
 
   /** Runtime kernel shared by eval and codegen: k dot products over one
-    * pass of the input, scaled by 1/sqrt(k).
+    * pass of the input, scaled by 1/sqrt(k). `dirs` is column-major
+    * (element (j, i) at i*k + j) so the inner loop is unit-stride.
     */
   def compute(arr: ArrayData, dirs: Array[Double], dim: Int, k: Int,
       isFloat: Boolean): ArrayData = {
@@ -75,9 +89,10 @@ object RandomProjection {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val base = i * k
         var j = 0
         while (j < k) {
-          out(j) += v * dirs(j * dim + i)
+          out(j) += v * dirs(base + j)
           j += 1
         }
       }

@@ -186,5 +186,25 @@ class RelationalSpec extends SparkSpec {
     assert(!got.exists(_._1 == 50L) && !got.exists(_._1 == 99L), "gaps and past-end points drop")
     // bucket width must not change results, only fan-out
     assert(run(1L) == naive && run(64L) == naive)
+    // reversed/degenerate range: zero rows, not a descending-sequence blowup
+    val reversed = Seq((50L, 10L, "bad"), (5L, 5L, "empty"), (0L, 3L, "ok"))
+      .toDF("lo", "hi", "tag")
+    val r2 = Relational.rangeJoin(Seq(2L, 20L).toDF("p"), "p", reversed, "lo", "hi", 4L)
+      .select(col("p"), col("tag")).as[(Long, String)].collect().toSet
+    assert(r2 == Set((2L, "ok")))
+    // negative bounds: div bucketing stays consistent on both sides
+    val neg = Seq((-10L, -2L, "n")).toDF("lo", "hi", "tag")
+    val r3 = Relational.rangeJoin(Seq(-10L, -3L, -2L, 0L).toDF("p"), "p", neg, "lo", "hi", 3L)
+      .select(col("p")).as[Long].collect().toSet
+    assert(r3 == Set(-10L, -3L))
+    // fractional bounds are rejected loudly, not silently mis-bucketed
+    val frac = Seq((0.0, 5.5, "f")).toDF("lo", "hi", "tag")
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(points, "p", frac, "lo", "hi", 2L)
+    }
+    // reserved helper column collides loudly
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(points.withColumn("__b", lit(1)), "p", ranges, "lo", "hi", 2L)
+    }
   }
 }
