@@ -2157,6 +2157,31 @@ object Queries {
       FROM lineitem JOIN b ON l_extendedprice >= lo AND l_extendedprice < hi
       GROUP BY 1 ORDER BY 1"""))
 
+  private val q90 = Q(
+    "q90_weighted_sample",
+    (s, d) => {
+      // deterministic weighted sampling (CorpusPipeline.weightedSample):
+      // 100 eval docs drawn with probability ∝ token count via the
+      // Efraimidis–Spirakis exponential race — reproducible anywhere the
+      // salt travels; the native TopK bounds the shuffle to k rows per
+      // partition.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.CorpusPipeline.weightedSample(docs, "doc_id", "n_tokens", 100)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source,
+          CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      keyed AS (SELECT doc_id, source, n_tokens,
+          -ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'wsample'), 1, 15)) AS BIGINT)
+            + 1.0) / pow(2.0, 60)) / n_tokens AS k
+        FROM t WHERE n_tokens > 0),
+      top AS (SELECT doc_id, source, n_tokens FROM keyed
+        ORDER BY k, doc_id LIMIT 100)
+      SELECT doc_id, source, n_tokens FROM top ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2165,5 +2190,5 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -401,6 +401,32 @@ object CorpusPipeline {
         (pow(col("toks").cast("double"), alpha) / col("__z")).as("weight"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis exponential race): keep the k rows with the
+    * smallest `−ln(u)/w`, where `u` is a salted-sha-60 uniform in (0,1)
+    * and `w` the row's weight — inclusion probability tracks weight (a
+    * 10k-token doc is ~10× likelier than a 1k-token doc), yet the draw
+    * is a pure function of (id, salt): partition-invariant, rerun-
+    * reproducible, and externally replayable, the same determinism
+    * contract as [[deterministicSplit]]/[[samplePerStratum]] (which this
+    * generalizes — constant weights reduce to the uniform sampler).
+    * Selection goes through the native TopK operator, so per-partition
+    * heaps bound the shuffle to k rows per partition however large the
+    * corpus. Non-positive weights are excluded (they'd divide by zero or
+    * invert the race).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    val u = (graft.operators.Sketches.sha60(
+      concat(col(idCol).cast("string"), lit(salt))).cast("double") + 1.0) /
+      graft.operators.Sketches.M
+    graft.operators.Relational.topKPerGroupNative(
+      df.filter(col(weightCol) > 0)
+        .withColumn("__key", -log(u) / col(weightCol)),
+      Seq(lit(1)), Seq(col("__key").asc, col(idCol).asc), k)
+      .drop("__key")
+  }
+
   /** Adaptive per-stratum quality filtering: keep rows whose score is at
     * or above their OWN stratum's p-th discrete percentile (p = num/den),
     * rather than one corpus-global cutoff — the standard guard against a

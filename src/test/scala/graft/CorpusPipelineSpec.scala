@@ -275,6 +275,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(temp("big")._3 > temp("small")._3, "but never inverts the order")
   }
 
+  test("weighted sample: inclusion tracks weight, deterministic, zero-weight excluded") {
+    // 50 heavy docs (w=100) vs 150 light (w=1): with k=40 the heavy set
+    // must dominate in any draw
+    val docs = ((1L to 50L).map(i => (i, 100L)) ++ (51L to 200L).map(i => (i, 1L)))
+      .toDF("id", "w")
+    def draw(salt: String) = CorpusPipeline.weightedSample(docs, "id", "w", 40, salt)
+      .select(col("id")).as[Long].collect().toSet
+    val d1 = draw("s1")
+    assert(d1.size == 40)
+    assert(d1.count(_ <= 50L) > 25, s"heavy docs must dominate: ${d1.count(_ <= 50L)}/40")
+    // deterministic and partition-invariant
+    assert(draw("s1") == d1)
+    assert(CorpusPipeline.weightedSample(docs.repartition(7), "id", "w", 40, "s1")
+      .select(col("id")).as[Long].collect().toSet == d1)
+    // a different salt redraws
+    assert(draw("s2") != d1)
+    // zero/negative weights can never be selected
+    val withBad = docs.union(Seq((900L, 0L), (901L, -5L)).toDF("id", "w"))
+    val d3 = CorpusPipeline.weightedSample(withBad, "id", "w", 200)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!d3.contains(900L) && !d3.contains(901L))
+    assert(d3.size == 200, "k <= positive-weight rows → exactly k")
+  }
+
   test("adaptive quality filter: per-stratum discrete-p25 cutoff, ties kept, both modes") {
     // stratum "a": scores 1..8 → target row ceil(0.25*8)=2 → thr=2, keeps 2..8
     // stratum "b": scores 100x then 200 over ties → per-stratum cutoffs independent
