@@ -19,11 +19,20 @@ object Bench {
     // ~cpu/32..cpu/1 depending on parallelism, while steal inflates wall only.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    // Queries that threw this run: their fail-fast wall time is NOT a
+    // measurement (round-8 lesson: 7 analysis-broken queries recorded
+    // ~0.05 s and read as 100× speedups). They are excluded from
+    // `queries`/totals and listed under "errors" in the artifact.
+    val errored = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       // noop sink: full materialization of every result row without
       // writing — measures compute, not the local disk.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        errored(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        false
+      }
     // Kill-safety (round-6 lesson: a driver-side kill mid-pass-5 left
     // `parsed: null` for the whole round because the artifact was written
     // only at the very end): the wall budget is measured from PROCESS start
@@ -45,8 +54,10 @@ object Bench {
       val total = measured.map(bestWall).sum
       val cpuTotal = measured.map(cpuAtBest).sum
       val partial = if (measured.size < sorted.size) ""","partial":true""" else ""
+      val errs = errored.keys.map(n => "\"" + n + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cpu_sec_queries":$cpus2,"cpu_sec_total":$cpuTotal,"reps":$passesCompleted,""" +
+        s""""errors":$errs,""" +
         s""""queries_measured":${measured.size},"queries_declared":${sorted.size}$partial,""" +
         s""""note":"cpu_sec is whole-process CPU of the best wall rep; wall >> cpu/cores with low cpu indicates external host contention, not engine cost","sf":"$sfDir"}"""
     }
@@ -96,7 +107,7 @@ object Bench {
         } else {
           val c0 = osBean.getProcessCpuTime
           val t0 = System.nanoTime()
-          runOnce(name, fn)
+          val ok = runOnce(name, fn)
           val wall = (System.nanoTime() - t0) / 1e9
           val cpu = (osBean.getProcessCpuTime - c0) / 1e9
           // straggler forensics: a query far off its best-so-far is either
@@ -105,7 +116,9 @@ object Bench {
           // log which, so swings in the recorded min are attributable
           bestWall.get(name).filter(b => wall > 3 * b && wall > 2.0).foreach(b =>
             System.err.println(f"[bench] straggler pass $r: $name wall $wall%.1f s (best $b%.1f) cpu $cpu%.1f s"))
-          if (bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
+          // a thrown query's fail-fast time is not a measurement — keep it
+          // out of the timing table entirely (it lands in "errors" instead)
+          if (ok && bestWall.get(name).forall(wall < _)) { bestWall(name) = wall; cpuAtBest(name) = cpu }
           persist()
         }
       }

@@ -16,6 +16,13 @@ object Scratch {
           System.err.println(s"===== $n =====")
           System.err.println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
         }
+      case "bpe" =>
+        // scale check for driver-side merge maintenance: `bpe <sfDir> <numMerges>`
+        val n = if (args.length > 2) args(2).toInt else 1000
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.learnMerges(Tables.documents(spark, sfDir), "text", n)
+        System.err.println(f"[scratch] bpe $n merges in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(learned ${merges.size}; last=${merges.lastOption})")
       case _ =>
         val reps = if (args.length > 3) args(3).toInt else 3
         for (r <- 1 to reps; n <- names) {

@@ -9,6 +9,26 @@ object Smoke {
     }
     val ev = Tables.events(spark, dir)
     println(s"events count=${ev.count()} schema=${ev.schema.simpleString}")
+    // Fixture-drift guard (round-8 lesson: a regenerated events.parquet
+    // switched encodings and silently zeroed 7 queries). Every events-backed
+    // query funnels through unix_micros(ts), which requires TimestampType —
+    // force that exact expression through analysis AND execution here so a
+    // drifted encoding fails the driver's smoke, not CORRECTNESS.
+    val rawTs = Tables.table(spark, dir, "events").schema("ts").dataType
+    try {
+      val micros = ev.select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts"))).head().getLong(0)
+      require(micros > 0L, s"events.ts decoded to non-positive micros: $micros")
+      println(s"events ts OK: raw=$rawTs normalized=${ev.schema("ts").dataType} firstMicros=$micros")
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"SMOKE FAIL: events.ts fixture drift — raw parquet type $rawTs is not handled by " +
+            s"Tables.events (normalized schema: ${ev.schema("ts").dataType}). Every events-backed " +
+            s"query (q21,q22,q40,q49,q67,q68,q74,...) will break. Root error: $e")
+        spark.stop()
+        sys.exit(1)
+    }
     ev.select("ts","event_type","props").orderBy("event_id").show(3, false)
     spark.stop()
   }

@@ -25,7 +25,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts` guaranteed to be TimestampType (micros, UTC). */
+  /** events with `ts` guaranteed to be TimestampType (micros, UTC).
+    *
+    * The fixture's encoding has drifted across driver regenerations:
+    * TIMESTAMP(NANOS) (read as Long nanos under `nanosAsLong`), then
+    * `timestamp[us]` with no timezone (read as TIMESTAMP_NTZ). Normalize
+    * both so downstream `unix_micros(ts)` callers never see the detail.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
@@ -35,6 +41,11 @@ object Tables {
         // Double, whose 2^53 mantissa cannot represent ~1.7e18 nanos
         // exactly (off-by-1µs on ~12% of rows).
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs timestamp without timezone: the cast to TimestampType is
+        // value-preserving because the session tz is pinned to UTC
+        // (Sessions.local), so wall-clock == instant.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

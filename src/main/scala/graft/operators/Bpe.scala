@@ -11,12 +11,17 @@ import graft.functions.{TextFunctions => TF}
   * boundaries), the algorithm of Sennrich et al. 2016.
   *
   * Scale shape: training runs against the WORD-FREQUENCY table, not the
-  * corpus — one corpus pass builds `(word, freq)` (vocab-sized: millions
-  * of rows however many petabytes the corpus is), and every merge
-  * iteration is a pair-count + argmax + merge-apply over that table
-  * only. The corpus is never re-read. Each iteration's best pair is one
-  * tiny driver action; the symbol table re-snapshots per iteration so
-  * lineage cannot compound (same discipline as the CC operator).
+  * corpus — ONE distributed corpus pass builds `(word, freq)`
+  * (vocab-sized: millions of rows however many petabytes the corpus
+  * is), that table is collected, and ALL merge rounds are classic
+  * driver-side heap maintenance (Sennrich et al. 2016's reference
+  * algorithm): incremental pair counts, lazy-deletion priority queue,
+  * only words containing the winning pair re-counted. The corpus is
+  * never re-read and — unlike a per-round distributed argmax, which
+  * costs one Spark job per merge (30k jobs for a production vocab) —
+  * merge rounds launch ZERO Spark jobs. Driver memory is bounded by the
+  * word-frequency table (~100 MB at a 5M-type web vocab), not the
+  * corpus.
   */
 object Bpe {
 
@@ -26,42 +31,83 @@ object Bpe {
     * training is deterministic for a given corpus.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
-    val spark = docs.sparkSession
-    // ONE corpus pass: word frequencies, then symbols = one char each
-    var vocab = docs.select(explode(TF.tokens(col(textCol))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), split(col("w"), "(?!^)").as("syms"))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var done = false
-    var sinceSnapshot = 0
-    while (merges.size < numMerges && !done) {
-      // weighted adjacent-pair counts over the vocab table: zip syms with
-      // its own tail, explode, sum freq — all codegen until the final agg
-      val best = vocab
-        .select(col("freq"), explode(arrays_zip(
-          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
-          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))))).as("p"))
-        .groupBy(col("p.0").as("a"), col("p.1").as("b"))
-        .agg(sum(col("freq")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .head(1)
-      if (best.isEmpty) done = true
-      else {
-        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((a, b, n))
-        val mergeOne = udf((syms: Seq[String]) => Bpe.applyMerge(syms, a, b))
-        vocab = vocab.select(col("freq"), mergeOne(col("syms")).as("syms"))
-        // snapshot every SECOND merge: a two-projection lineage is cheap
-        // to replay in the next round's argmax, and halving the eager
-        // materialization jobs halves training's fixed per-round cost
-        sinceSnapshot += 1
-        if (sinceSnapshot == 2) {
-          vocab = vocab.localCheckpoint(true)
-          sinceSnapshot = 0
+    import scala.collection.mutable
+    // ONE distributed corpus pass: the word-frequency table. Everything
+    // after this line is driver-side and independent of corpus size.
+    val wordFreq: Array[(Array[String], Long)] =
+      docs.select(explode(TF.tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .collect()
+        .map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      wordFreq.map { case (s, _) => mutable.ArrayBuffer.from(s) }
+    val freq: Array[Long] = wordFreq.map(_._2)
+
+    // Incremental pair-count state. pairWords holds word-indexes that
+    // contained the pair when last counted; entries go stale after other
+    // merges touch a word, so membership is re-validated by scanning the
+    // word on use (Sennrich's reference implementation does the same).
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def countWord(i: Int, sign: Long, track: Boolean): Unit = {
+      val w = syms(i); val f = freq(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        val n = pairCount.getOrElse(p, 0L) + sign * f
+        if (n <= 0L) pairCount.remove(p) else pairCount(p) = n
+        if (track && sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(countWord(_, +1L, track = true))
+
+    // Max-heap with lazy deletion: ordered by count desc, then pair asc
+    // (lexicographic tie-break keeps training deterministic for a given
+    // corpus, independent of collect() partition order — counts are
+    // commutative sums). Stale entries (count changed since push) are
+    // discarded on pop; every count change pushes a fresh entry.
+    implicit val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2) // reversed: smaller `a` = higher priority
+          if (ca != 0) ca else y._3.compareTo(x._3)
         }
       }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    pairCount.foreach { case ((a, b), n) => heap.enqueue((n, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (merges.size < numMerges && heap.nonEmpty) {
+      val (n, a, b) = heap.dequeue()
+      if (pairCount.get((a, b)).contains(n)) { // fresh entry — the true argmax
+        merges += ((a, b, n))
+        val touched = mutable.Set.empty[(String, String)]
+        // snapshot: countWord(track = true) below inserts into pairWords
+        for (i <- pairWords.getOrElse((a, b), mutable.Set.empty).toArray) {
+          val w = syms(i)
+          // validate (entry may be stale): does the pair still occur?
+          var has = false; var j = 0
+          while (!has && j + 1 < w.length) { has = w(j) == a && w(j + 1) == b; j += 1 }
+          if (has) {
+            // recount only this word: retract its pairs, merge, re-add
+            var k = 0
+            while (k + 1 < w.length) { touched += ((w(k), w(k + 1))); k += 1 }
+            countWord(i, -1L, track = false)
+            val merged = applyMerge(w.toSeq, a, b)
+            syms(i) = mutable.ArrayBuffer.from(merged)
+            countWord(i, +1L, track = true)
+            k = 0
+            while (k + 1 < syms(i).length) { touched += ((syms(i)(k), syms(i)(k + 1))); k += 1 }
+          }
+        }
+        pairCount.remove((a, b)); pairWords.remove((a, b))
+        touched.foreach(p => pairCount.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+      } // else: stale heap entry, drop it
     }
     merges.toSeq
   }
