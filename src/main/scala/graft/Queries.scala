@@ -1191,18 +1191,35 @@ object Queries {
   private val q58 = Q(
     "q58_pack_sequences",
     (s, d) => {
-      // token-budget sequence packing (next-fit-decreasing per hash
-      // partition, streaming — see CorpusPipeline.packSequences). seq_ids
-      // depend on the deterministic internal partitioning, not on input
-      // layout, but have no SQL equivalent → rows-only like q34/q39.
+      // token-budget sequence packing (next-fit-decreasing, streaming —
+      // see CorpusPipeline.packSequences). Pinned to ONE partition so
+      // the bin sequence is a pure function of the sorted input and the
+      // DuckDB oracle can replay it row-by-row with a recursive CTE; the
+      // multi-partition scale shape (hash repartition, per-partition
+      // streaming pass) is exercised by CorpusPipelineSpec.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
-      graft.pipeline.CorpusPipeline.packSequences(docs, "doc_id", "n_tokens", budget = 512L)
+      graft.pipeline.CorpusPipeline.packSequences(docs, "doc_id", "n_tokens",
+          budget = 512L, numPartitions = 1)
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
         .orderBy(col("seq_id"))
     },
-    None)
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n,
+          row_number() OVER (
+            ORDER BY CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) DESC, doc_id) AS rn
+        FROM documents),
+      pack AS (
+        SELECT rn, doc_id, n, 0 AS bin, n AS fill FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.rn, t.doc_id, t.n,
+          CASE WHEN p.fill + t.n > 512 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.fill + t.n > 512 THEN t.n ELSE p.fill + t.n END
+        FROM pack p JOIN t ON t.rn = p.rn + 1)
+      SELECT CAST(bin AS BIGINT) AS seq_id, count(*) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS fill
+      FROM pack GROUP BY 1 ORDER BY 1"""))
 
   private val q59 = Q(
     "q59_quality_classifier",
@@ -2182,6 +2199,83 @@ object Queries {
         ORDER BY k, doc_id LIMIT 100)
       SELECT doc_id, source, n_tokens FROM top ORDER BY doc_id"""))
 
+  private val q91 = Q(
+    "q91_dag_reachability",
+    (s, d) => {
+      // the reference's STAGE_DEPENDENCY precedence graph
+      // (test.mmd:52-58: FS/SS/FF/SF + lag_days) exercised end-to-end:
+      // per stage, schedule depth in hops (Relational.dagDepth), critical
+      // lag along any path (dagLongestPath), and how many downstream
+      // stages a slip would touch (transitiveClosure). The DuckDB oracle
+      // replays all three with one recursive path enumeration + one
+      // recursive reachability closure.
+      import s.implicits._
+      val edges = Seq(
+        (1L, 2L, 3L), (1L, 3L, 0L), (2L, 4L, 5L), (3L, 4L, 2L),
+        (4L, 5L, 1L), (2L, 6L, 0L), (6L, 7L, 4L), (5L, 8L, 0L),
+        (7L, 8L, 2L), (3L, 9L, 7L), (9L, 10L, 1L), (10L, 8L, 3L),
+        (1L, 11L, 0L), (11L, 12L, 6L), (12L, 8L, 0L))
+        .toDF("src", "dst", "lag_days")
+      val depth = Relational.dagDepth(edges, "src", "dst", maxIter = 16)
+      val lag = Relational.dagLongestPath(edges, "src", "dst", "lag_days", maxIter = 16)
+        .withColumnRenamed("dist", "max_lag")
+      val reach = Relational.transitiveClosure(edges, "src", "dst")
+        .groupBy(col("src")).agg(count_distinct(col("dst")).as("n_desc"))
+        .withColumnRenamed("src", "node")
+      depth.join(lag, Seq("node")).join(reach, Seq("node"), "left")
+        .select(col("node"), col("depth"), col("max_lag"),
+          coalesce(col("n_desc"), lit(0L)).as("n_desc"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE e(src, dst, w) AS (VALUES
+        (1,2,3),(1,3,0),(2,4,5),(3,4,2),(4,5,1),(2,6,0),(6,7,4),(5,8,0),
+        (7,8,2),(3,9,7),(9,10,1),(10,8,3),(1,11,0),(11,12,6),(12,8,0)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      paths(node, d, lag) AS (
+        SELECT node, 0, 0 FROM nodes
+        UNION ALL
+        SELECT e.dst, p.d + 1, p.lag + e.w FROM paths p JOIN e ON p.node = e.src),
+      agg AS (SELECT node, max(d) AS depth, max(lag) AS max_lag FROM paths GROUP BY node),
+      reach AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      rc AS (SELECT src AS node, count(DISTINCT dst) AS n_desc FROM reach GROUP BY 1)
+      SELECT CAST(a.node AS BIGINT) AS node, CAST(a.depth AS BIGINT) AS depth,
+        CAST(a.max_lag AS BIGINT) AS max_lag,
+        CAST(coalesce(rc.n_desc, 0) AS BIGINT) AS n_desc
+      FROM agg a LEFT JOIN rc ON a.node = rc.node ORDER BY node"""))
+
+  private val q92 = Q(
+    "q92_asof_attribution",
+    (s, d) => {
+      // last-touch attribution: each purchase joins the latest click by
+      // the same user at-or-before it (Relational.asofJoin — union +
+      // one keyed window pass, never a nested-loop or range explosion).
+      // Clicks pre-aggregated to one row per (user, ts) so the match is
+      // deterministic; purchases with no prior click keep nulls.
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us").as("click_ts_us"), col("click_id"))
+      Relational.asofJoin(purchases, clicks, Seq("user_id"), "ts_us", "click_ts_us")
+        .withColumn("gap_us", col("ts_us") - col("click_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts_us AS click_ts_us, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, p.ts_us, c.click_ts_us, c.click_id,
+        p.ts_us - c.click_ts_us AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+      ORDER BY p.event_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2190,5 +2284,6 @@ object Queries {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91, q92)
 }

@@ -167,6 +167,51 @@ object Relational {
     * truncated-lineage snapshot cannot be recomputed once released
     * (MEMORY_AND_DISK then spills rather than drops under pressure).
     */
+  /** Backward as-of join: every left row picks the LATEST right row of
+    * the same key whose timestamp is <= the left timestamp (< when
+    * `strict`), left-outer — unmatched left rows carry nulls. Output =
+    * all left columns, then all non-key right columns (caller renames
+    * right columns beforehand if they collide with the left's).
+    *
+    * Scale shape — this is NOT a join at all: both sides are union'd,
+    * hash-partitioned by key, sorted by (ts, side), and each left row
+    * reads the last preceding right payload via `last(ignoreNulls)` over
+    * a running row frame. ONE shuffle of |L|+|R| rows and a sort —
+    * versus the BroadcastNestedLoopJoin (or an exploding range join)
+    * Spark would plan for the naive `ts <= ts` inequality. Per-key data
+    * never has to fit in memory (window frame is running, not buffered),
+    * so a hot key degrades to a big sort partition, not an OOM.
+    *
+    * Right rows must be unique per (key, ts) for a deterministic result
+    * — pre-aggregate ties (e.g. `max_by`) at the call site.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, strict: Boolean = false): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayloadCols = right.columns.toSeq.diff(keyCols)
+    val lType = left.select(struct(lCols.map(col): _*).as("s")).schema.head.dataType
+    val rType = right.select(struct(rPayloadCols.map(col): _*).as("s")).schema.head.dataType
+    // side ordering encodes the <= vs < boundary: inclusive → an
+    // equal-ts right row sorts BEFORE the left row (0 < 1) and lands in
+    // its frame; strict → it sorts after (2 > 1) and does not.
+    val rightSide = if (strict) 2 else 0
+    val l2 = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"), lit(1).as("__side"),
+        struct(lCols.map(col): _*).as("__l"), lit(null).cast(rType).as("__r")): _*)
+    val r2 = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
+        lit(null).cast(lType).as("__l"), struct(rPayloadCols.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(n => col(s"__l.$n")) ++ rPayloadCols.map(n => col(s"__m.$n")): _*)
+  }
+
   private def rehomed(df: DataFrame, pinned: Set[Int]): DataFrame = {
     if (pinned.nonEmpty) {
       df.persist()

@@ -89,20 +89,40 @@ object StreamOps {
     * documents, so test-set leakage is dropped at ingest, before it ever
     * reaches the corpus store. Gram construction is bit-identical to the
     * batch [[graft.operators.Dedup.flagContaminated]], so batch and
-    * streaming decide identically. The set is one 8-byte hash per
-    * distinct benchmark gram — eval-suite scale; against a corpus-sized
-    * reference set use [[graft.operators.Dedup.flagContaminatedBloom]]'s
-    * sketch instead (~2.4 B/gram) with the same broadcast-filter shape.
+    * streaming decide identically.
+    *
+    * The reference-set representation auto-selects on size: up to
+    * `exactMaxGrams` distinct grams it is an exact Long hash set (one
+    * 8-byte hash per gram — eval-suite scale, zero false positives);
+    * above that it switches to a Bloom filter (~2.4 bytes/gram at the
+    * default fpp), same broadcast-filter shape, so a corpus-sized
+    * reference set costs ~250 MB per executor instead of ~8 GB. Bloom
+    * false positives only ever DROP a clean document (never leak a
+    * contaminated one) — the safe direction for decontamination; pin
+    * `exactMaxGrams = Long.MaxValue` to force the exact set.
     */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
-      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
-    val benchGrams: Set[Long] = benchmark
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5,
+      exactMaxGrams: Long = 2000000L, bloomFpp: Double = 1e-4): DataFrame = {
+    val grams = benchmark
       .select(graft.functions.HashFunctions.hashedWordShingles(
         graft.functions.TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
       .select(explode(col("__sh")).as("__h")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val gramsBc = docs.sparkSession.sparkContext.broadcast(benchGrams)
-    val clean = udf((sh: Seq[Long]) => sh == null || !sh.exists(gramsBc.value.contains))
+      .persist() // two actions (count + collect-or-bloom): one job each
+    val contains: Long => Boolean =
+      try {
+        val nGrams = grams.count()
+        if (nGrams <= exactMaxGrams) {
+          val set = grams.collect().map(_.getLong(0)).toSet
+          val bc = docs.sparkSession.sparkContext.broadcast(set)
+          h => bc.value.contains(h)
+        } else {
+          val bloom = grams.stat.bloomFilter("__h", math.max(nGrams, 1L), bloomFpp)
+          val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+          h => bc.value.mightContainLong(h)
+        }
+      } finally grams.unpersist(blocking = false)
+    val clean = udf((sh: Seq[Long]) => sh == null || !sh.exists(contains))
     docs.filter(clean(graft.functions.HashFunctions.hashedWordShingles(
       graft.functions.TextFunctions.tokens(col(textCol)), n)))
   }

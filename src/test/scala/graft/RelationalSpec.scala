@@ -22,6 +22,38 @@ class RelationalSpec extends SparkSpec {
     assert(r == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("asofJoin: backward match, inclusive boundary, null when no prior right row") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"), (2L, 50L, "t3"))
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, 10L, 1.5), (1L, 18L, 2.5), (2L, 60L, 9.9))
+      .toDF("key", "q_ts", "px")
+    val r = Relational.asofJoin(trades, quotes, Seq("key"), "ts", "q_ts")
+      .select("trade", "q_ts", "px").as[(String, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(r == Set(
+      ("t0", None, None),              // before any quote
+      ("t1", Some(10L), Some(1.5)),    // equal ts matches (inclusive)
+      ("t2", Some(18L), Some(2.5)),    // latest preceding, not first
+      ("t3", None, None)))             // key 2's only quote is later
+  }
+
+  test("asofJoin strict excludes the equal-ts right row") {
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 10L, 7.0), (1L, 4L, 3.0)).toDF("key", "q_ts", "px")
+    val strict = Relational.asofJoin(l, r, Seq("key"), "ts", "q_ts", strict = true)
+      .select("tag", "px").as[(String, Option[Double])].collect().toSet
+    assert(strict == Set(("a", Some(3.0))), "equal-ts quote skipped under strict <")
+  }
+
+  test("asofJoin plan shape: one window pass, no nested-loop join") {
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 4L, 3.0)).toDF("key", "q_ts", "px")
+    val plan = Relational.asofJoin(l, r, Seq("key"), "ts", "q_ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"as-of must not nested-loop:\n$plan")
+    assert(plan.contains("Window"), s"as-of rides a window pass:\n$plan")
+  }
+
   test("transitive closure of a chain + diamond") {
     // 1→2→3→4 and 1→5→4
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 4L)).toDF("src", "dst")

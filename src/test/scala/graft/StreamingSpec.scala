@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: Bloom path decides like the exact path") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // exactMaxGrams = 0 forces the Bloom representation regardless of size
+    val q = StreamOps.decontaminateStream(df, "doc_id", "text", bench, "text",
+        exactMaxGrams = 0L)
+      .writeStream.format("memory").queryName("dcb").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "prefix the quick brown fox jumps over the lazy dog suffix"), // leaked
+        (2L, "completely unrelated clean content with plenty of words"))
+      q.processAllAvailable()
+      val ids = spark.table("dcb").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L), "bloom-backed guard drops the leaked doc, keeps the clean one")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join enriches events with in-window updates only") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Timestamp, Double)]
