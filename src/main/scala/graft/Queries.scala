@@ -783,10 +783,10 @@ object Queries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("us"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("us"), col("event_id").as("c_eid"),
+        .select(col("user_id"), col("event_id").as("c_eid"),
           col("us").as("click_us"), col("value").as("click_value"))
-      Relational.asOfJoin(purchases, clicks, Seq("user_id"), "us",
-        coalesce(col("event_id"), col("c_eid")))
+      Relational.asofJoin(purchases, clicks, Seq("user_id"), "us", "click_us",
+          rightTieBreak = Some(col("c_eid")))
         .select(col("user_id"), col("event_id"), col("us"), col("click_us"), col("click_value"))
         .orderBy(col("event_id"))
     },

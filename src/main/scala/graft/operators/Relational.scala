@@ -59,37 +59,6 @@ object Relational {
       graft.plans.TopKPerGroupPlan(groupExprs, sortOrders, k, GraftSqlBridge.logicalPlan(df)))
   }
 
-  /** As-of join: each left row is matched with the latest right row of
-    * the same key whose `tsCol` is ≤ the left row's. Implemented as
-    * union + ordered window (last-non-null carry-forward), NOT as a range
-    * join: one shuffle on (key), no join explosion, no per-row range
-    * probe — the formulation that scales to billions of rows per key
-    * domain. Right-side payload columns must be disjoint from left's.
-    *
-    * Tie semantics: at equal timestamps the right row is visible to the
-    * left row (≤, not <).
-    */
-  def asOfJoin(
-      left: DataFrame,
-      right: DataFrame,
-      keyCols: Seq[String],
-      tsCol: String,
-      tieBreak: Column): DataFrame = {
-    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val l = left.withColumn("__side", lit(1))
-    val r = right.withColumn("__side", lit(0))
-    // materialize the tie-break before any carry-forward fill so the
-    // window ordering never reads a filled column
-    val unioned = l.unionByName(r, allowMissingColumns = true).withColumn("__tie", tieBreak)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side", "__tie")
-  }
-
   /** Point-in-interval range join (the IP-to-geo / price-to-bracket
     * lookup): every point row matches the range rows with
     * `lo <= point < hi`. Spark's native answer to an inequality-only
@@ -183,14 +152,18 @@ object Relational {
     * so a hot key degrades to a big sort partition, not an OOM.
     *
     * Right rows must be unique per (key, ts) for a deterministic result
-    * — pre-aggregate ties (e.g. `max_by`) at the call site.
+    * — pre-aggregate ties (e.g. `max_by`) at the call site, or pass
+    * `rightTieBreak`: among right rows sharing a (key, ts), the LARGEST
+    * tie-break value wins the match.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      leftTsCol: String, rightTsCol: String, strict: Boolean = false): DataFrame = {
+      leftTsCol: String, rightTsCol: String, strict: Boolean = false,
+      rightTieBreak: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayloadCols = right.columns.toSeq.diff(keyCols)
     val lType = left.select(struct(lCols.map(col): _*).as("s")).schema.head.dataType
     val rType = right.select(struct(rPayloadCols.map(col): _*).as("s")).schema.head.dataType
+    val tieType = rightTieBreak.map(t => right.select(t.as("t")).schema.head.dataType)
     // side ordering encodes the <= vs < boundary: inclusive → an
     // equal-ts right row sorts BEFORE the left row (0 < 1) and lands in
     // its frame; strict → it sorts after (2 > 1) and does not.
@@ -198,13 +171,19 @@ object Relational {
     val l2 = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
-        struct(lCols.map(col): _*).as("__l"), lit(null).cast(rType).as("__r")): _*)
+        struct(lCols.map(col): _*).as("__l"), lit(null).cast(rType).as("__r")) ++
+        tieType.map(dt => lit(null).cast(dt).as("__tie")): _*)
     val r2 = right.select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
-        lit(null).cast(lType).as("__l"), struct(rPayloadCols.map(col): _*).as("__r")): _*)
+        lit(null).cast(lType).as("__l"), struct(rPayloadCols.map(col): _*).as("__r")) ++
+        rightTieBreak.map(_.as("__tie")): _*)
+    // `last()` over the running frame naturally takes the max-ordered
+    // row, so the tie-break sorts ascending and the largest value wins
+    val ordering = Seq(col("__ts"), col("__side")) ++
+      tieType.map(_ => col("__tie"))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.unionByName(r2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -39,8 +39,8 @@ class AggregatorsSpec extends SparkSpec {
     val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
       .toDF("k", "t", "tag")
     val right = Seq((1L, 90L, 9.0), (1L, 100L, 10.0), (1L, 150L, 15.0), (2L, 60L, 6.0))
-      .toDF("k", "t", "payload")
-    val r = Relational.asOfJoin(left, right, Seq("k"), "t", col("tag"))
+      .toDF("k", "rt", "payload")
+    val r = Relational.asofJoin(left, right, Seq("k"), "t", "rt")
       .select("tag", "payload").as[(String, Option[Double])].collect().toMap
     assert(r("p1").contains(10.0)) // equal ts visible (≤ semantics)
     assert(r("p2").contains(15.0)) // latest ≤ 200 is 150

@@ -37,6 +37,16 @@ class RelationalSpec extends SparkSpec {
       ("t3", None, None)))             // key 2's only quote is later
   }
 
+  test("asofJoin rightTieBreak: largest tie-break value wins among equal-ts right rows") {
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 5L, 100L, 1.0), (1L, 5L, 300L, 3.0), (1L, 5L, 200L, 2.0))
+      .toDF("key", "q_ts", "rid", "px")
+    val m = Relational.asofJoin(l, r, Seq("key"), "ts", "q_ts",
+        rightTieBreak = Some(col("rid")))
+      .select("tag", "rid", "px").as[(String, Long, Double)].collect().toSet
+    assert(m == Set(("a", 300L, 3.0)))
+  }
+
   test("asofJoin strict excludes the equal-ts right row") {
     val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
     val r = Seq((1L, 10L, 7.0), (1L, 4L, 3.0)).toDF("key", "q_ts", "px")
