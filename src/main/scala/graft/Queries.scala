@@ -2204,11 +2204,14 @@ object Queries {
     (s, d) => {
       // the reference's STAGE_DEPENDENCY precedence graph
       // (test.mmd:52-58: FS/SS/FF/SF + lag_days) exercised end-to-end:
-      // per stage, schedule depth in hops (Relational.dagDepth), critical
-      // lag along any path (dagLongestPath), and how many downstream
-      // stages a slip would touch (transitiveClosure). The DuckDB oracle
-      // replays all three with one recursive path enumeration + one
-      // recursive reachability closure.
+      // per stage, schedule depth in hops AND critical lag along any path
+      // — both from ONE fused relaxation loop (Relational.dagRelaxMax:
+      // same join, two max aggregates, half the per-round fixed cost) —
+      // plus how many downstream stages a slip would touch
+      // (Relational.descendantCounts: backward bitset-register
+      // propagation, exact here, O(V·register) state — NOT the quadratic
+      // transitive closure). The DuckDB oracle replays all three with one
+      // recursive path enumeration + one recursive reachability closure.
       import s.implicits._
       val edges = Seq(
         (1L, 2L, 3L), (1L, 3L, 0L), (2L, 4L, 5L), (3L, 4L, 2L),
@@ -2216,13 +2219,19 @@ object Queries {
         (7L, 8L, 2L), (3L, 9L, 7L), (9L, 10L, 1L), (10L, 8L, 3L),
         (1L, 11L, 0L), (11L, 12L, 6L), (12L, 8L, 0L))
         .toDF("src", "dst", "lag_days")
-      val depth = Relational.dagDepth(edges, "src", "dst", maxIter = 16)
-      val lag = Relational.dagLongestPath(edges, "src", "dst", "lag_days", maxIter = 16)
-        .withColumnRenamed("dist", "max_lag")
-      val reach = Relational.transitiveClosure(edges, "src", "dst")
-        .groupBy(col("src")).agg(count_distinct(col("dst")).as("n_desc"))
-        .withColumnRenamed("src", "node")
-      depth.join(lag, Seq("node")).join(reach, Seq("node"), "left")
+      // the two iterative drivers are independent — run them on
+      // concurrent threads so their (tiny, driver-latency-bound) jobs
+      // interleave in the scheduler and the wall cost is max, not sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val relaxedF = Future(Relational.dagRelaxMax(
+        edges.withColumn("__one", lit(1L)), "src", "dst",
+        Seq("__one" -> "depth", "lag_days" -> "max_lag"), maxIter = 16))
+      val reachF = Future(Relational.descendantCounts(edges, "src", "dst", maxIter = 16))
+      val relaxed = Await.result(relaxedF, Duration.Inf)
+      val reach = Await.result(reachF, Duration.Inf)
+      relaxed.join(reach, Seq("node"), "left")
         .select(col("node"), col("depth"), col("max_lag"),
           coalesce(col("n_desc"), lit(0L)).as("n_desc"))
         .orderBy(col("node"))

@@ -115,16 +115,19 @@ object Relational {
     * level; the returned Dataset has no CacheManager entry, so its
     * `unpersist()` is a silent no-op and the blocks stay pinned until
     * driver GC — a leak that compounds across iterations on a long-lived
-    * session. Diff the persistent-RDD ids around the (eager) checkpoint so
-    * the loop can release exactly those blocks when the snapshot is
-    * superseded. The driver loop is single-threaded, so no concurrent
-    * persist can land inside the diff window.
+    * session. The pinned RDD is exactly the one the checkpoint Dataset's
+    * `LogicalRDD` wraps — read its id off the analyzed plan (NOT a
+    * before/after diff of `getPersistentRDDs`, which would misattribute
+    * RDDs persisted by CONCURRENT query threads — e.g. two iterative
+    * graph drivers running in parallel — and release blocks that are
+    * still live).
     */
   private def localCheckpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val cp = df.localCheckpoint() // eager: materialized before we return
-    (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    val ids = cp.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }.toSet
+    (cp, ids)
   }
 
   private def releasePinned(sc: org.apache.spark.SparkContext, ids: Set[Int]): Unit =
@@ -155,12 +158,20 @@ object Relational {
     * — pre-aggregate ties (e.g. `max_by`) at the call site, or pass
     * `rightTieBreak`: among right rows sharing a (key, ts), the LARGEST
     * tie-break value wins the match.
+    *
+    * Right payload column names must not collide with left columns —
+    * enforced eagerly (a silent duplicate-name schema would only fail
+    * later, at first downstream column resolution).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTsCol: String, rightTsCol: String, strict: Boolean = false,
       rightTieBreak: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toSeq
     val rPayloadCols = right.columns.toSeq.diff(keyCols)
+    val collisions = lCols.intersect(rPayloadCols)
+    require(collisions.isEmpty,
+      s"asofJoin: right payload column(s) ${collisions.mkString(", ")} collide with left " +
+        "columns — rename them on the right side before joining")
     val lType = left.select(struct(lCols.map(col): _*).as("s")).schema.head.dataType
     val rType = right.select(struct(rPayloadCols.map(col): _*).as("s")).schema.head.dataType
     val tieType = rightTieBreak.map(t => right.select(t.as("t")).schema.head.dataType)
@@ -359,10 +370,9 @@ object Relational {
     * iterative relaxation; useful for stage-dependency scheduling depth.
     */
   def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame =
-    dagLongestPath(
+    dagRelaxMax(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), lit(1L).as("__w")),
-      "src", "dst", "__w", maxIter)
-      .withColumnRenamed("dist", "depth")
+      "src", "dst", Seq("__w" -> "depth"), maxIter)
 
   /** Weighted longest-path relaxation over a DAG: for every node, the
     * maximum over all paths of the sum of edge weights reaching it
@@ -372,40 +382,235 @@ object Relational {
     * DAG's depth. Lineage is truncated every 5 iterations.
     */
   def dagLongestPath(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    dagRelaxMax(edges, srcCol, dstCol, Seq(weightCol -> "dist"), maxIter)
+
+  /** Fused multi-weight longest-path relaxation: ONE iterative driver
+    * relaxes every weight column simultaneously (same join, one extra
+    * `max` aggregate per weight), so callers that need several path
+    * metrics over the same DAG — hop depth AND critical lag, say — pay
+    * the per-round planning/codegen fixed cost once instead of once per
+    * metric. `weights` maps an input edge-weight column to its output
+    * distance column; each output is the max over all paths into the
+    * node of the sum of that weight (floored at 0). Iterations stop when
+    * EVERY metric is stable; lineage is truncated every 5 rounds and
+    * superseded checkpoint blocks are released.
+    */
+  def dagRelaxMax(edges: DataFrame, srcCol: String, dstCol: String,
+      weights: Seq[(String, String)], maxIter: Int = 50): DataFrame = {
+    require(weights.nonEmpty, "dagRelaxMax: need at least one weight column")
     val sc = edges.sparkSession.sparkContext
-    // parallel edges collapse to their max weight — the binding constraint
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w"))
-      .groupBy("src", "dst").agg(max("w").as("w")).persist()
+    val outCols = weights.map(_._2)
+    // parallel edges collapse per-weight to their max — the binding constraint
+    val e = edges.select(col(srcCol).as("src") +: col(dstCol).as("dst") +:
+        weights.map { case (w, o) => col(w).cast("long").as(s"__w_$o") }: _*)
+      .groupBy("src", "dst")
+      .agg(max(s"__w_${outCols.head}").as(s"__w_${outCols.head}"),
+        outCols.tail.map(o => max(s"__w_$o").as(s"__w_$o")): _*)
+      .persist()
     var dist = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
-      .withColumn("dist", lit(0L)).persist()
+      .select(col("node") +: outCols.map(o => lit(0L).as(o)): _*).persist()
     var distPinned = Set.empty[Int]
     var iter = 0
     var changed = true
     while (iter < maxIter && changed) {
       val step = dist.as("d").join(e, col("d.node") === col("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .select(col("dst").as("node") +:
+          outCols.map(o => (col(o) + col(s"__w_$o")).as(o)): _*)
         .union(dist)
-        .groupBy("node").agg(max("dist").as("dist"))
+        .groupBy("node")
+        .agg(max(outCols.head).as(outCols.head),
+          outCols.tail.map(o => max(o).as(o)): _*)
       // relaxation adds ONE edge per iteration, so deep DAGs take many
       // iterations: periodically truncate lineage or the plan grows
       // linearly and per-iteration planning time dominates
       val (relaxed, relaxedPinned) =
         if (iter % 5 == 4) localCheckpointTracked(step)
         else (step.persist(), Set.empty[Int])
-      // fully materialize BEFORE dropping dist: the convergence probe's
-      // limit(1) may touch only some partitions, and a released
-      // checkpoint snapshot cannot back recomputation later
-      relaxed.count()
+      // ONE job per round: the convergence probe is a full (no limit)
+      // aggregation, so its scan of `relaxed` fully materializes the
+      // cache BEFORE dist is dropped — a partially-populated snapshot
+      // could not back recomputation once its parent is released
       changed = relaxed.as("l").join(dist.as("r"), Seq("node"))
-        .filter(col("l.dist") =!= col("r.dist")).limit(1).count() > 0
+        .filter(outCols.map(o => col(s"l.$o") =!= col(s"r.$o")).reduce(_ || _))
+        .count() > 0
       dist.unpersist(); releasePinned(sc, distPinned)
       dist = relaxed; distPinned = relaxedPinned
       iter += 1
     }
     e.unpersist()
     rehomed(dist, distPinned)
+  }
+
+  /** Per-node DESCENDANT COUNTS of a DAG — how many distinct nodes are
+    * reachable from each node — WITHOUT materializing the transitive
+    * closure (whose output is quadratic in reachable pairs; see the
+    * [[transitiveClosure]] scaladoc's own warning). A count needs only
+    * per-node cardinalities, so this propagates a fixed-width
+    * reachability REGISTER backward along edges:
+    *
+    *   reg(v) ← OR over edges v→u of (item(u) ∪ reg(u))
+    *
+    * O(V·register) state, O(longest-path) rounds, one equi-join + one
+    * aggregation per round. Two register representations, picked by
+    * graph size:
+    *   - `|V| ≤ exactMaxNodes`: a dense BITSET (`array<long>` of
+    *     ⌈V/64⌉ words; nodes ranked once). The per-word OR-merge is a
+    *     plain `bit_or` aggregate per word — native, codegen'd, no UDAF
+    *     — and counts are EXACT (`bit_count` popcounts).
+    *   - larger graphs: a Datasketches HLL register per node
+    *     (`hll_sketch_agg`/`hll_union_agg`, ~lgK-bounded bytes), giving
+    *     approximate counts with bounded state no matter how large the
+    *     reachable sets grow — the 100 TB lineage/citation-graph path.
+    *
+    * Output: (node, n_desc) for EVERY node in the edge table (sinks
+    * carry 0). Registers only ever grow, so convergence = a round that
+    * changes no register.
+    */
+  def descendantCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50, exactMaxNodes: Int = 1 << 12): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct().persist()
+    val v = nodes.count()
+    if (v == 0) {
+      val empty = nodes.select(col("node"), lit(0L).as("n_desc"))
+      e.unpersist(); nodes.unpersist()
+      return empty
+    }
+    val out =
+      if (v <= exactMaxNodes) descendantCountsExact(e, nodes, v.toInt, maxIter)
+      else descendantCountsSketch(e, nodes, maxIter)
+    out.persist()
+    out.count()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** Exact bitset path of [[descendantCounts]]: nodes get a dense rank
+    * (bounded by `exactMaxNodes`, so the rank window is cheap), each
+    * register is ⌈V/64⌉ longs carried as top-level `__b$i` columns, and
+    * the backward OR-merge is one `bit_or` aggregate per word — all
+    * inside whole-stage codegen.
+    */
+  private def descendantCountsExact(
+      e: DataFrame, nodes: DataFrame, v: Int, maxIter: Int): DataFrame = {
+    val sc = e.sparkSession.sparkContext
+    val words = (v + 63) / 64
+    val wordCols = (0 until words).map(i => s"__b$i")
+    // dense 0-based rank per node; single-partition window is fine on the
+    // ≤ exactMaxNodes path (the sketch path never ranks)
+    val idx = nodes
+      .withColumn("__i", row_number().over(Window.orderBy(col("node"))) - 1)
+      .persist()
+    // edge table annotated with the DST node's (word, bit) position
+    val eIdx = e.join(idx.select(col("node").as("dst"), col("__i")), "dst")
+      .select(col("src"), col("dst"),
+        (col("__i") / 64).cast("int").as("__wi"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__i % 64 AS INT))").as("__bit"))
+      .persist()
+    eIdx.count()
+    def orAgg(g: org.apache.spark.sql.RelationalGroupedDataset,
+        exprs: Seq[Column]): DataFrame =
+      g.agg(exprs.head.as(wordCols.head),
+        exprs.tail.zip(wordCols.tail).map { case (c, n) => c.as(n) }: _*)
+    // seed: reg_0(v) = OR of bit(u) over direct children u
+    var labels = orAgg(
+      eIdx.groupBy(col("src").as("id")),
+      (0 until words).map(i =>
+        bit_or(when(col("__wi") === i, col("__bit")).otherwise(0L))))
+      .persist()
+    var labelsPinned = Set.empty[Int]
+    var total = -1L
+    var iter = 0
+    var converged = false
+    def popcount(df: DataFrame): Long =
+      df.select(wordCols.map(c => sum(bit_count(col(c)).cast("long")).as(c)): _*)
+        .na.fill(0L)
+        .select(wordCols.map(col).reduce(_ + _).as("t")).first().getLong(0)
+    while (iter < maxIter && !converged) {
+      // next(v) = OR over v→u of (bit(u) | reg(u)); sinks contribute
+      // bit-only rows via the left join's null registers
+      val j = eIdx.join(labels.withColumnRenamed("id", "dst"), Seq("dst"), "left")
+      val step = orAgg(
+        j.groupBy(col("src").as("id")),
+        (0 until words).map(i =>
+          bit_or(coalesce(col(wordCols(i)), lit(0L))
+            .bitwiseOR(when(col("__wi") === i, col("__bit")).otherwise(0L)))))
+      val (next, nextPinned) =
+        if (iter % 5 == 4) localCheckpointTracked(step)
+        else (step.persist(), Set.empty[Int])
+      // ONE job per round: the popcount is a full aggregation, so it
+      // both materializes the snapshot and answers convergence —
+      // registers only grow → total popcount is monotone; a flat round
+      // is the global fixpoint
+      val t = popcount(next)
+      labels.unpersist(); releasePinned(sc, labelsPinned)
+      labels = next; labelsPinned = nextPinned
+      if (t == total) converged = true
+      total = t
+      iter += 1
+    }
+    val counts = labels.select(col("id").as("node"),
+      wordCols.map(c => bit_count(col(c)).cast("long")).reduce(_ + _).as("n_desc"))
+    val out = nodes.join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_desc"), lit(0L)).as("n_desc"))
+    val homed = rehomed(out, labelsPinned)
+    if (labelsPinned.isEmpty) { homed.persist(); homed.count(); labels.unpersist() }
+    idx.unpersist(); eIdx.unpersist()
+    homed
+  }
+
+  /** Sketch path of [[descendantCounts]]: per-node HLL registers
+    * (Datasketches, fixed bytes) unioned backward along edges — the
+    * representation that stays O(V·lgK) however large reachable sets
+    * get. Counts are approximate (HLL error ~1.6% at the default lgK);
+    * register bytes are a deterministic function of the inserted set, so
+    * convergence compares bytes.
+    */
+  private def descendantCountsSketch(
+      e: DataFrame, nodes: DataFrame, maxIter: Int): DataFrame = {
+    val sc = e.sparkSession.sparkContext
+    // base(v) = sketch of v's direct children — the fixed one-hop layer
+    // every round re-unions (registers are max-merge, so re-adding is free)
+    val base = e.groupBy(col("src").as("id"))
+      .agg(hll_sketch_agg(col("dst")).as("sk")).persist()
+    base.count()
+    var labels = base
+    var labelsPinned = Set.empty[Int]
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val gathered = e.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(hll_union_agg(col("sk")).as("ck"))
+      val step = base.join(gathered, Seq("id"), "left")
+        .select(col("id"),
+          when(col("ck").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("ck"))).as("sk"))
+      val (next, nextPinned) =
+        if (iter % 5 == 4) localCheckpointTracked(step)
+        else (step.persist(), Set.empty[Int])
+      // ONE job per round: the full (no limit) probe scan materializes
+      // the snapshot; union with a subset leaves every register — hence
+      // the serialized bytes — unchanged, so byte equality is the
+      // fixpoint test
+      val changed = next.as("n").join(labels.as("p"), Seq("id"))
+        .filter(col("n.sk") =!= col("p.sk")).count() > 0
+      if (labels ne base) { labels.unpersist(); releasePinned(sc, labelsPinned) }
+      labels = next; labelsPinned = nextPinned
+      if (!changed) converged = true
+      iter += 1
+    }
+    val counts = labels.select(col("id").as("node"),
+      hll_sketch_estimate(col("sk")).as("n_desc"))
+    val out = nodes.join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_desc"), lit(0L)).as("n_desc"))
+    val homed = rehomed(out, labelsPinned)
+    if (labelsPinned.isEmpty) {
+      homed.persist(); homed.count()
+      if (labels ne base) labels.unpersist()
+    }
+    base.unpersist()
+    homed
   }
 
   /** Critical-path-method forward pass over the reference's

@@ -130,6 +130,80 @@ class RelationalSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
   }
 
+  test("dagRelaxMax fuses depth + weighted lag in one loop, matches the separate ops") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 0L))
+      .toDF("src", "dst", "lag")
+    val fused = Relational.dagRelaxMax(
+      edges.withColumn("__one", lit(1L)), "src", "dst",
+      Seq("__one" -> "depth", "lag" -> "max_lag"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val depth = Relational.dagDepth(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val lag = Relational.dagLongestPath(edges, "src", "dst", "lag")
+      .as[(Long, Long)].collect().toMap
+    assert(fused.keySet == depth.keySet)
+    fused.foreach { case (n, (d, l)) => assert(d == depth(n) && l == lag(n), s"node $n") }
+    // the interesting node: 3 is depth 2 (via 1→2→3) but lag 10 (via 1→3)
+    assert(fused(3L) == ((2L, 10L)))
+  }
+
+  test("descendantCounts (exact bitset path) matches closure-derived counts, sinks get 0") {
+    // diamond + tail: 1→{2,3}→4→5, plus 2→6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val got = Relational.descendantCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val want = {
+      val tc = Relational.transitiveClosure(edges, "src", "dst")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+      (1L to 6L).map(n => n -> tc.getOrElse(n, 0L)).toMap
+    }
+    assert(got == want, s"got $got want $want")
+    assert(got(5L) == 0L && got(6L) == 0L, "sinks carry 0")
+    assert(got(1L) == 5L, "root reaches everything")
+  }
+
+  test("descendantCounts exact path crosses a word boundary (>64 nodes) and deep chains") {
+    // chain of 70 nodes: node i reaches 70 - i descendants; register needs 2 words
+    val n = 70L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Relational.descendantCounts(edges, "src", "dst", maxIter = 80)
+      .as[(Long, Long)].collect().toMap
+    (1L to n).foreach(i => assert(got(i) == n - i, s"node $i"))
+  }
+
+  test("descendantCounts sketch path (forced) approximates counts on a small graph") {
+    // force the HLL path by setting exactMaxNodes below |V|; HLL is exact-ish
+    // at tiny cardinalities (error ~1.6% at default lgK, 0 here)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val got = Relational.descendantCounts(edges, "src", "dst", exactMaxNodes = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 5L && got(4L) == 1L && got(5L) == 0L && got(6L) == 0L,
+      s"sketch-path counts off: $got")
+  }
+
+  test("descendantCounts releases its caches: caller unpersist leaves nothing behind") {
+    val sc = spark.sparkContext
+    val preexisting = sc.getPersistentRDDs.keySet.toSet
+    val n = 30L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Relational.descendantCounts(edges, "src", "dst", maxIter = 40)
+    assert(d.count() == n)
+    d.unpersist(blocking = true)
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- preexisting
+    assert(leaked.isEmpty, s"pinned RDDs leaked by descendantCounts: $leaked")
+  }
+
+  test("asofJoin rejects right payload columns that collide with left columns") {
+    val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
+    val r = Seq((1L, 4L, "b")).toDF("key", "q_ts", "tag") // tag collides
+    val ex = intercept[IllegalArgumentException] {
+      Relational.asofJoin(l, r, Seq("key"), "ts", "q_ts")
+    }
+    assert(ex.getMessage.contains("tag"))
+  }
+
   test("cpmSchedule: FS/SS/FF/SF anchor arithmetic on a fixture plan") {
     // durations: s1=5, s2=3, s3=4, s4=2, s5=6
     val stages = Seq((1L, 5), (2L, 3), (3L, 4), (4L, 2), (5L, 6))
