@@ -773,7 +773,46 @@ object Queries {
           array_max(col("fps")).as("max_fp"))
         .orderBy(col("doc_id"))
     },
-    None)
+    // full SQL replay of the native pipeline: Karp–Rabin k-gram hashes
+    // (polynomial base 1000003 over UTF-8 bytes, Java-long wraparound =
+    // mod 2^64 via HUGEINT, with B^j mod 2^64 precomputed) then the
+    // winnow as a plain window min — the fingerprint SET's (count,
+    // min, max) don't depend on first-occurrence order, so the
+    // monotonic-deque selection is exactly a ROWS window min
+    Some("""WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+      g AS (
+        SELECT doc_id, unnest(range(0, n - 7)) AS p, hx FROM d WHERE n >= 8),
+      h AS (
+        SELECT doc_id, p,
+          CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+               THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, p,
+            list_sum([CAST(CAST(('0x' || substr(hx, 2*(p+j)+1, 2)) AS INT) AS HUGEINT)
+              * (CAST([1, 1000003, 1000006000009, 1000009000027000027,
+                  14003818205314896721, 14453212906556403763,
+                  10923514805226455897, 12924618581234127435] AS HUGEINT[])[8-j])
+              for j in range(8)]) % CAST(18446744073709551616 AS HUGEINT) AS u
+          FROM g)),
+      wm AS (
+        SELECT doc_id, p, h,
+          min(h) OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+          count(*) OVER (PARTITION BY doc_id) AS m
+        FROM h),
+      sel AS (
+        SELECT doc_id, wmin AS fp FROM wm WHERE m >= 16 AND p <= m - 16
+        UNION ALL
+        SELECT doc_id, h AS fp FROM wm WHERE m < 16),
+      agg AS (
+        SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+          min(fp) AS min_fp, max(fp) AS max_fp
+        FROM sel GROUP BY doc_id)
+      SELECT dd.doc_id, CAST(coalesce(a.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+        a.min_fp, a.max_fp
+      FROM documents dd LEFT JOIN agg a ON dd.doc_id = a.doc_id
+      ORDER BY dd.doc_id"""))
 
   private val q40 = Q(
     "q40_asof_join",
@@ -2285,6 +2324,70 @@ object Queries {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
       ORDER BY p.event_id"""))
 
+  private val q93 = Q(
+    "q93_curate_funnel",
+    (s, d) => {
+      // per-stage oracle evidence for q44's composite: the curation
+      // funnel's SQL-expressible prefix — ingest count, the
+      // language-ID + quality gate, exact content dedup — each replayed
+      // verbatim by the DuckDB oracle (needle occurrence counts are the
+      // classic replace-length idiom; first-wins argmax is a CASE
+      // chain; exact dedup is count-distinct-text). The near-dup stage
+      // stays spec-verified (planted pairs) — LSH band hashes have no
+      // SQL equivalent. One job: three count branches unioned.
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9) // = q44
+      val docs = Tables.documents(s, d)
+      val gated = graft.pipeline.CorpusPipeline.qualityFilter(
+        graft.pipeline.CorpusPipeline.annotate(docs, "doc_id", "text", cfg), cfg)
+      val exact = graft.operators.Dedup.exactContentGroups(gated, "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+      stage("0_ingest", docs)
+        .unionAll(stage("1_quality_gate", gated))
+        .unionAll(stage("2_exact_dedup", exact))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text, ' ' || text || ' ' AS pad,
+          string_split_regex(trim(text), '\s+') AS toks
+        FROM documents),
+      feat AS (
+        SELECT doc_id, text,
+          len(toks) AS n_tokens,
+          CASE WHEN len(toks) > 0
+            THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr,
+          (len(pad) - len(replace(pad, ' the ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' a ', ''))) / 3
+            + (len(pad) - len(replace(pad, ' of ', ''))) / 4 AS s0,
+          (len(pad) - len(replace(pad, ' le ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' la ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' et ', ''))) / 4 AS s1,
+          (len(pad) - len(replace(pad, ' der ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' und ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' das ', ''))) / 5 AS s2,
+          (len(pad) - len(replace(pad, ' el ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' los ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' de ', ''))) / 4 AS s3
+        FROM t),
+      gated AS (
+        SELECT doc_id, text FROM feat
+        WHERE n_tokens BETWEEN 5 AND 100000 AND ttr >= 0.05
+          AND (CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'en'
+                WHEN s1 >= s2 AND s1 >= s3 THEN 'fr'
+                WHEN s2 >= s3 THEN 'de' ELSE 'es' END)
+              IN ('en', 'fr', 'de', 'es'))
+      SELECT stage, n_rows FROM (
+        SELECT '0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+        UNION ALL
+        SELECT '1_quality_gate', CAST(count(*) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT '2_exact_dedup',
+          CAST(count(DISTINCT text)
+            + coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM gated)
+      ORDER BY stage"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2294,5 +2397,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92)
+    q91, q92, q93)
 }

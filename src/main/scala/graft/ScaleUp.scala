@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator: replicate an SF directory `factor`×
+  * with FOREIGN-KEY-CONSISTENT key shifts, so the same queries run
+  * unchanged at `factor`× the data volume — the scale-curve experiment
+  * (wall time vs data volume) that turns "this plan amortizes at real
+  * volume" from an assertion into a measurement.
+  *
+  * Replication model: fixed-cardinality dims (`region`, `nation`) copy
+  * as-is — exactly how TPC-H scales. Every other table unions `factor`
+  * shifted replicas in ONE pass (`explode(sequence)`, no driver loop):
+  * replica `r` adds `r × 10^9` to every entity key participating in a
+  * join (custkey, orderkey, partkey, suppkey, event/user ids, doc/vec
+  * ids), so replicas join only within themselves and all FK chains stay
+  * intact. Document text gets a tiny per-replica suffix so per-doc text
+  * operators see distinct content (NOTE: replicas remain near-identical
+  * text — dedup-family queries would rightly collapse them; use the
+  * synthetic SF for scan/join/agg/window/text-projection curves, not
+  * dedup semantics).
+  *
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/scale/sf1 10"
+  */
+object ScaleUp {
+
+  private val stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, cpus)
+
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val exploded = df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+      keyCols.foldLeft(exploded) { (d, k) =>
+        d.withColumn(k, col(k) + col("__r") * stride)
+      }
+    }
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.drop("__r").write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    }
+
+    def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+
+    // fixed-cardinality dims: copy
+    Seq("region", "nation").foreach(t => write(src(t), t))
+    write(replicate(src("customer"), Seq("c_custkey")), "customer")
+    write(replicate(src("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(src("part"), Seq("p_partkey")), "part")
+    write(replicate(src("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(src("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(src("events"), Seq("event_id", "user_id")), "events")
+    write(
+      replicate(src("documents"), Seq("doc_id"))
+        .withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" r"), col("__r")))),
+      "documents")
+    write(replicate(src("embeddings"), Seq("vec_id")), "embeddings")
+    spark.stop()
+  }
+}

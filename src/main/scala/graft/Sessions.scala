@@ -14,10 +14,17 @@ import org.apache.spark.sql.SparkSession
   *     DuckDB oracle (naive timestamps).
   */
 object Sessions {
-  def local(cores: String = "32", shufflePartitions: String = "32"): SparkSession = {
+  /** `maxTaskFailures` > 1 enables task RETRY in local mode
+    * (`local[N, F]`) — the default local master fails the job on first
+    * task death, hiding the retry-idempotency semantics every sink must
+    * honor on a real cluster. Production mains keep the default. */
+  def local(cores: String = "32", shufflePartitions: String = "32",
+      maxTaskFailures: Int = 1): SparkSession = {
+    val master =
+      if (maxTaskFailures > 1) s"local[$cores, $maxTaskFailures]" else s"local[$cores]"
     val spark = SparkSession
       .builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName("graft")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `array<bigint>` → boolean: does ANY element belong to a fixed
+  * reference set of 64-bit hashes? The membership primitive of streaming
+  * n-gram decontamination (`StreamOps.decontaminateStream`): the
+  * document's hashed shingles are probed against the broadcast benchmark
+  * gram set, and one hit marks the document contaminated.
+  *
+  * Why native (vs a Scala UDF over `Seq[Long]`): the UDF path
+  * deserializes every element into boxed `java.lang.Long`s and evaluates
+  * a closure per row outside whole-stage codegen; this expression reads
+  * primitive longs straight off the `ArrayData` and binary-searches a
+  * primitive sorted `long[]` — 8 bytes per reference gram (a boxed
+  * `Set[Long]` costs ~48 bytes/entry: a 2M-gram eval suite is ~16 MB
+  * here vs ~100 MB boxed), no allocation, and the filter fuses into the
+  * surrounding codegen stage.
+  *
+  * The sorted array is driver state carried by the expression (a
+  * codegen reference object), not a literal — construct via
+  * `GraftSqlBridge.column(AnyHashInSortedSet(expr, sorted))`.
+  */
+case class AnyHashInSortedSet(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_any_hash_in_set expects array<bigint>, got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnyHashInSortedSet.containsAny(input.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedSet", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.AnyHashInSortedSet.containsAny($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_any_hash_in_set"
+}
+
+object AnyHashInSortedSet {
+  def containsAny(a: ArrayData, sorted: Array[Long]): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, a.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Serializable lazy-deserializing wrapper around a Spark Bloom filter:
+  * ships as the serialized SKETCH BYTES and re-hydrates once per
+  * executor (transient lazy), so the expression below can probe
+  * `mightContainLong` from generated code without depending on the
+  * filter class's own Java-serialization behavior.
+  */
+final class BloomHolder(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  def containsAny(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (bloom.mightContainLong(a.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+object BloomHolder {
+  def apply(bloom: org.apache.spark.util.sketch.BloomFilter): BloomHolder = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    new BloomHolder(bos.toByteArray)
+  }
+}
+
+/** `array<bigint>` → boolean: Bloom-filter variant of
+  * [[AnyHashInSortedSet]] for reference sets past the exact-set budget
+  * (~2.4 bytes/gram at fpp 1e-4). False positives flag a CLEAN document
+  * as contaminated — the safe direction for decontamination; false
+  * negatives cannot occur.
+  */
+case class AnyHashInBloom(child: Expression, holder: BloomHolder)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_any_hash_in_bloom expects array<bigint>, got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    holder.containsAny(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomHolder", holder, "graft.plans.BloomHolder")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.containsAny($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_any_hash_in_bloom"
+}

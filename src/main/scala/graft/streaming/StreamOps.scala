@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import java.sql.Timestamp
@@ -92,39 +92,48 @@ object StreamOps {
     * streaming decide identically.
     *
     * The reference-set representation auto-selects on size: up to
-    * `exactMaxGrams` distinct grams it is an exact Long hash set (one
-    * 8-byte hash per gram — eval-suite scale, zero false positives);
-    * above that it switches to a Bloom filter (~2.4 bytes/gram at the
-    * default fpp), same broadcast-filter shape, so a corpus-sized
-    * reference set costs ~250 MB per executor instead of ~8 GB. Bloom
-    * false positives only ever DROP a clean document (never leak a
-    * contaminated one) — the safe direction for decontamination; pin
-    * `exactMaxGrams = Long.MaxValue` to force the exact set.
+    * `exactMaxGrams` distinct grams it is an exact SORTED PRIMITIVE
+    * `long[]` probed by binary search (8 bytes per gram — a 2M-gram
+    * eval suite is ~16 MB; a boxed `Set[Long]` would be ~48 B/entry —
+    * and zero false positives); above that it switches to a Bloom
+    * filter (~2.4 bytes/gram at the default fpp), same shape, so a
+    * corpus-sized reference set costs ~250 MB per executor instead of
+    * ~16 GB. Bloom false positives only ever DROP a clean document
+    * (never leak a contaminated one) — the safe direction for
+    * decontamination; pin `exactMaxGrams = Long.MaxValue` to force the
+    * exact set. Both probes are native codegen expressions
+    * ([[graft.plans.AnyHashInSortedSet]] / [[graft.plans.AnyHashInBloom]])
+    * — no Scala closure in the per-batch filter, so the stream filter
+    * fuses into whole-stage codegen exactly like the batch path.
     */
   def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 5,
       exactMaxGrams: Long = 2000000L, bloomFpp: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val grams = benchmark
       .select(graft.functions.HashFunctions.hashedWordShingles(
         graft.functions.TextFunctions.tokens(col(benchTextCol)), n).as("__sh"))
       .select(explode(col("__sh")).as("__h")).distinct()
       .persist() // two actions (count + collect-or-bloom): one job each
-    val contains: Long => Boolean =
+    val docGrams = GraftSqlBridge.expression(
+      graft.functions.HashFunctions.hashedWordShingles(
+        graft.functions.TextFunctions.tokens(col(textCol)), n))
+    val hit: Column =
       try {
         val nGrams = grams.count()
         if (nGrams <= exactMaxGrams) {
-          val set = grams.collect().map(_.getLong(0)).toSet
-          val bc = docs.sparkSession.sparkContext.broadcast(set)
-          h => bc.value.contains(h)
+          val sorted = grams.collect().map(_.getLong(0))
+          java.util.Arrays.sort(sorted)
+          GraftSqlBridge.column(graft.plans.AnyHashInSortedSet(docGrams, sorted))
         } else {
           val bloom = grams.stat.bloomFilter("__h", math.max(nGrams, 1L), bloomFpp)
-          val bc = docs.sparkSession.sparkContext.broadcast(bloom)
-          h => bc.value.mightContainLong(h)
+          GraftSqlBridge.column(
+            graft.plans.AnyHashInBloom(docGrams, graft.plans.BloomHolder(bloom)))
         }
       } finally grams.unpersist(blocking = false)
-    val clean = udf((sh: Seq[Long]) => sh == null || !sh.exists(contains))
-    docs.filter(clean(graft.functions.HashFunctions.hashedWordShingles(
-      graft.functions.TextFunctions.tokens(col(textCol)), n)))
+    // null gram arrays (null text) are clean by definition — the probe
+    // yields null for them, which coalesces to keep
+    docs.filter(coalesce(!hit, lit(true)))
   }
 
   /** Gap-based session aggregation via the BUILT-IN `session_window` —

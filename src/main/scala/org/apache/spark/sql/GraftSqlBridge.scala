@@ -22,4 +22,11 @@ object GraftSqlBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** Expression→Column (the inverse of [[expression]]) — for custom
+    * expressions whose construction carries non-literal driver state
+    * (e.g. a broadcast-sized lookup array) and so can't ride the
+    * registered-function path.
+    */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 }

@@ -43,6 +43,31 @@ class BpeSpec extends SparkSpec {
     assert(n6 < n0, "learned merges must compress the training text")
   }
 
+  test("rank-priority heap encode ≡ sequential per-merge passes (fixture + random)") {
+    // sequential reference: apply every merge as its own full pass
+    def seqEncode(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms: Seq[String] = w.split("(?!^)").toSeq
+      merges.foreach { case (a, b) => syms = Bpe.applyMerge(syms, a, b) }
+      syms
+    }
+    val docs = Seq("low lower newest lowest widest new").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 10).map(m => (m._1, m._2))
+    val rank = merges.zipWithIndex.toMap
+    // "" excluded: encodeUdf filters empty words before encoding
+    for (w <- Seq("low", "lower", "lowest", "newest", "widest", "slow", "owl", "x")) {
+      assert(Bpe.encodeWord(w, rank) == seqEncode(w, merges), s"word '$w'")
+    }
+    // randomized: words over a 3-letter alphabet, merges learned from them
+    val rnd = new scala.util.Random(42)
+    val corpus = (1 to 60).map(_ => (1 to 8).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    val rdocs = corpus.mkString(" ").split("(?=.)").mkString.split("\\|").toSeq.toDF("text")
+    val rmerges = Bpe.learnMerges(rdocs, "text", 12).map(m => (m._1, m._2))
+    val rrank = rmerges.zipWithIndex.toMap
+    (corpus ++ Seq("aaaaaaa", "abcabcabc", "cbacba")).foreach { w =>
+      assert(Bpe.encodeWord(w, rrank) == seqEncode(w, rmerges), s"random word '$w'")
+    }
+  }
+
   test("training is deterministic: rerun and repartition give identical merges") {
     val docs = (1 to 50).map(i => s"alpha beta gamma alpha beta doc$i").toDF("text")
     val a = Bpe.learnMerges(docs, "text", 5)

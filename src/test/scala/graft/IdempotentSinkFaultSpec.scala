@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.TaskContext
+
+import graft.sources.IdempotentBlobSink
+import graft.sources.IdempotentBlobSink.BlobStore
+
+/** Fault-injection proof of the sink's TASK-RETRY idempotency — stronger
+  * than rerun idempotency: a partition dies MID-WRITE (after some PUTs
+  * landed), Spark retries the task (the shared test session runs
+  * `local[4, 2]`), and the retry's upsert-by-key writes leave exactly
+  * one object per key with the right content — the reference's
+  * sha-overwrite contract (`/root/reference/test.py:70-81`) under the
+  * failure mode it exists for.
+  *
+  * The injected death is a `java.lang.Error` (not `Exception`): the
+  * sink's row-level error capture deliberately catches only `Exception`,
+  * so an Error models the real thing — executor OOM/JVM death — escaping
+  * the operator and killing the task attempt.
+  */
+class IdempotentSinkFaultSpec extends SparkSpec {
+
+  import IdempotentSinkFaultSpec._
+
+  test("partition killed mid-write: task retry yields exactly-once-by-key") {
+    import spark.implicits._
+    reset()
+    val rows = (1 to 6).map(i => (s"doc$i.bin", s"content-$i".getBytes(UTF_8)))
+    val df = rows.toDF("path", "content").repartition(1) // one partition = one task to kill
+    val out = IdempotentBlobSink.upload(df, "path", "content", () => new CrashingStore(3))
+      .collect()
+
+    // the retry attempt processed every row, none as an error row
+    assert(out.length == 6, s"all rows re-attempted after task retry: ${out.toSeq}")
+    assert(out.forall(_.getString(2) == null), s"no error rows: ${out.toSeq}")
+    assert(crashes.get() == 1, "the injected crash fired exactly once (attempt 0)")
+
+    // exactly-once-BY-KEY at the store: one object per key, right bytes
+    assert(objects.size() == 6)
+    rows.foreach { case (p, c) =>
+      assert(objects.get(p)._1.sameElements(c), s"final content of $p")
+    }
+    // attempt 0 landed 3 PUTs before dying; the retry re-PUT those keys as
+    // version-conditioned OVERWRITES (2 puts) and created the rest (1 put)
+    // — never a blind duplicate create
+    val putCounts = rows.map { case (p, _) => puts.get(p).get() }
+    assert(putCounts.count(_ == 2) == 3 && putCounts.count(_ == 1) == 3,
+      s"per-key puts: ${rows.map(_._1).zip(putCounts)}")
+    assert(overwriteWithoutVersion.get() == 0,
+      "every re-put carried the observed version token (conditional overwrite)")
+  }
+}
+
+object IdempotentSinkFaultSpec {
+  // JVM-shared state: local-mode tasks run in this JVM, so statics are the
+  // hermetic "remote store" (same pattern as the suite's HTTP twin)
+  val objects = new ConcurrentHashMap[String, (Array[Byte], String)]()
+  val puts = new ConcurrentHashMap[String, AtomicInteger]()
+  val versionCounter = new AtomicInteger(0)
+  val crashes = new AtomicInteger(0)
+  val overwriteWithoutVersion = new AtomicInteger(0)
+
+  def reset(): Unit = {
+    objects.clear(); puts.clear()
+    versionCounter.set(0); crashes.set(0); overwriteWithoutVersion.set(0)
+  }
+
+  /** Versioned upsert store that kills task attempt 0 after `crashAfter`
+    * successful PUTs.
+    */
+  class CrashingStore(crashAfter: Int) extends BlobStore {
+    private var written = 0
+
+    override def currentVersion(path: String): Option[String] =
+      Option(objects.get(path)).map(_._2)
+
+    override def put(path: String, bytes: Array[Byte],
+        expectedVersion: Option[String]): Either[String, String] = {
+      if (written == crashAfter && TaskContext.get().attemptNumber() == 0) {
+        crashes.incrementAndGet()
+        throw new java.lang.Error("injected mid-partition death")
+      }
+      val existing = Option(objects.get(path))
+      (existing, expectedVersion) match {
+        case (Some((_, etag)), Some(v)) if v != etag => Left("412 stale version")
+        case (Some(_), None) =>
+          overwriteWithoutVersion.incrementAndGet()
+          Left("412 create of existing object")
+        case _ =>
+          val etag = s"v${versionCounter.incrementAndGet()}"
+          objects.put(path, (bytes, etag))
+          puts.computeIfAbsent(path, _ => new AtomicInteger(0)).incrementAndGet()
+          written += 1
+          Right(s"mem://$path@$etag")
+      }
+    }
+  }
+}

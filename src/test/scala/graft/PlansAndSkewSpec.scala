@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Relational, Skew}
 import graft.multimodal.AvOps
 
 class PlansAndSkewSpec extends SparkSpec {
@@ -85,6 +85,31 @@ class PlansAndSkewSpec extends SparkSpec {
     val salted = Skew.saltedEquiJoin(large, small, Seq("k"), "id", saltBuckets = 8)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(salted == plain && plain.size == 202)
+  }
+
+  test("as-of join under one hot key: correct, and degrades to a sort not a row explosion") {
+    // the union+window form's graceful-degradation claim
+    // (Relational.asofJoin scaladoc): a hot key concentrates |L|+|R| rows
+    // in ONE sort partition — linear in input — where a range join would
+    // explode toward |L|×|R| candidate pairs. One user owns 90% of both
+    // sides; a nested-loop/range plan at this size would carry ~16M
+    // pairs, the window plan exactly 8k rows.
+    val n = 4000
+    val left = (1 to n).map(i =>
+      (if (i % 10 != 0) 7L else i.toLong, i.toLong * 10, i.toLong)).toDF("user_id", "ts", "lid")
+    val right = (1 to n).map(i =>
+      (if (i % 10 != 0) 7L else i.toLong, i.toLong * 10 - 5, i.toLong)).toDF("user_id", "q_ts", "rid")
+    val joined = Relational.asofJoin(left, right, Seq("user_id"), "ts", "q_ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"hot key must not trigger a pair-explosion plan:\n$plan")
+    assert(plan.contains("Window"), s"expected the single keyed window pass:\n$plan")
+    val rows = joined.count()
+    assert(rows == n, s"left-outer as-of preserves |L| under skew: $rows")
+    // spot-check the hot key's matches: each left ts=10i pairs with q_ts=10i-5
+    val hot = joined.filter(col("user_id") === 7L)
+      .select(col("ts"), col("q_ts")).as[(Long, Long)].collect()
+    assert(hot.nonEmpty && hot.forall { case (ts, qts) => qts == ts - 5 })
   }
 
   test("skew profile surfaces hottest key") {

@@ -12,5 +12,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
-  lazy val session: SparkSession = Sessions.local("4", "4")
+  // maxTaskFailures=2: task retry enabled so sink specs can prove
+  // retry-idempotency under a real mid-partition task death
+  lazy val session: SparkSession = Sessions.local("4", "4", maxTaskFailures = 2)
 }

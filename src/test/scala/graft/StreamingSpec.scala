@@ -84,6 +84,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination filter is native: no ScalaUDF in either representation's plan") {
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    // range-backed (not a LocalRelation, which the optimizer would fold
+    // the filter into); batch frames run the same code path as the stream
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat(lit("some document text number "), col("id")).as("text"))
+    for (maxExact <- Seq(Long.MaxValue, 0L)) {
+      val plan = StreamOps.decontaminateStream(docs, "doc_id", "text", bench, "text",
+          exactMaxGrams = maxExact)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"),
+        s"decontamination filter must stay codegen-native (exactMaxGrams=$maxExact):\n$plan")
+      assert(plan.contains("graft_any_hash_in"),
+        s"expected the native membership probe in the plan:\n$plan")
+    }
+  }
+
   test("stream-stream interval join enriches events with in-window updates only") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Timestamp, Double)]
