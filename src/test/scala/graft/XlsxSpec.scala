@@ -1,0 +1,123 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Xlsx
+
+/** Native xlsx source/sink (`sources/Xlsx`): the reference's
+  * `read_excel`/`to_excel` surface (`/root/reference/test.py:101,113,197-201`)
+  * without any dependency beyond the JDK. Validated two ways: a full
+  * write→read round trip through our own parts, and a HAND-BUILT workbook
+  * exercising what Excel/pandas emit and we do not (sharedStrings with
+  * rich-text runs, sparse cell refs, boolean/numeric cells, workbook-rels
+  * sheet indirection with a non-conventional part name).
+  */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() = Files.createTempDirectory("xlsx_spec").toFile
+
+  test("round trip: write then distributed read preserves cells; all columns strings") {
+    val dir = tmpDir()
+    val df = Seq(
+      (1L, "proyek <&> \"quoted\"", 38.48, true, "2024-01-15"),
+      (2L, "multi\nline tab\there", -0.5, false, null.asInstanceOf[String]),
+      (3L, "unicode é ü 中文", 1234567.0, true, "2024-02-01"))
+      .toDF("id", "name", "score", "flag", "day")
+      .orderBy("id")
+    Xlsx.write(df, s"$dir/report.xlsx")
+    val back = Xlsx.read(spark, s"$dir/report.xlsx").orderBy(col("id").cast("long"))
+    assert(back.columns.toSeq == Seq("id", "name", "score", "flag", "day"))
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"),
+      "xlsx read is all-varchar by policy")
+    val rows = back.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "proyek <&> \"quoted\"")
+    assert(rows(1).getString(1) == "multi\nline tab\there")
+    assert(rows(2).getString(1) == "unicode é ü 中文")
+    assert(rows(0).getString(2) == "38.48" && rows(0).getString(3) == "TRUE")
+    assert(rows(1).getString(2) == "-0.5" && rows(1).getString(3) == "FALSE")
+    assert(rows(1).isNullAt(4), "null cell survives as null, not empty string")
+  }
+
+  test("hand-built workbook: sharedStrings, rich-text runs, sparse refs, rels indirection") {
+    // what Excel itself writes: strings interned in xl/sharedStrings.xml
+    // (t="s"), a rich-text string split across <r><t> runs, a row whose
+    // only cells are A and C (B absent → null), and the sheet stored at a
+    // NON-conventional part name reachable only through workbook rels
+    val out = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(out, UTF_8)
+    def part(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(c.getBytes(UTF_8)); zip.closeEntry()
+    }
+    part("[Content_Types].xml", "<Types/>")
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Data" sheetId="7" r:id="rId9"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId9" Type="…/worksheet" Target="worksheets/oddly_named.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3">
+        |<si><t>kode</t></si>
+        |<si><r><t>rich </t></r><r><t xml:space="preserve">text</t></r></si>
+        |<si><t xml:space="preserve"> padded </t></si>
+        |</sst>""".stripMargin)
+    part("xl/worksheets/oddly_named.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>val</t></is></c><c r="C1" t="str"><v>extra</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42.5</v></c><c r="C2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val dir = tmpDir()
+    Files.write(new java.io.File(dir, "excel_made.xlsx").toPath, out.toByteArray)
+
+    val back = Xlsx.read(spark, s"$dir/excel_made.xlsx")
+      .orderBy("kode")
+    assert(back.columns.toSeq == Seq("kode", "val", "extra"))
+    val rows = back.collect()
+    assert(rows.length == 2)
+    // " padded " shared string sorts first
+    assert(rows(0).getString(0) == " padded ")
+    assert(rows(0).isNullAt(1), "sparse ref: absent B3 is null")
+    assert(rows(0).getString(2) == "7", "numeric cell surfaces raw lexeme")
+    assert(rows(1).getString(0) == "rich text", "rich-text runs concatenate")
+    assert(rows(1).getString(1) == "42.5")
+    assert(rows(1).getString(2) == "TRUE", "boolean 1 → TRUE")
+  }
+
+  test("directory of workbooks fans out: one task per file, headers verified equal") {
+    val dir = tmpDir()
+    Xlsx.write(Seq((1L, "a")).toDF("id", "v"), s"$dir/part1.xlsx")
+    Xlsx.write(Seq((2L, "b"), (3L, "c")).toDF("id", "v"), s"$dir/part2.xlsx")
+    val back = Xlsx.read(spark, dir.toString)
+    assert(back.as[(String, String)].collect().toSet ==
+      Set(("1", "a"), ("2", "b"), ("3", "c")))
+    // mismatched header across files must fail loudly, not mis-align
+    Xlsx.write(Seq((9L, "x")).toDF("id", "OTHER"), s"$dir/part3.xlsx")
+    val ex = intercept[IllegalArgumentException](Xlsx.read(spark, dir.toString))
+    assert(ex.getMessage.contains("header mismatch"))
+  }
+
+  test("column reference arithmetic round-trips through two letters") {
+    assert(Xlsx.colRefOf(0) == "A" && Xlsx.colRefOf(25) == "Z"
+      && Xlsx.colRefOf(26) == "AA" && Xlsx.colRefOf(54) == "BC")
+    for (i <- 0 until 200) assert(Xlsx.colIndexOf(s"${Xlsx.colRefOf(i)}7") == i)
+  }
+
+  test("writer enforces Excel's sheet cap instead of silently truncating") {
+    val big = spark.range(0, Xlsx.MaxDataRows.toLong + 1).toDF("id")
+    val ex = intercept[IllegalArgumentException] {
+      Xlsx.write(big, s"${tmpDir()}/too_big.xlsx")
+    }
+    assert(ex.getMessage.contains("report"))
+  }
+}
