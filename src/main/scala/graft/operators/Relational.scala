@@ -369,10 +369,11 @@ object Relational {
   /** Longest path (in hops) to each node of a DAG from any root —
     * iterative relaxation; useful for stage-dependency scheduling depth.
     */
-  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame =
+  def dagDepth(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12,
+      localMaxEdges: Long = 10000L): DataFrame =
     dagRelaxMax(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), lit(1L).as("__w")),
-      "src", "dst", Seq("__w" -> "depth"), maxIter)
+      "src", "dst", Seq("__w" -> "depth"), maxIter, localMaxEdges)
 
   /** Weighted longest-path relaxation over a DAG: for every node, the
     * maximum over all paths of the sum of edge weights reaching it
@@ -382,8 +383,8 @@ object Relational {
     * DAG's depth. Lineage is truncated every 5 iterations.
     */
   def dagLongestPath(edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
-      maxIter: Int = 50): DataFrame =
-    dagRelaxMax(edges, srcCol, dstCol, Seq(weightCol -> "dist"), maxIter)
+      maxIter: Int = 50, localMaxEdges: Long = 10000L): DataFrame =
+    dagRelaxMax(edges, srcCol, dstCol, Seq(weightCol -> "dist"), maxIter, localMaxEdges)
 
   /** Fused multi-weight longest-path relaxation: ONE iterative driver
     * relaxes every weight column simultaneously (same join, one extra
@@ -397,7 +398,8 @@ object Relational {
     * superseded checkpoint blocks are released.
     */
   def dagRelaxMax(edges: DataFrame, srcCol: String, dstCol: String,
-      weights: Seq[(String, String)], maxIter: Int = 50): DataFrame = {
+      weights: Seq[(String, String)], maxIter: Int = 50,
+      localMaxEdges: Long = 10000L): DataFrame = {
     require(weights.nonEmpty, "dagRelaxMax: need at least one weight column")
     val sc = edges.sparkSession.sparkContext
     val outCols = weights.map(_._2)
@@ -408,6 +410,26 @@ object Relational {
       .agg(max(s"__w_${outCols.head}").as(s"__w_${outCols.head}"),
         outCols.tail.map(o => max(s"__w_$o").as(s"__w_$o")): _*)
       .persist()
+    // small-graph fast path: the same broadcast-threshold reasoning as a
+    // join — when the WHOLE edge table is tiny, an iterative driver
+    // (one scheduled job + fresh codegen per round) is all fixed cost.
+    // Collect once and relax round-SYNCHRONOUSLY (Jacobi, not
+    // Gauss–Seidel) so a truncating maxIter sees bit-identical state to
+    // the distributed loop. Spec-pinned equivalent on random DAGs.
+    val edgeCount = e.count()
+    if (edgeCount <= localMaxEdges) {
+      val rows = e.collect()
+      val out = dagRelaxMaxLocal(rows, outCols.size, maxIter)
+      val spark = edges.sparkSession
+      val nodeType = e.schema.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("node", nodeType) +:
+          outCols.map(o => org.apache.spark.sql.types.StructField(
+            o, org.apache.spark.sql.types.LongType, nullable = false)))
+      e.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    }
     var dist = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct()
       .select(col("node") +: outCols.map(o => lit(0L).as(o)): _*).persist()
     var distPinned = Set.empty[Int]
@@ -442,6 +464,59 @@ object Relational {
     rehomed(dist, distPinned)
   }
 
+  /** Driver kernel of [[dagRelaxMax]]'s small-graph path. Round-
+    * synchronous (each round reads only the previous round's state) so a
+    * truncating `maxIter` yields exactly the distributed loop's state;
+    * null endpoints and null weights behave like the equi-join/max
+    * semantics they mirror (edge inert; metric skipped).
+    */
+  private def dagRelaxMaxLocal(edgeRows: Array[org.apache.spark.sql.Row],
+      nMetrics: Int, maxIter: Int): Array[org.apache.spark.sql.Row] = {
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val edges = edgeRows.map { r =>
+      val live = r.get(0) != null && r.get(1) != null
+      val w = new Array[Long](nMetrics)
+      val has = new Array[Boolean](nMetrics)
+      var m = 0
+      while (m < nMetrics) {
+        if (!r.isNullAt(2 + m)) { w(m) = r.getLong(2 + m); has(m) = true }
+        m += 1
+      }
+      (id(r.get(0)), id(r.get(1)), w, has, live)
+    }
+    val n = idx.size
+    var cur = Array.fill(n)(new Array[Long](nMetrics))
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val next = cur.map(_.clone())
+      edges.foreach { case (s, d, w, has, live) =>
+        if (live) {
+          var m = 0
+          while (m < nMetrics) {
+            if (has(m)) {
+              val cand = cur(s)(m) + w(m)
+              if (cand > next(d)(m)) next(d)(m) = cand
+            }
+            m += 1
+          }
+        }
+      }
+      changed = false
+      var i = 0
+      while (i < n && !changed) {
+        if (!java.util.Arrays.equals(next(i), cur(i))) changed = true
+        i += 1
+      }
+      cur = next
+      iter += 1
+    }
+    idx.iterator.map { case (v, i) =>
+      org.apache.spark.sql.Row.fromSeq(v +: cur(i).toIndexedSeq)
+    }.toArray
+  }
+
   /** Per-node DESCENDANT COUNTS of a DAG — how many distinct nodes are
     * reachable from each node — WITHOUT materializing the transitive
     * closure (whose output is quadratic in reachable pairs; see the
@@ -468,7 +543,8 @@ object Relational {
     * changes no register.
     */
   def descendantCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50, exactMaxNodes: Int = 1 << 12): DataFrame = {
+      maxIter: Int = 50, exactMaxNodes: Int = 1 << 12,
+      localMaxEdges: Long = 10000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst"))).distinct().persist()
     val v = nodes.count()
@@ -477,6 +553,23 @@ object Relational {
       e.unpersist(); nodes.unpersist()
       return empty
     }
+    // small-graph fast path — see dagRelaxMax: the per-round job +
+    // codegen fixed cost dwarfs a driver BitSet fixpoint on a tiny edge
+    // list; only replaces the EXACT register path (the HLL path exists
+    // precisely for graphs too big to collect)
+    if (v <= exactMaxNodes && e.count() <= localMaxEdges) {
+      val rows = e.collect()
+      val outRows = descendantCountsLocal(rows, maxIter)
+      val spark = edges.sparkSession
+      val nodeType = e.schema.head.dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField(
+          "n_desc", org.apache.spark.sql.types.LongType, nullable = false)))
+      e.unpersist(); nodes.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows.toSeq, 1), schema)
+    }
     val out =
       if (v <= exactMaxNodes) descendantCountsExact(e, nodes, v.toInt, maxIter)
       else descendantCountsSketch(e, nodes, maxIter)
@@ -484,6 +577,44 @@ object Relational {
     out.count()
     e.unpersist(); nodes.unpersist()
     out
+  }
+
+  /** Driver kernel of [[descendantCounts]]'s small-graph path: the same
+    * register propagation as the distributed exact path, as per-node
+    * `java.util.BitSet`s with ROUND-SYNCHRONOUS sweeps (reads only the
+    * previous round), so a truncating `maxIter` matches the distributed
+    * state. Null endpoints: the node exists with count 0, the edge is
+    * inert — equi-join parity.
+    */
+  private def descendantCountsLocal(edgeRows: Array[org.apache.spark.sql.Row],
+      maxIter: Int): Array[org.apache.spark.sql.Row] = {
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(v: Any): Int = idx.getOrElseUpdate(v, idx.size)
+    val edges = edgeRows.map(r =>
+      (id(r.get(0)), id(r.get(1)), r.get(0) != null && r.get(1) != null))
+    val n = idx.size
+    // seed: direct children (the distributed path's reg_0)
+    var cur = Array.fill(n)(new java.util.BitSet(n))
+    edges.foreach { case (s, d, live) => if (live) cur(s).set(d) }
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val next = cur.map(_.clone().asInstanceOf[java.util.BitSet])
+      edges.foreach { case (s, d, live) =>
+        if (live) { next(s).or(cur(d)); next(s).set(d) }
+      }
+      changed = false
+      var i = 0
+      while (i < n && !changed) {
+        if (next(i) != cur(i)) changed = true
+        i += 1
+      }
+      cur = next
+      iter += 1
+    }
+    idx.iterator.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, if (v == null) 0L else cur(i).cardinality().toLong)
+    }.toArray
   }
 
   /** Exact bitset path of [[descendantCounts]]: nodes get a dense rank

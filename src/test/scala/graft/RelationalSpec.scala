@@ -86,7 +86,8 @@ class RelationalSpec extends SparkSpec {
     val tc = Relational.transitiveClosure(edges, "src", "dst")
     assert(tc.count() == n * (n - 1) / 2)
     // one-hop relaxation: needs 54 iterations — the lineage-growth case
-    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60)
+    // (localMaxEdges = 0 forces the distributed loop on this tiny fixture)
+    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(d(n) == n - 1)
     assert(d(1L) == 0L)
@@ -100,7 +101,7 @@ class RelationalSpec extends SparkSpec {
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     val tc = Relational.transitiveClosure(edges, "src", "dst") // >5 iters → checkpoints happen
     assert(tc.count() == n * (n - 1) / 2)
-    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60)
+    val d = Relational.dagDepth(edges, "src", "dst", maxIter = 60, localMaxEdges = 0L)
     assert(d.count() == n)
     // results are still cached (callable), but through the CacheManager —
     // so the caller's plain unpersist() actually releases them
@@ -167,9 +168,35 @@ class RelationalSpec extends SparkSpec {
     // chain of 70 nodes: node i reaches 70 - i descendants; register needs 2 words
     val n = 70L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Relational.descendantCounts(edges, "src", "dst", maxIter = 80)
+    val got = Relational.descendantCounts(edges, "src", "dst", maxIter = 80, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     (1L to n).foreach(i => assert(got(i) == n - i, s"node $i"))
+  }
+
+  test("small-graph fast paths ≡ distributed loops on random DAGs (relax + descendants)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      // random DAG: edges only i→j with i<j, random weights incl. zeros
+      val nNodes = 12 + rnd.nextInt(15)
+      val es = (for {
+        i <- 1 to nNodes; j <- (i + 1) to nNodes
+        if rnd.nextDouble() < 0.18
+      } yield (i.toLong, j.toLong, rnd.nextInt(10).toLong)).toList
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "w").withColumn("__one", lit(1L))
+        val weights = Seq("__one" -> "depth", "w" -> "max_w")
+        val local = Relational.dagRelaxMax(edges, "src", "dst", weights)
+          .as[(Long, Long, Long)].collect().toSet
+        val dist = Relational.dagRelaxMax(edges, "src", "dst", weights, localMaxEdges = 0L)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(local == dist, s"trial $trial relax: local $local vs distributed $dist")
+        val localD = Relational.descendantCounts(edges, "src", "dst")
+          .as[(Long, Long)].collect().toSet
+        val distD = Relational.descendantCounts(edges, "src", "dst", localMaxEdges = 0L)
+          .as[(Long, Long)].collect().toSet
+        assert(localD == distD, s"trial $trial desc: local $localD vs distributed $distD")
+      }
+    }
   }
 
   test("descendantCounts sketch path (forced) approximates counts on a small graph") {
@@ -188,7 +215,7 @@ class RelationalSpec extends SparkSpec {
     val preexisting = sc.getPersistentRDDs.keySet.toSet
     val n = 30L
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
-    val d = Relational.descendantCounts(edges, "src", "dst", maxIter = 40)
+    val d = Relational.descendantCounts(edges, "src", "dst", maxIter = 40, localMaxEdges = 0L)
     assert(d.count() == n)
     d.unpersist(blocking = true)
     val leaked = sc.getPersistentRDDs.keySet.toSet -- preexisting
