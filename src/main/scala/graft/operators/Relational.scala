@@ -279,8 +279,51 @@ object Relational {
     * budget is strictly larger than the previous one-hop-per-round form.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, localMaxEdges: Long = 200000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
+    // small-graph fast path (broadcast-threshold reasoning, same as
+    // dagRelaxMax): min-label propagation pays ~O(log diameter) scheduled
+    // rounds of fixed driver cost; below the collect threshold a driver
+    // union-find produces the IDENTICAL (id, min-reachable-id) labeling
+    // in microseconds. Integral node ids only (the near-dup/sessionize
+    // callers' shape) — anything else, or null endpoints, falls through
+    // to the distributed loop. ~200k edges ≈ 3 MB collected, the same
+    // order as a default broadcast-join build side.
+    locally {
+      val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().persist()
+      val integral = e0.schema.forall(_.dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
+      val small = integral && e0.count() <= localMaxEdges
+      if (small) {
+        val rows = e0.collect()
+        if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+          val out = connectedComponentsLocal(
+            rows.map(r => (r.get(0).asInstanceOf[Number].longValue,
+              r.get(1).asInstanceOf[Number].longValue)))
+          val spark = edges.sparkSession
+          val nodeType = e0.schema.head.dataType
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", nodeType, nullable = false),
+            org.apache.spark.sql.types.StructField("cluster_id", nodeType, nullable = false)))
+          val narrow: Long => Any = nodeType match {
+            case org.apache.spark.sql.types.IntegerType => l => l.toInt
+            case org.apache.spark.sql.types.ShortType => l => l.toShort
+            case _ => l => l
+          }
+          e0.unpersist()
+          return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              out.map { case (id, cid) =>
+                org.apache.spark.sql.Row(narrow(id), narrow(cid))
+              }.toSeq, 1), schema)
+        }
+      }
+      e0.unpersist()
+    }
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -364,6 +407,38 @@ object Relational {
     out.count()
     releasePinned(sc, pinned)
     out
+  }
+
+  /** Driver kernel of [[connectedComponents]]'s small-graph path:
+    * classic union-find (path halving + union by attaching the larger
+    * root id under the smaller), then every node labels with its root's
+    * minimum id — exactly the distributed min-label fixpoint.
+    */
+  private def connectedComponentsLocal(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Long, Int]
+    def id(v: Long): Int = idx.getOrElseUpdate(v, idx.size)
+    val pairs = edges.map { case (a, b) => (id(a), id(b)) }
+    val n = idx.size
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val values = idx.keys.toArray
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      val v = values(i)
+      if (!minOfRoot.get(r).exists(_ <= v)) minOfRoot(r) = v
+      i += 1
+    }
+    Array.tabulate(n)(i => (values(i), minOfRoot(find(i))))
   }
 
   /** Longest path (in hops) to each node of a DAG from any root —

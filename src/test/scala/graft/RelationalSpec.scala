@@ -265,7 +265,10 @@ class RelationalSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
       (20L, 21L)).toDF("id_a", "id_b")
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val result = Dedup.nearDupClusters(edges)
+    // distributed loop forced (localMaxEdges = 0) — this is the test that
+    // pins the iteration's behavior AND its cache hygiene; the fast path
+    // is covered by the local≡distributed equivalence test below
+    val result = Relational.connectedComponents(edges, "id_a", "id_b", localMaxEdges = 0L)
     val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 7L).forall(got(_) == 1L))
     assert((10L to 13L).forall(got(_) == 10L))
@@ -295,9 +298,17 @@ class RelationalSpec extends SparkSpec {
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val minOfRoot = nodes.groupBy(v => find(v.toInt)).map { case (r, vs) => r -> vs.min }
       val expected = nodes.map(v => v -> minOfRoot(find(v.toInt))).toMap
-      val got = Dedup.nearDupClusters(edges.toDF("id_a", "id_b")).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the DISTRIBUTED loop against the sequential model (the fast path
+      // IS a union-find — comparing it to this model would be circular)...
+      val got = Relational.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b", localMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"n=$n edges=${edges.size}")
+      // ...and the fast path (what Dedup.nearDupClusters now takes at this
+      // size) against the distributed result
+      val local = Dedup.nearDupClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == got, s"fast path diverged: n=$n edges=${edges.size}")
     }
   }
 
