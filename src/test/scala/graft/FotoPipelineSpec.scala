@@ -36,6 +36,35 @@ class FotoPipelineSpec extends SparkSpec {
     assert(r == "Foto_Satu_x.jpg")
   }
 
+  test("xlsx front door: forms export read natively feeds the same unpivot → work chain") {
+    // the reference's literal entry point (`pd.read_excel(EXCEL_FILE)`,
+    // test.py:113): a Forms export in actual xlsx form, read by the
+    // native source, flows through the same pipeline with no special
+    // casing — proving the engine covers the reference end to end from
+    // its real input format, not just from pre-converted parquet
+    val tmp = Files.createTempDirectory("foto_xlsx").toString
+    val export = Seq(
+      ("P One", "7", "http://x/Foto%20a.jpg", "pondasi", "http://x/b.jpg", "atap"),
+      ("P Two", "9", "http://x/c.jpg", "dinding", null: String, null: String))
+      .toDF("kode_proyek", "minggu", "foto_1", "deskripsi_1", "foto_2", "deskripsi_2")
+      .orderBy("kode_proyek")
+    graft.sources.Xlsx.write(export, s"$tmp/forms_export.xlsx")
+    val wide = graft.sources.Xlsx.read(spark, s"$tmp/forms_export.xlsx")
+    val long = FotoPipeline.unpivotSlots(wide, Seq("kode_proyek", "minggu"), FotoPipeline.slotPairs(2))
+    val state = Seq.empty[(String, String, String)].toDF("kode_proyek", "minggu", "nama_file")
+    val dim = Seq((1, "Foto Pertama"), (2, "Foto Kedua")).toDF("slot", "folder")
+    val work = FotoPipeline.newWork(long, state, dim)
+    val rows = work.select("kode_proyek", "minggu", "nama_file").collect()
+    assert(rows.length == 3, s"two slots for P One + one for P Two: ${rows.toSeq}")
+    assert(work.filter(col("nama_file") === "Foto_a.jpg").count() == 1,
+      "url-decode + underscore normalization applied to the xlsx-read url")
+    // kode_proyek passes through raw (normalization happens at path build);
+    // minggu IS key-normalized — both exactly as from a parquet read
+    assert(work.select("kode_proyek").distinct().as[String].collect().toSet ==
+      Set("P One", "P Two"))
+    assert(work.select("minggu").distinct().as[String].collect().toSet == Set("7", "9"))
+  }
+
   test("end-to-end delta pipeline: normalize → anti-join → dim join → image → sinks; rerun no-op") {
     val tmp = Files.createTempDirectory("foto").toString
     val wide = Seq(("KDJMI PROV", "minggu 7", "http://x/a.jpg", "pondasi", "http://x/b.jpg", "atap"))
