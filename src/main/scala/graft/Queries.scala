@@ -2338,15 +2338,26 @@ object Queries {
       val cfg = graft.pipeline.CorpusPipeline.Config(
         minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9) // = q44
       val docs = Tables.documents(s, d)
-      val gated = graft.pipeline.CorpusPipeline.qualityFilter(
-        graft.pipeline.CorpusPipeline.annotate(docs, "doc_id", "text", cfg), cfg)
-      val exact = graft.operators.Dedup.exactContentGroups(gated, "doc_id", "text")
-        .filter(col("doc_id") === col("canonical_id"))
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
-      stage("0_ingest", docs)
-        .unionAll(stage("1_quality_gate", gated))
-        .unionAll(stage("2_exact_dedup", exact))
+      // ONE corpus pass: annotate computes the gate columns as
+      // projections, then a single aggregation carries all three funnel
+      // counts — total rows, gate survivors (conditional sum), distinct
+      // surviving texts (count-distinct over a gate-masked text, null
+      // text's dedup group via a conditional max) — where three
+      // separate-scan counts would read the corpus three times
+      val annotated = graft.pipeline.CorpusPipeline.annotate(docs, "doc_id", "text", cfg)
+      val gate = col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
+        col("ttr") >= cfg.minTypeTokenRatio &&
+        col("predicted_lang").isInCollection(cfg.keepLangs)
+      val agg = annotated.agg(
+        count(lit(1)).as("__n0"),
+        sum(when(gate, 1L).otherwise(0L)).as("__n1"),
+        (count_distinct(when(gate, col("text")))
+          + max(when(gate && col("text").isNull, 1L).otherwise(0L))).as("__n2"))
+      agg.select(explode(array(
+          struct(lit("0_ingest").as("stage"), col("__n0").as("n_rows")),
+          struct(lit("1_quality_gate").as("stage"), col("__n1").as("n_rows")),
+          struct(lit("2_exact_dedup").as("stage"), col("__n2").as("n_rows")))).as("s"))
+        .select(col("s.stage"), col("s.n_rows"))
         .orderBy(col("stage"))
     },
     Some("""WITH t AS (

@@ -359,6 +359,17 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(scans == 2, s"expected exactly 2 corpus scans (documented tradeoff), got $scans:\n$plan")
   }
 
+  test("q93 plan: the whole funnel reads the corpus ONCE") {
+    val df = Queries.all.find(_.name == "q93_curate_funnel").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // three stage counts from one aggregation over one scan — a
+    // per-stage count form would read documents three times
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+  }
+
   test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
     for (name <- Seq("q56_boilerplate_prune", "q58_pack_sequences")) {
       val df = Queries.all.find(_.name == name).get.run(spark, "/root/testdata/sf0.001")
