@@ -54,6 +54,32 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b. The only shuffles are
     * the band-key join and the final distinct; the verify re-joins the
     * shingle sets of candidate pairs only (candidates ≪ all pairs).
+    *
+    * The shingle/signature projection feeds THREE consumers (banding +
+    * both verify sides); without materialization a stateless plan
+    * re-derives it — and everything upstream of `df` — once per
+    * consumer (measured: q44's composite re-scanned the corpus 5×).
+    * So the slim (id, hashes, sig) frame is persisted for the duration
+    * of ONE eager computation of the PAIR LIST (small by construction:
+    * verified candidates only), then released; the pair list returns as
+    * a `localCheckpoint` snapshot.
+    *
+    * Why localCheckpoint and NOT a persisted DataFrame: `persist`
+    * registers the plan — including any FILE RELATIONS under `df` — in
+    * the CacheManager, and a later `write` to one of those paths (e.g.
+    * `Incremental.appendState` in the incremental curation loop)
+    * triggers `refreshByPath`, which refreshes the SHARED file index in
+    * place and silently changes what every sibling frame built on the
+    * same read sees. A checkpoint snapshot has no CacheManager entry
+    * and no file lineage, so state-store writes cannot reach back into
+    * it (regression test: CorpusPipelineSpec's incremental no-op spec).
+    *
+    * `materialize = false` returns the fully LAZY stateless plan (the
+    * recompute-per-consumer form) — required when the caller composes
+    * this under an `Observation` whose contract is metrics-from-one-job
+    * (an internal eager action would complete the observation's promise
+    * from a metrics-less checkpoint execution), and available for any
+    * caller that prefers recompute over a pinned snapshot.
     */
   def minHashNearDuplicates(
       df: DataFrame,
@@ -62,14 +88,16 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val withSig = df
+    val withSig0 = df
       .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), HashFunctions.hashedWordShingles(col("__toks"), shingleSize).as("__hashes"))
       .withColumn("__sig", HashFunctions.minHashFromHashes(col("__hashes"), numHashes))
+    val withSig = if (materialize) withSig0.persist() else withSig0
 
     val banded = withSig.select(
       col("__id"),
@@ -89,7 +117,7 @@ object Dedup {
     // (~n²/2^64), and the arrays shuffled to the verify join are 8-byte
     // elements instead of shingle strings.
     val sh = withSig.select(col("__id"), col("__hashes"))
-    candidates
+    val pairs = candidates
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__hashes", "__sa"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__hashes", "__sb"), "id_b")
       .withColumn("jaccard",
@@ -97,6 +125,12 @@ object Dedup {
           / size(array_union(col("__sa"), col("__sb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (!materialize) pairs // fully lazy/stateless: the Observation-friendly form
+    else {
+      val snapshot = pairs.localCheckpoint() // eager: computed while withSig is cached
+      withSig.unpersist()
+      snapshot
+    }
   }
 
   /** The persistable MinHash state row for [[minHashNearDuplicatesVsState]]:

@@ -57,7 +57,12 @@ object CorpusPipeline {
       spanDedupN: Option[Int] = None,
         // cross-document duplicate-span removal at this gram length;
         // kept text replaces the original text column
-      tokenBudgetPerLang: Option[Long] = None)
+      tokenBudgetPerLang: Option[Long] = None,
+      materializeNearDup: Boolean = true)
+        // near-dup pair list computed eagerly with the shingle
+        // projection cached (one corpus derivation instead of three);
+        // false = fully lazy single-job plan (what curateObserved needs
+        // for its Observation contract)
         // token-budget mixture sampling per predicted language
         // (deterministic hash-prefix selection)
 
@@ -112,7 +117,8 @@ object CorpusPipeline {
     val nearPairs = Dedup.minHashNearDuplicates(
       exact, idCol, textCol,
       shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
-      bands = cfg.nearDupBands, threshold = cfg.nearDupThreshold)
+      bands = cfg.nearDupBands, threshold = cfg.nearDupThreshold,
+      materialize = cfg.materializeNearDup)
     if (cfg.nearDupClusterCanonical)
       Dedup.keepOnePerCluster(exact, idCol, nearPairs)
     else {
@@ -175,7 +181,9 @@ object CorpusPipeline {
     val observedIn = docs.observe(ingest,
       count(lit(1)).as("n_docs"),
       sum(TF.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-    val curated = curate(observedIn, idCol, textCol, cfg)
+    // single-job form: an eager internal action would complete the
+    // ingest observation's promise from a metrics-less checkpoint run
+    val curated = curate(observedIn, idCol, textCol, cfg.copy(materializeNearDup = false))
     val observedOut = curated.observe(ship,
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     (observedOut, ingest, ship)
