@@ -56,30 +56,32 @@ object Dedup {
     * shingle sets of candidate pairs only (candidates ≪ all pairs).
     *
     * The shingle/signature projection feeds THREE consumers (banding +
-    * both verify sides); without materialization a stateless plan
-    * re-derives it — and everything upstream of `df` — once per
-    * consumer (measured: q44's composite re-scanned the corpus 5×).
-    * So the slim (id, hashes, sig) frame is persisted for the duration
-    * of ONE eager computation of the PAIR LIST (small by construction:
-    * verified candidates only), then released; the pair list returns as
-    * a `localCheckpoint` snapshot.
+    * both verify sides), so the default LAZY plan re-derives it — and
+    * everything upstream of `df` — once per consumer. That is the right
+    * default: the whole pipeline stays ONE AQE-optimized job
+    * (runtime broadcast of the tiny candidate sides, no pinned state,
+    * Observation- and state-write-safe), and at fixture scale the
+    * rescans are measurably cheaper than a checkpoint
+    * (q44: 2.8 s lazy vs 4.4 s materialized at sf0.1 — localCheckpoint
+    * materialization runs outside AQE's runtime re-planning).
     *
-    * Why localCheckpoint and NOT a persisted DataFrame: `persist`
-    * registers the plan — including any FILE RELATIONS under `df` — in
-    * the CacheManager, and a later `write` to one of those paths (e.g.
-    * `Incremental.appendState` in the incremental curation loop)
-    * triggers `refreshByPath`, which refreshes the SHARED file index in
-    * place and silently changes what every sibling frame built on the
-    * same read sees. A checkpoint snapshot has no CacheManager entry
-    * and no file lineage, so state-store writes cannot reach back into
-    * it (regression test: CorpusPipelineSpec's incremental no-op spec).
-    *
-    * `materialize = false` returns the fully LAZY stateless plan (the
-    * recompute-per-consumer form) — required when the caller composes
-    * this under an `Observation` whose contract is metrics-from-one-job
-    * (an internal eager action would complete the observation's promise
-    * from a metrics-less checkpoint execution), and available for any
-    * caller that prefers recompute over a pinned snapshot.
+    * `materialize = true` is the CORPUS-SCALE form — when one upstream
+    * derivation costs hours, three is the bottleneck: the slim
+    * (id, hashes, sig) frame is persisted for ONE eager computation of
+    * the pair list (small by construction: verified candidates only),
+    * then released; the pair list returns as a `localCheckpoint`
+    * snapshot. Why localCheckpoint and NOT a persisted DataFrame:
+    * `persist` registers the plan — including any FILE RELATIONS under
+    * `df` — in the CacheManager, and a later `write` to one of those
+    * paths (e.g. `Incremental.appendState` in the incremental curation
+    * loop) triggers `refreshByPath`, which refreshes the SHARED file
+    * index in place and silently changes what every sibling frame built
+    * on the same read sees. A checkpoint snapshot has no CacheManager
+    * entry and no file lineage, so state-store writes cannot reach back
+    * into it (regression test: CorpusPipelineSpec's incremental no-op
+    * spec). An eager internal action also completes any enclosing
+    * `Observation`'s promise from a metrics-less checkpoint execution —
+    * keep observed pipelines on the lazy form.
     */
   def minHashNearDuplicates(
       df: DataFrame,
@@ -89,7 +91,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 

@@ -58,11 +58,13 @@ object CorpusPipeline {
         // cross-document duplicate-span removal at this gram length;
         // kept text replaces the original text column
       tokenBudgetPerLang: Option[Long] = None,
-      materializeNearDup: Boolean = true)
-        // near-dup pair list computed eagerly with the shingle
-        // projection cached (one corpus derivation instead of three);
-        // false = fully lazy single-job plan (what curateObserved needs
-        // for its Observation contract)
+      materializeNearDup: Boolean = false)
+        // true = corpus-scale form: near-dup pair list computed eagerly
+        // with the shingle projection cached (one upstream derivation
+        // instead of three — flip when a derivation costs hours);
+        // false (default) = fully lazy single-AQE-job plan, faster at
+        // report scale and what curateObserved's Observation contract
+        // needs
         // token-budget mixture sampling per predicted language
         // (deterministic hash-prefix selection)
 

@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash materialize=true (corpus-scale snapshot form) matches the lazy default") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 38).map(i => s"tok$i") ++ Seq("x1", "x2")).mkString(" ")
+    val far = (100 to 140).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    def run(m: Boolean) = Dedup.minHashNearDuplicates(df, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5, materialize = m)
+    val lazyPairs = run(false).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val snap = run(true)
+    assert(snap.select("id_a", "id_b").as[(Long, Long)].collect().toSet == lazyPairs)
+    // the snapshot must carry no file/cache lineage a state write could
+    // refresh under it (the refreshByPath regression class)
+    assert(snap.queryExecution.optimizedPlan.toString.contains("LogicalRDD")
+      || snap.queryExecution.optimizedPlan.toString.contains("Scan ExistingRDD"),
+      s"expected a checkpoint-backed plan:\n${snap.queryExecution.optimizedPlan}")
+  }
+
   test("incremental near-dup vs signature state: planted copy flagged, fresh doc survives") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val other = (50 to 90).map(i => s"yy$i").mkString(" ")
