@@ -55,6 +55,33 @@ class RelationalSpec extends SparkSpec {
     assert(strict == Set(("a", Some(3.0))), "equal-ts quote skipped under strict <")
   }
 
+  test("asofJoin matches a brute-force model on random data (inclusive + strict)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val keys = 1 to (3 + rnd.nextInt(4))
+      val left = for (k <- keys; _ <- 1 to 8)
+        yield (k.toLong, rnd.nextInt(100).toLong, rnd.nextLong())
+      // right unique per (key, ts) — the operator's documented contract
+      val right = (for (k <- keys; t <- rnd.shuffle((0 until 100).toList).take(10))
+        yield (k.toLong, t.toLong, rnd.nextDouble())).distinct
+      val l = left.toDF("key", "ts", "tag")
+      val r = right.toDF("key", "q_ts", "px")
+      for (strict <- Seq(false, true)) {
+        val got = Relational.asofJoin(l, r, Seq("key"), "ts", "q_ts", strict = strict)
+          .select("key", "ts", "tag", "q_ts", "px")
+          .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSeq.sorted
+        val byKey = right.groupBy(_._1)
+        val want = left.map { case (k, ts, tag) =>
+          val m = byKey.getOrElse(k, Seq.empty)
+            .filter(q => if (strict) q._2 < ts else q._2 <= ts)
+            .sortBy(_._2).lastOption
+          (k, ts, tag, m.map(_._2), m.map(_._3))
+        }.sorted
+        assert(got == want, s"trial $trial strict=$strict")
+      }
+    }
+  }
+
   test("asofJoin plan shape: one window pass, no nested-loop join") {
     val l = Seq((1L, 10L, "a")).toDF("key", "ts", "tag")
     val r = Seq((1L, 4L, 3.0)).toDF("key", "q_ts", "px")
