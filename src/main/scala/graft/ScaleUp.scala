@@ -15,11 +15,27 @@ import org.apache.spark.sql.functions._
   * replica `r` adds `r × 10^9` to every entity key participating in a
   * join (custkey, orderkey, partkey, suppkey, event/user ids, doc/vec
   * ids), so replicas join only within themselves and all FK chains stay
-  * intact. Document text gets a tiny per-replica suffix so per-doc text
-  * operators see distinct content (NOTE: replicas remain near-identical
-  * text — dedup-family queries would rightly collapse them; use the
-  * synthetic SF for scan/join/agg/window/text-projection curves, not
-  * dedup semantics).
+  * intact.
+  *
+  * Content perturbation — what makes the DEDUP/ANN family measurable at
+  * synthetic scale (not just scan/join/agg/window):
+  *  - `documents.text` of replica r is passed through a per-replica
+  *    alphabet rotation (`translate`, a length-preserving bijection on
+  *    [a-z]/[A-Z]/[0-9]). Within a replica every document gets the SAME
+  *    rotation, so exact-hash groups, shingle sets, token structure and
+  *    the fixture's planted near-dup pairs are preserved verbatim;
+  *    across replicas every token differs, so shingle Jaccard is ~0 and
+  *    exact hashes are distinct. Near-dup structure therefore replicates
+  *    LINEARLY with factor — the shape a real 10× corpus has — instead
+  *    of collapsing into one giant cross-replica duplicate class.
+  *  - `embeddings.embedding` of replica r gets a deterministic
+  *    index-keyed offset (`transform`, codegen'd), changing vector
+  *    DIRECTIONS (a pure scalar would cancel in cosine), and
+  *    `embeddings.label` shifts by r·10^6 so label-blocked near-dup
+  *    compares only within a replica (labels are a blocking/shard key;
+  *    10× data = 10× shards, the realistic growth mode).
+  * Both perturbations are bijective per replica and seed-free
+  * (deterministic in (column value, __r)), so reruns are reproducible.
   *
   *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/scale/sf1 10"
   */
@@ -27,10 +43,44 @@ object ScaleUp {
 
   private val stride = 1000000000L
 
+  private val lower = ('a' to 'z').mkString
+  private val upper = ('A' to 'Z').mkString
+  private val digit = ('0' to '9').mkString
+
+  /** Rotation-r character bijection (identity at r=0). */
+  private[graft] def rotAlphabet(r: Int): String = {
+    def rot(s: String) = { val k = r % s.length; s.drop(k) + s.take(k) }
+    rot(lower) + rot(upper) + rot(digit)
+  }
+
+  /** `text` rotated by the row's replica id: a `when`-chain of literal
+    * `translate`s (translate takes literal mappings only; factor ≤ 26
+    * keeps every rotation distinct on letters).
+    */
+  private[graft] def rotateText(text: org.apache.spark.sql.Column,
+                         replica: org.apache.spark.sql.Column,
+                         factor: Int): org.apache.spark.sql.Column =
+    (1 until factor).foldLeft(when(replica === 0, text)) { (acc, r) =>
+      acc.when(replica === r, translate(text, lower + upper + digit, rotAlphabet(r)))
+    }.otherwise(text)
+
+  /** Deterministic index+replica-keyed direction offset (±0.25/dim,
+    * identity at r=0). The replica id shifts the index STREAM (i + 131·r)
+    * before the multiplicative hash — an additive post-hash term would
+    * collapse mod the small modulus and leave replicas near-parallel.
+    */
+  private[graft] def perturbEmbedding(emb: org.apache.spark.sql.Column,
+                                      replica: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(emb, (x, i) =>
+      x + ((pmod((i + lit(1L) + replica * lit(131L)) * lit(2654435761L), lit(997))
+        .cast("double") / lit(997.0) - lit(0.5)) * lit(0.5)
+        * least(replica, lit(1)).cast("double")).cast("float"))
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
-    require(factor >= 1, "factor must be >= 1")
+    require(factor >= 1 && factor <= 26,
+      "factor must be in [1, 26] (per-replica alphabet rotations must stay distinct)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
 
@@ -59,11 +109,15 @@ object ScaleUp {
     write(replicate(src("events"), Seq("event_id", "user_id")), "events")
     write(
       replicate(src("documents"), Seq("doc_id"))
-        .withColumn("text",
-          when(col("__r") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" r"), col("__r")))),
+        .withColumn("text", rotateText(col("text"), col("__r"), factor)),
       "documents")
-    write(replicate(src("embeddings"), Seq("vec_id")), "embeddings")
+    // index-keyed direction perturbation (±0.25/dim uniform-ish) + label
+    // shift: replica r's vectors are genuinely new points in a new shard
+    write(
+      replicate(src("embeddings"), Seq("vec_id"))
+        .withColumn("embedding", perturbEmbedding(col("embedding"), col("__r")))
+        .withColumn("label", col("label") + col("__r") * lit(1000000)),
+      "embeddings")
     spark.stop()
   }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the ScaleUp content-perturbation invariants that make the
+  * dedup/ANN family measurable at synthetic scale: the per-replica
+  * rotation must preserve within-replica duplicate structure exactly
+  * while making cross-replica content disjoint.
+  */
+class ScaleUpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rotation is a length-preserving bijection; r=0 is identity") {
+    val texts = Seq("the quick brown fox 42", "Hash Table 7 scan", "zzz aaa")
+    val df = texts.zipWithIndex
+      .flatMap { case (t, i) => (0 until 4).map(r => (i, r, t)) }
+      .toDF("id", "__r", "text")
+      .withColumn("rot", ScaleUp.rotateText(col("text"), col("__r"), 4))
+    val rows = df.select("id", "__r", "text", "rot")
+      .as[(Int, Int, String, String)].collect()
+    rows.foreach { case (_, r, t, rot) =>
+      assert(rot.length == t.length, "translate preserves length")
+      if (r == 0) assert(rot == t, "replica 0 is untouched")
+      else assert(rot != t, s"replica $r must differ from the original")
+    }
+    // bijective per replica: distinct inputs stay distinct after rotation
+    val perR = rows.groupBy(_._2).view.mapValues(_.map(_._4).toSet)
+    perR.foreach { case (_, s) => assert(s.size == texts.size) }
+  }
+
+  test("within-replica duplicate structure preserved; cross-replica tokens disjoint") {
+    // two exact dups + one near-dup + one unrelated, replicated 3×
+    val base = Seq(
+      (0L, "spark scan table merge sort batch"),
+      (1L, "spark scan table merge sort batch"),
+      (2L, "spark scan table merge sort value"),
+      (3L, "completely different words here now"))
+    val df = base.flatMap { case (id, t) => (0 until 3).map(r => (id, r, t)) }
+      .toDF("doc_id", "__r", "text")
+      .withColumn("text", ScaleUp.rotateText(col("text"), col("__r"), 3))
+    // exact-dup classes replicate linearly: 3 replicas × one (0,1) pair
+    val exactPairs = df.groupBy("__r", "text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).count()
+    assert(exactPairs == 3, "one exact-dup class per replica, none across")
+    // token overlap across replicas is zero (every token rotated)
+    val toks = df.select(col("__r"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val crossTok = toks.groupBy("tok").agg(countDistinct("__r").as("nr"))
+      .filter(col("nr") > 1).count()
+    assert(crossTok == 0, "no token survives across replicas")
+    // shingle-Jaccard of the near-dup pair is rotation-invariant
+    def jac(r: Int): Double = {
+      val t = df.filter(col("__r") === r).select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      def sh(s: String) = s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val (a, b) = (sh(t(0L)), sh(t(2L)))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(jac(1) == jac(0) && jac(2) == jac(0),
+      "planted near-dup similarity identical in every replica")
+  }
+
+  test("embedding perturbation changes direction per replica, deterministically") {
+    val base = Array.tabulate(8)(i => 0.35f * (if (i % 2 == 0) 1 else -1))
+    val df = (0 until 3).map(r => (r, base)).toDF("__r", "embedding")
+      .withColumn("embedding", ScaleUp.perturbEmbedding(col("embedding"), col("__r")))
+    val out = df.as[(Int, Array[Float])].collect().toMap
+    assert(out(0).sameElements(base), "replica 0 untouched")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(out(1), base) < 0.999, "replica 1 direction moved")
+    assert(cos(out(2), out(1)) < 0.999, "replicas differ from each other")
+    // deterministic: recomputing yields bit-identical vectors
+    val again = df.as[(Int, Array[Float])].collect().toMap
+    (0 until 3).foreach(r => assert(out(r).sameElements(again(r))))
+  }
+}
