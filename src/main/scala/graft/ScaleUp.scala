@@ -64,17 +64,29 @@ object ScaleUp {
       acc.when(replica === r, translate(text, lower + upper + digit, rotAlphabet(r)))
     }.otherwise(text)
 
-  /** Deterministic index+replica-keyed direction offset (±0.25/dim,
-    * identity at r=0). The replica id shifts the index STREAM (i + 131·r)
-    * before the multiplicative hash — an additive post-hash term would
-    * collapse mod the small modulus and leave replicas near-parallel.
+  /** Per-replica ISOMETRY (identity at r=0): a signed coordinate
+    * permutation x'_i = s(i,r) · x[(i + 7r) mod d]. Isometries preserve
+    * every dot product and norm BIT-EXACTLY (float sign flip and
+    * reordering, no arithmetic), so within-replica cosine structure —
+    * planted near-dup pairs, threshold boundary cases — replicates
+    * verbatim and pair counts scale exactly linearly with factor. An
+    * additive offset keyed on (i, r) alone was the earlier design and is
+    * the measured trap: the SAME offset lands on every vector of a
+    * replica, leaving the whole replica near-parallel (cosine→1) and
+    * exploding near-dup pairs ~1200× instead of 10×.
     */
   private[graft] def perturbEmbedding(emb: org.apache.spark.sql.Column,
-                                      replica: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(emb, (x, i) =>
-      x + ((pmod((i + lit(1L) + replica * lit(131L)) * lit(2654435761L), lit(997))
-        .cast("double") / lit(997.0) - lit(0.5)) * lit(0.5)
-        * least(replica, lit(1)).cast("double")).cast("float"))
+                                      replica: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = size(emb)
+    transform(emb, (_, i) => {
+      val sign = when(
+        pmod((i + lit(1L) + replica * lit(131L)) * lit(2654435761L), lit(97)) < 48,
+        lit(1.0f)).otherwise(lit(-1.0f))
+      val src = pmod(i + replica * lit(7), d) + 1
+      when(replica === 0, element_at(emb, i + 1))
+        .otherwise(element_at(emb, src) * sign)
+    })
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args

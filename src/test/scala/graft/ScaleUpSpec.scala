@@ -60,20 +60,34 @@ class ScaleUpSpec extends SparkSpec {
       "planted near-dup similarity identical in every replica")
   }
 
-  test("embedding perturbation changes direction per replica, deterministically") {
-    val base = Array.tabulate(8)(i => 0.35f * (if (i % 2 == 0) 1 else -1))
-    val df = (0 until 3).map(r => (r, base)).toDF("__r", "embedding")
+  test("embedding perturbation is a within-replica isometry; replicas decorrelated") {
+    // two near-dup vectors + one distant one, replicated 3×
+    val va = Array.tabulate(16)(i => (math.sin(i * 1.7) * 0.4).toFloat)
+    val vb = va.zipWithIndex.map { case (x, i) => x + (if (i == 3) 0.05f else 0f) }
+    val vc = Array.tabulate(16)(i => (math.cos(i * 2.3) * 0.4).toFloat)
+    val df = Seq((0L, va), (1L, vb), (2L, vc))
+      .flatMap { case (id, v) => (0 until 3).map(r => (id, r, v)) }
+      .toDF("vec_id", "__r", "embedding")
       .withColumn("embedding", ScaleUp.perturbEmbedding(col("embedding"), col("__r")))
-    val out = df.as[(Int, Array[Float])].collect().toMap
-    assert(out(0).sameElements(base), "replica 0 untouched")
+    val out = df.as[(Long, Int, Array[Float])].collect()
+      .map { case (id, r, v) => (id, r) -> v }.toMap
+    assert(out((0L, 0)).sameElements(va), "replica 0 untouched")
     def cos(a: Array[Float], b: Array[Float]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
     }
-    assert(cos(out(1), base) < 0.999, "replica 1 direction moved")
-    assert(cos(out(2), out(1)) < 0.999, "replicas differ from each other")
+    // isometry: every within-replica cosine is BIT-EXACTLY the original
+    // (sign flip + reorder involve no float arithmetic)
+    for (r <- 0 until 3; (i, j) <- Seq((0L, 1L), (0L, 2L), (1L, 2L))) {
+      assert(cos(out((i, r)), out((j, r))) == cos(out((i, 0)), out((j, 0))),
+        s"cosine($i,$j) must be invariant in replica $r")
+    }
+    // cross-replica: the same source vector points elsewhere
+    assert(math.abs(cos(out((0L, 1)), va)) < 0.9, "replica 1 direction moved")
+    assert(math.abs(cos(out((0L, 2)), out((0L, 1)))) < 0.9, "replicas mutually decorrelated")
     // deterministic: recomputing yields bit-identical vectors
-    val again = df.as[(Int, Array[Float])].collect().toMap
-    (0 until 3).foreach(r => assert(out(r).sameElements(again(r))))
+    val again = df.as[(Long, Int, Array[Float])].collect()
+      .map { case (id, r, v) => (id, r) -> v }.toMap
+    again.foreach { case (k, v) => assert(v.sameElements(out(k))) }
   }
 }
