@@ -2399,6 +2399,34 @@ object Queries {
             + coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM gated)
       ORDER BY stage"""))
 
+  private val q94 = Q(
+    "q94_semantic_dedup",
+    (s, d) => {
+      // Semantic dedup (SemDeDup shape: k-means learns the blocking key,
+      // exact cosine verifies within clusters, one survivor per near-dup
+      // group) with a SQL-verifiable END STATE: plant an exact
+      // scalar-multiple copy of every 10th vector — a scaled copy has an
+      // IDENTICAL cosine profile, so k-means co-assigns the pair no
+      // matter where centroids land, and cosine(source, copy) == 1 ≥
+      // threshold — then dedup the union. keep-min-id retains exactly
+      // the original table (planted ids are +10^7), so per-label counts
+      // are the oracle's plain GROUP BY over `embeddings`. Natural pairs
+      // cannot interfere: the fixture's max off-diagonal cosine is ~0.60,
+      // far under the 0.95 threshold.
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+      val corpus = emb.unionByName(planted)
+      Dedup.semanticDeduplicate(corpus, "vec_id", "embedding",
+          k = 8, threshold = 0.95, maxIter = 5)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT label, CAST(count(*) AS BIGINT) AS n_kept
+      FROM embeddings GROUP BY label ORDER BY label"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2408,5 +2436,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94)
 }

@@ -46,6 +46,38 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Element-wise sum of fixed-dimension vectors: the update step of
+    * k-means ([[graft.operators.Similarity.kmeansCentroids]]). The buffer
+    * is one dim-length Array[Double] regardless of group size, and
+    * Spark's partial aggregation merges it map-side — so each k-means
+    * iteration shuffles k buffers per partition, not |corpus| vectors
+    * (contrast [[graft.operators.Similarity.trainCentroids]]'s posexplode
+    * form, which moves |corpus|·dim rows per pass). Null or wrong-length
+    * inputs are skipped rather than corrupting the buffer.
+    */
+  final case class VectorSum(dim: Int)
+      extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    require(dim > 0, "dim must be positive")
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(buf: Array[Double], x: Seq[Double]): Array[Double] = {
+      if (x != null && x.length == dim) {
+        var i = 0
+        while (i < dim) { buf(i) += x(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Exact distinct-count-by-key within groups beyond `countDistinct`'s
     * single-expression form: accumulates a bounded key set and degrades
     * to a sentinel (-1) once `maxExact` distinct values are seen — the

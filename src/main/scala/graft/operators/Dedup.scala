@@ -292,6 +292,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic deduplication (the SemDeDup shape: cluster embeddings,
+    * then near-dup within clusters only): k-means learns a blocking key
+    * from the data itself — for corpora with NO natural blocking column
+    * and where hyperplane-LSH recall is not enough structure — then
+    * near-dup pairs are found by exact cosine WITHIN each learned
+    * cluster and one representative per connected near-dup group
+    * survives (`scoreCol` = keep the best copy; None = keep min-id).
+    *
+    * Scale shape: training is O(iterations) map-only passes + one
+    * k-buffer aggregation each ([[Similarity.kmeansCentroids]]); final
+    * assignment is a pure projection ([[Similarity.assignCluster]] — the
+    * corpus is never joined against the model); the pair join is the
+    * equi-join-on-block [[embeddingNearDuplicates]]. Recall is bounded
+    * by the blocking (a true near-dup pair split across clusters is
+    * missed — same contract as LSH banding); precision is exact because
+    * every candidate is verified with real cosine. Exact scalar-multiple
+    * duplicates are ALWAYS caught: identical cosine profiles co-assign
+    * by construction.
+    */
+  def semanticDeduplicate(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      threshold: Double,
+      maxIter: Int = 8,
+      scoreCol: Option[String] = None): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, embCol, k, maxIter)
+    val blocked = df.withColumn("__sem_cluster",
+      Similarity.assignCluster(col(embCol), cents.map(_.toSeq).toSeq))
+    val pairs = embeddingNearDuplicates(blocked, idCol, embCol, "__sem_cluster", threshold)
+    scoreCol match {
+      case Some(s) => keepBestPerCluster(df, idCol, s, pairs)
+      case None    => keepOnePerCluster(df, idCol, pairs)
+    }
+  }
+
   /** Cluster near-duplicate PAIRS into transitive groups: every id that
     * appears in `pairs` gets the minimum id of its connected component as
     * `cluster_id` ([[Relational.connectedComponents]]). The principled

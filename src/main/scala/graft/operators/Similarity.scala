@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -191,6 +191,122 @@ object Similarity {
       .groupBy(col("centroid_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+  /** Nearest-centroid id for a vector under cosine similarity, as a PURE
+    * PROJECTION: the centroid list rides along as one `typedLit`, every
+    * centroid is scored inside a single `transform`, and `array_max` over
+    * `struct(cosine, id)` picks the winner (ties → larger id — total and
+    * deterministic). No join, no shuffle: assigning a 100 TB corpus to k
+    * clusters is a map-only stage.
+    */
+  def assignCluster(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty, "assignCluster: need at least one centroid")
+    val cents = typedLit(centroids)
+    val scored = transform(cents, (c, ci) =>
+      struct(VectorFunctions.cosineNative(emb, c).as("cd"), ci.as("cid")))
+    array_max(scored).getField("cid")
+  }
+
+  /** Spherical k-means (Lloyd's algorithm, cosine distance): returns the
+    * k unit-length centroids. Deterministic seeding in ONE pass: the 4k
+    * corpus vectors with the smallest `xxhash64(id)` form a candidate
+    * pool (an order-statistics pick, not a `rand()` sample, so reruns
+    * converge to the same model), and greedy FARTHEST-POINT selection
+    * over the pool (max-min cosine distance, ties to the lower pool
+    * index) picks the k seeds — k-means++-quality spread without
+    * k-means++'s k sequential corpus passes. Driver cost is
+    * O(k²·4·dim) flops on a 4k×dim pool; keep k in the thousands, not
+    * millions (at which point use a hierarchical/sampled scheme).
+    *
+    * Scale shape per iteration: assignment is the [[assignCluster]]
+    * map-only projection; the update is ONE aggregation whose buffer is a
+    * fixed dim-length array ([[graft.functions.Aggregators.VectorSum]]),
+    * partial-aggregated map-side, so each round shuffles k buffers per
+    * partition and collects exactly k (sum, count) rows to the driver —
+    * centroid maintenance is O(k·dim) driver state, never corpus-sized.
+    * The normalized corpus is cached across iterations and released on
+    * exit.
+    *
+    * Determinism caveat: double-summation order across partitions is not
+    * fixed, so centroid bits can wobble ~1 ulp between runs; argmax
+    * assignments are stable unless a vector's top-2 centroid gap is
+    * comparably tiny. Exact-duplicate (scalar-multiple) vectors have
+    * IDENTICAL cosine profiles and therefore always co-assign.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      maxIter: Int = 8,
+      tol: Double = 1e-6): Array[Array[Double]] = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normed = df
+      .select(xxhash64(col(idCol)).as("__h"),
+        VectorFunctions.l2Normalize(col(embCol)).as("__e"))
+      .persist()
+    try {
+      val pool = normed.orderBy(col("__h")).limit(k * 4)
+        .select(col("__e")).as[Seq[Double]].collect().map(_.toArray)
+      require(pool.nonEmpty, "kmeansCentroids: empty input")
+      val dim = pool.head.length
+      val sumAgg = udaf(graft.functions.Aggregators.VectorSum(dim))
+      // greedy farthest-point over the pool: start from the smallest-hash
+      // vector, repeatedly add the candidate maximizing its minimum
+      // (1 - cosine) to the chosen set
+      val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+      val minDist = Array.tabulate(pool.length) { i =>
+        1.0 - pool(i).zip(pool.head).map { case (a, b) => a * b }.sum
+      }
+      while (chosen.size < math.min(k, pool.length)) {
+        var best = 0
+        var i = 1
+        while (i < pool.length) {
+          if (minDist(i) > minDist(best)) best = i
+          i += 1
+        }
+        val next = pool(best)
+        chosen += next
+        i = 0
+        while (i < pool.length) {
+          val d = 1.0 - pool(i).zip(next).map { case (a, b) => a * b }.sum
+          if (d < minDist(i)) minDist(i) = d
+          i += 1
+        }
+      }
+      // corpus smaller than k: pad by cycling the chosen seeds (the
+      // duplicate centroids' clusters simply stay empty)
+      val nDistinct = chosen.size
+      while (chosen.size < k) chosen += chosen(chosen.size % nDistinct)
+      var cents = chosen.toArray
+      var iter = 0
+      var shift = Double.MaxValue
+      while (iter < maxIter && shift > tol) {
+        val stats = normed
+          .select(assignCluster(col("__e"), cents.map(_.toSeq).toSeq).as("__c"), col("__e"))
+          .groupBy(col("__c"))
+          .agg(sumAgg(col("__e")).as("__s"), count(lit(1)).as("__n"))
+          .as[(Int, Seq[Double], Long)].collect()
+        val next = cents.map(_.clone())
+        stats.foreach { case (c, s, n) =>
+          if (n > 0) {
+            val m = s.map(_ / n).toArray
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            // degenerate mean (sum ~ 0): keep the old centroid
+            if (norm > 1e-12) next(c) = m.map(_ / norm)
+          }
+        } // clusters with no assigned rows keep their previous centroid
+        shift = cents.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+        cents = next
+        iter += 1
+      }
+      cents
+    } finally normed.unpersist()
+  }
+
   /** EXACT set-similarity self-join (prefix filtering — the AllPairs /
     * PPJoin family): all pairs of documents whose token-SET Jaccard is
     * ≥ `threshold`, with no probabilistic misses — the exact counterpart

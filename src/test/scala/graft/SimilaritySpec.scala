@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -135,5 +135,58 @@ class SimilaritySpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(want2.nonEmpty, "120-token vocab with 100-token docs must overlap heavily")
     assert(got2 == want2, s"exactness at the float-ceil boundary: got $got2 want $want2")
+  }
+
+  test("kmeans recovers planted well-separated clusters; assignment is a pure projection") {
+    // three orthogonal-ish direction bundles with small jitter
+    def mk(axis: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val v = Array.fill(12)(0.01f * ((j + axis) % 5 - 2))
+      v(axis * 4) = 1.0f
+      (base + j, v.toSeq)
+    }
+    val data = (mk(0, 20, 0L) ++ mk(1, 20, 100L) ++ mk(2, 20, 200L))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 3, maxIter = 10)
+    assert(cents.length == 3 && cents.forall(_.length == 12))
+    // every learned centroid is unit length
+    cents.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val assigned = data.withColumn("c",
+        Similarity.assignCluster(col("embedding"), cents.map(_.toSeq).toSeq))
+      .select(col("vec_id"), col("c")).as[(Long, Int)].collect().toMap
+    // each planted bundle lands in ONE cluster, and the three differ
+    val groups = Seq(0L until 20L, 100L until 120L, 200L until 220L)
+      .map(r => r.map(assigned).toSet)
+    groups.foreach(g => assert(g.size == 1, s"bundle split across clusters: $g"))
+    assert(groups.flatten.toSet.size == 3, "three bundles → three distinct clusters")
+  }
+
+  test("kmeans: k larger than distinct directions leaves empty clusters intact") {
+    val data = (0L until 6L).map(i => (i, Seq.fill(8)(if (i < 3) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 5, maxIter = 4)
+    assert(cents.length == 5, "empty clusters keep their previous centroid")
+  }
+
+  test("semanticDeduplicate drops scaled copies, keeps distinct vectors; keep-best honors score") {
+    // i and i+3 share an axis but differ in the tail component → cosine
+    // ≈ 0.96 < 0.999, so only exact scaled copies collapse
+    def vec(i: Int): Seq[Float] = {
+      val v = Array.fill(12)(0.0f); v(i % 3) = 1.0f; v(11) = 0.3f * (i / 3); v.toSeq
+    }
+    val originals = (0 until 6).map(i => (i.toLong, vec(i), 10 - i))
+    val copies = (0 until 3).map(i => (100L + i, vec(i).map(_ * 2.0f), 100))
+    val df = (originals ++ copies).toDF("vec_id", "embedding", "score")
+    // keep min-id: the originals survive, all scaled copies drop
+    val kept = Dedup.semanticDeduplicate(df, "vec_id", "embedding",
+        k = 3, threshold = 0.999, maxIter = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 6L).toSet, s"kept $kept")
+    // keep-best: the high-score scaled copy survives instead of its source
+    val best = Dedup.semanticDeduplicate(df, "vec_id", "embedding",
+        k = 3, threshold = 0.999, maxIter = 4, scoreCol = Some("score"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(best == Set(100L, 101L, 102L, 3L, 4L, 5L), s"best $best")
   }
 }
