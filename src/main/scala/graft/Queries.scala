@@ -2418,8 +2418,14 @@ object Queries {
         .withColumn("vec_id", col("vec_id") + lit(10000000L))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
       val corpus = emb.unionByName(planted)
+      // k scales with the corpus (SemDeDup's contract: per-cluster size
+      // stays ~constant, so within-cluster candidate pairs stay LINEAR
+      // in n — a pinned k would quietly go quadratic at 10× data). The
+      // oracle end state is k-invariant: scaled copies co-assign under
+      // any clustering.
+      val k = math.max(8, (corpus.count() / 256L).toInt)
       Dedup.semanticDeduplicate(corpus, "vec_id", "embedding",
-          k = 8, threshold = 0.95, maxIter = 5)
+          k = k, threshold = 0.95, maxIter = 5)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("label"))
