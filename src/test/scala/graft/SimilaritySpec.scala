@@ -189,4 +189,22 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(best == Set(100L, 101L, 102L, 3L, 4L, 5L), s"best $best")
   }
+
+  test("semantic dedup plan shape: assignment is join-free, pair stage has no all-pairs join") {
+    val data = (0L until 40L)
+      .map(i => (i, Seq.tabulate(8)(j => (math.sin(i * 0.7 + j) * 0.4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding", k = 4, maxIter = 2)
+    // assignment: a pure projection — the corpus is never joined against
+    // the model (the centroid list rides as a literal)
+    val assigned = data.withColumn("c",
+      Similarity.assignCluster(col("embedding"), cents.map(_.toSeq).toSeq))
+    val aPlan = assigned.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Join"), s"assignment must not join:\n$aPlan")
+    // pair stage: equi-join on the learned block key only
+    val pairs = Dedup.embeddingNearDuplicates(assigned, "vec_id", "embedding", "c", 0.9)
+    val pPlan = pairs.queryExecution.executedPlan.toString
+    assert(!pPlan.contains("NestedLoop") && !pPlan.contains("CartesianProduct"),
+      s"pair join must be an equi-join on the block key:\n$pPlan")
+  }
 }
