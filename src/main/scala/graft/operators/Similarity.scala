@@ -223,8 +223,14 @@ object Similarity {
     * partial-aggregated map-side, so each round shuffles k buffers per
     * partition and collects exactly k (sum, count) rows to the driver —
     * centroid maintenance is O(k·dim) driver state, never corpus-sized.
-    * The normalized corpus is cached across iterations and released on
-    * exit.
+    *
+    * Training is BOUNDED: Lloyd iterates over the `maxTrainRows`
+    * smallest-hash vectors (a deterministic uniform sample via the same
+    * order-statistics trick as the seed pool; a corpus at or under the
+    * bound trains on everything). This is what makes the operator honest
+    * at 100 TB — the full corpus is scanned once to take the sample and
+    * once per DOWNSTREAM final assignment, not maxIter times, and the
+    * cached training set is sample-sized, not corpus-sized.
     *
     * Determinism caveat: double-summation order across partitions is not
     * fixed, so centroid bits can wobble ~1 ulp between runs; argmax
@@ -238,13 +244,16 @@ object Similarity {
       embCol: String,
       k: Int,
       maxIter: Int = 8,
-      tol: Double = 1e-6): Array[Array[Double]] = {
+      tol: Double = 1e-6,
+      maxTrainRows: Int = 1 << 21): Array[Array[Double]] = {
     require(k > 0, "k must be positive")
+    require(maxTrainRows >= k, "maxTrainRows must be at least k")
     val spark = df.sparkSession
     import spark.implicits._
     val normed = df
       .select(xxhash64(col(idCol)).as("__h"),
         VectorFunctions.l2Normalize(col(embCol)).as("__e"))
+      .orderBy(col("__h")).limit(maxTrainRows)
       .persist()
     try {
       val pool = normed.orderBy(col("__h")).limit(k * 4)

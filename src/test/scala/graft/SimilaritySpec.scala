@@ -162,6 +162,27 @@ class SimilaritySpec extends SparkSpec {
     assert(groups.flatten.toSet.size == 3, "three bundles → three distinct clusters")
   }
 
+  test("kmeans: bounded training sample still recovers planted clusters") {
+    def mk(axis: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val v = Array.fill(12)(0.01f * ((j + axis) % 5 - 2))
+      v(axis * 4) = 1.0f
+      (base + j, v.toSeq)
+    }
+    val data = (mk(0, 20, 0L) ++ mk(1, 20, 100L) ++ mk(2, 20, 200L))
+      .toDF("vec_id", "embedding")
+    // train on half the corpus (the 30 smallest-hash rows): full-corpus
+    // assignment must still put each bundle in one distinct cluster
+    val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding",
+      k = 3, maxIter = 10, maxTrainRows = 30)
+    val assigned = data.withColumn("c",
+        Similarity.assignCluster(col("embedding"), cents.map(_.toSeq).toSeq))
+      .select(col("vec_id"), col("c")).as[(Long, Int)].collect().toMap
+    val groups = Seq(0L until 20L, 100L until 120L, 200L until 220L)
+      .map(r => r.map(assigned).toSet)
+    groups.foreach(g => assert(g.size == 1, s"bundle split under sampled training: $g"))
+    assert(groups.flatten.toSet.size == 3)
+  }
+
   test("kmeans: k larger than distinct directions leaves empty clusters intact") {
     val data = (0L until 6L).map(i => (i, Seq.fill(8)(if (i < 3) 1.0f else -1.0f)))
       .toDF("vec_id", "embedding")
