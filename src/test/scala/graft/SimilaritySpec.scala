@@ -211,6 +211,31 @@ class SimilaritySpec extends SparkSpec {
     assert(best == Set(100L, 101L, 102L, 3L, 4L, 5L), s"best $best")
   }
 
+  test("semanticDeduplicate randomized differential: exact copies collapse to min id") {
+    // Exact scalar copies have identical cosine profiles, so co-clustering
+    // is guaranteed for ANY learned clustering — the brute-force model is
+    // therefore a true oracle (no blocking-recall caveat applies).
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 25
+      val base = (0 until n).map { i =>
+        (i.toLong, Seq.fill(10)((rnd.nextGaussian() * 0.5).toFloat))
+      }
+      val dupOf = (0 until n).filter(_ => rnd.nextBoolean()).take(n / 3)
+      val copies = dupOf.zipWithIndex.map { case (src, j) =>
+        ((1000 + j).toLong, base(src)._2.map(x => x * (1.5f + j)))
+      }
+      val df = (base ++ copies).toDF("vec_id", "embedding")
+      val kept = Dedup.semanticDeduplicate(df, "vec_id", "embedding",
+          k = 1 + n / 10, threshold = 0.9999, maxIter = 4)
+        .select("vec_id").as[Long].collect().toSet
+      // reference model: min id per exact-duplicate group survives; every
+      // id without a copy survives (random gaussians never hit 0.9999)
+      val want = base.map(_._1).toSet
+      assert(kept == want, s"trial $trial: kept ${kept.toSeq.sorted} want ${want.toSeq.sorted}")
+    }
+  }
+
   test("semantic dedup plan shape: assignment is join-free, pair stage has no all-pairs join") {
     val data = (0L until 40L)
       .map(i => (i, Seq.tabulate(8)(j => (math.sin(i * 0.7 + j) * 0.4).toFloat)))
