@@ -319,6 +319,9 @@ object Dedup {
       threshold: Double,
       maxIter: Int = 8,
       scoreCol: Option[String] = None): DataFrame = {
+    // degenerate corpora (empty, or all-null embeddings) have nothing to
+    // dedup — pass through rather than failing k-means' empty-input guard
+    if (df.where(col(embCol).isNotNull).isEmpty) return df
     val cents = Similarity.kmeansCentroids(df, idCol, embCol, k, maxIter)
     val blocked = df.withColumn("__sem_cluster",
       Similarity.assignCluster(col(embCol), cents.map(_.toSeq).toSeq))

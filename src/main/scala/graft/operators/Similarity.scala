@@ -250,7 +250,12 @@ object Similarity {
     require(maxTrainRows >= k, "maxTrainRows must be at least k")
     val spark = df.sparkSession
     import spark.implicits._
+    // null embeddings are excluded from TRAINING (a null would become a
+    // null cluster id and poison the update agg); downstream assignment
+    // maps them to a null cluster, where the pair join drops them —
+    // null-embedding rows therefore pass through dedup untouched
     val normed = df
+      .where(col(embCol).isNotNull)
       .select(xxhash64(col(idCol)).as("__h"),
         VectorFunctions.l2Normalize(col(embCol)).as("__e"))
       .orderBy(col("__h")).limit(maxTrainRows)

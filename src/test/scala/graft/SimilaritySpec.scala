@@ -236,6 +236,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDeduplicate: null embeddings pass through; empty corpus is a no-op") {
+    val rows = Seq(
+      (0L, Some(Seq(1.0f, 0.0f)), 1),
+      (1L, Some(Seq(2.0f, 0.0f)), 2), // scaled copy of 0 → drops
+      (2L, None, 3),                  // null embedding → passes through
+      (3L, Some(Seq(0.0f, 1.0f)), 4))
+    val df = rows.toDF("vec_id", "embedding", "score")
+    val kept = Dedup.semanticDeduplicate(df, "vec_id", "embedding",
+        k = 2, threshold = 0.999, maxIter = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L), s"kept $kept")
+    val empty = df.filter(col("vec_id") < 0)
+    assert(Dedup.semanticDeduplicate(empty, "vec_id", "embedding",
+      k = 2, threshold = 0.999).count() == 0)
+    val allNull = df.filter(col("vec_id") === 2L)
+    assert(Dedup.semanticDeduplicate(allNull, "vec_id", "embedding",
+      k = 2, threshold = 0.999).count() == 1, "all-null corpus passes through")
+  }
+
   test("semantic dedup plan shape: assignment is join-free, pair stage has no all-pairs join") {
     val data = (0L until 40L)
       .map(i => (i, Seq.tabulate(8)(j => (math.sin(i * 0.7 + j) * 0.4).toFloat)))
