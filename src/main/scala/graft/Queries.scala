@@ -2404,11 +2404,14 @@ object Queries {
     (s, d) => {
       // Semantic dedup (SemDeDup shape: k-means learns the blocking key,
       // exact cosine verifies within clusters, one survivor per near-dup
-      // group) with a SQL-verifiable END STATE: plant an exact
-      // scalar-multiple copy of every 10th vector — a scaled copy has an
-      // IDENTICAL cosine profile, so k-means co-assigns the pair no
-      // matter where centroids land, and cosine(source, copy) == 1 ≥
-      // threshold — then dedup the union. keep-min-id retains exactly
+      // group) with a SQL-verifiable END STATE: plant a ×2 copy of every
+      // 10th vector — doubling is EXACT in float (an exponent shift, no
+      // rounding), so the copy's cosine profile is bit-identical to its
+      // source, k-means co-assigns the pair no matter where centroids
+      // land, and cosine(source, copy) == 1 ≥ threshold — then dedup the
+      // union. (A non-power-of-two scale would round per element and
+      // leave a ~1e-7 profile gap — co-assignment would be merely
+      // overwhelmingly likely, not guaranteed.) keep-min-id retains exactly
       // the original table (planted ids are +10^7), so per-label counts
       // are the oracle's plain GROUP BY over `embeddings`. Natural pairs
       // cannot interfere: the fixture's max off-diagonal cosine is ~0.60,
@@ -2416,14 +2419,17 @@ object Queries {
       val emb = Tables.embeddings(s, d)
       val planted = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
         .withColumn("vec_id", col("vec_id") + lit(10000000L))
-        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.001f)))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
       val corpus = emb.unionByName(planted)
       // k scales with the corpus (SemDeDup's contract: per-cluster size
       // stays ~constant, so within-cluster candidate pairs stay LINEAR
       // in n — a pinned k would quietly go quadratic at 10× data). The
       // oracle end state is k-invariant: scaled copies co-assign under
       // any clustering.
-      val k = math.max(8, (corpus.count() / 256L).toInt)
+      // size k from the base table (corpus = 1.1× emb by construction) —
+      // counting emb scans one slim parquet column instead of running the
+      // union + planted-copy transform an extra time
+      val k = math.max(8, (emb.count() * 11L / 10L / 256L).toInt)
       Dedup.semanticDeduplicate(corpus, "vec_id", "embedding",
           k = k, threshold = 0.95, maxIter = 5)
         .groupBy(col("label"))

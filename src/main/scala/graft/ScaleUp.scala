@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions._
   *    exact hashes are distinct. Near-dup structure therefore replicates
   *    LINEARLY with factor — the shape a real 10× corpus has — instead
   *    of collapsing into one giant cross-replica duplicate class.
-  *  - `embeddings.embedding` of replica r gets a deterministic
-  *    index-keyed offset (`transform`, codegen'd), changing vector
-  *    DIRECTIONS (a pure scalar would cancel in cosine), and
-  *    `embeddings.label` shifts by r·10^6 so label-blocked near-dup
-  *    compares only within a replica (labels are a blocking/shard key;
-  *    10× data = 10× shards, the realistic growth mode).
+  *  - `embeddings.embedding` of replica r goes through a deterministic
+  *    ISOMETRY (signed coordinate permutation — `transform`, codegen'd):
+  *    within-replica cosines are preserved bit-exactly while replicas
+  *    point elsewhere, and `embeddings.label` shifts by r·10^6 so
+  *    label-blocked near-dup compares only within a replica (labels are
+  *    a blocking/shard key; 10× data = 10× shards, the realistic growth
+  *    mode).
   * Both perturbations are bijective per replica and seed-free
   * (deterministic in (column value, __r)), so reruns are reproducible.
   *
@@ -54,8 +55,11 @@ object ScaleUp {
   }
 
   /** `text` rotated by the row's replica id: a `when`-chain of literal
-    * `translate`s (translate takes literal mappings only; factor ≤ 26
-    * keeps every rotation distinct on letters).
+    * `translate`s (translate takes literal mappings only; factor ≤ 10
+    * keeps every rotation distinct on letters AND digits — the digit
+    * cycle is the binding one). Letterless, digitless text (punctuation/
+    * whitespace only) is inherently identical across replicas; the
+    * fixtures contain none.
     */
   private[graft] def rotateText(text: org.apache.spark.sql.Column,
                          replica: org.apache.spark.sql.Column,
@@ -91,8 +95,10 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
-    require(factor >= 1 && factor <= 26,
-      "factor must be in [1, 26] (per-replica alphabet rotations must stay distinct)")
+    require(factor >= 1 && factor <= 10,
+      "factor must be in [1, 10]: the DIGIT rotation cycles at 10, so " +
+        "replicas r and r+10 would share a digit mapping and digit-only " +
+        "tokens would collide across them")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, cpus)
 
@@ -123,8 +129,9 @@ object ScaleUp {
       replicate(src("documents"), Seq("doc_id"))
         .withColumn("text", rotateText(col("text"), col("__r"), factor)),
       "documents")
-    // index-keyed direction perturbation (±0.25/dim uniform-ish) + label
-    // shift: replica r's vectors are genuinely new points in a new shard
+    // signed-permutation isometry (within-replica cosines preserved
+    // bit-exactly) + label shift: replica r's vectors are genuinely new
+    // points in a new shard, with the replica's pair structure intact
     write(
       replicate(src("embeddings"), Seq("vec_id"))
         .withColumn("embedding", perturbEmbedding(col("embedding"), col("__r")))

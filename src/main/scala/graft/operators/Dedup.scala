@@ -319,12 +319,18 @@ object Dedup {
       threshold: Double,
       maxIter: Int = 8,
       scoreCol: Option[String] = None): DataFrame = {
-    // degenerate corpora (empty, or all-null embeddings) have nothing to
+    // degenerate corpora (empty, or no usable embeddings) have nothing to
     // dedup — pass through rather than failing k-means' empty-input guard
-    if (df.where(col(embCol).isNotNull).isEmpty) return df
+    val usable = col(embCol).isNotNull && size(col(embCol)) > 0
+    if (df.where(usable).isEmpty) return df
     val cents = Similarity.kmeansCentroids(df, idCol, embCol, k, maxIter)
+    // unusable embeddings get a NULL cluster — the equi-join never matches
+    // null, so they can't pair (with each other or anything else) and pass
+    // through. Without the guard they'd all argmax to cluster k-1 (null
+    // cosines order below every real score) and pile into one quadratic
+    // self-join block.
     val blocked = df.withColumn("__sem_cluster",
-      Similarity.assignCluster(col(embCol), cents.map(_.toSeq).toSeq))
+      when(usable, Similarity.assignCluster(col(embCol), cents.map(_.toSeq).toSeq)))
     val pairs = embeddingNearDuplicates(blocked, idCol, embCol, "__sem_cluster", threshold)
     scoreCol match {
       case Some(s) => keepBestPerCluster(df, idCol, s, pairs)

@@ -250,12 +250,13 @@ object Similarity {
     require(maxTrainRows >= k, "maxTrainRows must be at least k")
     val spark = df.sparkSession
     import spark.implicits._
-    // null embeddings are excluded from TRAINING (a null would become a
-    // null cluster id and poison the update agg); downstream assignment
-    // maps them to a null cluster, where the pair join drops them —
-    // null-embedding rows therefore pass through dedup untouched
+    // null and empty-array embeddings are excluded from TRAINING (a null
+    // cluster id would poison the typed update agg; an empty array at
+    // pool.head would set dim = 0). Callers that also ASSIGN such rows
+    // must null their cluster out themselves — see semanticDeduplicate,
+    // which maps them to a null cluster so the pair equi-join drops them
     val normed = df
-      .where(col(embCol).isNotNull)
+      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(xxhash64(col(idCol)).as("__h"),
         VectorFunctions.l2Normalize(col(embCol)).as("__e"))
       .orderBy(col("__h")).limit(maxTrainRows)
