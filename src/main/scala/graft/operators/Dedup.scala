@@ -371,13 +371,16 @@ object Dedup {
       benchmark: DataFrame,
       benchTextCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame, cols: Column*): DataFrame =
+    // grams is parameterized by the text column name — renaming the
+    // benchmark's column to `textCol` would collide (ambiguous reference)
+    // whenever the benchmark already has a column by that name
+    def grams(df: DataFrame, text: String, cols: Column*): DataFrame =
       df.select(cols :+ HashFunctions.hashedWordShingles(
-        TextFunctions.tokens(col(textCol)), n).as("__sh"): _*)
+        TextFunctions.tokens(col(text)), n).as("__sh"): _*)
     val benchGrams = broadcast(
-      grams(benchmark.withColumnRenamed(benchTextCol, textCol))
+      grams(benchmark, benchTextCol)
         .select(explode(col("__sh")).as("__h")).distinct())
-    grams(corpus, col(idCol))
+    grams(corpus, textCol, col(idCol))
       .select(col(idCol), explode(col("__sh")).as("__h"))
       .join(benchGrams, "__h")
       .groupBy(col(idCol))

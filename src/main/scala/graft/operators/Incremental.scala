@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Rows of `input` whose key is absent from `state`. */
-  def newRows(input: DataFrame, state: DataFrame, keys: Seq[String]): DataFrame =
-    input.join(state.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  /** Rows of `input` whose key is absent from `state`. NULL-safe on the
+    * key columns: with plain equality a null-keyed row never matches the
+    * state (`NULL = NULL` is NULL), so it would be re-flagged as new on
+    * EVERY run and re-appended forever — breaking the module's
+    * zero-new-rows-on-unchanged-input invariant and growing state
+    * unboundedly.
+    */
+  def newRows(input: DataFrame, state: DataFrame, keys: Seq[String]): DataFrame = {
+    val st = state.select(keys.map(col): _*).distinct()
+    val cond = keys.map(k => input(k) <=> st(k)).reduce(_ && _)
+    input.join(st, cond, "left_anti")
+  }
 
   /** Same, with a Bloom-filter pre-pass on the concatenated key. */
   def newRowsBloom(

@@ -184,7 +184,11 @@ object Relational {
         col(leftTsCol).as("__ts"), lit(1).as("__side"),
         struct(lCols.map(col): _*).as("__l"), lit(null).cast(rType).as("__r")) ++
         tieType.map(dt => lit(null).cast(dt).as("__tie")): _*)
-    val r2 = right.select(
+    // a NULL right timestamp can never satisfy ts_r <= ts_l, but ascending
+    // nulls-FIRST ordering would sort such rows to the front of every key
+    // partition where they'd win any left row with no real earlier match —
+    // drop them before the union
+    val r2 = right.where(col(rightTsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTsCol).as("__ts"), lit(rightSide).as("__side"),
         lit(null).cast(lType).as("__l"), struct(rPayloadCols.map(col): _*).as("__r")) ++
@@ -297,7 +301,12 @@ object Relational {
           org.apache.spark.sql.types.ShortType => true
         case _ => false
       })
-      val small = integral && e0.count() <= localMaxEdges
+      // mixed src/dst types fall through to the distributed loop (whose
+      // union widens them): the local path's single node type would
+      // silently NARROW the wider endpoint's ids (e.g. a long dst
+      // wrapped into an int schema derived from src alone)
+      val sameType = e0.schema.head.dataType == e0.schema(1).dataType
+      val small = integral && sameType && e0.count() <= localMaxEdges
       if (small) {
         val rows = e0.collect()
         if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
@@ -492,7 +501,11 @@ object Relational {
     // Gauss–Seidel) so a truncating maxIter sees bit-identical state to
     // the distributed loop. Spec-pinned equivalent on random DAGs.
     val edgeCount = e.count()
-    if (edgeCount <= localMaxEdges) {
+    // same-type guard as connectedComponents: with mixed src/dst types
+    // the local rows would carry node values that mismatch the declared
+    // single-type schema (the distributed loop's union widens instead)
+    if (edgeCount <= localMaxEdges &&
+        e.schema.head.dataType == e.schema(1).dataType) {
       val rows = e.collect()
       val out = dagRelaxMaxLocal(rows, outCols.size, maxIter)
       val spark = edges.sparkSession
@@ -632,7 +645,8 @@ object Relational {
     // codegen fixed cost dwarfs a driver BitSet fixpoint on a tiny edge
     // list; only replaces the EXACT register path (the HLL path exists
     // precisely for graphs too big to collect)
-    if (v <= exactMaxNodes && e.count() <= localMaxEdges) {
+    if (v <= exactMaxNodes && e.count() <= localMaxEdges &&
+        e.schema.head.dataType == e.schema(1).dataType) {
       val rows = e.collect()
       val outRows = descendantCountsLocal(rows, maxIter)
       val spark = edges.sparkSession
@@ -845,14 +859,29 @@ object Relational {
       maxIter: Int = 50): DataFrame = {
     val dur = stages.select(col("stage_id"), col("duration_days").cast("long").as("__dur"))
     val rel = upper(trim(col("relation_type")))
+    // LEFT joins + a raise_error guard: an inner join would silently DROP
+    // any dependency whose parent or child stage is missing from `stages`
+    // and quietly produce an early schedule — the same failure mode the
+    // unknown-relation_type branch below exists to prevent
+    def missing(idCol: String): Column = raise_error(concat(
+      lit(s"cpmSchedule: $idCol '"),
+      coalesce(col(idCol).cast("string"), lit("NULL")),
+      lit("' has no stages row")))
+    // evaluates to 0 for valid rows; added to every branch so EVERY
+    // relation type checks both endpoints (SS/SF don't otherwise read
+    // the parent/child duration, and an unreferenced guard column would
+    // be pruned away by the optimizer)
+    val guard = when(col("__p").isNull, missing("depends_on_stage_id"))
+      .when(col("__c").isNull, missing("stage_id"))
+      .otherwise(lit(0L))
     val weighted = deps
       .join(dur.select(col("stage_id").as("__p"), col("__dur").as("__pdur")),
-        col("depends_on_stage_id") === col("__p"))
+        col("depends_on_stage_id") === col("__p"), "left")
       .join(dur.select(col("stage_id").as("__c"), col("__dur").as("__cdur")),
-        col("stage_id") === col("__c"))
+        col("stage_id") === col("__c"), "left")
       .select(
         col("depends_on_stage_id").as("src"), col("stage_id").as("dst"),
-        when(rel === "FS", col("__pdur") + col("lag_days"))
+        (guard + when(rel === "FS", col("__pdur") + col("lag_days"))
           .when(rel === "SS", col("lag_days").cast("long"))
           .when(rel === "FF", col("__pdur") + col("lag_days") - col("__cdur"))
           .when(rel === "SF", col("lag_days") - col("__cdur"))
@@ -861,7 +890,7 @@ object Relational {
           // produce an early schedule — fail the job instead
           .otherwise(raise_error(concat(
             lit("cpmSchedule: unknown relation_type '"),
-            coalesce(col("relation_type"), lit("NULL")), lit("' (expected FS/SS/FF/SF)"))))
+            coalesce(col("relation_type"), lit("NULL")), lit("' (expected FS/SS/FF/SF)")))))
           .as("w"))
     val es = dagLongestPath(weighted, "src", "dst", "w", maxIter)
       .select(col("node").as("stage_id"), col("dist").as("early_start"))

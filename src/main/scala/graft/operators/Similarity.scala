@@ -122,17 +122,26 @@ object Similarity {
       centroids.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
 
     // Keep the `keep` nearest centroids per row with zero shuffle:
-    // score every centroid inside a transform(), array_sort ascending by
-    // (cosine, -centroid_id), reverse → (cosine DESC, centroid_id ASC),
-    // slice the prefix, explode.
+    // score every centroid inside a transform(), array_sort with an
+    // explicit (cosine DESC, centroid_id ASC) comparator — works for ANY
+    // orderable centroid_id type (trainCentroids emits the caller's
+    // group column, which may be a string label; the old `-centroid_id`
+    // negation trick required a numeric id and under ANSI mode threw on
+    // strings), slice the prefix, explode.
     def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) =
       df.select(col(id).as(idOut), col(emb).as(embOut))
         .crossJoin(centArr)
-        .withColumn("__ranked", slice(reverse(array_sort(transform(col("__cents"), c =>
-          struct(
-            VectorFunctions.cosineNative(col(embOut), c.getField("centroid")).as("cd"),
-            (-c.getField("centroid_id")).as("neg_id"),
-            c.getField("centroid_id").as("centroid_id"))))), 1, keep))
+        .withColumn("__ranked", slice(array_sort(
+          transform(col("__cents"), c =>
+            struct(
+              VectorFunctions.cosineNative(col(embOut), c.getField("centroid")).as("cd"),
+              c.getField("centroid_id").as("centroid_id"))),
+          (l, r) =>
+            when(l.getField("cd") > r.getField("cd"), -1)
+              .when(l.getField("cd") < r.getField("cd"), 1)
+              .when(l.getField("centroid_id") < r.getField("centroid_id"), -1)
+              .when(l.getField("centroid_id") > r.getField("centroid_id"), 1)
+              .otherwise(0)), 1, keep))
         .select(col(idOut), col(embOut),
           explode(col("__ranked")).as("__c"))
         .select(col(idOut), col(embOut), col("__c.centroid_id").as("centroid_id"))
@@ -351,7 +360,13 @@ object Similarity {
     // prefix self-join sides, both verify sides) and AQE does not reuse
     // diverging aggregate subplans — without this the corpus would be
     // re-scanned and re-tokenized up to 6 times (same discipline as
-    // Bpe.learnMerges)
+    // Bpe.learnMerges). localCheckpoint over persist() is a MEASURED
+    // choice: the columnar cache encode of array<string> costs 4-7x the
+    // cpu of the checkpoint's binary-row snapshot (q88: 2.1 -> 9-14
+    // cpu-s). Lifetime: the checkpointed blocks back the RETURNED plan,
+    // so they cannot be released here; they are reclaimed by the
+    // ContextCleaner when the caller drops the result (bounded at two
+    // snapshots per in-flight call, visible as RDD storage in the UI)
     val sets = docs.select(col(idCol),
       array_distinct(graft.functions.TextFunctions.tokens(col(textCol))).as("__toks"))
       .localCheckpoint(true)

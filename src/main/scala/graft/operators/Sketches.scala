@@ -32,10 +32,14 @@ object Sketches {
     conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
 
   /** The KMV sketch of a column: the k smallest sha60 values of its
-    * distinct items, ascending. At most k rows come back.
+    * distinct items, ascending. At most k rows come back. NULL inputs
+    * are excluded (count-distinct semantics) — sha2(NULL) is NULL, which
+    * would survive distinct(), sort FIRST ascending, and occupy the
+    * sketch's smallest slot, crashing typed `.as[Long]` consumers and
+    * biasing the estimator upward.
     */
   def kmvSketch(df: DataFrame, c: Column, k: Int): DataFrame =
-    df.select(sha60(c).as("h")).distinct()
+    df.where(c.isNotNull).select(sha60(c).as("h")).distinct()
       .orderBy(col("h")).limit(k)
 
   /** Distinct-count estimate from a full sketch: (k−1) / (kth-min / M)

@@ -19,6 +19,12 @@ object Skew {
     * The salt is derived deterministically from `largeIdCol` so repeated
     * runs partition identically. One hot key's rows spread over
     * `saltBuckets` reducers instead of one.
+    *
+    * `largeIdCol` must NOT be one of the join keys: a key-derived salt
+    * is constant per hot key, so the hot key's rows would still land on
+    * one reducer while the other side pays the full saltBuckets×
+    * replication — a silent no-op at 16× the cost. Pass a high-cardinality
+    * per-row column (an event/row id).
     */
   def saltedEquiJoin(
       large: DataFrame,
@@ -27,6 +33,9 @@ object Skew {
       largeIdCol: String,
       saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(!keys.contains(largeIdCol),
+      s"saltedEquiJoin: largeIdCol '$largeIdCol' is a join key — a key-derived salt is " +
+        "constant per hot key and defeats the salting; use a per-row id column")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(col(largeIdCol)), lit(saltBuckets.toLong)).cast("int"))
     val replicated = other.withColumn("__salt",

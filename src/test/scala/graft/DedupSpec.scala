@@ -216,4 +216,24 @@ class DedupSpec extends SparkSpec {
       .select(col("id")).as[Long].collect().toSet
     assert(one == Set(1L, 10L, 20L))
   }
+
+  test("newRows is NULL-safe on keys: a null-keyed row is new once, then seen") {
+    val input = Seq((Option.empty[String], "x"), (Some("k1"), "y")).toDF("key", "v")
+    val empty = input.filter(lit(false))
+    val first = Incremental.newRows(input, empty, Seq("key"))
+    assert(first.count() == 2, "everything is new against empty state")
+    // after the state holds the same keys (incl. the null), nothing is new
+    val state = input.select("key")
+    assert(Incremental.newRows(input, state, Seq("key")).count() == 0,
+      "null-keyed rows must match null state keys (invariant: rerun => zero new)")
+  }
+
+  test("flagContaminated tolerates a benchmark that already has the corpus text column name") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bench = Seq(("alpha beta gamma delta epsilon zeta", "unrelated"))
+      .toDF("prompt", "text") // has a 'text' column that is NOT the bench text
+    val hits = Dedup.flagContaminated(corpus, "doc_id", "text", bench, "prompt", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits(1L) >= 1L, s"overlap via the prompt column must flag: $hits")
+  }
 }

@@ -381,4 +381,12 @@ class PlansAndSkewSpec extends SparkSpec {
         s"$name: $read")
     }
   }
+
+  test("saltedEquiJoin rejects a join key as the salt source") {
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val r = Seq((1L, "b")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedEquiJoin(l, r, Seq("k"), "k")
+    }
+  }
 }

@@ -388,4 +388,47 @@ class RelationalSpec extends SparkSpec {
       Relational.rangeJoin(points.withColumn("__b", lit(1)), "p", ranges, "lo", "hi", 2L)
     }
   }
+
+  test("asofJoin: NULL right timestamps never match") {
+    val left = Seq((1L, 100L, "L")).toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, Option.empty[Long], "phantom"),
+      (1L, Some(200L), "late")).toDF("k", "q_ts", "payload")
+    for (strict <- Seq(false, true)) {
+      val r = Relational.asofJoin(left, right, Seq("k"), "ts", "q_ts", strict = strict)
+        .select("lv", "payload").as[(String, Option[String])].collect()
+      assert(r.toSeq == Seq(("L", None)),
+        s"strict=$strict: a null-ts right row must not win when no real match exists")
+    }
+  }
+
+  test("graph fast paths skip mixed src/dst endpoint types instead of narrowing ids") {
+    // src int, dst long with an id beyond Int range: the local path's
+    // single-type schema would wrap it — the guard must route this to
+    // the distributed loop, which widens via union
+    val big = 5000000000L
+    val edges = Seq((1, 2L), (2, big)).toDF("s", "d")
+      .select(col("s").cast("int").as("s"), col("d").as("d"))
+    val cc = Relational.connectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(cc(big) == 1L && cc(2L) == 1L, s"big id intact: $cc")
+  }
+
+  test("cpmSchedule fails loudly when a dependency references a missing stage") {
+    val stages = Seq((1L, 5L), (2L, 3L)).toDF("stage_id", "duration_days")
+    val deps = Seq((2L, 9L, "FS", 0L))
+      .toDF("stage_id", "depends_on_stage_id", "relation_type", "lag_days")
+    val ex = intercept[Exception] {
+      Relational.cpmSchedule(stages, deps).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("has no stages row"),
+      s"expected a missing-stage error, got: ${ex.getMessage}")
+    // SS, which reads neither duration, must ALSO validate both endpoints
+    val depsSs = Seq((2L, 9L, "SS", 0L))
+      .toDF("stage_id", "depends_on_stage_id", "relation_type", "lag_days")
+    val ex2 = intercept[Exception] {
+      Relational.cpmSchedule(stages, depsSs).collect()
+    }
+    assert(ex2.getMessage != null && ex2.getMessage.contains("has no stages row"))
+  }
 }

@@ -272,4 +272,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!pPlan.contains("NestedLoop") && !pPlan.contains("CartesianProduct"),
       s"pair join must be an equi-join on the block key:\n$pPlan")
   }
+
+  test("ivfCosineTopK works with string centroid ids (trainCentroids on a string group)") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "east"),
+      (2L, Seq(0.9f, 0.1f), "east"),
+      (3L, Seq(0.0f, 1.0f), "west"),
+      (4L, Seq(0.1f, 0.9f), "west")).toDF("vec_id", "embedding", "region")
+    val cents = Similarity.trainCentroids(df, "embedding", "region")
+    val r = Similarity.ivfCosineTopK(df, "vec_id", "embedding",
+      df.filter(col("vec_id") === 1L), "vec_id", "embedding", cents, k = 1, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L)), s"same-cluster nearest neighbor: ${r.toSeq}")
+  }
 }

@@ -43,4 +43,13 @@ class SketchesSpec extends SparkSpec {
       .select("h").as[Long].collect().toSeq
     assert(a == b)
   }
+
+  test("kmv sketch excludes NULL inputs (count-distinct semantics)") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), None).toDF("v")
+    val sk = graft.operators.Sketches.kmvSketch(df, col("v"), 8)
+      .as[Long].collect()
+    assert(sk.length == 2, s"two distinct non-null values: ${sk.toSeq}")
+    assert(graft.operators.Sketches.kmvEstimate(sk, 8) == 2.0)
+  }
 }
