@@ -1380,10 +1380,15 @@ object Queries {
         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
              ELSE hostport END AS host,
-        regexp_replace(regexp_replace(regexp_replace(rest,
-          '[?&](utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)', '', 'g'),
-          '^([^?]*)&', '\1?'),
-          '[?&]$', '') AS path
+        regexp_extract(rest, '^([^?]*)', 1) ||
+          CASE WHEN regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(rest, '^[^?]*\?(.*)$', 1),
+                 '(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
+                 '^&+', ''), '&+$', '') = '' THEN ''
+               ELSE '?' || regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(rest, '^[^?]*\?(.*)$', 1),
+                 '(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
+                 '^&+', ''), '&+$', '') END AS path
         FROM p)
       SELECT scheme || '://' || host || CASE WHEN path = '' THEN '/' ELSE path END AS canonical_url,
         count(*) AS n_docs, min(doc_id) AS first_doc

@@ -16,7 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer: trim + split on runs of whitespace. */
+  /** Whitespace tokenizer: trim + split on runs of whitespace.
+    *
+    * PINNED semantics for empty/whitespace-only text: the split of an
+    * empty string is `[""]` — ONE empty token, not zero — so
+    * `tokenCount("") == 1` and `typeTokenRatio("") == 1.0`. This is
+    * deliberately NOT "fixed": DuckDB's `string_split_regex` has the
+    * identical convention, and every oracle-checked query replays token
+    * logic through it — changing either side alone would break the
+    * hash-match contract. Pipelines that must treat empty docs as
+    * zero-token filter them by `length(trim(text)) > 0` upstream (the
+    * curation gate's minTokens does this implicitly: 1 < minTokens).
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Token count (whitespace tokens). */
@@ -100,6 +111,15 @@ object TextFunctions {
   /** Number of non-overlapping occurrences of `needle` in `col`,
     * computed by length difference — identical left-to-right
     * non-overlapping semantics in Spark and ANSI SQL `replace`.
+    *
+    * PINNED consequence of non-overlapping matching with space-padded
+    * needles (the stopword idiom `" the "`): ADJACENT repeats undercount,
+    * because each match consumes the shared separator space — " the the "
+    * counts ONE `" the "`, not two. This is the exact semantics of the
+    * DuckDB `replace`-length oracle idiom every language-scoring query
+    * replays, so both sides agree; it deflates scores uniformly across
+    * languages whose markers repeat adjacently (rare in prose) and the
+    * ARGMAX comparison is what consumers use, not the absolute count.
     */
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
@@ -213,14 +233,20 @@ object TextFunctions {
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    val noTrack = regexp_replace(rest, "[?&](utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)", "")
-    // a stripped leading param leaves "/path&k=v" — promote the first '&'
-    // back to '?' (anchored: at most one match on either engine)
-    val fixedQ = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    val noTrailing = regexp_replace(fixedQ, "[?&]$", "")
+    // split path/query FIRST and strip tracking only inside the query: a
+    // flat [?&]-anchored strip over `rest` needed a '&'→'?' repair pass
+    // afterwards, which also fired on legitimate '&' characters in the
+    // PATH of URLs that had nothing stripped ("/p&q" → "/p?q" — a
+    // different URL silently sharing the canonical key)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val rawQ = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val qClean = regexp_replace(regexp_replace(regexp_replace(
+      rawQ, "(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)", ""), "^&+", ""), "&+$", "")
+    val rebuilt = concat(path,
+      when(qClean === "", lit("")).otherwise(concat(lit("?"), qClean)))
     when(scheme === "", url)
       .otherwise(concat(scheme, lit("://"), host,
-        when(noTrailing === "", lit("/")).otherwise(noTrailing)))
+        when(rebuilt === "", lit("/")).otherwise(rebuilt)))
   }
 
   /** Hashed-feature linear classifier — the "model-based quality filter"
@@ -269,10 +295,14 @@ object TextFunctions {
       lang -> words.indices.map(j => element_at(counts, offsets(p) + j + 1)).reduce(_ + _)
     }
     // argmax with first-wins tie-break: lang_i wins if score_i >= all later and > all earlier
-    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, _), i), elseCol) =>
+    val label = scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, _), i), elseCol) =>
       val s = scores(i)._2
       val beatsAllLater = scores.drop(i + 1).map(_._2).foldLeft(lit(true))((c, o) => c && s >= o)
       when(beatsAllLater, lit(lang)).otherwise(elseCol)
     }
+    // NULL text must classify as NULL: with null scores every beatsAllLater
+    // condition is NULL, so the fold would fall through to the LAST
+    // profile's label — silently assigning null documents a language
+    when(text.isNotNull, label)
   }
 }

@@ -32,13 +32,19 @@ object VectorFunctions {
     *     be null and `otherwise` would silently turn a missing embedding
     *     into 0.0);
     *   - null ELEMENT / zero norm / empty array → 0.0;
+    *   - NaN anywhere → 0.0 (matches the native expression, whose Java
+    *     `na > 0` is false for NaN; without the explicit isnan guard
+    *     Spark's NaN-largest ordering makes `NaN > 0` TRUE here, the HOF
+    *     would return NaN, and — worse — that NaN would PASS any
+    *     `cosine >= threshold` near-dup filter);
     *   - length mismatch with both norms positive → NULL.
     */
   def cosine(a: Column, b: Column): Column = {
     val na = l2Norm(a)
     val nb = l2Norm(b)
     when(a.isNull || b.isNull, lit(null).cast("double"))
-      .otherwise(when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0)))
+      .otherwise(when(na > 0 && nb > 0 && !isnan(na) && !isnan(nb),
+        dot(a, b) / (na * nb)).otherwise(lit(0.0)))
   }
 
   /** Cosine via the native fused-loop Catalyst expression
@@ -124,9 +130,15 @@ object VectorFunctions {
     */
   def quantizeInt8(v: Column): Column = {
     val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
+    // NaN guards: under ANSI mode (Spark 4 default) round(NaN).cast(byte)
+    // throws CAST_INVALID_INPUT, so one bad embedding would kill the whole
+    // job. NaN absmax (NaN > 0 is TRUE under Spark's NaN-largest ordering)
+    // degrades to scale 1; NaN elements encode as code 0.
+    val scale = when(mx > 0 && !isnan(mx), mx / 127.0).otherwise(lit(1.0))
     struct(scale.as("scale"),
-      transform(v, x => round(x.cast("double") / scale).cast("byte")).as("q"))
+      transform(v, x =>
+        when(isnan(x.cast("double")), lit(0).cast("byte"))
+          .otherwise(round(x.cast("double") / scale).cast("byte"))).as("q"))
   }
 
   /** Inverse of [[quantizeInt8]]: `array<double>` reconstruction. */

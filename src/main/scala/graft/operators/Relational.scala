@@ -48,6 +48,9 @@ object Relational {
     */
   def topKPerGroupNative(df: DataFrame, partitionCols: Seq[Column], orderCols: Seq[Column],
       k: Int): DataFrame = {
+    // the partial operator's heap iterator dereferences heap.peek() once
+    // the heap is non-empty-by-contract; k <= 0 would NPE in the task
+    require(k > 0, s"topKPerGroupNative: k must be positive, got $k")
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     val groupExprs = partitionCols.map(GraftSqlBridge.expression)

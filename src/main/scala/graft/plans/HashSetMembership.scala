@@ -56,7 +56,8 @@ object AnyHashInSortedSet {
     val n = a.numElements()
     var i = 0
     while (i < n) {
-      if (java.util.Arrays.binarySearch(sorted, a.getLong(i)) >= 0) return true
+      if (!a.isNullAt(i) &&
+        java.util.Arrays.binarySearch(sorted, a.getLong(i)) >= 0) return true
       i += 1
     }
     false
@@ -78,7 +79,7 @@ final class BloomHolder(val bytes: Array[Byte]) extends Serializable {
     val n = a.numElements()
     var i = 0
     while (i < n) {
-      if (bloom.mightContainLong(a.getLong(i))) return true
+      if (!a.isNullAt(i) && bloom.mightContainLong(a.getLong(i))) return true
       i += 1
     }
     false

@@ -47,6 +47,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     val out = Array.fill(k)(Long.MaxValue)
     var t = 0
     while (t < n) {
+      // skip null elements (matches the HOF reference, whose xxhash64
+      // maps null through untouched rather than hashing it)
+      if (arr.isNullAt(t)) { t += 1 }
+      else {
       val h = arr.getLong(t)
       var i = 0
       while (i < k) {
@@ -55,6 +59,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
         i += 1
       }
       t += 1
+      }
     }
     ArrayData.toArrayData(out)
   }
@@ -71,6 +76,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
          |long[] $out = new long[$k];
          |java.util.Arrays.fill($out, Long.MAX_VALUE);
          |for (int $t = 0; $t < $n; $t++) {
+         |  if ($a.isNullAt($t)) continue;
          |  long $h = $a.getLong($t);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $v = $xxh.hashLong($h, $seedsRef[$i]);

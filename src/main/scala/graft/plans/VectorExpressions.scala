@@ -157,11 +157,13 @@ case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < bits) {
-        counts(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
-        j += 1
+      if (!arr.isNullAt(i)) { // null tokens carry no vote
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < bits) {
+          counts(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
       }
       i += 1
     }
@@ -180,6 +182,7 @@ case class SimHash64(child: Expression, bits: Int) extends UnaryExpression {
          |long[] $counts = new long[$bits];
          |int $n = $a.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $bits; $j++) {
          |    $counts[$j] += ((($h >>> $j) & 1L) == 1L) ? 1L : -1L;

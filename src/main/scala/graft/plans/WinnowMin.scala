@@ -32,9 +32,41 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
       s"graft_winnow expects array<bigint> (rolling hashes), got ${dt.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowMin.winnow(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.plans.WinnowMin.winnow($a, $w);
+         |if (${ev.value} == null) ${ev.isNull} = true;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_winnow"
+}
+
+object WinnowMin {
+
+  /** Shared kernel for eval and codegen (the deque + dedup logic lives
+    * once; generated code delegates like [[AnyHashInSortedSet]]).
+    * Returns null when ANY element is null: winnowing positions are
+    * load-bearing, so skipping a null gram would silently shift every
+    * window and change the fingerprint set. The first-occurrence dedup
+    * is a primitive open-addressing pass (long[] table + linear probe) —
+    * the earlier java.util.LinkedHashSet boxed one Long per window
+    * minimum per row, exactly the per-row GC pressure this native
+    * rewrite exists to remove.
+    */
+  def winnow(a: ArrayData, w: Int): ArrayData = {
     val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
     val mins: Array[Long] =
       if (n >= w) {
         // monotonic deque of candidate indices: front is always the
@@ -42,7 +74,7 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
         val out = new Array[Long](n - w + 1)
         val deq = new Array[Int](n)
         var head = 0; var tail = 0
-        var i = 0
+        i = 0
         while (i < n) {
           val v = a.getLong(i)
           while (tail > head && a.getLong(deq(tail - 1)) >= v) tail -= 1
@@ -54,60 +86,30 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
         out
       } else {
         val out = new Array[Long](n)
-        var i = 0
+        i = 0
         while (i < n) { out(i) = a.getLong(i); i += 1 }
         out
       }
     // distinct preserving first occurrence — same order contract as
     // array_distinct, so results are stable and comparable
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var i = 0
-    while (i < mins.length) { seen.add(mins(i)); i += 1 }
-    val res = new Array[Long](seen.size())
-    val it = seen.iterator()
+    var cap = 4
+    while (cap < mins.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val res = new Array[Long](mins.length)
+    var m = 0
     i = 0
-    while (it.hasNext) { res(i) = it.next(); i += 1 }
-    ArrayData.toArrayData(res)
+    while (i < mins.length) {
+      val v = mins(i)
+      var h = (java.lang.Long.rotateLeft(v * -0x61c8864680b583ebL, 31) *
+        -0x3d4d51cb7e3f9b27L).toInt & (cap - 1)
+      var found = false
+      while (used(h) && !found) {
+        if (table(h) == v) found = true else h = (h + 1) & (cap - 1)
+      }
+      if (!found) { used(h) = true; table(h) = v; res(m) = v; m += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(res, m))
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
-      val deq = ctx.freshName("deq"); val head = ctx.freshName("head")
-      val tail = ctx.freshName("tail"); val i = ctx.freshName("i")
-      val v = ctx.freshName("v"); val seen = ctx.freshName("seen")
-      val res = ctx.freshName("res"); val it = ctx.freshName("it")
-      val j = ctx.freshName("j")
-      s"""
-         |int $n = $a.numElements();
-         |long[] $mins;
-         |if ($n >= $w) {
-         |  $mins = new long[$n - $w + 1];
-         |  int[] $deq = new int[$n];
-         |  int $head = 0, $tail = 0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $v = $a.getLong($i);
-         |    while ($tail > $head && $a.getLong($deq[$tail - 1]) >= $v) $tail--;
-         |    $deq[$tail++] = $i;
-         |    if ($deq[$head] <= $i - $w) $head++;
-         |    if ($i >= $w - 1) $mins[$i - $w + 1] = $a.getLong($deq[$head]);
-         |  }
-         |} else {
-         |  $mins = new long[$n];
-         |  for (int $i = 0; $i < $n; $i++) $mins[$i] = $a.getLong($i);
-         |}
-         |java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
-         |for (int $i = 0; $i < $mins.length; $i++) $seen.add($mins[$i]);
-         |long[] $res = new long[$seen.size()];
-         |int $j = 0;
-         |for (java.util.Iterator<Long> $it = $seen.iterator(); $it.hasNext(); )
-         |  $res[$j++] = ((Long) $it.next()).longValue();
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($res);
-       """.stripMargin
-    })
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_winnow"
 }

@@ -102,6 +102,11 @@ class TextFunctionsSpec extends SparkSpec {
       "https://a.io?gclid=1" -> "https://a.io/",
       // mid-query tracking param: separator repaired for the survivor
       "https://a.io/p?utm_a=1&keep=2&utm_b=3" -> "https://a.io/p?keep=2",
+      // literal '&' in the PATH with nothing stripped must survive — the
+      // old flat strip promoted it to '?' and collapsed distinct pages
+      "http://x.com/p&q" -> "http://x.com/p&q",
+      "http://x.com/p&q?utm_a=1" -> "http://x.com/p&q",
+      "http://x.com/p&q?utm_a=1&keep=2" -> "http://x.com/p&q?keep=2",
       // not a URL → unchanged
       "just some text" -> "just some text")
     val got = rows.map(_._1).toDF("u").select(TF.canonicalizeUrl(col("u"))).as[String].collect()
@@ -180,5 +185,14 @@ class TextFunctionsSpec extends SparkSpec {
     rows.map(_._1).toDF("t").createOrReplaceTempView("clean_in")
     val viaSql = spark.sql("SELECT graft_nfc(t) FROM clean_in").count()
     assert(viaSql == rows.size)
+  }
+
+  test("stopwordLanguageScore: NULL text classifies as NULL, not the last profile") {
+    val profiles = Seq("en" -> Seq("the", "and"), "fr" -> Seq("le", "la"))
+    val got = Seq(Option("the cat and dog"), None, Option("le chat la nuit"))
+      .toDF("text")
+      .select(TF.stopwordLanguageScore(col("text"), profiles).as("lang"))
+      .as[Option[String]].collect()
+    assert(got.toSeq == Seq(Some("en"), None, Some("fr")), got.toSeq.toString)
   }
 }

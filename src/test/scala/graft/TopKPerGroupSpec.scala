@@ -49,4 +49,12 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(agg.values.forall(_ <= 4))
     assert(agg.nonEmpty)
   }
+
+  test("native top-k rejects k <= 0 loudly") {
+    val df = Seq((1, 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational.topKPerGroupNative(
+        df, Seq(col("g")), Seq(col("v").asc), 0)
+    }
+  }
 }

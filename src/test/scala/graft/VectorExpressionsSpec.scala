@@ -186,4 +186,28 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(VF.randomProjection(col("e"), 8, 4, 1L)).collect()
     assert(nul.head.isNullAt(0))
   }
+
+  test("null array elements: native hash consumers skip them; winnow nulls out") {
+    val withNull = Seq((1L, Seq(Option(7L), None, Option(9L)))).toDF("id", "hs")
+    val clean = Seq((1L, Seq(7L, 9L))).toDF("id", "hs")
+    def one(df: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.Column) =
+      df.select(e.as("r")).collect()(0)
+    // minhash / simhash: signature over the non-null elements
+    assert(one(withNull, call_function("graft_minhash", col("hs"), lit(8))).getSeq[Long](0) ==
+      one(clean, call_function("graft_minhash", col("hs"), lit(8))).getSeq[Long](0))
+    assert(one(withNull, call_function("graft_simhash", col("hs"), lit(16))).getLong(0) ==
+      one(clean, call_function("graft_simhash", col("hs"), lit(16))).getLong(0))
+    // winnow: positions are load-bearing — a null gram nulls the result
+    assert(one(withNull, call_function("graft_winnow", col("hs"), lit(2))).isNullAt(0))
+    assert(!one(clean, call_function("graft_winnow", col("hs"), lit(2))).isNullAt(0))
+  }
+
+  test("cosine: NaN input yields 0.0 in BOTH the HOF and native forms") {
+    val df = Seq((Seq(Float.NaN, 1.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(
+      graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("hof"),
+      graft.functions.VectorFunctions.cosineNative(col("a"), col("b")).as("nat"))
+      .as[(Double, Double)].collect()(0)
+    assert(r == ((0.0, 0.0)), s"NaN must not leak into >=-threshold filters: $r")
+  }
 }

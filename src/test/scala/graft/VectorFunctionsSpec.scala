@@ -74,4 +74,15 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(codes.forall(_.forall(b => b >= -127 && b <= 127)))
     assert(codes.forall(_.exists(b => math.abs(b) == 127)))
   }
+
+  test("quantizeInt8: NaN elements degrade to code 0 instead of an ANSI cast crash") {
+    import graft.functions.{VectorFunctions => VF}
+    val df = Seq(Seq(Float.NaN, 0.5f), Seq(Float.NaN, Float.NaN)).toDF("v")
+    val rows = df.select(VF.quantizeInt8(col("v")).as("q"))
+      .select(col("q.scale"), col("q.q")).collect()
+    val codes0 = rows(0).getSeq[Byte](1)
+    assert(codes0(0) == 0 && codes0(1) != 0, s"NaN->0, real value encoded: $codes0")
+    assert(rows(1).getDouble(0) == 1.0 && rows(1).getSeq[Byte](1).forall(_ == 0),
+      "all-NaN vector: scale 1, all-zero codes")
+  }
 }
