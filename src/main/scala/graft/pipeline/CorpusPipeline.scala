@@ -211,17 +211,48 @@ object CorpusPipeline {
       stateDir: String,
       cfg: Config = Config(),
       bloomExpectedKeys: Option[Long] = None): DataFrame = {
+    val (curated, commit) =
+      curateIncrementalStaged(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys)
+    commit()
+    curated
+  }
+
+  /** Two-phase form of [[curateIncremental]] — the EXACTLY-ONCE-capable
+    * contract: returns the curated delta plus a `commit` thunk that
+    * appends the seen-id state. The caller durably writes the curated
+    * rows FIRST, then calls `commit()`. A crash before commit re-curates
+    * the batch next run (at-LEAST-once — pair with this repo's
+    * idempotent sinks and the rerun is a no-op); the one-shot overload
+    * commits immediately on return, which is convenient for tests and
+    * fire-and-forget loops but is at-MOST-once with respect to the
+    * caller's durable write: a failure between the call and the write
+    * permanently skips those documents (state says seen, output was
+    * never written).
+    *
+    * The fresh delta (ingest scan + state anti-join) is snapshotted
+    * eagerly ONCE; both the curated output and the state append derive
+    * from that snapshot, so the ingest is never re-scanned and the
+    * curated plan holds no parquet reference to stateDir for the
+    * append's recache to invalidate.
+    */
+  def curateIncrementalStaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      cfg: Config = Config(),
+      bloomExpectedKeys: Option[Long] = None): (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
     val state = graft.operators.Incremental.readState(spark, stateDir, Seq(idCol))
-    val fresh = bloomExpectedKeys match {
+    val fresh0 = bloomExpectedKeys match {
       case Some(n) => graft.operators.Incremental.newRowsBloom(docs, state, Seq(idCol), n)
       case None => graft.operators.Incremental.newRows(docs, state, Seq(idCol))
     }
+    val (fresh, _) = snapshotTracked(fresh0)
     val curated = curate(fresh, idCol, textCol, cfg)
     // state must record every SEEN id (curated or filtered out) or
     // rejected docs would be re-curated forever
-    graft.operators.Incremental.appendState(fresh, Seq(idCol), stateDir)
-    curated
+    (curated, () => graft.operators.Incremental.appendState(fresh, Seq(idCol), stateDir))
   }
 
   /** [[curateIncremental]] plus CROSS-DELTA near-dup — the full
@@ -247,22 +278,43 @@ object CorpusPipeline {
       sigStateDir: String,
       cfg: Config = Config(),
       bloomExpectedKeys: Option[Long] = None): DataFrame = {
+    val (kept, commit) = curateIncrementalNearDupStaged(
+      docs, idCol, textCol, stateDir, sigStateDir, cfg, bloomExpectedKeys)
+    commit()
+    kept
+  }
+
+  /** Two-phase form of [[curateIncrementalNearDup]] — same contract as
+    * [[curateIncrementalStaged]]: write the kept rows durably, THEN call
+    * `commit()`, which appends BOTH stores (seen-id state and the MinHash
+    * signature store) — a crash before commit re-processes the batch
+    * (at-least-once) instead of silently losing it.
+    */
+  def curateIncrementalNearDupStaged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      sigStateDir: String,
+      cfg: Config = Config(),
+      bloomExpectedKeys: Option[Long] = None): (DataFrame, () => Unit) = {
     val spark = docs.sparkSession
     // Snapshot eagerly at each state boundary — with localCheckpoint, NOT
-    // persist. This call APPENDS to stateDir (inside curateIncremental) and
-    // to sigStateDir below, and the un-snapshotted lineage reads both. A
-    // cache()d plan is WORSE than the bare lineage here: the sig append's
-    // parquet commit fires recacheByPath on every cached plan that scans
-    // sigStateDir, lazily rebuilding it with a REFRESHED file listing — so
-    // the caller's first action would recompute `kept` against a store that
-    // now holds the batch's own signatures, and every survivor would
-    // self-match as a duplicate. An eager localCheckpoint truncates the
-    // plan to a LogicalRDD (no parquet path for recache to match) and also
-    // stops the curate/anti-join lineage re-running once per downstream
+    // persist. commit() APPENDS to stateDir and sigStateDir, and an
+    // un-snapshotted lineage would read both. A cache()d plan is WORSE
+    // than the bare lineage here: the sig append's parquet commit fires
+    // recacheByPath on every cached plan that scans sigStateDir, lazily
+    // rebuilding it with a REFRESHED file listing — so the caller's first
+    // action would recompute `kept` against a store that now holds the
+    // batch's own signatures, and every survivor would self-match as a
+    // duplicate. An eager localCheckpoint truncates the plan to a
+    // LogicalRDD (no parquet path for recache to match) and also stops
+    // the curate/anti-join lineage re-running once per downstream
     // reference (banded side, final left join, signature write, caller's
     // terminal action).
-    val (curated, curatedPinned) =
-      snapshotTracked(curateIncremental(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys))
+    val (curated0, commitState) =
+      curateIncrementalStaged(docs, idCol, textCol, stateDir, cfg, bloomExpectedKeys)
+    val (curated, curatedPinned) = snapshotTracked(curated0)
     val sigPath = new org.apache.hadoop.fs.Path(sigStateDir)
     val fs = sigPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val kept =
@@ -280,14 +332,17 @@ object CorpusPipeline {
           .get(id).foreach(_.unpersist(blocking = false)))
         k
       } else curated
-    Dedup.minHashSignatures(kept, idCol, textCol,
-      cfg.nearDupShingleSize, cfg.nearDupNumHashes)
-      .write.mode("append").parquet(sigStateDir)
     // the returned rows are a materialized snapshot: the caller's actions
     // can never re-list the appended dirs. Its blocks release when the
     // Dataset is garbage-collected (ContextCleaner) — localCheckpoint
     // results have no CacheManager entry for unpersist() to act on.
-    kept
+    val commit = () => {
+      commitState()
+      Dedup.minHashSignatures(kept, idCol, textCol,
+        cfg.nearDupShingleSize, cfg.nearDupNumHashes)
+        .write.mode("append").parquet(sigStateDir)
+    }
+    (kept, commit)
   }
 
   /** Eager localCheckpoint with the checkpoint-pinned RDD ids tracked, so
@@ -740,6 +795,14 @@ object CorpusPipeline {
   def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
       budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget > 0")
+    // the typed mapPartitions packer carries ids as primitive longs; a
+    // non-integral id column would cast to null row by row and fail deep
+    // inside the encoder — reject it at the API boundary instead (hash
+    // string/UUID ids to a surrogate long upstream, or extend here)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("long", "int", "short", "byte").contains(idType.typeName),
+      s"packSequences: idCol '$idCol' must be integral, got ${idType.sql} — " +
+        "map string/UUID ids to a surrogate long first")
     val spark = docs.sparkSession
     import spark.implicits._
     val p = if (numPartitions > 0) numPartitions

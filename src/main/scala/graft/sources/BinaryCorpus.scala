@@ -65,7 +65,17 @@ object BinaryCorpus {
       val fs = new org.apache.hadoop.fs.Path(baseDir)
         .getFileSystem(serConf.value)
       rows.foreach { r =>
-        val rel = (0 to nParts).map(r.getString).mkString("/")
+        val segs = (0 to nParts).map(r.getString)
+        // fail loudly on rows that cannot form a safe relative path: a
+        // null segment would silently become the literal "null" directory,
+        // and '/' or '..' in a name would escape the partition tree
+        segs.zipWithIndex.foreach { case (seg, i) =>
+          require(seg != null && seg.nonEmpty,
+            s"writeBinaryTree: null/empty path segment at position $i (row key ${segs.headOption})")
+          require(!seg.contains("/") && seg != "." && seg != "..",
+            s"writeBinaryTree: unsafe path segment '$seg' would escape $baseDir")
+        }
+        val rel = segs.mkString("/")
         val path = new org.apache.hadoop.fs.Path(baseDir, rel)
         val out = fs.create(path, true) // overwrite-by-path = idempotent
         try out.write(r.getAs[Array[Byte]](nParts + 1)) finally out.close()

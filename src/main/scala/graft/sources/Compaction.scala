@@ -52,8 +52,22 @@ object Compaction {
     val tmp = new Path(dir + "__compact_tmp")
     spark.read.parquet(dir).repartition(wantFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // checked two-rename swap instead of delete+rename: HadoopFS returns
+    // FALSE rather than throwing on many failures, and an unchecked
+    // delete+rename that half-succeeds silently loses the directory (data
+    // would sit only in the tmp dir while this method reports success).
+    // Keeping the original under __compact_old until the swap lands also
+    // gives a rollback path.
+    val old = new Path(dir + "__compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compactParquetDir: could not move $p aside to $old")
+    if (!fs.rename(tmp, p)) {
+      val back = fs.rename(old, p) // roll back: restore the original dir
+      throw new IllegalStateException(
+        s"compactParquetDir: rename $tmp -> $p failed" +
+          (if (back) " (original restored)" else s" AND rollback failed — data is at $old"))
+    }
+    fs.delete(old, true)
     (before.size, dataFiles(spark, dir).size)
   }
 }

@@ -65,7 +65,12 @@ object IdempotentBlobSink {
                 case Right(url) => Right(Row(path, url, null))
                 case Left(err)  => Left(err)
               }
-            } catch { case e: Exception => Left(e.getMessage) }
+            } catch {
+              // e.toString, not getMessage: a message-less exception (NPE)
+              // would record error = null and read as a SUCCESSFUL upload
+              // to callers filtering col("error").isNotNull
+              case e: Exception => Left(e.toString)
+            }
           outcome match {
             case Right(row) => result = row
             case Left(err) if remaining > 0 =>

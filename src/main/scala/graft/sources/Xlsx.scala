@@ -215,8 +215,14 @@ object Xlsx {
       val raw = sb.toString
       val value = cellType match {
         case "s" =>
-          val i = raw.trim.toInt
-          if (i >= 0 && i < shared.size) shared(i) else null
+          // styled blanks can carry t="s" with no <v> — an empty index is
+          // a null cell, not a workbook-killing NumberFormatException
+          val t = raw.trim
+          if (t.isEmpty) null
+          else {
+            val i = t.toInt
+            if (i >= 0 && i < shared.size) shared(i) else null
+          }
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
         case _ => raw // inlineStr/str accumulated via <t>; numeric via <v>
       }

@@ -43,11 +43,11 @@ object StreamOps {
     * window state is garbage-collected — bounded state at any scale.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowLen: String, watermark: String): DataFrame =
+      windowLen: String, watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("wstart"), col(keyCol), col("n"), col("sum_value"))
 
   /** Streaming dedup on a natural key with bounded state — the streaming
@@ -237,10 +237,18 @@ object StreamOps {
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { r =>
-              val us = r.ts.getTime * 1000L
+              // true microseconds: getTime truncates to ms, the sub-ms
+              // fraction lives in getNanos — without it the stream
+              // diverges from the batch sessionize for sub-ms gaps
+              val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
               cur match {
                 case Some(st) if us - st.lastUs <= gapUs =>
-                  cur = Some(st.copy(lastUs = us, n = st.n + 1))
+                  // min/max bounds: an in-watermark but OUT-OF-ORDER event
+                  // from a later batch must not regress lastUs (the gap
+                  // anchor and the emitted session_end) or postdate start
+                  cur = Some(st.copy(
+                    sessionStartUs = math.min(st.sessionStartUs, us),
+                    lastUs = math.max(st.lastUs, us), n = st.n + 1))
                 case Some(st) =>
                   out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
                   cur = Some(SessionState(us, us, 1))

@@ -156,6 +156,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(third == Set(3L))
   }
 
+  test("staged incremental curation: uncommitted batch is re-seen; committed batch is not") {
+    val stateDir = Files.createTempDirectory("curstaged").toString + "/state"
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val docs = Seq((1L, base)).toDF("doc_id", "text")
+    // phase 1 WITHOUT commit: simulates a crash between curation and the
+    // caller's durable write — the batch must be re-curated next run
+    val (out1, _) = CorpusPipeline.curateIncrementalStaged(docs, "doc_id", "text", stateDir, cfg)
+    assert(out1.count() == 1)
+    val (out2, commit2) =
+      CorpusPipeline.curateIncrementalStaged(docs, "doc_id", "text", stateDir, cfg)
+    assert(out2.count() == 1, "uncommitted batch must be re-seen (at-least-once)")
+    commit2()
+    // after commit: the invariant run-on-unchanged-input-is-a-no-op holds
+    val (out3, _) = CorpusPipeline.curateIncrementalStaged(docs, "doc_id", "text", stateDir, cfg)
+    assert(out3.count() == 0, "committed batch is seen")
+  }
+
+  test("packSequences rejects non-integral id columns loudly") {
+    val docs = Seq(("doc-a", 5L)).toDF("doc_id", "n_tokens")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusPipeline.packSequences(docs, "doc_id", "n_tokens", budget = 10L)
+    }
+    assert(ex.getMessage.contains("must be integral"))
+  }
+
   test("incremental near-dup vs signature store: re-crawled page under a NEW id is dropped") {
     val stateDir = Files.createTempDirectory("curstate2").toString + "/state"
     val sigDir = Files.createTempDirectory("sigstate").toString + "/sigs"

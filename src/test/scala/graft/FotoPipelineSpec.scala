@@ -141,6 +141,20 @@ class FotoPipelineSpec extends SparkSpec {
     assert(store.put("k", Array[Byte](2), v).isRight)
     assert(store.currentVersion("k") != v)
   }
+
+  test("writeBinaryTree rejects null and path-escaping segments loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("bintree").toString
+    def attempt(kode: String, name: String) = intercept[org.apache.spark.SparkException] {
+      graft.sources.BinaryCorpus.writeBinaryTree(
+        Seq((kode, "w1", name, Array[Byte](1))).toDF("kode_proyek", "minggu", "nama_file", "content"),
+        tmp, Seq("kode_proyek", "minggu"), "nama_file", "content")
+    }
+    // a null partition value must not silently become a "null/" directory
+    assert(attempt(null, "a.jpg").getMessage.contains("null/empty path segment"))
+    // '/' or '..' in a name must not escape the partition tree
+    assert(attempt("p1", "../escape.jpg").getMessage.contains("unsafe path segment"))
+    assert(attempt("p1", "a/b.jpg").getMessage.contains("unsafe path segment"))
+  }
 }
 
 /** Hermetic BlobStore fake: versions are content hashes; paths starting

@@ -139,6 +139,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order event within the watermark cannot regress session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionInput]
+    // 20-minute lateness so the out-of-order event passes the watermark
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 30L * 60 * 1000000,
+      lateness = "20 minutes")
+    val q = out.writeStream.format("memory").queryName("sessOoo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamOps.SessionInput(1L, ts(10), 1), StreamOps.SessionInput(1L, ts(20), 2))
+      q.processAllAvailable()
+      // late but in-watermark event BEFORE the open session's last event:
+      // lastUs must not move backward (nor start forward)
+      input.addData(StreamOps.SessionInput(1L, ts(5), 3))
+      q.processAllAvailable()
+      // 90 min later: close it
+      input.addData(StreamOps.SessionInput(1L, ts(115), 4))
+      q.processAllAvailable()
+      val sessions = spark.table("sessOoo").as[StreamOps.SessionOut].collect()
+      assert(sessions.length == 1)
+      val st = sessions.head
+      assert(st.n == 3)
+      assert(st.session_start_us == ts(5).getTime * 1000L,
+        s"start must absorb the late earlier event: ${st.session_start_us}")
+      assert(st.session_end_us == ts(20).getTime * 1000L,
+        s"end must not regress to the late event: ${st.session_end_us}")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes the last open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]

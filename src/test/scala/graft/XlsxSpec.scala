@@ -75,6 +75,7 @@ class XlsxSpec extends SparkSpec {
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>val</t></is></c><c r="C1" t="str"><v>extra</v></c></row>
         |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>42.5</v></c><c r="C2" t="b"><v>1</v></c></row>
         |<row r="3"><c r="A3" t="s"><v>2</v></c><c r="C3"><v>7</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>0</v></c><c r="B4" t="s"/><c r="C4"><v>9</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zip.close()
     val dir = tmpDir()
@@ -84,14 +85,19 @@ class XlsxSpec extends SparkSpec {
       .orderBy("kode")
     assert(back.columns.toSeq == Seq("kode", "val", "extra"))
     val rows = back.collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
     // " padded " shared string sorts first
     assert(rows(0).getString(0) == " padded ")
     assert(rows(0).isNullAt(1), "sparse ref: absent B3 is null")
     assert(rows(0).getString(2) == "7", "numeric cell surfaces raw lexeme")
-    assert(rows(1).getString(0) == "rich text", "rich-text runs concatenate")
-    assert(rows(1).getString(1) == "42.5")
-    assert(rows(1).getString(2) == "TRUE", "boolean 1 → TRUE")
+    // styled blank marked t="s" with NO <v>: a null cell, not a
+    // NumberFormatException that kills the whole workbook read
+    assert(rows(1).getString(0) == "kode")
+    assert(rows(1).isNullAt(1), "empty shared-string reference is null")
+    assert(rows(1).getString(2) == "9")
+    assert(rows(2).getString(0) == "rich text", "rich-text runs concatenate")
+    assert(rows(2).getString(1) == "42.5")
+    assert(rows(2).getString(2) == "TRUE", "boolean 1 → TRUE")
   }
 
   test("directory of workbooks fans out: one task per file, headers verified equal") {
