@@ -27,7 +27,15 @@ object Bench {
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       // noop sink: full materialization of every result row without
       // writing — measures compute, not the local disk.
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        // a query that failed earlier (e.g. transiently during warmup) but
+        // succeeds now IS measured — listing it under BOTH errors and
+        // queries would make the artifact self-contradictory and a driver
+        // trusting "errors" would discard a valid measurement
+        errored.remove(name)
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e")
         errored(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

@@ -16,11 +16,23 @@ object Smoke {
     // drifted encoding fails the driver's smoke, not CORRECTNESS.
     val rawTs = Tables.table(spark, dir, "events").schema("ts").dataType
     try {
-      val micros = ev.select(org.apache.spark.sql.functions.unix_micros(
-        org.apache.spark.sql.functions.col("ts"))).head().getLong(0)
+      // distinguish data problems from encoding drift BEFORE head():
+      // an empty table (or all-null first ts) would otherwise surface as
+      // NoSuchElementException and be misreported as an encoding issue,
+      // sending the debugger down the wrong path
+      val first = ev.select(org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts"))).head(1)
+      require(first.nonEmpty, "events fixture is EMPTY (0 rows) — data problem, not encoding drift")
+      require(!first.head.isNullAt(0), "events.ts first row is NULL — data problem, not encoding drift")
+      val micros = first.head.getLong(0)
       require(micros > 0L, s"events.ts decoded to non-positive micros: $micros")
       println(s"events ts OK: raw=$rawTs normalized=${ev.schema("ts").dataType} firstMicros=$micros")
     } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("data problem") =>
+        System.err.println(s"SMOKE FAIL: $e")
+        spark.stop()
+        sys.exit(1)
       case e: Throwable =>
         System.err.println(
           s"SMOKE FAIL: events.ts fixture drift — raw parquet type $rawTs is not handled by " +

@@ -28,12 +28,21 @@ object AvOps {
       sample_rate: Double, channels: Int, n_samples: Long, duration_sec: Double,
       rms: Double, peak: Double, zero_cross_rate: Double, band_energy: Seq[Double])
 
-  /** WAV PCM → mono samples in [-1, 1]: javax.sound.sampled parses the
-    * RIFF container, a format-conversion stream normalizes any PCM width/
-    * endianness to signed 16-bit little-endian, channels average-downmix.
-    * Undecodable bytes → None (row-level tolerance, like the image kernel).
+  /** WAV PCM → STREAMED mono statistics + a bounded head of samples in
+    * [-1, 1]: javax.sound.sampled parses the RIFF container, a
+    * format-conversion stream normalizes any PCM width/endianness to
+    * signed 16-bit little-endian, channels average-downmix. The clip is
+    * consumed in fixed-size chunks — rms/peak/zero-crossings accumulate
+    * on the fly and only the first `keepSamples` samples are ever
+    * materialized (the FFT window), so per-row memory is bounded no
+    * matter the clip length; a readAllBytes + full Double array would
+    * hold ~10 bytes per sample (a 500 MB WAV → ~1.5 GB per task).
+    * Undecodable bytes → None (row-level tolerance, like the image
+    * kernel). Returns (sampleRate, channels, nSamples, head, sumSq,
+    * peak, zeroCrossings).
     */
-  private def decodeWav(bytes: Array[Byte]): Option[(Float, Int, Array[Double])] =
+  private def decodeWav(bytes: Array[Byte], keepSamples: Int)
+      : Option[(Float, Int, Long, Array[Double], Double, Double, Long)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -42,23 +51,48 @@ object AvOps {
         javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         src.getSampleRate, 16, src.getChannels, 2 * src.getChannels, src.getSampleRate, false)
       val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-      val data = pcm.readAllBytes()
       val ch = math.max(target.getChannels, 1)
-      val n = data.length / (2 * ch)
-      val mono = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        var acc = 0.0
-        var c = 0
-        while (c < ch) {
-          val off = (i * ch + c) * 2
-          acc += ((data(off + 1).toInt << 8) | (data(off) & 0xff)) / 32768.0
-          c += 1
+      val frameBytes = 2 * ch
+      val buf = new Array[Byte](math.max(frameBytes * 512, 8192))
+      val head = new Array[Double](math.max(keepSamples, 0))
+      var kept = 0
+      var nTotal = 0L
+      var sumSq = 0.0
+      var peak = 0.0
+      var zc = 0L
+      var prev = 0.0
+      var filled = 0
+      var read = pcm.read(buf, filled, buf.length - filled)
+      while (read > 0) {
+        filled += read
+        val frames = filled / frameBytes
+        var i = 0
+        while (i < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            acc += ((buf(off + 1).toInt << 8) | (buf(off) & 0xff)) / 32768.0
+            c += 1
+          }
+          val v = acc / ch
+          if (kept < head.length) { head(kept) = v; kept += 1 }
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (nTotal > 0 && (v > 0) != (prev > 0)) zc += 1
+          prev = v
+          nTotal += 1
+          i += 1
         }
-        mono(i) = acc / ch
-        i += 1
+        // carry partial frames across chunk boundaries (pcm.read does not
+        // align to frame size)
+        val consumed = frames * frameBytes
+        System.arraycopy(buf, consumed, buf, 0, filled - consumed)
+        filled -= consumed
+        read = pcm.read(buf, filled, buf.length - filled)
       }
-      Some((src.getSampleRate, ch, mono))
+      Some((src.getSampleRate, src.getChannels, nTotal,
+        java.util.Arrays.copyOf(head, kept), sumSq, peak, zc))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Power spectrum |X[k]|² for k in [0, N/2) via iterative radix-2
@@ -124,18 +158,7 @@ object AvOps {
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) =>
       if (bytes == null) None
-      else decodeWav(bytes).map { case (sr, ch, mono) =>
-        val n = mono.length
-        var sumSq = 0.0; var peak = 0.0; var zc = 0L
-        var i = 0
-        while (i < n) {
-          val v = mono(i)
-          sumSq += v * v
-          if (math.abs(v) > peak) peak = math.abs(v)
-          if (i > 0 && (v > 0) != (mono(i - 1) > 0)) zc += 1
-          i += 1
-        }
-        val head = if (n > maxSamples) java.util.Arrays.copyOf(mono, maxSamples) else mono
+      else decodeWav(bytes, maxSamples).map { case (sr, ch, n, head, sumSq, peak, zc) =>
         val p = fftPower(head)
         val bands = new Array[Double](nBands)
         var k = 0
@@ -144,7 +167,7 @@ object AvOps {
           k += 1
         }
         AudioFeatures(
-          sr.toDouble, ch, n.toLong, if (sr > 0) n / sr.toDouble else 0.0,
+          sr.toDouble, ch, n, if (sr > 0) n / sr.toDouble else 0.0,
           if (n > 0) math.sqrt(sumSq / n) else 0.0, peak,
           if (n > 1) zc.toDouble / (n - 1) else 0.0, bands.toSeq)
       })
@@ -178,17 +201,25 @@ object AvOps {
         (ck.substring(2) == "db" || ck.substring(2) == "dc")
     val slices = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
     val idxFlags = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
-    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+    // depth bound: real AVIs nest ~3 LIST levels; a corrupt/adversarial
+    // payload of thousands of nested LIST headers would otherwise drive
+    // the recursion to StackOverflowError — an Error no NonFatal handler
+    // catches, and a task death the row-tolerance contract forbids
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 64) return
       var pos = start
       while (pos + 8 <= end) {
         val ck = fourcc(pos)
         val sz = u32(pos + 4).toInt
         val dataStart = pos + 8
         val dataEnd = math.min(dataStart + math.max(sz, 0), end)
-        if (ck == "LIST" && sz >= 4)
+        // dataStart + 4 <= dataEnd also guards the list-type fourcc read:
+        // a file truncated right after the LIST size field would read
+        // past the end of the payload
+        if (ck == "LIST" && sz >= 4 && dataStart + 4 <= dataEnd)
           // 'movi' children are frames; 'rec ' sub-lists group interleaved
           // chunks and stay inside movi scope
-          walk(dataStart + 4, dataEnd, inMovi || fourcc(dataStart) == "movi")
+          walk(dataStart + 4, dataEnd, inMovi || fourcc(dataStart) == "movi", depth + 1)
         else if (inMovi && isVideoData(ck))
           slices += ((ck, dataStart, dataEnd - dataStart))
         else if (ck == "idx1") {
@@ -202,7 +233,7 @@ object AvOps {
         pos = dataEnd + (sz & 1) // chunks are word-aligned
       }
     }
-    walk(12, math.min(8 + u32(4), bytes.length.toLong).toInt, inMovi = false)
+    walk(12, math.min(8 + u32(4), bytes.length.toLong).toInt, inMovi = false, depth = 0)
     if (slices.isEmpty) return Some(Seq.empty)
     val stream = slices.head._1.substring(0, 2) // first video stream only
     val mine = slices.filter(_._1.startsWith(stream))
@@ -255,7 +286,9 @@ object AvOps {
         if (r.content == null) Iterator.empty
         else {
           val nFrames = math.max(r.content.length / frameBytes, 1)
-          (0 until nFrames by everyN).iterator.map { i =>
+          // clamp like videoKeyFrames: everyN = 0 throws ('step cannot be
+          // 0') inside the task and a negative step silently emits nothing
+          (0 until nFrames by math.max(everyN, 1)).iterator.map { i =>
             val from = math.min(i * frameBytes, r.content.length)
             val until = math.min(from + frameBytes, r.content.length)
             FrameRow(r.id, i, java.util.Arrays.copyOfRange(r.content, from, until))

@@ -142,19 +142,31 @@ object ImageOps {
   val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) => extractFeatures(bytes).orNull)
 
+  /** dims + compressed payload from ONE decode: JPEG decode dominates
+    * this pipeline's per-row cost, and separate imageDims/imageCompress
+    * projections each ran a full ImageIO.read — doubling the stage's CPU
+    * for no extra information.
+    */
+  def imageMeta(maxDim: Int = DefaultMaxDim, quality: Float = DefaultQuality)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) =>
+      decode(bytes).map(im =>
+        (im.getWidth, im.getHeight, encodeJpeg(boundedResize(im, maxDim), quality))).orNull)
+
   /** Annotate a binary-column DataFrame with decoded metadata + compressed
-    * payload. The single UDF projection is the only codegen break; all
-    * derived metrics are Catalyst built-ins on top of it.
+    * payload. The single UDF projection ([[imageMeta]] — ONE decode per
+    * row) is the only codegen break; all derived metrics are Catalyst
+    * built-ins on top of it.
     */
   def withImageColumns(df: DataFrame, contentCol: String,
       maxDim: Int = DefaultMaxDim, quality: Float = DefaultQuality): DataFrame = {
-    df.withColumn("dims", imageDims(col(contentCol)))
-      .withColumn("width", col("dims._1"))
-      .withColumn("height", col("dims._2"))
-      .withColumn("decode_error", col("dims").isNull)
-      .withColumn("compressed", imageCompress(maxDim, quality)(col(contentCol)))
+    df.withColumn("__im", imageMeta(maxDim, quality)(col(contentCol)))
+      .withColumn("width", col("__im._1"))
+      .withColumn("height", col("__im._2"))
+      .withColumn("decode_error", col("__im").isNull)
+      .withColumn("compressed", col("__im._3"))
       .withColumn("size_kb", sizeKb(col(contentCol)))
       .withColumn("compressed_size_kb", sizeKb(col("compressed")))
-      .drop("dims")
+      .drop("__im")
   }
 }

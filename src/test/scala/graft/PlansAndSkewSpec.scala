@@ -222,6 +222,35 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
     assert(frames.forall(_.frame_bytes.length == 4096))
     assert(frames.forall(_.id == 7L))
+    // everyN <= 0 clamps to 1 (matching videoKeyFrames) rather than
+    // throwing 'step cannot be 0' inside the task or emitting nothing
+    assert(AvOps.sampleFrames(ds, everyN = 0, frameBytes = 4096).count() == 6)
+    assert(AvOps.sampleFrames(ds, everyN = -3, frameBytes = 4096).count() == 6)
+  }
+
+  test("malformed AVI payloads degrade to rows, never task failures") {
+    def u32le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // truncated right after a LIST size field: the list-type fourcc read
+    // would fall past the end of the payload
+    val truncated = "RIFF".getBytes ++ u32le(12) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ u32le(4)
+    // thousands of nested LIST headers: each declares the remainder as
+    // its body — unbounded recursion without the depth cap
+    val deep = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(u32le(12 * 4001 + 4)); bos.write("AVI ".getBytes)
+      (0 until 4000).foreach { i =>
+        bos.write("LIST".getBytes); bos.write(u32le(12L * (4000 - i) + 4)); bos.write("movi".getBytes)
+      }
+      bos.toByteArray
+    }
+    val ds = Seq(
+      AvOps.AvRecord(1L, "video", truncated),
+      AvOps.AvRecord(2L, "video", deep)).toDS()
+    // must not throw — zero frames is the correct degradation
+    assert(AvOps.videoKeyFrames(ds).count() == 0)
   }
 
   test("binary meta columns") {
