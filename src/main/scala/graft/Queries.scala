@@ -322,7 +322,7 @@ object Queries {
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("cvowel"))
         .orderBy(col("c_custkey"))
     },
-    Some("""SELECT c_custkey, lower(c_name) AS lname, split_part(c_name,'#',2) AS cnum,
+    Some("""SELECT c_custkey, lower(c_name) AS lname, string_split(c_name,'#')[-1] AS cnum,
       regexp_replace(c_name,'[0-9]+','N','g') AS cmask,
       CAST(length(c_name) AS INT) AS name_len,
       CAST(levenshtein(c_mktsegment,'BUILDING') AS INT) AS lev,
@@ -494,7 +494,7 @@ object Queries {
     Some("""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text),'\s+') AS toks FROM documents)
       SELECT doc_id,
         round(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks),4) AS ttr,
-        round(CAST(length(replace(text,' ','')) AS DOUBLE)/len(toks),4) AS avg_tok_len,
+        round(CAST(length(regexp_replace(text,'\s','','g')) AS DOUBLE)/len(toks),4) AS avg_tok_len,
         round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)/len(toks),4) AS stop_ratio
       FROM t ORDER BY doc_id"""))
 
@@ -507,21 +507,18 @@ object Queries {
   private val q26 = Q(
     "q26_lang_stopword_score",
     (s, d) => {
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      // one native multi-needle scan for all 12 stopwords (value-identical
-      // to the per-needle regex idiom the oracle's replace() uses)
-      val allWords = langProfiles.flatMap(_._2)
-      val counts = TF.occurrencesAll(padded, allWords.map(w => s" $w "))
-      val offsets = langProfiles.scanLeft(0)(_ + _._2.size)
-      def hits(p: Int) =
-        langProfiles(p)._2.indices.map(j => element_at(counts, offsets(p) + j + 1))
-          .reduce(_ + _).cast("int")
+      // the hit columns come from the SAME shared needle layout the
+      // classifier uses (TF.stopwordLanguageScores) — one native
+      // multi-needle scan, value-identical to the per-needle replace()
+      // idiom the oracle replays; duplicated padding/offset logic here
+      // is how a marker-word edit would silently desync the two
+      val scores = TF.stopwordLanguageScores(col("text"), langProfiles).toMap
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
-        hits(0).as("en_hits"),
-        hits(1).as("fr_hits"),
-        hits(2).as("de_hits"),
-        hits(3).as("es_hits"),
+        scores("en").cast("int").as("en_hits"),
+        scores("fr").cast("int").as("fr_hits"),
+        scores("de").cast("int").as("de_hits"),
+        scores("es").cast("int").as("es_hits"),
         TF.stopwordLanguageScore(col("text"), langProfiles).as("predicted"))
         .orderBy(col("doc_id"))
     },
@@ -541,7 +538,8 @@ object Queries {
            + (length(pt)-length(replace(pt,' de ','')))//4 AS INT) AS es_hits
         FROM p)
       SELECT doc_id, lang, en_hits, fr_hits, de_hits, es_hits,
-        CASE WHEN en_hits>=fr_hits AND en_hits>=de_hits AND en_hits>=es_hits THEN 'en'
+        CASE WHEN en_hits IS NULL THEN NULL
+             WHEN en_hits>=fr_hits AND en_hits>=de_hits AND en_hits>=es_hits THEN 'en'
              WHEN fr_hits>=de_hits AND fr_hits>=es_hits THEN 'fr'
              WHEN de_hits>=es_hits THEN 'de'
              ELSE 'es' END AS predicted
@@ -613,18 +611,15 @@ object Queries {
     "q29_cosine_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val q = broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-      // Rank over the ROUNDED similarity (matches the oracle's ORDER BY sim):
-      // rounding after ranking could disagree with the oracle on rank ties.
-      // rankTopK heap-bounds each partition to k rows per query BEFORE the
-      // exchange (TopKPartialExec) — no one-reducer-per-query window over
-      // the full |corpus|×|queries| scored set.
-      val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-        .crossJoin(q)
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cosine", round(VF.cosineNative(col("qe"), col("ce")), 6))
-      Similarity.rankTopK(scored, 5)
+      // roundTo = 6 ranks over the ROUNDED similarity (matches the
+      // oracle's ORDER BY sim — rounding after ranking could disagree on
+      // rank ties); the helper's plan shape is the audited one: broadcast
+      // queries, heap-bounded partitions BEFORE the exchange, no
+      // one-reducer-per-query window over the full scored set
+      Similarity.bruteForceCosineTopK(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, roundTo = Some(6))
         .select(col("query_id"), col("neighbor_id"),
           col("cosine").as("sim"), col("rank").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
@@ -970,7 +965,8 @@ object Queries {
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, CAST(json_extract_string(props,'$.k') AS INT) AS k_value,
-      'k' AS keys, 1 AS n_keys
+      array_to_string(json_keys(props), ',') AS keys,
+      CAST(len(json_keys(props)) AS INT) AS n_keys
       FROM events ORDER BY event_id"""))
 
   private val q45 = Q(
@@ -1782,7 +1778,7 @@ object Queries {
       // planted-id offset derives from the corpus (max id + 1): a constant
       // would collide with genuine batch ids once sf grows the table past
       // it, yielding duplicate keys and nondeterministic orderBy(doc_id)
-      val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
       val planted = stateDocs.filter(col("doc_id") < 50).select(
         (col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
@@ -1956,7 +1952,7 @@ object Queries {
       // DuckDB-replayable and hash-checked, with the sketch step swapped
       // for the explicit edges that sketches would have produced.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val offset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
       val planted = docs.filter(col("doc_id") < 100).select(
         (col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" extra extra extra")).as("text"))
@@ -2164,7 +2160,8 @@ object Queries {
       // query's cost constant across scale factors.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 100)
-      val offset = Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1
+      val offset = Tables.documents(s, d)
+        .agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
       val toks = TF.tokens(col("text"))
       val planted = docs.select((col("doc_id") + offset).as("doc_id"),
         concat(array_join(slice(toks, lit(2), size(toks) - 1), " "),

@@ -40,7 +40,12 @@ object TextFunctions {
     * canonical normalization applied before content hashing.
     */
   def normalizeText(text: Column): Column =
-    lower(regexp_replace(trim(text), "\\s+", " "))
+    // collapse BEFORE trim: Spark's trim strips spaces only, so a leading
+    // newline/tab would survive a trim-first order; after the collapse all
+    // whitespace runs are single spaces and trim removes the edge ones of
+    // any original kind. This is also exactly the oracle's replayed order
+    // (q27/q71: lower(trim(regexp_replace(text,'\s+',' ','g')))).
+    lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Content fingerprint: sha-256 of the normalized text. Deterministic,
     * partition-local, and the basis of exact near-normalized dedup.
@@ -284,16 +289,27 @@ object TextFunctions {
     * Returns the language whose marker count is highest; ties resolve in
     * the declaration order of `profiles` (deterministic).
     */
-  def stopwordLanguageScore(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+  /** Per-language marker-word occurrence scores — the shared internals of
+    * [[stopwordLanguageScore]], exposed so queries that surface the raw
+    * hit counts (q26) build them from the SAME needle layout instead of
+    * re-implementing padding/offsets (three drifting copies of this logic
+    * is how a marker-word edit silently breaks a different query's
+    * oracle). One native multi-needle scan serves every profile; repeated
+    * subtrees collapse under codegen subexpression elimination.
+    */
+  def stopwordLanguageScores(text: Column,
+      profiles: Seq[(String, Seq[String])]): Seq[(String, Column)] = {
     val padded = concat(lit(" "), text, lit(" "))
-    // one native multi-needle scan shared by every profile; the repeated
-    // counts subtree is collapsed by codegen subexpression elimination
     val allWords = profiles.flatMap(_._2)
     val counts = occurrencesAll(padded, allWords.map(w => s" $w "))
     val offsets = profiles.scanLeft(0)(_ + _._2.size)
-    val scores: Seq[(String, Column)] = profiles.zipWithIndex.map { case ((lang, words), p) =>
+    profiles.zipWithIndex.map { case ((lang, words), p) =>
       lang -> words.indices.map(j => element_at(counts, offsets(p) + j + 1)).reduce(_ + _)
     }
+  }
+
+  def stopwordLanguageScore(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scores = stopwordLanguageScores(text, profiles)
     // argmax with first-wins tie-break: lang_i wins if score_i >= all later and > all earlier
     val label = scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, _), i), elseCol) =>
       val s = scores(i)._2

@@ -45,12 +45,18 @@ object Similarity {
       queries: DataFrame,
       queryId: String,
       queryEmb: String,
-      k: Int): DataFrame = {
+      k: Int,
+      roundTo: Option[Int] = None): DataFrame = {
     val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")))
+    val raw = VectorFunctions.cosineNative(col("__qe"), col("__ce"))
+    // roundTo ranks over the ROUNDED similarity — for consumers whose
+    // downstream comparison (e.g. a SQL oracle) orders by a rounded
+    // score, where rounding AFTER ranking could disagree on rank ties
+    val score = roundTo.fold(raw)(d => round(raw, d))
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+      .withColumn("cosine", score)
     rankTopK(scored, k)
   }
 
