@@ -1377,14 +1377,10 @@ object Queries {
              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
              ELSE hostport END AS host,
         regexp_extract(rest, '^([^?]*)', 1) ||
-          CASE WHEN regexp_replace(regexp_replace(regexp_replace(
-                 regexp_extract(rest, '^[^?]*\?(.*)$', 1),
-                 '(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
-                 '^&+', ''), '&+$', '') = '' THEN ''
-               ELSE '?' || regexp_replace(regexp_replace(regexp_replace(
-                 regexp_extract(rest, '^[^?]*\?(.*)$', 1),
-                 '(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
-                 '^&+', ''), '&+$', '') END AS path
+          coalesce('?' || nullif(regexp_replace(regexp_replace(regexp_replace(
+            regexp_extract(rest, '^[^?]*\?(.*)$', 1),
+            '(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'),
+            '^&+', ''), '&+$', ''), ''), '') AS path
         FROM p)
       SELECT scheme || '://' || host || CASE WHEN path = '' THEN '/' ELSE path END AS canonical_url,
         count(*) AS n_docs, min(doc_id) AS first_doc

@@ -247,8 +247,11 @@ object TextFunctions {
     val rawQ = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
     val qClean = regexp_replace(regexp_replace(regexp_replace(
       rawQ, "(^|&)(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)", ""), "^&+", ""), "&+$", "")
+    // nullif/coalesce keeps the triple-regexp subtree SINGLE-reference
+    // (a when(qClean === "", ...) form evaluates it twice): empty query →
+    // nullif gives NULL → concat('?', NULL) is NULL → coalesce drops it
     val rebuilt = concat(path,
-      when(qClean === "", lit("")).otherwise(concat(lit("?"), qClean)))
+      coalesce(concat(lit("?"), nullif(qClean, lit(""))), lit("")))
     when(scheme === "", url)
       .otherwise(concat(scheme, lit("://"), host,
         when(rebuilt === "", lit("/")).otherwise(rebuilt)))
