@@ -2410,24 +2410,28 @@ object Queries {
       // union. (A non-power-of-two scale would round per element and
       // leave a ~1e-7 profile gap — co-assignment would be merely
       // overwhelmingly likely, not guaranteed.) keep-min-id retains exactly
-      // the original table (planted ids are +10^7), so per-label counts
-      // are the oracle's plain GROUP BY over `embeddings`. Natural pairs
-      // cannot interfere: the fixture's max off-diagonal cosine is ~0.60,
-      // far under the 0.95 threshold.
+      // the original table (planted ids sit ABOVE the corpus max — derived
+      // from the data, not a constant, so the disjointness holds at any
+      // replica count), so per-label counts are the oracle's plain GROUP
+      // BY over `embeddings`. Natural pairs cannot interfere: the
+      // fixture's max off-diagonal cosine is ~0.60, far under the 0.95
+      // threshold.
       val emb = Tables.embeddings(s, d)
+      // ONE slim-column job fixes both the planted-id offset and the
+      // corpus size that k is derived from
+      val stats = emb.agg(coalesce(max(col("vec_id")), lit(0L)).as("mx"),
+        count(lit(1)).as("n")).head()
+      val offset = stats.getLong(0) + 1L
       val planted = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
-        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        .withColumn("vec_id", col("vec_id") + lit(offset))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
       val corpus = emb.unionByName(planted)
       // k scales with the corpus (SemDeDup's contract: per-cluster size
       // stays ~constant, so within-cluster candidate pairs stay LINEAR
       // in n — a pinned k would quietly go quadratic at 10× data). The
       // oracle end state is k-invariant: scaled copies co-assign under
-      // any clustering.
-      // size k from the base table (corpus = 1.1× emb by construction) —
-      // counting emb scans one slim parquet column instead of running the
-      // union + planted-copy transform an extra time
-      val k = math.max(8, (emb.count() * 11L / 10L / 256L).toInt)
+      // any clustering. (corpus = 1.1× emb by construction)
+      val k = math.max(8, (stats.getLong(1) * 11L / 10L / 256L).toInt)
       Dedup.semanticDeduplicate(corpus, "vec_id", "embedding",
           k = k, threshold = 0.95, maxIter = 5)
         .groupBy(col("label"))

@@ -69,11 +69,14 @@ object ScaleUp {
     }.otherwise(text)
 
   /** Per-replica ISOMETRY (identity at r=0): a signed coordinate
-    * permutation x'_i = s(i,r) · x[(i + 7r) mod d]. Isometries preserve
-    * every dot product and norm BIT-EXACTLY (float sign flip and
-    * reordering, no arithmetic), so within-replica cosine structure —
-    * planted near-dup pairs, threshold boundary cases — replicates
-    * verbatim and pair counts scale exactly linearly with factor. An
+    * permutation x'_i = s(i,r) · x[(i + 7r) mod d]. The VECTOR ELEMENTS
+    * are bit-exact (sign flip and reordering involve no float
+    * arithmetic); a downstream cosine/dot computed over the permuted
+    * coordinates accumulates in a different order, so within-replica
+    * similarities match the originals to ~1 ulp (exactly, in the real
+    * numbers) — near-dup structure, threshold boundary cases, and pair
+    * counts still replicate linearly with factor, since no fixture pair
+    * sits within float-rounding distance of a threshold. An
     * additive offset keyed on (i, r) alone was the earlier design and is
     * the measured trap: the SAME offset lands on every vector of a
     * replica, leaving the whole replica near-parallel (cosine→1) and

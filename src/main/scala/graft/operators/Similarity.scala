@@ -223,8 +223,9 @@ object Similarity {
 
   /** Spherical k-means (Lloyd's algorithm, cosine distance): returns the
     * k unit-length centroids. Deterministic seeding in ONE pass: the 4k
-    * corpus vectors with the smallest `xxhash64(id)` form a candidate
-    * pool (an order-statistics pick, not a `rand()` sample, so reruns
+    * training-sample vectors with the smallest `xxhash64(id)` form a
+    * candidate pool (an order-statistics pick over the bounded sample —
+    * a TakeOrdered of 4k narrow rows, not a corpus sort — so reruns
     * converge to the same model), and greedy FARTHEST-POINT selection
     * over the pool (max-min cosine distance, ties to the lower pool
     * index) picks the k seeds — k-means++-quality spread without
@@ -239,13 +240,14 @@ object Similarity {
     * partition and collects exactly k (sum, count) rows to the driver —
     * centroid maintenance is O(k·dim) driver state, never corpus-sized.
     *
-    * Training is BOUNDED: Lloyd iterates over the `maxTrainRows`
-    * smallest-hash vectors (a deterministic uniform sample via the same
-    * order-statistics trick as the seed pool; a corpus at or under the
-    * bound trains on everything). This is what makes the operator honest
-    * at 100 TB — the full corpus is scanned once to take the sample and
-    * once per DOWNSTREAM final assignment, not maxIter times, and the
-    * cached training set is sample-sized, not corpus-sized.
+    * Training is BOUNDED: Lloyd iterates over a deterministic uniform
+    * hash sample of ~`maxTrainRows` vectors ([[trainingSample]] — a
+    * MAP-ONLY `xxhash64(id) < cutoff` filter, never a sort of the
+    * embedding stream; a corpus at or under the bound trains on
+    * everything). This is what makes the operator honest at 100 TB —
+    * the full corpus is scanned once to count, once to take the sample,
+    * and once per DOWNSTREAM final assignment, not maxIter times, and
+    * the cached training set is sample-sized, not corpus-sized.
     *
     * Determinism caveat: double-summation order across partitions is not
     * fixed, so centroid bits can wobble ~1 ulp between runs; argmax
@@ -253,6 +255,51 @@ object Similarity {
     * comparably tiny. Exact-duplicate (scalar-multiple) vectors have
     * IDENTICAL cosine profiles and therefore always co-assign.
     */
+  /** Deterministic ~`maxTrainRows`-row uniform sample of the non-null
+    * embeddings, as `(__h = xxhash64(id), __e = l2-normalized vector)`.
+    *
+    * Scale shape: selecting "the maxTrainRows smallest-hash rows" via
+    * `ORDER BY __h LIMIT n` plans as a global sort (or a TakeOrdered
+    * whose driver merge funnels partitions × n wide embedding rows) —
+    * at 10^9 × 1 KB vectors that single stage shuffles a terabyte just
+    * to pick a sample. Instead: ONE narrow count job fixes the corpus
+    * size n, a proportional hash cutoff is derived on the driver, and
+    * the sample is the MAP-ONLY filter `__h < cutoff`. No embedding
+    * ever enters a sort or exchange.
+    *
+    * Membership is a pure per-row predicate against a cutoff that is a
+    * deterministic function of n alone, so the SAME rows are selected
+    * under any partitioning or row order (pinned by SimilaritySpec).
+    * The kept count is Binomial(n, maxTrainRows/n) — maxTrainRows ±
+    * ~√maxTrainRows — not an exact order statistic; k-means is
+    * insensitive to the exact sample size, and what matters is that the
+    * sample is uniform, bounded, and cheap. Corpora at or under the
+    * bound are returned whole.
+    */
+  private[graft] def trainingSample(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      maxTrainRows: Int): DataFrame = {
+    val present = df.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+    val withHash = present.select(xxhash64(col(idCol)).as("__h"),
+      VectorFunctions.l2Normalize(col(embCol)).as("__e"))
+    // narrow job: counting `present` needs the null/size predicate but
+    // none of the hash/normalize projection work
+    val n = present.count()
+    if (n <= maxTrainRows) withHash
+    else {
+      val frac = maxTrainRows.toDouble / n
+      // cutoff = Long.MinValue + frac * 2^64 in unsigned arithmetic;
+      // piecewise because a double span in [2^63, 2^64) saturates toLong
+      val span = frac * 1.8446744073709552e19
+      val cutoff =
+        if (span >= 9.223372036854776e18) (span - 9.223372036854776e18).toLong
+        else Long.MinValue + span.toLong
+      withHash.where(col("__h") < lit(cutoff))
+    }
+  }
+
   def kmeansCentroids(
       df: DataFrame,
       idCol: String,
@@ -270,12 +317,7 @@ object Similarity {
     // pool.head would set dim = 0). Callers that also ASSIGN such rows
     // must null their cluster out themselves — see semanticDeduplicate,
     // which maps them to a null cluster so the pair equi-join drops them
-    val normed = df
-      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(xxhash64(col(idCol)).as("__h"),
-        VectorFunctions.l2Normalize(col(embCol)).as("__e"))
-      .orderBy(col("__h")).limit(maxTrainRows)
-      .persist()
+    val normed = trainingSample(df, idCol, embCol, maxTrainRows).persist()
     try {
       val pool = normed.orderBy(col("__h")).limit(k * 4)
         .select(col("__e")).as[Seq[Double]].collect().map(_.toArray)

@@ -20,7 +20,9 @@ import org.apache.spark.sql.SparkSession
   * operation; run compaction in the same single-writer window the
   * ingest already requires (the reference's pipeline is single-writer
   * by construction). Readers mid-swap see a missing directory, never
-  * partial data.
+  * partial data — and a rerun after a mid-swap crash self-heals: if the
+  * live dir is absent but `__compact_old` exists, the preamble renames
+  * it back before compacting.
   */
 object Compaction {
 
@@ -41,6 +43,18 @@ object Compaction {
     */
   def compactParquetDir(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): (Int, Int) = {
+    // crash recovery: a previous run that died between rename(dir, old)
+    // and rename(tmp, dir) leaves the live directory absent with every
+    // byte parked under __compact_old — restore it before proceeding so
+    // the rerun compacts instead of failing the read
+    locally {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = new Path(dir + "__compact_old")
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p),
+          s"compactParquetDir: crash recovery rename $old -> $p failed")
+    }
     val before = dataFiles(spark, dir)
     if (before.isEmpty) return (0, 0)
     val totalBytes = before.map(_._2).sum

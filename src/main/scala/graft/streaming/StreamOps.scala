@@ -232,28 +232,38 @@ object StreamOps {
             state.remove()
             open.iterator
           } else {
-            // sorted within batch; across batches state carries the open session
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            sorted.foreach { r =>
+            // Merge-sweep over START-SORTED intervals: each batch event is
+            // a point interval and the open session from state joins the
+            // sweep as a regular interval. Sorting by start makes the
+            // merge predicate one-sided (next.start − cur.end ≤ gap) and
+            // reproduces the batch sessionize on everything the watermark
+            // let through: an in-watermark but out-of-order event lands
+            // BEFORE the open session in the sweep, so it either chains
+            // within the gap (session start regresses, bounded by the
+            // gap) or opens a SEPARATE earlier session that the sweep
+            // closes against the later one — it is never absorbed from
+            // arbitrarily far back, which the old `us − lastUs ≤ gap`
+            // predicate (trivially true for any us < lastUs) allowed.
+            val items = (rows.map { r =>
               // true microseconds: getTime truncates to ms, the sub-ms
               // fraction lives in getNanos — without it the stream
               // diverges from the batch sessionize for sub-ms gaps
               val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
+              SessionState(us, us, 1)
+            }.toSeq ++ state.getOption)
+              .sortBy(st => (st.sessionStartUs, st.lastUs))
+            var cur: Option[SessionState] = None
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            items.foreach { it =>
               cur match {
-                case Some(st) if us - st.lastUs <= gapUs =>
-                  // min/max bounds: an in-watermark but OUT-OF-ORDER event
-                  // from a later batch must not regress lastUs (the gap
-                  // anchor and the emitted session_end) or postdate start
-                  cur = Some(st.copy(
-                    sessionStartUs = math.min(st.sessionStartUs, us),
-                    lastUs = math.max(st.lastUs, us), n = st.n + 1))
+                case Some(st) if it.sessionStartUs - st.lastUs <= gapUs =>
+                  cur = Some(SessionState(st.sessionStartUs,
+                    math.max(st.lastUs, it.lastUs), st.n + it.n))
                 case Some(st) =>
                   out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
-                  cur = Some(SessionState(us, us, 1))
+                  cur = Some(it)
                 case None =>
-                  cur = Some(SessionState(us, us, 1))
+                  cur = Some(it)
               }
             }
             cur.foreach { st =>

@@ -57,6 +57,26 @@ class BucketingSpec extends SparkSpec {
     assert(Compaction.dataFiles(spark, dir).map(_._1).toSet == files, "no-op must not rewrite")
   }
 
+  test("compaction self-heals a mid-swap crash (live dir gone, data parked in __compact_old)") {
+    import spark.implicits._
+    import graft.sources.Compaction
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("compactcrash").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(8).write.parquet(dir)
+    // simulate a crash between rename(dir, old) and rename(tmp, dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(p, new Path(dir + "__compact_old")))
+    assert(!fs.exists(p))
+    // the rerun must restore the parked data and then compact it
+    val (before, after) = Compaction.compactParquetDir(spark, dir, targetBytes = 10L << 20)
+    assert(before == 8 && after == 1, s"$before -> $after")
+    assert(!fs.exists(new Path(dir + "__compact_old")), "old dir must be cleaned up")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == (1L to 500L).map(i => (i, s"row$i")).toSet)
+  }
+
   test("morton z-value round-trips: de-interleaving the bits recovers both keys") {
     import spark.implicits._
     import graft.sources.Layout

@@ -76,11 +76,12 @@ class ScaleUpSpec extends SparkSpec {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
       dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
     }
-    // isometry: every within-replica cosine is BIT-EXACTLY the original
-    // (sign flip + reorder involve no float arithmetic)
+    // isometry: within-replica cosines match the originals to ~1 ulp —
+    // the ELEMENTS are bit-exact (sign flip + reorder, no arithmetic),
+    // but the permuted accumulation order can round differently
     for (r <- 0 until 3; (i, j) <- Seq((0L, 1L), (0L, 2L), (1L, 2L))) {
-      assert(cos(out((i, r)), out((j, r))) == cos(out((i, 0)), out((j, 0))),
-        s"cosine($i,$j) must be invariant in replica $r")
+      assert(math.abs(cos(out((i, r)), out((j, r))) - cos(out((i, 0)), out((j, 0)))) < 1e-12,
+        s"cosine($i,$j) must be invariant (to rounding) in replica $r")
     }
     // cross-replica: the same source vector points elsewhere
     assert(math.abs(cos(out((0L, 1)), va)) < 0.9, "replica 1 direction moved")

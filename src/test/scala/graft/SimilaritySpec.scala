@@ -170,8 +170,9 @@ class SimilaritySpec extends SparkSpec {
     }
     val data = (mk(0, 20, 0L) ++ mk(1, 20, 100L) ++ mk(2, 20, 200L))
       .toDF("vec_id", "embedding")
-    // train on half the corpus (the 30 smallest-hash rows): full-corpus
-    // assignment must still put each bundle in one distinct cluster
+    // train on ~half the corpus (a deterministic hash-cutoff sample):
+    // full-corpus assignment must still put each bundle in one distinct
+    // cluster
     val cents = Similarity.kmeansCentroids(data, "vec_id", "embedding",
       k = 3, maxIter = 10, maxTrainRows = 30)
     val assigned = data.withColumn("c",
@@ -181,6 +182,30 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.map(assigned).toSet)
     groups.foreach(g => assert(g.size == 1, s"bundle split under sampled training: $g"))
     assert(groups.flatten.toSet.size == 3)
+  }
+
+  test("kmeans training sample: partition-invariant, bounded, map-only (no sort of vectors)") {
+    val data = (0L until 1000L)
+      .map(i => (i, Seq.tabulate(8)(d => (i % 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    def sampleIds(parts: Int): Set[Long] =
+      Similarity.trainingSample(data.repartition(parts), "vec_id", "embedding", 200)
+        .select(col("__h")).as[Long].collect().toSet
+    val s1 = sampleIds(1)
+    // same rows under any partitioning: membership is a pure per-row
+    // predicate against a cutoff derived only from the corpus count
+    assert(sampleIds(7) == s1 && sampleIds(32) == s1)
+    // Binomial(1000, 0.2) — assert a generous but real bound
+    assert(s1.size > 120 && s1.size < 300, s"sample size ${s1.size} outside binomial range")
+    // corpora at or under the bound are returned whole
+    val whole = Similarity.trainingSample(data, "vec_id", "embedding", 1000)
+    assert(whole.count() == 1000L)
+    // plan shape: the sampled path is scan → filter → project — the
+    // embedding stream must never enter a Sort or a shuffle Exchange
+    val plan = Similarity.trainingSample(data, "vec_id", "embedding", 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"unexpected sort in training-sample plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected exchange in training-sample plan:\n$plan")
   }
 
   test("kmeans: k larger than distinct directions leaves empty clusters intact") {

@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late event beyond the gap BEFORE the open session opens a separate earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionInput]
+    // lateness (3h) far exceeds the gap (30min): a late event can be
+    // in-watermark yet more than a gap before the open session's start —
+    // batch semantics demand its OWN earlier session, not absorption
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 30L * 60 * 1000000,
+      lateness = "3 hours")
+    val q = out.writeStream.format("memory").queryName("sessEarly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamOps.SessionInput(1L, ts(100), 1), StreamOps.SessionInput(1L, ts(110), 2))
+      q.processAllAvailable()
+      // 90 min before the open session's start (gap is 30): separate session
+      input.addData(StreamOps.SessionInput(1L, ts(10), 3))
+      q.processAllAvailable()
+      // close the [100,110] session too
+      input.addData(StreamOps.SessionInput(1L, ts(250), 4))
+      q.processAllAvailable()
+      val sessions = spark.table("sessEarly").as[StreamOps.SessionOut].collect()
+        .sortBy(_.session_start_us)
+      assert(sessions.length == 2, s"got ${sessions.toSeq}")
+      assert(sessions(0).session_start_us == ts(10).getTime * 1000L
+        && sessions(0).session_end_us == ts(10).getTime * 1000L
+        && sessions(0).n == 1, s"earlier session wrong: ${sessions(0)}")
+      assert(sessions(1).session_start_us == ts(100).getTime * 1000L
+        && sessions(1).session_end_us == ts(110).getTime * 1000L
+        && sessions(1).n == 2, s"main session must not absorb the early event: ${sessions(1)}")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes the last open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
