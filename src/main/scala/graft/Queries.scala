@@ -719,14 +719,47 @@ object Queries {
   private val q37 = Q(
     "q37_minhash_neardup_pairs",
     (s, d) => {
-      // 3-shingles + 8 bands × 4 rows: steeper S-curve so the synthetic
-      // corpus's tiny vocabulary doesn't flood the candidate join
-      Dedup.minHashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.4)
+      // Deterministic-LSH oracle (the q94 trick transposed to MinHash):
+      // plant an EXACT copy of every 10th document (ids offset past the
+      // corpus max, derived from the data). Identical text ⇒ identical
+      // shingle SET ⇒ identical MinHash signature ⇒ the pair collides in
+      // EVERY band regardless of permutation constants — candidacy is
+      // guaranteed, not probabilistic — and at threshold 1.0 the exact
+      // verify passes precisely the equal-shingle-set pairs (set jaccard
+      // n/n == 1.0 exactly in float). The full shingle → signature →
+      // band → candidate-join → verify machinery therefore runs with a
+      // SQL-replayable answer: DuckDB fingerprints each doc's sorted
+      // distinct 3-shingle set and self-joins on it (sf0.1 also carries
+      // 8 NATURAL equal-text pairs the planted set doesn't cover — both
+      // engines find them). Sub-1.0 probabilistic recall stays
+      // spec-verified (DedupSpec planted near-dup pairs); permutation
+      // luck has no SQL form.
+      val docs = Tables.documents(s, d)
+      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L)) + lit(1L))
+        .head().getLong(0)
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+      Dedup.minHashNearDuplicates(docs.unionByName(planted), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 1.0)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some("""WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        FROM documents WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM u WHERE text IS NOT NULL),
+      sh AS (SELECT doc_id,
+          array_to_string(list_sort(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))),
+            chr(30)) AS fp
+        FROM t WHERE len(toks) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""))
 
   private val bpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
 
@@ -2325,23 +2358,38 @@ object Queries {
   private val q93 = Q(
     "q93_curate_funnel",
     (s, d) => {
-      // per-stage oracle evidence for q44's composite: the curation
-      // funnel's SQL-expressible prefix — ingest count, the
-      // language-ID + quality gate, exact content dedup — each replayed
-      // verbatim by the DuckDB oracle (needle occurrence counts are the
-      // classic replace-length idiom; first-wins argmax is a CASE
-      // chain; exact dedup is count-distinct-text). The near-dup stage
-      // stays spec-verified (planted pairs) — LSH band hashes have no
-      // SQL equivalent. One job: three count branches unioned.
+      // per-stage oracle evidence for q44's composite: ingest count,
+      // the language-ID + quality gate, exact content dedup, AND (round
+      // 11) the MinHash-LSH near-dup stage — each replayed verbatim by
+      // the DuckDB oracle (needle occurrence counts are the classic
+      // replace-length idiom; first-wins argmax is a CASE chain; exact
+      // dedup is count-distinct-text; the near-dup stage survives as a
+      // distinct-shingle-set-fingerprint count). The LSH stage is made
+      // deterministic with planted WHITESPACE VARIANTS: a copy of every
+      // 10th doc with each space doubled has DIFFERENT bytes (survives
+      // exact dedup) but the IDENTICAL token list under \s+ splitting,
+      // hence a bit-identical shingle set and MinHash signature — the
+      // copy collides with its source in every band and verifies at
+      // jaccard exactly 1.0, so a threshold-1.0 pass drops precisely
+      // the equal-set higher ids no matter where the permutations land.
+      // q44's sub-1.0 threshold behavior (probabilistic recall) stays
+      // spec-verified; its remaining rows-only scope is only the final
+      // composite artifact.
       val cfg = graft.pipeline.CorpusPipeline.Config(
         minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9) // = q44
-      val docs = Tables.documents(s, d)
-      // ONE corpus pass: annotate computes the gate columns as
-      // projections, then a single aggregation carries all three funnel
-      // counts — total rows, gate survivors (conditional sum), distinct
-      // surviving texts (count-distinct over a gate-masked text, null
-      // text's dedup group via a conditional max) — where three
-      // separate-scan counts would read the corpus three times
+      val docs0 = Tables.documents(s, d)
+      val offset = docs0.agg(coalesce(max(col("doc_id")), lit(0L)) + lit(1L))
+        .head().getLong(0)
+      val planted = docs0
+        .filter(pmod(col("doc_id"), lit(10)) === 0 && col("text").contains(" "))
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+        .withColumn("text", regexp_replace(col("text"), " ", "  "))
+      val docs = docs0.unionByName(planted)
+      // stages 0-2 in ONE corpus pass: annotate computes the gate
+      // columns as projections, then a single aggregation carries the
+      // three counts — total rows, gate survivors (conditional sum),
+      // distinct surviving texts (count-distinct over a gate-masked
+      // text, null text's dedup group via a conditional max)
       val annotated = graft.pipeline.CorpusPipeline.annotate(docs, "doc_id", "text", cfg)
       val gate = col("n_tokens").between(cfg.minTokens, cfg.maxTokens) &&
         col("ttr") >= cfg.minTypeTokenRatio &&
@@ -2351,19 +2399,40 @@ object Queries {
         sum(when(gate, 1L).otherwise(0L)).as("__n1"),
         (count_distinct(when(gate, col("text")))
           + max(when(gate && col("text").isNull, 1L).otherwise(0L))).as("__n2"))
-      agg.select(explode(array(
+      val stages012 = agg.select(explode(array(
           struct(lit("0_ingest").as("stage"), col("__n0").as("n_rows")),
           struct(lit("1_quality_gate").as("stage"), col("__n1").as("n_rows")),
           struct(lit("2_exact_dedup").as("stage"), col("__n2").as("n_rows")))).as("s"))
         .select(col("s.stage"), col("s.n_rows"))
-        .orderBy(col("stage"))
+      // stage 3: the REAL dedup-stage machinery (exact keep-min, then
+      // MinHash-LSH pair drop) on the gate survivors, at the
+      // deterministic threshold. q44's cfg everywhere else (shingle
+      // size, hash count, band count). The gate guarantees n_tokens >= 5,
+      // so every survivor has a non-empty shingle set.
+      val exact = Dedup.exactContentGroups(annotated.filter(gate), "doc_id", "text")
+        .filter(col("doc_id") === col("canonical_id"))
+        .drop("canonical_id", "dup_count")
+      val pairs = Dedup.minHashNearDuplicates(exact, "doc_id", "text",
+        shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
+        bands = cfg.nearDupBands, threshold = 1.0)
+      val stage3 = exact
+        .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("3_near_dup").as("stage"), col("n_rows"))
+      stages012.unionByName(stage3).orderBy(col("stage"))
     },
-    Some("""WITH t AS (
+    Some("""WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+          replace(text, ' ', '  ')
+        FROM documents WHERE doc_id % 10 = 0 AND text LIKE '% %'),
+      t AS (
         SELECT doc_id, text, ' ' || text || ' ' AS pad,
           string_split_regex(trim(text), '\s+') AS toks
-        FROM documents),
+        FROM u),
       feat AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, toks,
           len(toks) AS n_tokens,
           CASE WHEN len(toks) > 0
             THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr,
@@ -2381,20 +2450,31 @@ object Queries {
             + (len(pad) - len(replace(pad, ' de ', ''))) / 4 AS s3
         FROM t),
       gated AS (
-        SELECT doc_id, text FROM feat
+        SELECT doc_id, text, toks FROM feat
         WHERE n_tokens BETWEEN 5 AND 100000 AND ttr >= 0.05
           AND (CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'en'
                 WHEN s1 >= s2 AND s1 >= s3 THEN 'fr'
                 WHEN s2 >= s3 THEN 'de' ELSE 'es' END)
-              IN ('en', 'fr', 'de', 'es'))
+              IN ('en', 'fr', 'de', 'es')),
+      -- the near-dup stage at threshold 1.0 keeps one doc per distinct
+      -- 3-shingle SET; fp is the sorted-distinct shingle fingerprint
+      -- (the gate guarantees >= 5 tokens, so fp is always non-empty)
+      fp AS (
+        SELECT array_to_string(list_sort(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))),
+          chr(30)) AS f
+        FROM gated)
       SELECT stage, n_rows FROM (
-        SELECT '0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+        SELECT '0_ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM u
         UNION ALL
         SELECT '1_quality_gate', CAST(count(*) AS BIGINT) FROM gated
         UNION ALL
         SELECT '2_exact_dedup',
           CAST(count(DISTINCT text)
-            + coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM gated)
+            + coalesce(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT '3_near_dup', CAST(count(DISTINCT f) AS BIGINT) FROM fp)
       ORDER BY stage"""))
 
   private val q94 = Q(
