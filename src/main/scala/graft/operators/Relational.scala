@@ -224,9 +224,28 @@ object Relational {
     * distinct. `maxIter` bounds runaway graphs; persists intermediate
     * frontiers and unpersists (including checkpoint-pinned blocks) as
     * soon as superseded.
+    *
+    * USE ONLY when the (src, dst) PAIR LIST itself is the deliverable:
+    * the output is quadratic in component size — a single 10^6-node
+    * component materializes ~10^12 rows. Every aggregate over
+    * reachability has a linear-state form instead: per-node descendant
+    * counts → [[descendantCounts]] (backward bitset/HLL registers),
+    * longest/critical path and reachable-set maxima → [[dagRelaxMax]],
+    * clustering → [[connectedComponents]]. The `maxNodes` guard makes
+    * the quadratic path an explicit opt-in (raise it consciously), not
+    * something a caller wanders into: node count is checked with ONE
+    * narrow job before any closure work starts.
     */
-  def transitiveClosure(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12): DataFrame = {
+  def transitiveClosure(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12,
+      maxNodes: Long = 100000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
+    val nNodes = edges.select(col(srcCol).as("n"))
+      .union(edges.select(col(dstCol).as("n"))).distinct().count()
+    require(nNodes <= maxNodes,
+      s"transitiveClosure: $nNodes nodes exceeds maxNodes=$maxNodes. The closure is " +
+        "QUADRATIC in component size; for descendant counts use descendantCounts, for " +
+        "path/reachability aggregates use dagRelaxMax, for clustering use " +
+        "connectedComponents. Raise maxNodes only if the full pair list is truly needed.")
     var closure = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
     var closurePinned = Set.empty[Int]
     var n = closure.count()

@@ -45,34 +45,40 @@ object Xlsx {
     * workbook order.
     */
   def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
-    val raw = readRaw(spark, path, sheet).cache()
-    try {
-      val headers = raw.filter(col("row_idx") === 0)
-        .select(col("path"), col("cells")).collect()
-      require(headers.nonEmpty, s"Xlsx.read: no rows in any workbook under $path")
-      val header = headers.head.getSeq[String](1)
-      headers.foreach { r =>
-        require(r.getSeq[String](1) == header,
-          s"Xlsx.read: header mismatch across workbooks: ${r.getString(0)} has " +
-            s"${r.getSeq[String](1)} vs $header")
-      }
-      val out = raw.filter(col("row_idx") > 0)
-        .select(header.zipWithIndex.map { case (name, i) =>
-          // try_: rows store trailing empty cells sparsely, so a short
-          // cells array means null, not an error
-          try_element_at(col("cells"), lit(i + 1)).as(name)
-        }: _*)
-      // materialize before dropping the cache the plan reads from
-      out.persist()
-      out.count()
-      out
-    } finally raw.unpersist()
+    // Header validation is its own HEADER-ONLY job: each workbook's XML
+    // parse stops after row 0 (maxRowsPerFile = 1), so the driver
+    // collects one slim row per workbook and NOTHING is cached — the
+    // earlier design cached the full raw parse plus a materialized
+    // projection, i.e. two in-memory string copies of the corpus, just
+    // to check headers. The returned frame is a LAZY plan; a consumer
+    // that reads it repeatedly caches it like any other source.
+    val headers = readRaw(spark, path, sheet, maxRowsPerFile = 1)
+      .filter(col("row_idx") === 0)
+      .select(col("path"), col("cells")).collect()
+    require(headers.nonEmpty, s"Xlsx.read: no rows in any workbook under $path")
+    val header = headers.head.getSeq[String](1)
+    headers.foreach { r =>
+      require(r.getSeq[String](1) == header,
+        s"Xlsx.read: header mismatch across workbooks: ${r.getString(0)} has " +
+          s"${r.getSeq[String](1)} vs $header")
+    }
+    readRaw(spark, path, sheet)
+      .filter(col("row_idx") > 0)
+      .select(header.zipWithIndex.map { case (name, i) =>
+        // try_: rows store trailing empty cells sparsely, so a short
+        // cells array means null, not an error
+        try_element_at(col("cells"), lit(i + 1)).as(name)
+      }: _*)
   }
 
   /** Raw per-row read: (path, row_idx, cells array<string>) — row 0 is
     * the sheet's first row, cells padded/ragged exactly as stored.
+    * `maxRowsPerFile` truncates each workbook's PARSE (not just the
+    * output) after that many rows — the header-validation path reads
+    * row 0 without materializing any sheet body.
     */
-  def readRaw(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+  def readRaw(spark: SparkSession, path: String, sheet: Int = 1,
+      maxRowsPerFile: Int = Int.MaxValue): DataFrame = {
     val bin = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .load(path)
@@ -84,7 +90,7 @@ object Xlsx {
     val rdd = bin.rdd.flatMap { r =>
       val p = r.getString(0)
       val rows =
-        try parseWorkbook(r.getAs[Array[Byte]](1), sheet)
+        try parseWorkbook(r.getAs[Array[Byte]](1), sheet, maxRowsPerFile)
         catch { case e: Exception =>
           throw new IllegalArgumentException(s"Xlsx: failed to parse $p: ${e.getMessage}", e)
         }
@@ -94,7 +100,8 @@ object Xlsx {
   }
 
   /** Parse one workbook's `sheet` (1-based) into rows of cells. */
-  private[graft] def parseWorkbook(bytes: Array[Byte], sheet: Int): Vector[Seq[String]] = {
+  private[graft] def parseWorkbook(bytes: Array[Byte], sheet: Int,
+      maxRows: Int = Int.MaxValue): Vector[Seq[String]] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(Vector.empty)
@@ -102,7 +109,7 @@ object Xlsx {
     parseSheet(
       parts.getOrElse(sheetPart,
         throw new IllegalArgumentException(s"missing sheet part $sheetPart")),
-      shared)
+      shared, maxRows)
   }
 
   private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
@@ -201,8 +208,10 @@ object Xlsx {
     * `b` boolean (TRUE/FALSE), default numeric — surfaced as the raw
     * stored lexeme. Sparse refs honored (missing columns → null).
     */
-  private[graft] def parseSheet(bytes: Array[Byte], shared: Vector[String]): Vector[Seq[String]] = {
+  private[graft] def parseSheet(bytes: Array[Byte], shared: Vector[String],
+      maxRows: Int = Int.MaxValue): Vector[Seq[String]] = {
     val rows = Vector.newBuilder[Seq[String]]
+    var nRows = 0
     val r = xmlReader(bytes)
     var cells: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = -1
@@ -230,7 +239,7 @@ object Xlsx {
       cells += (if (cellType != "inlineStr" && cellType != "str" && raw.isEmpty) null else value)
       cellCol = -1
     }
-    while (r.hasNext) {
+    while (nRows < maxRows && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
@@ -254,7 +263,7 @@ object Xlsx {
             case "v" => inV = false
             case "t" if inIsT => inIsT = false
             case "c" => endCell()
-            case "row" if cells != null => rows += cells.toVector; cells = null
+            case "row" if cells != null => rows += cells.toVector; cells = null; nRows += 1
             case _ =>
           }
         case _ =>

@@ -99,6 +99,20 @@ class RelationalSpec extends SparkSpec {
     assert(tc == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L), (3L, 4L), (5L, 4L)))
   }
 
+  test("transitive closure guards its quadratic output behind an explicit node cap") {
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Relational.transitiveClosure(edges, "src", "dst", maxNodes = 10L)
+    }
+    // the message must route callers to the linear-state alternatives
+    assert(ex.getMessage.contains("descendantCounts")
+      && ex.getMessage.contains("dagRelaxMax")
+      && ex.getMessage.contains("connectedComponents"))
+    // raising the cap is the explicit opt-in
+    assert(Relational.transitiveClosure(edges, "src", "dst", maxNodes = 30L)
+      .count() == 29L * 30L / 2)
+  }
+
   test("dag depth = longest path in hops") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
     val d = Relational.dagDepth(edges, "src", "dst")

@@ -113,6 +113,26 @@ class XlsxSpec extends SparkSpec {
     assert(ex.getMessage.contains("header mismatch"))
   }
 
+  test("read is lazy and uncached: header validation parses one row per workbook") {
+    val dir = tmpDir()
+    (1 to 6).foreach { i =>
+      Xlsx.write((1L to 50L).map(j => (i.toLong * 100 + j, s"v$i-$j")).toDF("id", "v"),
+        s"$dir/wb$i.xlsx")
+    }
+    val before = spark.sharedState.cacheManager.isEmpty
+    val back = Xlsx.read(spark, dir.toString)
+    // no eager materialization, no CacheManager entry: the result is a
+    // lazy plan — validating headers must not cache the corpus
+    assert(spark.sharedState.cacheManager.isEmpty == before,
+      "Xlsx.read must not register anything in the CacheManager")
+    assert(back.count() == 300L)
+    assert(back.select("v").as[String].collect().toSet.size == 300)
+    // the header job's parse truncation: maxRows stops the XML walk
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/wb1.xlsx"))
+    assert(Xlsx.parseWorkbook(bytes, 1, maxRows = 1).size == 1, "parse stops after the header row")
+    assert(Xlsx.parseWorkbook(bytes, 1).size == 51)
+  }
+
   test("column reference arithmetic round-trips through two letters") {
     assert(Xlsx.colRefOf(0) == "A" && Xlsx.colRefOf(25) == "Z"
       && Xlsx.colRefOf(26) == "AA" && Xlsx.colRefOf(54) == "BC")
