@@ -62,12 +62,15 @@ object Queries {
   private val q02 = Q(
     "q02_distinct_counts",
     (s, d) => {
+      // re-aggregation form (Relational.distinctCounts): the built-in
+      // triple count_distinct plans an Expand that triples every row
+      // before the partial aggregate — the sf1 sweep's one
+      // SF-proportional soft spot. Numbers in PLANS.md.
       val l = Tables.lineitem(s, d)
-      l.agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"))
+      Relational.distinctCounts(l, rowCountAs = Some("n_rows"),
+        "l_orderkey" -> "n_orders",
+        "l_partkey" -> "n_parts",
+        "l_suppkey" -> "n_supps")
     },
     Some("""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
       count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps

@@ -97,13 +97,24 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
-    val factor = factorStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, cpus)
+    generate(spark, srcDir, outDir, factorStr.toInt)
+    spark.stop()
+  }
+
+  /** Replicate the fixture tables at `srcDir` `factor`× into `outDir`
+    * (FK-consistent key shifts; per-replica text rotation and embedding
+    * isometry — see the column helpers above). Deterministic: same
+    * inputs → byte-identical synthetic tables, so callers (Bench's sf1
+    * stage) can fingerprint (srcDir, factor) and reuse the output.
+    */
+  def generate(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
     require(factor >= 1 && factor <= 10,
       "factor must be in [1, 10]: the DIGIT rotation cycles at 10, so " +
         "replicas r and r+10 would share a digit mapping and digit-only " +
         "tokens would collide across them")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.local(cpus, cpus)
 
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
       val exploded = df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
@@ -132,14 +143,14 @@ object ScaleUp {
       replicate(src("documents"), Seq("doc_id"))
         .withColumn("text", rotateText(col("text"), col("__r"), factor)),
       "documents")
-    // signed-permutation isometry (within-replica cosines preserved
-    // bit-exactly) + label shift: replica r's vectors are genuinely new
-    // points in a new shard, with the replica's pair structure intact
+    // signed-permutation isometry (within-replica cosines preserved to
+    // ~1 ulp — elements bit-exact, accumulation order differs) + label
+    // shift: replica r's vectors are genuinely new points in a new
+    // shard, with the replica's pair structure intact
     write(
       replicate(src("embeddings"), Seq("vec_id"))
         .withColumn("embedding", perturbEmbedding(col("embedding"), col("__r")))
         .withColumn("label", col("label") + col("__r") * lit(1000000)),
       "embeddings")
-    spark.stop()
   }
 }

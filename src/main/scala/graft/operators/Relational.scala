@@ -21,6 +21,34 @@ object Relational {
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
   }
 
+  /** Global `COUNT(DISTINCT k)` for several keys (plus an optional plain
+    * row count) via RE-AGGREGATION instead of the built-in
+    * multi-distinct plan. Spark plans n distinct aggregates over one
+    * relation with an Expand that replicates EVERY input row n× (one
+    * null-padded copy per distinct group) before the partial aggregate —
+    * the hash map and shuffle both carry n·rows entries, which is the
+    * one super-linear-feeling stage the sf1 sweep surfaced (q02: 8.8×
+    * wall at 10× data). This form runs one TWO-LEVEL aggregation per
+    * key — map-side partial distinct over a single column-pruned scan,
+    * then a partial count — so each job's shuffle carries only that
+    * key's per-partition distinct values, and the n one-row results
+    * combine with driver-free cross joins (a broadcast nested loop of
+    * single rows). n separate column scans beat one scan expanded n×
+    * because parquet prunes to exactly one column per job.
+    * NULLs are excluded per ANSI `COUNT(DISTINCT ...)`.
+    */
+  def distinctCounts(df: DataFrame, rowCountAs: Option[String],
+      keys: (String, String)*): DataFrame = {
+    require(keys.nonEmpty, "distinctCounts: need at least one key")
+    val perKey = keys.map { case (c, alias) =>
+      df.select(col(c)).where(col(c).isNotNull)
+        .distinct() // plans as a partial-final aggregate on the key
+        .agg(count(lit(1)).as(alias))
+    }
+    val head = rowCountAs.map(a => df.agg(count(lit(1)).as(a)))
+    (head.toSeq ++ perKey).reduce(_.crossJoin(_))
+  }
+
   /** Gaps-and-islands sessionization: a new session starts when the gap to
     * the previous event of the same key exceeds `gapMicros`. Output adds
     * `session_id` (1-based per key). Integer arithmetic only — exactly

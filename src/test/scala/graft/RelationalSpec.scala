@@ -13,6 +13,23 @@ class RelationalSpec extends SparkSpec {
     assert(r == Set((1, "a", 1), (1, "b", 2), (2, "d", 1)))
   }
 
+  test("distinctCounts matches countDistinct (nulls excluded), no Expand in the plan") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("a"), 10), (3L, Some("b"), 20),
+      (4L, None, 20), (5L, Some("c"), 30), (5L, Some("c"), 30))
+      .toDF("id", "s", "v")
+      .select(col("id"), col("s"), col("v"))
+    val got = Relational.distinctCounts(df, rowCountAs = Some("n_rows"),
+      "id" -> "n_ids", "s" -> "n_ss", "v" -> "n_vs")
+    val row = got.collect().head
+    assert(got.columns.toSeq == Seq("n_rows", "n_ids", "n_ss", "n_vs"))
+    assert(row.getLong(0) == 6L && row.getLong(1) == 5L
+      && row.getLong(2) == 3L && row.getLong(3) == 3L, s"got $row")
+    // the whole point: no Expand-based row multiplication anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"re-agg form must not plan an Expand:\n$plan")
+  }
+
   test("sessionize splits on gap") {
     val us = (t: Long) => t * 1000000L
     val df = Seq((1L, us(0), 1L), (1L, us(10), 2L), (1L, us(100), 3L), (2L, us(5), 4L))
