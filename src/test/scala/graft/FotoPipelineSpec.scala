@@ -42,14 +42,17 @@ class FotoPipelineSpec extends SparkSpec {
     // native source, flows through the same pipeline with no special
     // casing — proving the engine covers the reference end to end from
     // its real input format, not just from pre-converted parquet
+    // MULTI-FILE export (one workbook per submission batch, equal
+    // headers): the read unions the directory, one task per workbook
     val tmp = Files.createTempDirectory("foto_xlsx").toString
-    val export = Seq(
-      ("P One", "7", "http://x/Foto%20a.jpg", "pondasi", "http://x/b.jpg", "atap"),
-      ("P Two", "9", "http://x/c.jpg", "dinding", null: String, null: String))
-      .toDF("kode_proyek", "minggu", "foto_1", "deskripsi_1", "foto_2", "deskripsi_2")
-      .orderBy("kode_proyek")
-    graft.sources.Xlsx.write(export, s"$tmp/forms_export.xlsx")
-    val wide = graft.sources.Xlsx.read(spark, s"$tmp/forms_export.xlsx")
+    val cols = Seq("kode_proyek", "minggu", "foto_1", "deskripsi_1", "foto_2", "deskripsi_2")
+    graft.sources.Xlsx.write(
+      Seq(("P One", "7", "http://x/Foto%20a.jpg", "pondasi", "http://x/b.jpg", "atap"))
+        .toDF(cols: _*), s"$tmp/forms_export_1.xlsx")
+    graft.sources.Xlsx.write(
+      Seq(("P Two", "9", "http://x/c.jpg", "dinding", null: String, null: String))
+        .toDF(cols: _*), s"$tmp/forms_export_2.xlsx")
+    val wide = graft.sources.Xlsx.read(spark, tmp)
     val long = FotoPipeline.unpivotSlots(wide, Seq("kode_proyek", "minggu"), FotoPipeline.slotPairs(2))
     val state = Seq.empty[(String, String, String)].toDF("kode_proyek", "minggu", "nama_file")
     val dim = Seq((1, "Foto Pertama"), (2, "Foto Kedua")).toDF("slot", "folder")
