@@ -2412,7 +2412,19 @@ object Queries {
       // deterministic threshold. q44's cfg everywhere else (shingle
       // size, hash count, band count). The gate guarantees n_tokens >= 5,
       // so every survivor has a non-empty shingle set.
-      val exact = Dedup.exactContentGroups(annotated.filter(gate), "doc_id", "text")
+      // ONE eager snapshot of the slim gate-survivor projection: stage
+      // 3's DAG (exact-dedup shuffle, banding self-join, two verify
+      // joins, the final anti-join) has ~6 lazy consumers of its input,
+      // and each would re-run the full annotate needle-scan projection
+      // (measured: 3.35 s vs 0.67 s before stage 3 existed). The
+      // snapshot pins the (id, text) survivors once; snapshot blocks
+      // release via ContextCleaner when the result is GC'd (the
+      // jaccardSimilarityJoin pattern). Fixture-scale evidence query —
+      // at corpus scale the pipeline itself (curate/curateObserved)
+      // owns the measured lazy-vs-materialize knob.
+      val gated = annotated.filter(gate)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val exact = Dedup.exactContentGroups(gated, "doc_id", "text")
         .filter(col("doc_id") === col("canonical_id"))
         .drop("canonical_id", "dup_count")
       val pairs = Dedup.minHashNearDuplicates(exact, "doc_id", "text",

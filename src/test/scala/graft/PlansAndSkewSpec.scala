@@ -388,15 +388,22 @@ class PlansAndSkewSpec extends SparkSpec {
     assert(scans == 2, s"expected exactly 2 corpus scans (documented tradeoff), got $scans:\n$plan")
   }
 
-  test("q93 plan: the whole funnel reads the corpus ONCE") {
+  test("q93 plan: stages 0-2 share one aggregation; stage 3 rides the snapshot, not rescans") {
     val df = Queries.all.find(_.name == "q93_curate_funnel").get
       .run(spark, "/root/testdata/sf0.001")
     df.write.mode("overwrite").format("noop").save()
     val plan = df.queryExecution.executedPlan.toString
-    // three stage counts from one aggregation over one scan — a
-    // per-stage count form would read documents three times
+    // stage counts 0-2 come from ONE aggregation over the planted UNION
+    // (two parquet scan branches: documents + the whitespace-variant
+    // copies) — a per-stage count form would scan per stage. Stage 3's
+    // whole near-dup subtree (exact dedup, banding self-join, verify
+    // joins, anti-join) must read the eager gate-survivor SNAPSHOT
+    // (checkpointed RDD), contributing ZERO additional parquet scans.
     val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n$plan")
+    assert(scans == 2, s"expected exactly 2 corpus scan branches (the union), got $scans:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).nonEmpty)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      s"stage 3 must be snapshot-backed:\n$plan")
   }
 
   test("q56/q58 plans: corpus scans pruned; no cartesian anywhere") {
