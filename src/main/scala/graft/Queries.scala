@@ -945,7 +945,8 @@ object Queries {
       // composite training-data pipeline: language-ID -> quality gate ->
       // exact dedup -> MinHash near-dup removal -> per-language accounting
       val cfg = graft.pipeline.CorpusPipeline.Config(
-        minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9)
+        minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9,
+        snapshotGate = true)
       val curated = graft.pipeline.CorpusPipeline.curate(
         Tables.documents(s, d), "doc_id", "text", cfg)
       graft.pipeline.CorpusPipeline.accounting(curated)

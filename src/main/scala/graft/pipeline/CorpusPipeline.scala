@@ -58,13 +58,24 @@ object CorpusPipeline {
         // cross-document duplicate-span removal at this gram length;
         // kept text replaces the original text column
       tokenBudgetPerLang: Option[Long] = None,
-      materializeNearDup: Boolean = false)
+      materializeNearDup: Boolean = false,
         // true = corpus-scale form: near-dup pair list computed eagerly
         // with the shingle projection cached (one upstream derivation
         // instead of three — flip when a derivation costs hours);
         // false (default) = fully lazy single-AQE-job plan, faster at
         // report scale and what curateObserved's Observation contract
         // needs
+      snapshotGate: Boolean = false)
+        // true = eager localCheckpoint of the gate survivors (minus
+        // __toks) before the dedup stages. The near-dup pair DAG has ~6
+        // lazy consumers of its input and each re-derives the annotate
+        // needle-scan projection; pinning the survivors once is the
+        // measured win at report-to-mid scale (q93: 3.35 → 2.54 s;
+        // q44 numbers in PLANS.md). Keep FALSE for observed pipelines
+        // (an eager action completes the Observation promise from a
+        // metrics-less run — curateObserved forces it off) and for
+        // corpora too large to pin as executor RDD blocks — there,
+        // materializeNearDup is the corpus-scale lever.
         // token-budget mixture sampling per predicted language
         // (deterministic hash-prefix selection)
 
@@ -144,10 +155,18 @@ object CorpusPipeline {
         docs.withColumn(textCol, TF.cleanText(col(textCol)))
       else docs
     val gated0 = qualityFilter(annotate(input, idCol, textCol, cfg), cfg)
-    val gated = cfg.classifierBuckets match {
+    val gated1 = cfg.classifierBuckets match {
       case Some(k) => gated0.filter(TF.linearScoreMilli(col("__toks"), k) >= 0L)
       case None => gated0
     }
+    // snapshotGate: pin the survivors once so the dedup stages' many
+    // lazy consumers stop re-running the annotate projection. __toks is
+    // dropped first (only the gates above read it; checkpointing the
+    // token arrays would multiply the snapshot's bytes) — the final
+    // drop("__toks") below is a no-op on this branch.
+    val gated =
+      if (cfg.snapshotGate) gated1.drop("__toks").localCheckpoint()
+      else gated1
     val deduped = dedup(gated, idCol, textCol, cfg)
     val spanned = cfg.spanDedupN match {
       case Some(n) =>
@@ -184,8 +203,10 @@ object CorpusPipeline {
       count(lit(1)).as("n_docs"),
       sum(TF.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
     // single-job form: an eager internal action would complete the
-    // ingest observation's promise from a metrics-less checkpoint run
-    val curated = curate(observedIn, idCol, textCol, cfg.copy(materializeNearDup = false))
+    // ingest observation's promise from a metrics-less checkpoint run —
+    // both eager knobs are forced off
+    val curated = curate(observedIn, idCol, textCol,
+      cfg.copy(materializeNearDup = false, snapshotGate = false))
     val observedOut = curated.observe(ship,
       count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     (observedOut, ingest, ship)

@@ -24,6 +24,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
   }
 
+  test("snapshotGate: identical curated output, identical schema, snapshot-backed dedup input") {
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base + " extra"), (4L, "too short"),
+      (5L, (100 to 140).map(i => s"zz$i the").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lazyOut = CorpusPipeline.curate(docs, "doc_id", "text", cfg)
+    val snapOut = CorpusPipeline.curate(docs, "doc_id", "text", cfg.copy(snapshotGate = true))
+    assert(snapOut.columns.toSeq == lazyOut.columns.toSeq,
+      s"schema must not change: ${snapOut.columns.toSeq} vs ${lazyOut.columns.toSeq}")
+    val l = lazyOut.orderBy("doc_id").collect().toSeq
+    val s2 = snapOut.orderBy("doc_id").collect().toSeq
+    assert(s2 == l, s"snapshot form must curate identically: $s2 vs $l")
+    // the dedup input really is the snapshot (no parquet/local-relation rescans)
+    val plan = snapOut.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected a checkpoint-backed subtree:\n$plan")
+  }
+
   test("cluster-canonical mode keeps the min id per transitive near-dup chain") {
     val base = (1 to 40).map(i => s"tok$i the a of").mkString(" ")
     // 6~7~8 form a chain: 6~7 and 7~8 are near-dups, 6~8 less so; the
