@@ -61,6 +61,7 @@ object Bench {
     val sf1Cpu = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sf1Errored = scala.collection.mutable.LinkedHashMap[String, String]()
     var sf1Passes = 0
+    var sf1Bailed = false
     def artifactJson(finalLine: Boolean): String = {
       // ms precision everywhere: sub-ms digits are noise and the driver's
       // stdout capture keeps only a bounded TAIL of the line — shorter
@@ -80,7 +81,11 @@ object Bench {
       val errs = jarr(errored.keys)
       val sf1Part = if (sf1Wall.isEmpty) "" else {
         val names = sf1Wall.keys.toSeq
-        s""","sf1":{"dir":"$sf1Dir","factor":$sf1Factor,"reps":$sf1Passes,""" +
+        // partial: the budget bailed before pass 1 completed — entries
+        // are COLD single-run walls, not the min-of-reps steady state;
+        // round-over-round comparisons must skip them
+        val partialSf1 = if (sf1Bailed || sf1Passes == 0) ""","partial":true""" else ""
+        s""","sf1":{"dir":"$sf1Dir","factor":$sf1Factor,"reps":$sf1Passes$partialSf1,""" +
           s""""queries":${jmap(names.map(n => n -> sf1Wall(n)))},""" +
           s""""cpu_sec_queries":${jmap(names.map(n => n -> sf1Cpu(n)))},""" +
           s""""total":${r3(sf1Wall.values.sum)},"errors":${jarr(sf1Errored.keys)}}"""
@@ -199,7 +204,17 @@ object Bench {
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
         val marker = java.nio.file.Paths.get(sf1Dir, "_SCALE_SRC")
-        val want = s"$sfDir|$sf1Factor"
+        // fingerprint carries the SOURCE CONTENT identity (per-file name,
+        // size, mtime), not just the path: fixtures rebuilt in place at
+        // the same path must invalidate the synthetic replication, or the
+        // sf1 column quietly stops being comparable to the sf0.1 sweep
+        val srcFp = {
+          val dir = new java.io.File(sfDir)
+          val files = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",").hashCode
+        }
+        val want = s"$sfDir|$sf1Factor|$srcFp"
         val have =
           if (java.nio.file.Files.exists(marker))
             java.nio.file.Files.readString(marker).trim
@@ -219,7 +234,7 @@ object Bench {
             if (elapsed >= maxTotalSec) {
               if (!bail) System.err.println(
                 f"[bench] budget ($maxTotalSec%.0f s) hit in sf1 pass $p at $name — bailing")
-              bail = true
+              bail = true; sf1Bailed = true
             } else {
               val c0 = osBean.getProcessCpuTime
               val t0 = System.nanoTime()

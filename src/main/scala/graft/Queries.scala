@@ -29,6 +29,16 @@ object Queries {
 
   private def money(c: org.apache.spark.sql.Column) = round(c, 2)
 
+  /** First id strictly above every id in `df` — the offset for planted
+    * oracle rows (q37/q75/q82/q93; q94 fuses it into its stats agg).
+    * DERIVED from the data with one slim-column job, never a constant:
+    * a constant collides with genuine ids once SF grows the table past
+    * it, producing duplicate keys and nondeterministic total orders.
+    * SQL mirror: `(SELECT max(<id>) + 1 FROM <table>)`.
+    */
+  private def plantedIdOffset(df: org.apache.spark.sql.DataFrame, idCol: String): Long =
+    df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1L
+
   // ---------------------------------------------------------------- scans/aggs
 
   private val q01 = Q(
@@ -738,8 +748,7 @@ object Queries {
       // spec-verified (DedupSpec planted near-dup pairs); permutation
       // luck has no SQL form.
       val docs = Tables.documents(s, d)
-      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L)) + lit(1L))
-        .head().getLong(0)
+      val offset = plantedIdOffset(docs, "doc_id")
       val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(offset))
       Dedup.minHashNearDuplicates(docs.unionByName(planted), "doc_id", "text",
@@ -1811,7 +1820,7 @@ object Queries {
       // planted-id offset derives from the corpus (max id + 1): a constant
       // would collide with genuine batch ids once sf grows the table past
       // it, yielding duplicate keys and nondeterministic orderBy(doc_id)
-      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
+      val offset = plantedIdOffset(docs, "doc_id")
       val planted = stateDocs.filter(col("doc_id") < 50).select(
         (col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
@@ -1985,7 +1994,7 @@ object Queries {
       // DuckDB-replayable and hash-checked, with the sketch step swapped
       // for the explicit edges that sketches would have produced.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val offset = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
+      val offset = plantedIdOffset(docs, "doc_id")
       val planted = docs.filter(col("doc_id") < 100).select(
         (col("doc_id") + offset).as("doc_id"),
         concat(col("text"), lit(" extra extra extra")).as("text"))
@@ -2193,8 +2202,7 @@ object Queries {
       // query's cost constant across scale factors.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         .filter(col("doc_id") < 100)
-      val offset = Tables.documents(s, d)
-        .agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0) + 1
+      val offset = plantedIdOffset(Tables.documents(s, d), "doc_id")
       val toks = TF.tokens(col("text"))
       val planted = docs.select((col("doc_id") + offset).as("doc_id"),
         concat(array_join(slice(toks, lit(2), size(toks) - 1), " "),
@@ -2382,8 +2390,7 @@ object Queries {
       val cfg = graft.pipeline.CorpusPipeline.Config(
         minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 0.9) // = q44
       val docs0 = Tables.documents(s, d)
-      val offset = docs0.agg(coalesce(max(col("doc_id")), lit(0L)) + lit(1L))
-        .head().getLong(0)
+      val offset = plantedIdOffset(docs0, "doc_id")
       val planted = docs0
         .filter(pmod(col("doc_id"), lit(10)) === 0 && col("text").contains(" "))
         .withColumn("doc_id", col("doc_id") + lit(offset))
@@ -2408,11 +2415,12 @@ object Queries {
           struct(lit("1_quality_gate").as("stage"), col("__n1").as("n_rows")),
           struct(lit("2_exact_dedup").as("stage"), col("__n2").as("n_rows")))).as("s"))
         .select(col("s.stage"), col("s.n_rows"))
-      // stage 3: the REAL dedup-stage machinery (exact keep-min, then
-      // MinHash-LSH pair drop) on the gate survivors, at the
-      // deterministic threshold. q44's cfg everywhere else (shingle
-      // size, hash count, band count). The gate guarantees n_tokens >= 5,
-      // so every survivor has a non-empty shingle set.
+      // stage 3: THE pipeline's own dedup stage (CorpusPipeline.dedup —
+      // exact keep-min, then MinHash-LSH pair drop; not a re-
+      // implementation, so the oracle stays coupled to what q44 runs)
+      // on the gate survivors, with only the threshold overridden to
+      // the deterministic 1.0. The gate guarantees n_tokens >= 5, so
+      // every survivor has a non-empty shingle set.
       // ONE eager snapshot of the slim gate-survivor projection: stage
       // 3's DAG (exact-dedup shuffle, banding self-join, two verify
       // joins, the final anti-join) has ~6 lazy consumers of its input,
@@ -2425,14 +2433,8 @@ object Queries {
       // owns the measured lazy-vs-materialize knob.
       val gated = annotated.filter(gate)
         .select(col("doc_id"), col("text")).localCheckpoint()
-      val exact = Dedup.exactContentGroups(gated, "doc_id", "text")
-        .filter(col("doc_id") === col("canonical_id"))
-        .drop("canonical_id", "dup_count")
-      val pairs = Dedup.minHashNearDuplicates(exact, "doc_id", "text",
-        shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
-        bands = cfg.nearDupBands, threshold = 1.0)
-      val stage3 = exact
-        .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      val stage3 = graft.pipeline.CorpusPipeline
+        .dedup(gated, "doc_id", "text", cfg.copy(nearDupThreshold = 1.0))
         .agg(count(lit(1)).as("n_rows"))
         .select(lit("3_near_dup").as("stage"), col("n_rows"))
       stages012.unionByName(stage3).orderBy(col("stage"))

@@ -62,8 +62,15 @@ object Xlsx {
         s"Xlsx.read: header mismatch across workbooks: ${r.getString(0)} has " +
           s"${r.getSeq[String](1)} vs $header")
     }
+    // SNAPSHOT semantics: the body plan is pinned to the file set whose
+    // headers were just validated — the lazy plan re-lists the directory
+    // at action time, and a workbook landing between validation and the
+    // action would otherwise be consumed positionally against a header
+    // it never agreed to. (Files REWRITTEN in place are out of scope —
+    // the same single-writer window every sink in this engine assumes.)
+    val validated = headers.map(_.getString(0)).toSet
     readRaw(spark, path, sheet)
-      .filter(col("row_idx") > 0)
+      .filter(col("row_idx") > 0 && col("path").isInCollection(validated))
       .select(header.zipWithIndex.map { case (name, i) =>
         // try_: rows store trailing empty cells sparsely, so a short
         // cells array means null, not an error

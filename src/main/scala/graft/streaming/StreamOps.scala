@@ -196,23 +196,37 @@ object StreamOps {
 
   final case class SessionInput(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(sessionStartUs: Long, lastUs: Long, n: Long)
+  final case class SessionsState(open: List[SessionState])
   final case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long, n: Long)
 
   /** Custom stateful sessionization via flatMapGroupsWithState with an
-    * EVENT-time timeout: a closed session is emitted when a later event of
-    * the same key arrives past `gapUs` of event time, and the LAST open
-    * session of a key is flushed once the WATERMARK passes `last event +
-    * gap` (the `hasTimedOut` branch) — without the timeout a key's final
-    * session would never emit.
+    * EVENT-time timeout. A session is emitted only once the WATERMARK
+    * seals it (`watermark > session end + gap`): past that point no
+    * admissible event — every future row has `ts ≥ watermark` — can
+    * still merge into it, so emission is FINAL, exactly the append-mode
+    * contract of the built-in `session_window` aggregation. Until
+    * sealed, a session stays in state; the state therefore holds a LIST
+    * of open sessions (bounded: sessions inside the lateness window,
+    * ≤ ~lateness/gap per key), which is what makes the stream
+    * batch-consistent when `lateness > gap` — a late event can open an
+    * EARLIER separate session, and a later straggler within the gap of
+    * it must still merge (a single-open-session design emits the early
+    * session immediately and fragments such stragglers into overlapping
+    * sessions).
     *
-    * Event-time (not processing-time) timeout is deliberate: timeouts fire
-    * only when the watermark advances, i.e. driven by data, so a test's
-    * `processAllAvailable` terminates (a processing-time timeout keeps the
-    * no-new-data microbatch loop re-arming forever), results are
-    * reproducible regardless of wall-clock scheduling, and rows later than
-    * `lateness` are dropped by the watermark instead of double-emitting a
-    * closed session. The batch analog is Relational.sessionize; this is
-    * the always-on form with per-key state.
+    * Each invocation is one merge-sweep over START-SORTED intervals:
+    * batch events as point intervals plus every open session from
+    * state; sorting by start makes the merge predicate one-sided
+    * (`next.start − cur.end ≤ gap`), reproducing the batch sessionize
+    * on everything the watermark let through.
+    *
+    * Event-time (not processing-time) timeout is deliberate: timeouts
+    * fire only when the watermark advances, i.e. driven by data, so a
+    * test's `processAllAvailable` terminates, results are reproducible
+    * regardless of wall-clock scheduling, and rows later than
+    * `lateness` are dropped by the watermark instead of double-emitting
+    * a sealed session. The batch analog is Relational.sessionize; this
+    * is the always-on form with per-key state.
     */
   def sessionizeStream(events: Dataset[SessionInput], gapUs: Long,
       lateness: String = "0 seconds"): Dataset[SessionOut] = {
@@ -221,61 +235,46 @@ object StreamOps {
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: flush the open session and
-            // drop the state — bounded state at any scale.
-            val open = state.getOption.map(st =>
-              SessionOut(user, st.sessionStartUs, st.lastUs, st.n))
-            state.remove()
-            open.iterator
-          } else {
-            // Merge-sweep over START-SORTED intervals: each batch event is
-            // a point interval and the open session from state joins the
-            // sweep as a regular interval. Sorting by start makes the
-            // merge predicate one-sided (next.start − cur.end ≤ gap) and
-            // reproduces the batch sessionize on everything the watermark
-            // let through: an in-watermark but out-of-order event lands
-            // BEFORE the open session in the sweep, so it either chains
-            // within the gap (session start regresses, bounded by the
-            // gap) or opens a SEPARATE earlier session that the sweep
-            // closes against the later one — it is never absorbed from
-            // arbitrarily far back, which the old `us − lastUs ≤ gap`
-            // predicate (trivially true for any us < lastUs) allowed.
-            val items = (rows.map { r =>
-              // true microseconds: getTime truncates to ms, the sub-ms
-              // fraction lives in getNanos — without it the stream
-              // diverges from the batch sessionize for sub-ms gaps
-              val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
-              SessionState(us, us, 1)
-            }.toSeq ++ state.getOption)
-              .sortBy(st => (st.sessionStartUs, st.lastUs))
-            var cur: Option[SessionState] = None
-            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            items.foreach { it =>
-              cur match {
-                case Some(st) if it.sessionStartUs - st.lastUs <= gapUs =>
-                  cur = Some(SessionState(st.sessionStartUs,
-                    math.max(st.lastUs, it.lastUs), st.n + it.n))
-                case Some(st) =>
-                  out += SessionOut(user, st.sessionStartUs, st.lastUs, st.n)
-                  cur = Some(it)
-                case None =>
-                  cur = Some(it)
-              }
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionsState]) =>
+          // one body serves both paths: on a timeout wake-up `rows` is
+          // empty and the sweep degenerates to re-partitioning the open
+          // list against the advanced watermark
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val items = (rows.map { r =>
+            // true microseconds: getTime truncates to ms, the sub-ms
+            // fraction lives in getNanos — without it the stream
+            // diverges from the batch sessionize for sub-ms gaps
+            val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
+            SessionState(us, us, 1)
+          }.toSeq ++ state.getOption.map(_.open).getOrElse(Nil))
+            .sortBy(st => (st.sessionStartUs, st.lastUs))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          items.foreach { it =>
+            merged.lastOption match {
+              case Some(st) if it.sessionStartUs - st.lastUs <= gapUs =>
+                merged(merged.size - 1) = SessionState(st.sessionStartUs,
+                  math.max(st.lastUs, it.lastUs), st.n + it.n)
+              case _ => merged += it
             }
-            cur.foreach { st =>
-              state.update(st)
-              // deadline must sit strictly above the current watermark or
-              // setTimeoutTimestamp throws (possible when a barely-on-time
-              // row lands with the watermark already near its deadline)
-              val deadline = st.lastUs / 1000L + gapMs
-              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1L))
-            }
-            out.iterator
           }
+          // seal iff watermark STRICTLY passed end + gap: an event at
+          // exactly `ts == watermark == end + gap` is still admitted by
+          // Spark AND still merges, so `<=` would emit one batch early
+          val (done, open) = merged.partition(st => st.lastUs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open.toList))
+            // next seal point: the earliest open session's end + gap;
+            // must sit strictly above the current watermark or
+            // setTimeoutTimestamp throws (possible when a barely-on-time
+            // row lands with the watermark already near its deadline)
+            val deadline = open.map(_.lastUs).min / 1000L + gapMs
+            state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1L))
+          }
+          done.sortBy(_.sessionStartUs)
+            .map(st => SessionOut(user, st.sessionStartUs, st.lastUs, st.n)).iterator
       }
   }
 }

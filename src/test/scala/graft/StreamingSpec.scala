@@ -13,6 +13,21 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
 
+  /** Sessions emit on watermark SEAL, which lands in the no-data batch
+    * after the watermark advance — that batch can commit just after
+    * `processAllAvailable` returns, so assertions poll (bounded).
+    */
+  private def pollSessions(q: org.apache.spark.sql.streaming.StreamingQuery, table: String)(
+      ready: Array[StreamOps.SessionOut] => Boolean): Array[StreamOps.SessionOut] = {
+    def read() = spark.table(table).as[StreamOps.SessionOut].collect()
+    val deadline = System.currentTimeMillis() + 30000
+    var got = read()
+    while (!ready(got) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); q.processAllAvailable(); got = read()
+    }
+    got
+  }
+
   test("windowed counts with watermark over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
@@ -130,10 +145,11 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(StreamOps.SessionInput(1L, ts(0), 1), StreamOps.SessionInput(1L, ts(5), 2))
       q.processAllAvailable()
-      // second batch: 90min later → closes session 1 (2 events)
+      // second batch: 90min later → watermark (zero lateness) passes
+      // session 1's end + gap, sealing it (2 events)
       input.addData(StreamOps.SessionInput(1L, ts(95), 3))
       q.processAllAvailable()
-      val sessions = spark.table("sess").as[StreamOps.SessionOut].collect()
+      val sessions = pollSessions(q, "sess")(_.nonEmpty)
       assert(sessions.length == 1)
       assert(sessions.head.n == 2)
     } finally q.stop()
@@ -154,10 +170,10 @@ class StreamingSpec extends SparkSpec {
       // lastUs must not move backward (nor start forward)
       input.addData(StreamOps.SessionInput(1L, ts(5), 3))
       q.processAllAvailable()
-      // 90 min later: close it
+      // 90 min later: the advanced watermark seals it
       input.addData(StreamOps.SessionInput(1L, ts(115), 4))
       q.processAllAvailable()
-      val sessions = spark.table("sessOoo").as[StreamOps.SessionOut].collect()
+      val sessions = pollSessions(q, "sessOoo")(_.nonEmpty)
       assert(sessions.length == 1)
       val st = sessions.head
       assert(st.n == 3)
@@ -168,12 +184,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("late event beyond the gap BEFORE the open session opens a separate earlier session") {
+  test("late events before the open session form their own UNFRAGMENTED earlier session") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
-    // lateness (3h) far exceeds the gap (30min): a late event can be
-    // in-watermark yet more than a gap before the open session's start —
-    // batch semantics demand its OWN earlier session, not absorption
+    // lateness (3h) far exceeds the gap (30min): late events can be
+    // in-watermark yet more than a gap before the open session's start.
+    // Batch semantics demand (a) their OWN earlier session, not
+    // absorption into the later one, and (b) NO fragmentation — a
+    // second straggler within the gap of the first must merge with it,
+    // which requires holding the early session in state until the
+    // watermark seals it (emitting it on sight would split [10,20]
+    // into [10,10] + [20,20] with wrong counts)
     val out = StreamOps.sessionizeStream(input.toDS(), gapUs = 30L * 60 * 1000000,
       lateness = "3 hours")
     val q = out.writeStream.format("memory").queryName("sessEarly")
@@ -184,18 +205,26 @@ class StreamingSpec extends SparkSpec {
       // 90 min before the open session's start (gap is 30): separate session
       input.addData(StreamOps.SessionInput(1L, ts(10), 3))
       q.processAllAvailable()
-      // close the [100,110] session too
-      input.addData(StreamOps.SessionInput(1L, ts(250), 4))
+      // a LATER batch brings a straggler within the gap of the early
+      // session — it must merge into [10,20], not fragment
+      input.addData(StreamOps.SessionInput(1L, ts(20), 4))
       q.processAllAvailable()
-      val sessions = spark.table("sessEarly").as[StreamOps.SessionOut].collect()
-        .sortBy(_.session_start_us)
-      assert(sessions.length == 2, s"got ${sessions.toSeq}")
+      // advance the watermark far enough to seal everything: wm =
+      // 500 - 180 = 320 min > 110 + 30 and > 250 + 30
+      input.addData(StreamOps.SessionInput(1L, ts(250), 5))
+      q.processAllAvailable()
+      input.addData(StreamOps.SessionInput(1L, ts(500), 6))
+      q.processAllAvailable()
+      val sessions = pollSessions(q, "sessEarly")(_.length >= 3).sortBy(_.session_start_us)
+      assert(sessions.length == 3, s"got ${sessions.toSeq}")
       assert(sessions(0).session_start_us == ts(10).getTime * 1000L
-        && sessions(0).session_end_us == ts(10).getTime * 1000L
-        && sessions(0).n == 1, s"earlier session wrong: ${sessions(0)}")
+        && sessions(0).session_end_us == ts(20).getTime * 1000L
+        && sessions(0).n == 2, s"early session fragmented or wrong: ${sessions(0)}")
       assert(sessions(1).session_start_us == ts(100).getTime * 1000L
         && sessions(1).session_end_us == ts(110).getTime * 1000L
-        && sessions(1).n == 2, s"main session must not absorb the early event: ${sessions(1)}")
+        && sessions(1).n == 2, s"main session must not absorb the early events: ${sessions(1)}")
+      assert(sessions(2).session_start_us == ts(250).getTime * 1000L
+        && sessions(2).n == 1, s"${sessions(2)}")
     } finally q.stop()
   }
 

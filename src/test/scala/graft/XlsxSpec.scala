@@ -133,6 +133,20 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.parseWorkbook(bytes, 1).size == 51)
   }
 
+  test("read pins the validated snapshot: a workbook landing later is not consumed") {
+    val dir = tmpDir()
+    Xlsx.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/wb1.xlsx")
+    val back = Xlsx.read(spark, dir.toString)
+    // a new export with SWAPPED columns lands after validation; the lazy
+    // plan re-lists at action time but must not consume it positionally
+    Xlsx.write(Seq(("x", 9L)).toDF("v", "id"), s"$dir/wb2.xlsx")
+    assert(back.as[(String, String)].collect().toSet == Set(("1", "a"), ("2", "b")),
+      "post-validation files must not leak into the pinned snapshot")
+    // a fresh read sees both files — and fails loudly on the mismatch
+    val ex = intercept[IllegalArgumentException](Xlsx.read(spark, dir.toString))
+    assert(ex.getMessage.contains("header mismatch"))
+  }
+
   test("column reference arithmetic round-trips through two letters") {
     assert(Xlsx.colRefOf(0) == "A" && Xlsx.colRefOf(25) == "Z"
       && Xlsx.colRefOf(26) == "AA" && Xlsx.colRefOf(54) == "BC")
