@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparator.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.5]
+
+Accepts either the raw one-line Bench artifact (BENCH_FULL.json /
+BENCH_LOCAL.json) or the driver's wrapper ({"tail": "..."} with the
+JSON line inside). Prints per-query ratios for the sf0.1 sweep and,
+when both artifacts carry one, the sf1 stage; flags entries whose
+wall ratio exceeds the threshold so a scale regression is one glance,
+not a tail-grep. Exit code 1 if any flagged regression (for CI-ish
+use), 0 otherwise.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        raw = f.read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        # maybe multiple lines; take the one with "metric"
+        for line in raw.splitlines():
+            if '"metric"' in line:
+                d = json.loads(line)
+                break
+        else:
+            raise
+    # driver wrapper: {"n":..,"tail":"..."} — try to recover the line
+    if "queries" not in d and "tail" in d:
+        t = d["tail"]
+        i = t.find('{"metric"')
+        if i < 0:
+            sys.exit(f"{path}: wrapper tail does not contain a parseable artifact "
+                     "(truncated head) — use BENCH_FULL.json instead")
+        d = json.loads(t[i:])
+    return d
+
+
+def compare(name, old_q, new_q, threshold, min_sec=0.05):
+    print(f"\n== {name}: {len(old_q)} old / {len(new_q)} new queries ==")
+    flagged = []
+    common = sorted(set(old_q) & set(new_q))
+    for k in common:
+        o, n = old_q[k], new_q[k]
+        if o < min_sec and n < min_sec:
+            continue
+        r = n / max(o, 1e-9)
+        mark = "  <-- REGRESSION" if r >= threshold and n >= 0.2 else ""
+        if mark:
+            flagged.append(k)
+        print(f"  {k:40} {o:8.3f} -> {n:8.3f}  ({r:5.2f}x){mark}")
+    only_old = sorted(set(old_q) - set(new_q))
+    only_new = sorted(set(new_q) - set(old_q))
+    if only_old:
+        print(f"  dropped: {', '.join(only_old)}")
+    if only_new:
+        print(f"  added:   {', '.join(only_new)}")
+    print(f"  totals: {sum(old_q.values()):.2f} -> {sum(new_q.values()):.2f} s")
+    return flagged
+
+
+def main():
+    argv = sys.argv[1:]
+    threshold = 1.5
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--threshold":
+            threshold = float(argv[i + 1]); i += 2
+        elif a.startswith("--threshold="):
+            threshold = float(a.split("=", 1)[1]); i += 1
+        else:
+            args.append(a); i += 1
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    flagged = compare("sf0.1 sweep", old.get("queries", {}), new.get("queries", {}), threshold)
+    o1, n1 = old.get("sf1", {}), new.get("sf1", {})
+    if o1.get("queries") and n1.get("queries"):
+        for side, d in (("old", o1), ("new", n1)):
+            if d.get("partial") or d.get("reps", 0) == 0:
+                print(f"  NOTE: {side} sf1 stage is partial/cold (reps={d.get('reps')}) — "
+                      "ratios below are not min-of-reps comparable")
+        flagged += compare("sf1 stage", o1["queries"], n1["queries"], threshold)
+    elif n1.get("queries"):
+        print("\n(old artifact has no sf1 stage; skipping scale comparison)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
