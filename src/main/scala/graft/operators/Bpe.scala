@@ -20,8 +20,13 @@ import graft.functions.{TextFunctions => TF}
   * never re-read and — unlike a per-round distributed argmax, which
   * costs one Spark job per merge (30k jobs for a production vocab) —
   * merge rounds launch ZERO Spark jobs. Driver memory is bounded by the
-  * word-frequency table (~100 MB at a 5M-type web vocab), not the
-  * corpus.
+  * word-frequency table — and that table is itself BOUNDED before the
+  * collect (see [[learnMerges]]'s `minCount` / `maxVocabTypes`): a
+  * noisy 100 TB web corpus has 10⁸–10⁹ distinct token types (URLs,
+  * hex hashes, typos), so an unbounded collect would be a multi-GB
+  * driver OOM. With the default floor the driver holds only the
+  * repeated-type vocab (~5M types ≈ 100 MB on real web text, hard cap
+  * `maxVocabTypes` regardless of corpus).
   */
 object Bpe {
 
@@ -29,16 +34,36 @@ object Bpe {
     * list in application order, each with the weighted pair frequency
     * that won its round. Ties break lexicographically on the pair, so
     * training is deterministic for a given corpus.
+    *
+    * `minCount` (standard Sennrich practice) drops word types rarer
+    * than the floor BEFORE the driver collect — the hapax long tail is
+    * the bulk of a web-scale vocab but nearly none of its mass, and a
+    * type with freq < minCount contributes < minCount to every pair
+    * count it touches, so merges whose winning pair frequency clears
+    * the floor are unaffected. `maxVocabTypes` is the hard memory
+    * bound: keep only the top-N types by (freq desc, word asc — the
+    * tie order makes the cut deterministic). Driver memory is
+    * O(maxVocabTypes), independent of corpus size. Pass `minCount = 1`
+    * and/or `maxVocabTypes = Int.MaxValue` to disable (tiny fixture
+    * corpora where hapax words matter).
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String, Long)] = {
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
     import scala.collection.mutable
-    // ONE distributed corpus pass: the word-frequency table. Everything
-    // after this line is driver-side and independent of corpus size.
+    // ONE distributed corpus pass: the word-frequency table, floored and
+    // capped BEFORE it reaches the driver. Everything after this line is
+    // driver-side and independent of corpus size. The cap's sort is over
+    // the already-floored vocab table (not the corpus) — vocab-sized,
+    // one-time, trivial next to the corpus pass it follows.
+    val vocab = docs.select(explode(TF.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+    val bounded =
+      if (maxVocabTypes == Int.MaxValue) vocab
+      else vocab.orderBy(col("freq").desc, col("w").asc).limit(maxVocabTypes)
     val wordFreq: Array[(Array[String], Long)] =
-      docs.select(explode(TF.tokens(col(textCol))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .collect()
+      bounded.collect()
         .map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
     val syms: Array[mutable.ArrayBuffer[String]] =
       wordFreq.map { case (s, _) => mutable.ArrayBuffer.from(s) }

@@ -16,8 +16,39 @@ class BpeSpec extends SparkSpec {
       s"first merge must be (l,o): $merges")
     assert(merges(1)._1 == "lo" && merges(1)._2 == "w",
       s"second merge must be (lo,w): $merges")
-    // weighted by word frequency: 6 words all contain l+o
-    assert(merges.head._3 == 6L)
+    // weighted by word frequency UNDER the default minCount=2 floor:
+    // hapax 'lowest' is dropped before the collect, so l+o counts the
+    // 3 'low' + 2 'lower' = 5; with the floor disabled it counts all 6
+    assert(merges.head._3 == 5L)
+    val unfloored = Bpe.learnMerges(docs, "text", 3, minCount = 1L)
+    assert(unfloored.head == ("l", "o", 6L))
+  }
+
+  test("minCount floor: merge list invariant on a corpus whose types all clear it") {
+    // every word type occurs >= 2 times, so the floor drops nothing and
+    // floored == unfloored exactly (pairs AND weighted counts)
+    val docs = Seq("low low low lower lower lowest lowest newest newest").toDF("text")
+    val floored = Bpe.learnMerges(docs, "text", 8) // default minCount = 2
+    val unfloored = Bpe.learnMerges(docs, "text", 8, minCount = 1L)
+    assert(floored == unfloored)
+    assert(floored.nonEmpty)
+  }
+
+  test("maxVocabTypes cap: heavy-tail vocab trains as if truncated to top-N types") {
+    // heavy tail: two dominant types + 30 distinct rare-but-repeated
+    // types. Cap at 2 ⇒ training must equal training on ONLY the two
+    // dominant types (deterministic cut: freq desc, word asc).
+    val tail = (1 to 30).flatMap(i => Seq.fill(2)(f"rare$i%02d"))
+    val corpus = (Seq.fill(40)("share") ++ Seq.fill(25)("shore") ++ tail).mkString(" ")
+    val capped = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", 6, maxVocabTypes = 2)
+    val truncated = Bpe.learnMerges(
+      Seq((Seq.fill(40)("share") ++ Seq.fill(25)("shore")).mkString(" ")).toDF("text"),
+      "text", 6)
+    assert(capped == truncated)
+    // the cap really bit: an uncapped run sees the tail's pairs ('r','a')
+    // etc. with weight 60 from rareNN types and diverges
+    val uncapped = Bpe.learnMerges(Seq(corpus).toDF("text"), "text", 6)
+    assert(uncapped != capped)
   }
 
   test("applyMerge: leftmost-first, non-overlapping, fused symbol") {
@@ -29,7 +60,8 @@ class BpeSpec extends SparkSpec {
 
   test("encode: rank-ordered merges reproduce training segmentation; counts drop as merges grow") {
     val docs = Seq("low lower newest lowest").toDF("text")
-    val merges = Bpe.learnMerges(docs, "text", 6).map(m => (m._1, m._2))
+    // all-hapax fixture: disable the production minCount floor
+    val merges = Bpe.learnMerges(docs, "text", 6, minCount = 1L).map(m => (m._1, m._2))
     val encoded = docs.select(Bpe.encodeUdf(merges)(col("text"))).as[Seq[String]].head()
     // every learned merge is a substring of some word; tokens reassemble the text
     assert(encoded.mkString == "lowlowernewestlowest")
@@ -51,7 +83,8 @@ class BpeSpec extends SparkSpec {
       syms
     }
     val docs = Seq("low lower newest lowest widest new").toDF("text")
-    val merges = Bpe.learnMerges(docs, "text", 10).map(m => (m._1, m._2))
+    // all-hapax fixture: disable the production minCount floor
+    val merges = Bpe.learnMerges(docs, "text", 10, minCount = 1L).map(m => (m._1, m._2))
     val rank = merges.zipWithIndex.toMap
     // "" excluded: encodeUdf filters empty words before encoding
     for (w <- Seq("low", "lower", "lowest", "newest", "widest", "slow", "owl", "x")) {
@@ -61,7 +94,7 @@ class BpeSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val corpus = (1 to 60).map(_ => (1 to 8).map(_ => "abc" (rnd.nextInt(3))).mkString)
     val rdocs = corpus.mkString(" ").split("(?=.)").mkString.split("\\|").toSeq.toDF("text")
-    val rmerges = Bpe.learnMerges(rdocs, "text", 12).map(m => (m._1, m._2))
+    val rmerges = Bpe.learnMerges(rdocs, "text", 12, minCount = 1L).map(m => (m._1, m._2))
     val rrank = rmerges.zipWithIndex.toMap
     (corpus ++ Seq("aaaaaaa", "abcabcabc", "cbacba")).foreach { w =>
       assert(Bpe.encodeWord(w, rrank) == seqEncode(w, rmerges), s"random word '$w'")
