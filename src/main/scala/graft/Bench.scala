@@ -204,15 +204,23 @@ object Bench {
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
         val marker = java.nio.file.Paths.get(sf1Dir, "_SCALE_SRC")
-        // fingerprint carries the SOURCE CONTENT identity (per-file name,
-        // size, mtime), not just the path: fixtures rebuilt in place at
-        // the same path must invalidate the synthetic replication, or the
-        // sf1 column quietly stops being comparable to the sf0.1 sweep
+        // fingerprint carries the SOURCE CONTENT identity (file count +
+        // per-file name, size, mtime), not just the path: fixtures
+        // rebuilt in place at the same path must invalidate the
+        // synthetic replication, or the sf1 column quietly stops being
+        // comparable to the sf0.1 sweep. SHA-256 over the identity
+        // lines — a 32-bit String.hashCode leaves a real collision
+        // window, and a collision here has NO failure signal (stale
+        // synthetic data silently benched as fresh)
         val srcFp = {
           val dir = new java.io.File(sfDir)
           val files = Option(dir.listFiles()).getOrElse(Array.empty)
             .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(",").hashCode
+          val lines = s"n=${files.length}" +:
+            files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.digest(lines.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
         }
         val want = s"$sfDir|$sf1Factor|$srcFp"
         val have =

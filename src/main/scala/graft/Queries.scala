@@ -968,16 +968,32 @@ object Queries {
   private val q46 = Q(
     "q46_approx_distinct",
     (s, d) => {
-      // HLL sketch path for 100 TB-scale distinct counting (rows-only:
-      // approximate results have no exact oracle); exact counts alongside
-      // for observable error
+      // HLL sketch path for 100 TB-scale distinct counting. Fully
+      // hash-checked (round 12): the exact counts ARE the oracle's
+      // columns, and the approximate values are materialized as error
+      // -bound BOOLEANS (|approx - exact| <= 15% of exact — 3× the
+      // sketch's 5% rsd, so the bound holds with near-certainty and,
+      // HLL being deterministic for a given dataset, holds always once
+      // observed) that the oracle replays as TRUE literals. The raw
+      // sketch estimates themselves are engine-specific and cannot be
+      // hash-compared — the booleans pin exactly the property that
+      // matters (the sketch is within its error contract).
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey")).as("__ao"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey")).as("__ap"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("exact_orders"), col("exact_parts"),
+          (abs(col("__ao") - col("exact_orders")).cast("double")
+            <= col("exact_orders").cast("double") * lit(0.15)).as("approx_orders_ok"),
+          (abs(col("__ap") - col("exact_parts")).cast("double")
+            <= col("exact_parts").cast("double") * lit(0.15)).as("approx_parts_ok"))
     },
-    None)
+    Some("""SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      count(DISTINCT l_partkey) AS exact_parts,
+      TRUE AS approx_orders_ok, TRUE AS approx_parts_ok
+      FROM lineitem"""))
 
   private val q47 = Q(
     "q47_grouped_collect",
@@ -1103,10 +1119,16 @@ object Queries {
     "q51_approx_quantiles",
     (s, d) => {
       // the 100 TB quantile path: approx_percentile sketch (mergeable,
-      // one pass, bounded memory) with the exact values alongside for
-      // observable error — rows-only like q46's HLL, approximate results
-      // have no exact oracle. Outputs are flattened to scalar columns:
-      // the driver's canonicalizer cannot sort array-typed cells.
+      // one pass, bounded memory) with the exact values alongside.
+      // Fully hash-checked (round 12): the exact percentiles are the
+      // oracle columns (Spark `percentile` and DuckDB `quantile_cont`
+      // share the pos = p·(n−1) linear-interpolation definition; values
+      // interpolate 2-decimal prices at frac = k/10, so the true result
+      // has ≤3 decimals and round(·,4) is decisively off every rounding
+      // boundary), and the sketch estimates are materialized as
+      // rank-contract BOOLEANS (|approx − exact| ≤ 2% of exact — vast
+      // slack over the accuracy-10000 sketch's rank error) replayed by
+      // the oracle as TRUE literals.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -1115,12 +1137,20 @@ object Queries {
           expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ep"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"),
-          col("ap").getItem(0).as("approx_p50"), col("ap").getItem(1).as("approx_p90"),
-          col("ep").getItem(0).as("exact_p50"), col("ep").getItem(1).as("exact_p90"),
-          col("n"))
+          round(col("ep").getItem(0), 4).as("exact_p50"),
+          round(col("ep").getItem(1), 4).as("exact_p90"),
+          col("n"),
+          (abs(col("ap").getItem(0) - col("ep").getItem(0))
+            <= col("ep").getItem(0) * lit(0.02)).as("approx_p50_ok"),
+          (abs(col("ap").getItem(1) - col("ep").getItem(1))
+            <= col("ep").getItem(1) * lit(0.02)).as("approx_p90_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+      round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+      count(*) AS n, TRUE AS approx_p50_ok, TRUE AS approx_p90_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   private val q52 = Q(
     "q52_repetition_ratio",
@@ -2539,6 +2569,98 @@ object Queries {
     Some("""SELECT label, CAST(count(*) AS BIGINT) AS n_kept
       FROM embeddings GROUP BY label ORDER BY label"""))
 
+  private val q95 = Q(
+    "q95_curate_end_state",
+    (s, d) => {
+      // q44's FULL composite pipeline — curate() end to end, then the
+      // same per-language accounting — with the one degree of freedom
+      // that blocked a SQL oracle (probabilistic LSH recall at
+      // threshold 0.9) pinned shut: threshold 1.0 + planted whitespace
+      // variants (q93's idiom — doubled spaces change the bytes but
+      // not the \s+ token list, so the variant survives exact dedup
+      // and collides with its source in EVERY band with jaccard
+      // exactly 1.0). At threshold 1.0 the near-dup stage
+      // deterministically keeps the min id per distinct shingle SET,
+      // so the final curated row set is DuckDB-replayable: gate →
+      // keep-min-id per text → keep-min-id per shingle-set
+      // fingerprint → per-language accounting over the survivors'
+      // own (lang, n_tokens). q44 keeps its production sub-1.0 config
+      // (rows-only + spec-verified recall); this entry hash-checks the
+      // composite END STATE those stages feed.
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        minTokens = 5, minTypeTokenRatio = 0.05, nearDupThreshold = 1.0,
+        snapshotGate = true)
+      val docs0 = Tables.documents(s, d)
+      val offset = plantedIdOffset(docs0, "doc_id")
+      val planted = docs0
+        .filter(pmod(col("doc_id"), lit(10)) === 0 && col("text").contains(" "))
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+        .withColumn("text", regexp_replace(col("text"), " ", "  "))
+      val curated = graft.pipeline.CorpusPipeline.curate(
+        docs0.unionByName(planted), "doc_id", "text", cfg)
+      graft.pipeline.CorpusPipeline.accounting(curated)
+        .select(col("predicted_lang"), col("n_docs"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+        .orderBy(col("predicted_lang"))
+    },
+    // the gate/lang/fingerprint fragments are q93's (already oracle-
+    // proven); `keep` adds the survivor selection: row_number over each
+    // fingerprint group keeps the min id AND carries that row's own
+    // lang + token count into the accounting (equal shingle SET does
+    // not imply equal token COUNT, so the survivor's row must be the
+    // one aggregated). The keepLangs IN-filter is omitted: the CASE
+    // yields only kept languages.
+    Some("""WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+          replace(text, ' ', '  ')
+        FROM documents WHERE doc_id % 10 = 0 AND text LIKE '% %'),
+      t AS (
+        SELECT doc_id, text, ' ' || text || ' ' AS pad,
+          string_split_regex(trim(text), '\s+') AS toks
+        FROM u),
+      feat AS (
+        SELECT doc_id, toks,
+          len(toks) AS n_tokens,
+          CASE WHEN len(toks) > 0
+            THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr,
+          (len(pad) - len(replace(pad, ' the ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' a ', ''))) / 3
+            + (len(pad) - len(replace(pad, ' of ', ''))) / 4 AS s0,
+          (len(pad) - len(replace(pad, ' le ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' la ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' et ', ''))) / 4 AS s1,
+          (len(pad) - len(replace(pad, ' der ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' und ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' das ', ''))) / 5 AS s2,
+          (len(pad) - len(replace(pad, ' el ', ''))) / 4
+            + (len(pad) - len(replace(pad, ' los ', ''))) / 5
+            + (len(pad) - len(replace(pad, ' de ', ''))) / 4 AS s3
+        FROM t),
+      gated AS (
+        SELECT doc_id, toks, n_tokens,
+          CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 'en'
+            WHEN s1 >= s2 AND s1 >= s3 THEN 'fr'
+            WHEN s2 >= s3 THEN 'de' ELSE 'es' END AS predicted_lang
+        FROM feat
+        WHERE n_tokens BETWEEN 5 AND 100000 AND ttr >= 0.05),
+      fp AS (
+        SELECT doc_id, n_tokens, predicted_lang,
+          array_to_string(list_sort(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))),
+          chr(30)) AS f
+        FROM gated),
+      keep AS (
+        SELECT predicted_lang, n_tokens FROM (
+          SELECT predicted_lang, n_tokens,
+            row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+          FROM fp) WHERE rn = 1)
+      SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM keep GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2548,5 +2670,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94)
+    q91, q92, q93, q94, q95)
 }

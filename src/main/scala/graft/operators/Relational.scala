@@ -36,6 +36,14 @@ object Relational {
     * single rows). n separate column scans beat one scan expanded n×
     * because parquet prunes to exactly one column per job.
     * NULLs are excluded per ANSI `COUNT(DISTINCT ...)`.
+    *
+    * ASSUMES a column-prunable source: the k+1 jobs each re-scan the
+    * input, which is the win when each scan prunes to one parquet
+    * column but multiplies the upstream work k+1× when the input is a
+    * DERIVED plan (downstream of a join/agg). For a derived or
+    * already-cached input, persist it first — or prefer the built-in
+    * multi-distinct Expand, whose single pass is then the cheaper
+    * shape.
     */
   def distinctCounts(df: DataFrame, rowCountAs: Option[String],
       keys: (String, String)*): DataFrame = {
@@ -262,18 +270,24 @@ object Relational {
     * clustering → [[connectedComponents]]. The `maxNodes` guard makes
     * the quadratic path an explicit opt-in (raise it consciously), not
     * something a caller wanders into: node count is checked with ONE
-    * narrow job before any closure work starts.
+    * narrow job before any closure work starts. Callers that have
+    * ALREADY sized their graph can pass `maxNodes = Long.MaxValue` to
+    * skip the pre-count job entirely (no wasted job when the bound
+    * cannot bind).
     */
   def transitiveClosure(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 12,
       maxNodes: Long = 100000L): DataFrame = {
     val sc = edges.sparkSession.sparkContext
-    val nNodes = edges.select(col(srcCol).as("n"))
-      .union(edges.select(col(dstCol).as("n"))).distinct().count()
-    require(nNodes <= maxNodes,
-      s"transitiveClosure: $nNodes nodes exceeds maxNodes=$maxNodes. The closure is " +
-        "QUADRATIC in component size; for descendant counts use descendantCounts, for " +
-        "path/reachability aggregates use dagRelaxMax, for clustering use " +
-        "connectedComponents. Raise maxNodes only if the full pair list is truly needed.")
+    if (maxNodes != Long.MaxValue) {
+      val nNodes = edges.select(col(srcCol).as("n"))
+        .union(edges.select(col(dstCol).as("n"))).distinct().count()
+      require(nNodes <= maxNodes,
+        s"transitiveClosure: $nNodes nodes exceeds maxNodes=$maxNodes. The closure is " +
+          "QUADRATIC in component size; for descendant counts use descendantCounts, for " +
+          "path/reachability aggregates use dagRelaxMax, for clustering use " +
+          "connectedComponents. Raise maxNodes only if the full pair list is truly needed " +
+          "(maxNodes = Long.MaxValue also skips this pre-count job).")
+    }
     var closure = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
     var closurePinned = Set.empty[Int]
     var n = closure.count()

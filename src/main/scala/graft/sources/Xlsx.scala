@@ -40,42 +40,87 @@ object Xlsx {
   // ---------------------------------------------------------------- read
 
   /** Distributed read of one file or a glob of files: first row of each
-    * workbook is the header (must agree across files); every data cell
-    * is a string, missing/blank cells are null. `sheet` is 1-based
-    * workbook order.
+    * workbook is the header; every data cell is a string, missing/blank
+    * cells are null. `sheet` is 1-based workbook order.
+    *
+    * Header policy: by default headers must agree EXACTLY across files
+    * (the safe mode — a silent column drift in a Forms export corrupts
+    * every downstream positional read). `allowMissingColumns = true` is
+    * the `unionByName(allowMissingColumns)`-style mode for real-world
+    * multi-week exports whose template gained or lost columns between
+    * weeks (the reference's v1→v2 drift hazard,
+    * `/root/reference/test.py:115-124`): the result schema is the
+    * UNION of all headers (first-seen order over path-sorted files, so
+    * the schema is deterministic whatever order the listing returns),
+    * each file's cells are matched to it BY NAME via that file's own
+    * header, and columns a file lacks read as null for its rows —
+    * reordered columns are therefore also handled.
+    *
+    * The returned frame is a LAZY plan; a consumer that acts on it more
+    * than once re-parses every workbook per action (zip + StAX, CPU-
+    * bound) and should `.cache()` it like any other expensive source.
     */
-  def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+  def read(spark: SparkSession, path: String, sheet: Int = 1,
+      allowMissingColumns: Boolean = false): DataFrame = {
     // Header validation is its own HEADER-ONLY job: each workbook's XML
     // parse stops after row 0 (maxRowsPerFile = 1), so the driver
     // collects one slim row per workbook and NOTHING is cached — the
     // earlier design cached the full raw parse plus a materialized
     // projection, i.e. two in-memory string copies of the corpus, just
-    // to check headers. The returned frame is a LAZY plan; a consumer
-    // that reads it repeatedly caches it like any other source.
+    // to check headers.
     val headers = readRaw(spark, path, sheet, maxRowsPerFile = 1)
       .filter(col("row_idx") === 0)
       .select(col("path"), col("cells")).collect()
     require(headers.nonEmpty, s"Xlsx.read: no rows in any workbook under $path")
-    val header = headers.head.getSeq[String](1)
-    headers.foreach { r =>
-      require(r.getSeq[String](1) == header,
-        s"Xlsx.read: header mismatch across workbooks: ${r.getString(0)} has " +
-          s"${r.getSeq[String](1)} vs $header")
-    }
+    val byPath: Seq[(String, Seq[String])] =
+      headers.map(r => r.getString(0) -> r.getSeq[String](1)).sortBy(_._1).toSeq
+    val header: Seq[String] =
+      if (allowMissingColumns) {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        byPath.foreach(_._2.foreach(seen += _))
+        seen.toSeq
+      } else {
+        val h = byPath.head._2
+        byPath.foreach { case (p, hh) =>
+          require(hh == h,
+            s"Xlsx.read: header mismatch across workbooks: $p has $hh vs $h " +
+              "(pass allowMissingColumns = true to union drifting headers by name)")
+        }
+        h
+      }
     // SNAPSHOT semantics: the body plan is pinned to the file set whose
     // headers were just validated — the lazy plan re-lists the directory
     // at action time, and a workbook landing between validation and the
     // action would otherwise be consumed positionally against a header
     // it never agreed to. (Files REWRITTEN in place are out of scope —
     // the same single-writer window every sink in this engine assumes.)
-    val validated = headers.map(_.getString(0)).toSet
-    readRaw(spark, path, sheet)
+    val validated = byPath.map(_._1).toSet
+    val body = readRaw(spark, path, sheet)
       .filter(col("row_idx") > 0 && col("path").isInCollection(validated))
-      .select(header.zipWithIndex.map { case (name, i) =>
+    if (allowMissingColumns) {
+      // per-file by-name projection: a tiny broadcast mapping frame
+      // (one row per workbook: union-position → that file's 1-based
+      // cell index, 0 = column absent) joined on path keeps the cell
+      // lookup inside codegen — no per-file plan branches, no UDF
+      val posSchema = StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("__pos", ArrayType(IntegerType, containsNull = false))))
+      val posRows = byPath.map { case (p, hh) =>
+        Row(p, header.map(c => hh.indexOf(c) + 1)) }
+      val mapping = spark.createDataFrame(
+        spark.sparkContext.parallelize(posRows, 1), posSchema)
+      body.join(broadcast(mapping), Seq("path"))
+        .select(header.zipWithIndex.map { case (name, i) =>
+          when(element_at(col("__pos"), i + 1) > 0,
+            try_element_at(col("cells"), element_at(col("__pos"), i + 1))).as(name)
+        }: _*)
+    } else {
+      body.select(header.zipWithIndex.map { case (name, i) =>
         // try_: rows store trailing empty cells sparsely, so a short
         // cells array means null, not an error
         try_element_at(col("cells"), lit(i + 1)).as(name)
       }: _*)
+    }
   }
 
   /** Raw per-row read: (path, row_idx, cells array<string>) — row 0 is

@@ -228,6 +228,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("differential: sessionizeStream ≡ batch sessionize over 120 random shuffled streams (lateness > gap)") {
+    implicit val sqlCtx = spark.sqlContext
+    // The property the two round-11 bug fixes were about, generalized:
+    // for ANY admissible stream (every event within the lateness
+    // window, arbitrary arrival order and batch boundaries), the
+    // sealed sessions the stream emits must equal the batch
+    // sessionize (q21's operator) of the same events. 120 seeded
+    // random streams share ONE streaming query on disjoint user ids:
+    // per-key state isolates the seeds, while the single watermark —
+    // kept below every event until one far-future flush event — makes
+    // all real events admissible and then seals every real session
+    // via the EVENT-TIME TIMEOUT path (no per-seed query startup, so
+    // 120 seeds cost one query). lateness (180 min) > gap (30 min),
+    // so late arrivals routinely open earlier separate sessions and
+    // merge stragglers — the exact regime of the over-merge and
+    // cross-batch fragmentation bugs.
+    val gapUs = 30L * 60 * 1000000L
+    val baseMs = 1700000000000L
+    val horizonUs = 150L * 60 * 1000000L // all real events in [0, 150 min)
+    def mkTs(offsetUs: Long): Timestamp = {
+      val us = baseMs * 1000L + offsetUs
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt) // µs precision incl. sub-ms
+      t
+    }
+    val maxRounds = 6
+    // per-seed generation: events, then a random shuffle + random
+    // assignment to arrival rounds (batch boundaries)
+    val perRound = Array.fill(maxRounds)(Seq.newBuilder[StreamOps.SessionInput])
+    val realEvents = Seq.newBuilder[StreamOps.SessionInput]
+    var eid = 0L
+    for (seed <- 0 until 120) {
+      val rnd = new scala.util.Random(9000 + seed)
+      val users = (0 to rnd.nextInt(2)).map(u => seed.toLong * 10 + u)
+      val events = (0 until (5 + rnd.nextInt(36))).map { _ =>
+        eid += 1
+        StreamOps.SessionInput(
+          users(rnd.nextInt(users.size)), mkTs(rnd.nextLong().abs % horizonUs), eid)
+      }
+      realEvents ++= events
+      val nBatches = 1 + rnd.nextInt(maxRounds)
+      rnd.shuffle(events).foreach(e => perRound(rnd.nextInt(nBatches)) += e)
+    }
+    val all = realEvents.result()
+    // batch oracle: q21's gaps-and-islands sessionize over the same rows
+    val expected = graft.operators.Relational.sessionize(
+        all.toDF().withColumn("us", unix_micros(col("ts"))),
+        col("user_id"), col("us"), gapUs, col("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("us").as("s"), max("us").as("e"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val input = MemoryStream[StreamOps.SessionInput]
+    val out = StreamOps.sessionizeStream(input.toDS(), gapUs, lateness = "180 minutes")
+    val q = out.writeStream.format("memory").queryName("sessDiff")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      perRound.foreach { b =>
+        val batch = b.result()
+        if (batch.nonEmpty) { input.addData(batch); q.processAllAvailable() }
+      }
+      // one flush event on a reserved key: watermark = 700 − 180 =
+      // 520 min > every real end + gap, so every real session seals —
+      // by TIMEOUT, since no real key sees another row. The flush
+      // key's own session never seals and is excluded below.
+      input.addData(StreamOps.SessionInput(-1L, mkTs(700L * 60 * 1000000L), 0L))
+      q.processAllAvailable()
+      val got = pollSessions(q, "sessDiff")(_.length >= expected.size)
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n)).toSet
+      val missing = expected -- got
+      val extra = got -- expected
+      assert(missing.isEmpty && extra.isEmpty,
+        s"stream/batch divergence — missing (seed=user/10): ${missing.take(5)}; " +
+          s"extra: ${extra.take(5)}")
+    } finally q.stop()
+  }
+
   test("event-time timeout flushes the last open session once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]

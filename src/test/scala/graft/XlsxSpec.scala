@@ -113,6 +113,27 @@ class XlsxSpec extends SparkSpec {
     assert(ex.getMessage.contains("header mismatch"))
   }
 
+  test("allowMissingColumns: drifting headers union by name; absent columns read null") {
+    val dir = tmpDir()
+    // week 1: full v1 template; week 2: export dropped the trailing
+    // column (the reference's v1→v2 drift hazard); week 3: same columns
+    // REORDERED — by-name matching must realign them
+    Xlsx.write(Seq((1L, "a", "x1")).toDF("id", "v", "extra"), s"$dir/week1.xlsx")
+    Xlsx.write(Seq((2L, "b")).toDF("id", "v"), s"$dir/week2.xlsx")
+    Xlsx.write(Seq(("c", 3L)).toDF("v", "id"), s"$dir/week3.xlsx")
+    // strict mode still refuses
+    val ex = intercept[IllegalArgumentException](Xlsx.read(spark, dir.toString))
+    assert(ex.getMessage.contains("header mismatch"))
+    val back = Xlsx.read(spark, dir.toString, allowMissingColumns = true)
+    // union schema in first-seen order over path-sorted files
+    assert(back.columns.toSeq == Seq("id", "v", "extra"))
+    assert(back.as[(String, String, Option[String])].collect().toSet == Set(
+      ("1", "a", Some("x1")),
+      ("2", "b", None), // week2 lacks `extra` → null
+      ("3", "c", None)), // week3's reordered cells realign by name
+      "by-name union must realign drifting workbooks")
+  }
+
   test("read is lazy and uncached: header validation parses one row per workbook") {
     val dir = tmpDir()
     (1 to 6).foreach { i =>
