@@ -1,0 +1,71 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `coverage.json` is the machine-readable operator-coverage manifest
+  * (component id → implementation files → fixture queries + specs).
+  * This spec pins it to reality: it must parse, reference only files
+  * and specs that exist, and CLAIM every query in `Queries.all` — so a
+  * new query cannot land without declaring which component it covers,
+  * and a renamed file/spec/query breaks CI instead of silently rotting
+  * the manifest. (Plain FunSuite: no SparkSession needed.)
+  */
+class CoverageManifestSpec extends AnyFunSuite {
+
+  private val root = {
+    // sbt runs tests with cwd = project root; keep a fallback for IDEs
+    val cwd = new java.io.File(".").getCanonicalFile
+    if (new java.io.File(cwd, "coverage.json").exists()) cwd
+    else new java.io.File("/root/repo")
+  }
+
+  private lazy val components: Seq[(String, Seq[String], Seq[String], Seq[String])] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(new java.io.File(root, "coverage.json"))
+    tree.get("components").elements().asScala.map { c =>
+      def strs(field: String): Seq[String] =
+        c.get(field).elements().asScala.map(_.asText()).toSeq
+      (c.get("id").asText(), strs("impl"), strs("queries"), strs("specs"))
+    }.toSeq
+  }
+
+  test("manifest parses; component ids unique and non-empty") {
+    assert(components.nonEmpty)
+    val ids = components.map(_._1)
+    assert(ids.forall(_.nonEmpty))
+    assert(ids.distinct.size == ids.size,
+      s"duplicate ids: ${ids.diff(ids.distinct).distinct}")
+    components.foreach { case (id, impl, _, _) =>
+      assert(impl.nonEmpty, s"component $id declares no implementation files")
+    }
+  }
+
+  test("every implementation file and every referenced spec exists") {
+    components.foreach { case (id, impl, _, specs) =>
+      impl.foreach(f => assert(new java.io.File(root, f).isFile,
+        s"component $id references missing file $f"))
+      specs.foreach(s => assert(
+        new java.io.File(root, s"src/test/scala/graft/$s.scala").isFile,
+        s"component $id references missing spec $s"))
+    }
+  }
+
+  test("claimed queries are real, and EVERY query in Queries.all is claimed") {
+    val declared = Queries.all.map(_.name).toSet
+    val claimed = components.flatMap(_._3).toSet
+    val bogus = claimed -- declared
+    assert(bogus.isEmpty, s"manifest claims nonexistent queries: $bogus")
+    val unclaimed = declared -- claimed
+    assert(unclaimed.isEmpty,
+      s"queries not claimed by any component (add them to coverage.json): $unclaimed")
+  }
+
+  test("every component is checked somehow: a query, a spec, or the smoke probe") {
+    components.foreach { case (id, _, queries, specs) =>
+      assert(queries.nonEmpty || specs.nonEmpty || id == "S6",
+        s"component $id has neither a fixture query nor a spec")
+    }
+  }
+}
