@@ -2661,6 +2661,41 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       FROM keep GROUP BY 1 ORDER BY 1"""))
 
+  private val q96 = Q(
+    "q96_hll_incremental_distinct",
+    (s, d) => {
+      // incremental distinct accounting via mergeable HLL state
+      // (Sketches.hllDistinctState/hllMergeStates): two "daily" deltas
+      // of lineitem each sketch independently, the state tables merge
+      // by register max — history is never rescanned — and one delta is
+      // RE-ACCUMULATED to prove at-least-once redelivery is a no-op on
+      // the estimate. Oracle idiom = q46's: the exact count is the
+      // hash-checked column, the estimate materializes as an
+      // error-bound boolean. The ±15% slack is deliberate head room:
+      // ~9× the lgK=12 rsd AND ~30× the merge-order jitter Datasketches
+      // unions carry (HIP kept/dropped by input mode — SketchesSpec),
+      // so the boolean holds whatever order task completion merges the
+      // per-partition sketches in.
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"))
+      val day0 = li.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+      val day1 = li.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+      val st0 = Sketches.hllDistinctState(day0, Seq("l_returnflag"), col("l_orderkey"))
+      val st1 = Sketches.hllDistinctState(day1, Seq("l_returnflag"), col("l_orderkey"))
+      // st1 merged twice = the redelivered batch
+      val merged = Sketches.hllMergeStates(Seq("l_returnflag"), st0, st1, st1)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      Sketches.hllEstimate(merged).join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("distinct_est") - col("exact_orders"))
+            <= col("exact_orders").cast("double") * lit(0.15)).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS approx_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2670,5 +2705,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95)
+    q91, q92, q93, q94, q95, q96)
 }

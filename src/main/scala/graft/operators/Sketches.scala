@@ -66,4 +66,54 @@ object Sketches {
   }
 
   val M: Double = math.pow(2.0, 60)
+
+  // ------------------------------------------------------- HLL state
+  // Mergeable per-key distinct STATE — the incremental accounting
+  // pattern at 100 TB: a nightly job sketches ONLY its delta, the
+  // state table unions per key (register-max, associative and
+  // commutative), and "distinct users all-time / this quarter" is an
+  // estimate over state — history is NEVER rescanned. This is the
+  // engine's incremental-by-rerun contract (reference `test.py:99-111`:
+  // keep state, process only the delta) applied to distinct counting,
+  // where the raw keyset state would be unbounded but the sketch is
+  // ~2^lgK bytes per key forever. Built on Spark's Datasketches
+  // builtins (`hll_sketch_agg`/`hll_union_agg`), the same registers
+  // `Relational.descendantCounts` propagates. Re-accumulating an
+  // already-seen batch is a NO-OP on the estimate (max of maxes), so
+  // at-least-once delivery upstream cannot inflate counts.
+
+  /** Sketch one batch into per-key HLL state: (keys..., hll_state).
+    * NULL values are excluded (count-distinct semantics). `lgK` trades
+    * state size (2^lgK bytes/key) for error (~1.04/√2^lgK ≈ 1.6% at
+    * the default 12).
+    */
+  def hllDistinctState(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      lgK: Int = 12): DataFrame =
+    df.where(valueCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("hll_state"))
+
+  /** Merge state tables (state ∪ delta, or any number unioned before
+    * one call): per-key register max. Keys present in only one side
+    * pass through — the union IS the full-outer merge. ONE shuffle on
+    * the key, rows are sketch-sized not data-sized. Merge-order
+    * ROBUST, not bit-deterministic: the Datasketches union gadget
+    * keeps or drops its HIP estimator depending on the modes of the
+    * sketches it absorbs, so estimates can move ~0.3% with merge
+    * order (and vs a one-shot sketch) — always inside the error
+    * bound (SketchesSpec measures both). Read HLL state through
+    * error-bound checks, never via estimate equality.
+    */
+  def hllMergeStates(keyCols: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "hllMergeStates: need at least one state table")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("hll_state"), lit(false)).as("hll_state"))
+  }
+
+  /** Read the estimate off a state table (adds `alias`; state column
+    * retained so the frame can keep accumulating).
+    */
+  def hllEstimate(state: DataFrame, alias: String = "distinct_est"): DataFrame =
+    state.withColumn(alias, hll_sketch_estimate(col("hll_state")))
 }

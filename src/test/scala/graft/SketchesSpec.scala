@@ -52,4 +52,66 @@ class SketchesSpec extends SparkSpec {
     assert(sk.length == 2, s"two distinct non-null values: ${sk.toSeq}")
     assert(graft.operators.Sketches.kmvEstimate(sk, 8) == 2.0)
   }
+
+  test("hll state: batched accumulation is merge-order robust and within error of exact") {
+    // 3 keys × overlapping values split into 3 arbitrary batches. The
+    // merged estimate must agree ACROSS merge orders and with the
+    // one-shot sketch within a small tolerance — NOT exactly: register
+    // max is order-invariant, but the Datasketches union gadget keeps
+    // or drops its HIP estimator depending on the modes of the inputs
+    // it absorbed (measured: ~0.3% spread across orders, ~0.2% vs
+    // one-shot) — and land within HLL's error of the exact count.
+    // Consumers therefore read HLL state through error-bound checks
+    // (q96's boolean slack is ~30× this jitter), never via equality.
+    val rows = (1 to 3000).map(i => (s"k${i % 3}", (i * 7919) % 1100))
+    val df = rows.toDF("k", "v")
+    val batches = Seq(
+      df.filter(col("v") % 3 === 0), df.filter(col("v") % 3 === 1),
+      df.filter(col("v") % 3 === 2))
+    val states = batches.map(b =>
+      Sketches.hllDistinctState(b, Seq("k"), col("v")))
+    def estOf(ss: Seq[org.apache.spark.sql.DataFrame]): Map[String, Double] =
+      Sketches.hllEstimate(Sketches.hllMergeStates(Seq("k"), ss: _*))
+        .select(col("k"), col("distinct_est")).as[(String, Double)].collect().toMap
+    val incEst = estOf(states)
+    val permEst = estOf(Seq(states(2), states(0), states(1)))
+    val oneShot = Sketches.hllEstimate(
+        Sketches.hllDistinctState(df, Seq("k"), col("v")))
+      .select(col("k"), col("distinct_est")).as[(String, Double)].collect().toMap
+    val exact = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(incEst.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(incEst(k) - permEst(k)) <= n * 0.02,
+        s"$k: merge order moved the estimate too far: ${incEst(k)} vs ${permEst(k)}")
+      assert(math.abs(incEst(k) - oneShot(k)) <= n * 0.02,
+        s"$k: merged-batch estimate ${incEst(k)} far from one-shot ${oneShot(k)}")
+      assert(math.abs(incEst(k) - n) <= n * 0.10,
+        s"$k: estimate ${incEst(k)} vs exact $n")
+    }
+  }
+
+  test("hll state: re-accumulating a seen batch is a no-op; disjoint keys pass through merge") {
+    val a = Seq(("x", 1), ("x", 2), ("y", 5)).toDF("k", "v")
+    val b = Seq(("z", 9)).toDF("k", "v")
+    val sa = Sketches.hllDistinctState(a, Seq("k"), col("v"))
+    val est1 = Sketches.hllEstimate(Sketches.hllMergeStates(Seq("k"), sa, sa))
+      .select(col("k"), col("distinct_est")).as[(String, Double)].collect().toMap
+    val est0 = Sketches.hllEstimate(sa)
+      .select(col("k"), col("distinct_est")).as[(String, Double)].collect().toMap
+    assert(est1 == est0, "at-least-once redelivery must not inflate the estimate")
+    // keys on one side only survive the merge (union IS full-outer)
+    val sb = Sketches.hllDistinctState(b, Seq("k"), col("v"))
+    val all = Sketches.hllEstimate(Sketches.hllMergeStates(Seq("k"), sa, sb))
+      .select(col("k"), col("distinct_est")).as[(String, Double)].collect().toMap
+    assert(all.keySet == Set("x", "y", "z"))
+    assert(math.round(all("x")) == 2L && math.round(all("y")) == 1L
+      && math.round(all("z")) == 1L)
+    // nulls excluded like every distinct-count op
+    val withNull = Seq(("x", Some(1)), ("x", None)).toDF("k", "v")
+    val estN = Sketches.hllEstimate(
+        Sketches.hllDistinctState(withNull, Seq("k"), col("v")))
+      .select(col("distinct_est")).as[Double].head()
+    assert(math.round(estN) == 1L)
+  }
 }
