@@ -418,6 +418,17 @@ class PlansAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("q46 plans Expand-free: exact distincts re-aggregate, sketches ride a plain agg") {
+    // the round-12 rework's contract: no Expand row-multiplication
+    // anywhere in the query (the built-in multi-distinct plan it
+    // replaced expanded every lineitem row 3×; measured 2.8× slower)
+    val df = Queries.all.find(_.name == "q46_approx_distinct").get
+      .run(spark, "/root/testdata/sf0.001")
+    df.collect() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"q46 must stay Expand-free:\n$plan")
+  }
+
   test("saltedEquiJoin rejects a join key as the salt source") {
     val l = Seq((1L, "a")).toDF("k", "v")
     val r = Seq((1L, "b")).toDF("k", "w")
