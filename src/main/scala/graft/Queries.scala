@@ -2718,6 +2718,37 @@ object Queries {
       TRUE AS approx_ok
       FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  private val q97 = Q(
+    "q97_heavy_hitters",
+    (s, d) => {
+      // EXACT top-10 heaviest users via the two-pass heavy-hitter shape
+      // (Sketches.topKExact): Misra-Gries sketch pass (m=64 counters
+      // per partition — never a full-vocabulary shuffle) finds
+      // candidates, then ONLY those ≤64 users are recounted exactly;
+      // completeness is VERIFIED against the sketch's decrement total
+      // (the operator throws rather than silently under-ranking). The
+      // fixture's user distribution is near-uniform, so the query
+      // PLANTS its heavy hitters (the planting idiom): every event of
+      // users 0-9 is replicated ×30, lifting them decisively above
+      // both the natural counts and the MG error bound. Fully
+      // DuckDB-replayable: the oracle replays the replication and the
+      // plain GROUP BY top-10.
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val planted = ev.filter(col("user_id") < 10)
+        .withColumn("__r", explode(array((1 to 30).map(lit): _*)))
+        .drop("__r")
+      graft.operators.Sketches.topKExact(
+          ev.unionByName(planted), col("user_id"), k = 10, m = 64)
+        .select(col("item").cast("bigint").as("user_id"), col("n"))
+        .orderBy(col("n").desc, col("user_id"))
+    },
+    Some("""WITH u AS (
+        SELECT user_id FROM events
+        UNION ALL
+        SELECT user_id FROM events, range(30) WHERE user_id < 10)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM u GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2727,5 +2758,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97)
 }

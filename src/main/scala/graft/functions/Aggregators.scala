@@ -78,6 +78,75 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Misra–Gries frequent-items sketch (the SpaceSaving-equivalent MG
+    * form) — bounded-memory heavy hitters over a stream of items. The
+    * buffer holds at most `m` counters plus one decrement total Δ;
+    * invariants (classic MG, merge per Agarwal et al. 2013 "Mergeable
+    * Summaries"):
+    *
+    *   weight(x) ≤ true(x) ≤ weight(x) + Δ      for tracked x
+    *   true(x) ≤ Δ                              for untracked x
+    *   Δ ≤ n / (m + 1)
+    *
+    * so every item with frequency above n/(m+1) is guaranteed tracked.
+    * Decrement-all triggers consume m+1 units of stream mass each, so
+    * their total cost is O(n) amortized. Merge: sum weights, keep the
+    * top-m by (weight desc, item asc — deterministic cut), subtract the
+    * (m+1)-th largest weight from survivors and fold it into Δ.
+    * The consumer that makes this EXACT is
+    * [[graft.operators.Sketches.topKExact]]: sketch pass → recount only
+    * the ≤ m candidates → top-k, never a full-vocabulary shuffle.
+    */
+  final case class MgItem(item: String, weight: Long)
+  final case class MgSketch(items: Seq[MgItem], delta: Long)
+
+  final case class MisraGries(m: Int)
+      extends Aggregator[String, (Long, Map[String, Long]), MgSketch] {
+    require(m > 0, "m must be positive")
+
+    override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+    override def reduce(buf: (Long, Map[String, Long]), x: String): (Long, Map[String, Long]) = {
+      val (delta, cnt) = buf
+      cnt.get(x) match {
+        case Some(c) => (delta, cnt.updated(x, c + 1L))
+        case None if cnt.size < m => (delta, cnt.updated(x, 1L))
+        case None =>
+          // decrement-all: the new item's single unit cancels against
+          // one unit of every tracked counter (zeros drop out)
+          val dec = cnt.flatMap { case (k, c) =>
+            if (c > 1L) Some(k -> (c - 1L)) else None }
+          (delta + 1L, dec)
+      }
+    }
+
+    override def merge(a: (Long, Map[String, Long]),
+        b: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+      val summed = b._2.foldLeft(a._2) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c) }
+      val delta = a._1 + b._1
+      if (summed.size <= m) (delta, summed)
+      else {
+        val ordered = summed.toSeq.sortBy { case (k, c) => (-c, k) }
+        val cut = ordered(m)._2 // the (m+1)-th largest weight
+        val kept = ordered.take(m).flatMap { case (k, c) =>
+          if (c > cut) Some(k -> (c - cut)) else None }.toMap
+        (delta + cut, kept)
+      }
+    }
+
+    override def finish(buf: (Long, Map[String, Long])): MgSketch =
+      MgSketch(
+        buf._2.toSeq.sortBy { case (k, c) => (-c, k) }
+          .map { case (k, c) => MgItem(k, c) },
+        buf._1)
+
+    override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[String, Long])]()
+    override def outputEncoder: Encoder[MgSketch] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgSketch]()
+  }
+
   /** Exact distinct-count-by-key within groups beyond `countDistinct`'s
     * single-expression form: accumulates a bounded key set and degrades
     * to a sentinel (-1) once `maxExact` distinct values are seen — the

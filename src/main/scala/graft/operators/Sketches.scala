@@ -116,4 +116,86 @@ object Sketches {
     */
   def hllEstimate(state: DataFrame, alias: String = "distinct_est"): DataFrame =
     state.withColumn(alias, hll_sketch_estimate(col("hll_state")))
+
+  // --------------------------------------------------- heavy hitters
+
+  /** Misra–Gries frequent-items sketch of a column: one aggregation
+    * pass with an m-counter buffer per partition (map-side merged), so
+    * the shuffle moves ≤ m counters per partition however large the
+    * column's vocabulary. Returns ≤ m rows (item, weight) plus the
+    * sketch's exact decrement total `delta`: true(item) ∈ [weight,
+    * weight + delta], and every item with frequency > delta is
+    * guaranteed present ([[graft.functions.Aggregators.MisraGries]]).
+    */
+  def frequentItems(df: DataFrame, c: Column, m: Int): DataFrame = {
+    val mg = udaf(graft.functions.Aggregators.MisraGries(m))
+    df.select(c.cast("string").as("__it")).where(col("__it").isNotNull)
+      .agg(mg(col("__it")).as("s"))
+      .select(explode(col("s.items")).as("it"), col("s.delta").as("delta"))
+      .select(col("it.item").as("item"), col("it.weight").as("weight"), col("delta"))
+  }
+
+  /** EXACT top-k most frequent items in two passes — the 100 TB shape
+    * for "top tokens/domains/users" over a heavy-tailed vocabulary:
+    * pass 1 sketches candidates in bounded memory (no full-vocab
+    * shuffle), pass 2 recounts ONLY the ≤ m candidate items exactly
+    * (the long tail is filtered at the scan, so the count shuffle
+    * carries ≤ m rows per partition). Compare the naive
+    * `groupBy(item).count().orderBy(...).limit(k)`: its exchange moves
+    * every distinct item per partition — vocabulary-sized, which for
+    * web-scale token streams is 10⁸–10⁹ rows of shuffle this form
+    * never pays.
+    *
+    * Exactness is VERIFIED, not assumed: the result is complete iff
+    * the k-th exact count exceeds the sketch's decrement total Δ
+    * (any untracked item has true count ≤ Δ). If the guarantee does
+    * not bind — vocabulary too flat for `m` — this THROWS rather than
+    * silently returning a possibly-wrong top-k; raise `m` (Δ shrinks
+    * as ~n/(m+1)). The candidate collect is bounded by m, like KMV's
+    * k-row sketch.
+    */
+  def topKExact(df: DataFrame, c: Column, k: Int, m: Int): DataFrame = {
+    require(k <= m, s"topKExact: k=$k must be <= m=$m")
+    // read the sketch STRUCT, not the exploded form: a flat-vocabulary
+    // merge cascade can evict every counter, and the exploded form
+    // would drop that row entirely — losing delta, the very number
+    // that says the result would be untrustworthy
+    val mg = udaf(graft.functions.Aggregators.MisraGries(m))
+    val skRow = df.select(c.cast("string").as("__it")).where(col("__it").isNotNull)
+      .agg(mg(col("__it")).as("s"))
+      .select(col("s.items.item").as("items"), col("s.delta").as("delta"))
+      .collect().head
+    val candidates = skRow.getSeq[String](0)
+    val delta = skRow.getLong(1)
+    val spark0 = df.sparkSession
+    if (candidates.isEmpty) {
+      require(delta == 0L,
+        s"topKExact: the sketch evicted every counter (error bound $delta) — " +
+          s"vocabulary too flat for m=$m. Raise m.")
+      import spark0.implicits._
+      return Seq.empty[(String, Long)].toDF("item", "n")
+    }
+    val items = df.select(c.cast("string").as("item"))
+      .where(col("item").isInCollection(candidates))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item").asc)
+      .limit(k).collect()
+    if (items.length == k) {
+      val kth = items.last.getLong(1)
+      require(kth > delta,
+        s"topKExact: k-th count $kth does not exceed the sketch's error bound " +
+          s"$delta — an untracked item could outrank it. Raise m (= $m).")
+    } else {
+      // fewer than k candidates: only legitimate when the sketch is
+      // EXACT (delta 0 ⇒ nothing was ever evicted ⇒ the candidates are
+      // the entire vocabulary). Otherwise untracked items (true count
+      // ≤ delta) might belong in the top-k — refuse, don't under-rank.
+      require(delta == 0L,
+        s"topKExact: only ${items.length} of k=$k candidates survived the " +
+          s"sketch (error bound $delta) — vocabulary too flat for m=$m. Raise m.")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    items.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "n")
+  }
 }

@@ -114,4 +114,49 @@ class SketchesSpec extends SparkSpec {
       .select(col("distinct_est")).as[Double].head()
     assert(math.round(estN) == 1L)
   }
+
+  test("misra-gries: MG invariants hold on a skewed stream (weight ≤ true ≤ weight+Δ; Δ ≤ n/(m+1))") {
+    // zipf-ish: item i has ~3000/i occurrences, i = 1..60; m = 16
+    val rows = (1 to 60).flatMap(i => Seq.fill(3000 / i)(s"w$i"))
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle(rows).toDF("t").repartition(5)
+    val n = rows.size.toLong
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sk = Sketches.frequentItems(df, col("t"), m = 16)
+      .as[(String, Long, Long)].collect()
+    assert(sk.nonEmpty && sk.length <= 16)
+    val delta = sk.head._3
+    assert(delta <= n / 17, s"delta $delta exceeds n/(m+1) = ${n / 17}")
+    sk.foreach { case (item, w, _) =>
+      val t = exact(item)
+      assert(w <= t && t <= w + delta, s"$item: weight $w, true $t, delta $delta")
+    }
+    val tracked = sk.map(_._1).toSet
+    exact.foreach { case (item, t) =>
+      if (t > delta) assert(tracked(item),
+        s"$item has true count $t > delta $delta but is not tracked")
+    }
+  }
+
+  test("topKExact: equals the naive full groupBy top-k, partition-invariant, throws when m too small") {
+    val rows = (1 to 40).flatMap(i => Seq.fill(if (i <= 5) 500 else 9)(s"u$i"))
+    val rnd = new scala.util.Random(13)
+    val df = rnd.shuffle(rows).toDF("t")
+    val naive = df.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(5)
+      .as[(String, Long)].collect().toSeq
+    val twoPass = Sketches.topKExact(df, col("t"), k = 5, m = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(twoPass == naive, s"two-pass $twoPass vs naive $naive")
+    val repart = Sketches.topKExact(df.repartition(7), col("t"), k = 5, m = 16)
+      .as[(String, Long)].collect().toSeq
+    assert(repart == naive, "exact recount must make the result partition-invariant")
+    // flat vocabulary, tiny m: the k-th count cannot clear Δ — the
+    // operator must REFUSE rather than silently under-rank
+    val flat = (1 to 200).flatMap(i => Seq.fill(5)(s"f$i"))
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.topKExact(rnd.shuffle(flat).toDF("t"), col("t"), k = 3, m = 8)
+    }
+    assert(ex.getMessage.contains("Raise m"))
+  }
 }
