@@ -199,7 +199,11 @@ object Bench {
       "q33_simhash", "q34_ann_lsh_topk", "q37_minhash_neardup_pairs",
       "q54_decontaminate", "q63_span_dedup", "q75_incremental_neardup",
       "q77_embed_decontaminate", "q82_keep_best_per_cluster",
-      "q86_bpe_train", "q88_jaccard_join_exact", "q94_semantic_dedup")
+      "q86_bpe_train", "q88_jaccard_join_exact", "q94_semantic_dedup",
+      // round 12: the sketch-state family joins the scale sentinels —
+      // q96's HLL merge must stay sketch-sized and q97's MG candidate
+      // shuffle must stay m-bounded however large the stream
+      "q96_hll_incremental_distinct", "q97_heavy_hitters")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

@@ -2727,27 +2727,34 @@ object Queries {
       // candidates, then ONLY those ≤64 users are recounted exactly;
       // completeness is VERIFIED against the sketch's decrement total
       // (the operator throws rather than silently under-ranking). The
-      // fixture's user distribution is near-uniform, so the query
-      // PLANTS its heavy hitters (the planting idiom): every event of
-      // users 0-9 is replicated ×30, lifting them decisively above
-      // both the natural counts and the MG error bound. Fully
-      // DuckDB-replayable: the oracle replays the replication and the
-      // plain GROUP BY top-10.
+      // fixture's user distribution is near-uniform (and re-keyed per
+      // SF — natural per-user counts do NOT grow with n), so the query
+      // PLANTS its heavy hitters with DATA-DERIVED mass: 10 synthetic
+      // users above max(user_id), each with exactly P = 4·(n/55 + 1)
+      // events (a distributed spark.range — never a per-row array).
+      // P scales with the stream, so P > the MG worst-case bound
+      // (n + 10P)/65 holds at EVERY scale factor (~2.7× margin) and
+      // the guarantee check passes from sf0.001 to the synthetic sf1
+      // — a fixed replication factor failed exactly this way at sf1.
+      // Fully DuckDB-replayable: integer-only P and offset formulas.
       val ev = Tables.events(s, d).select(col("user_id"))
-      val planted = ev.filter(col("user_id") < 10)
-        .withColumn("__r", explode(array((1 to 30).map(lit): _*)))
-        .drop("__r")
+      val st = ev.agg(coalesce(max(col("user_id")), lit(0L)).as("mx"),
+        count(lit(1)).as("n")).head()
+      val offset = st.getLong(0) + 1L
+      val p = (st.getLong(1) / 55L + 1L) * 4L
+      val planted = s.range(10L * p)
+        .select((col("id") % 10L + lit(offset)).as("user_id"))
       graft.operators.Sketches.topKExact(
           ev.unionByName(planted), col("user_id"), k = 10, m = 64)
         .select(col("item").cast("bigint").as("user_id"), col("n"))
         .orderBy(col("n").desc, col("user_id"))
     },
-    Some("""WITH u AS (
-        SELECT user_id FROM events
-        UNION ALL
-        SELECT user_id FROM events, range(30) WHERE user_id < 10)
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n
-      FROM u GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10"""))
+    Some("""WITH s AS (
+        SELECT max(user_id) + 1 AS off, (count(*) // 55 + 1) * 4 AS p
+        FROM events)
+      SELECT s.off + r.range AS user_id, CAST(s.p AS BIGINT) AS n
+      FROM s, range(10) r
+      ORDER BY n DESC, user_id LIMIT 10"""))
 
   // ---------------------------------------------------------------------------
 
