@@ -62,6 +62,23 @@ class CoverageManifestSpec extends AnyFunSuite {
       s"queries not claimed by any component (add them to coverage.json): $unclaimed")
   }
 
+  test("the rows-only inventory is pinned: exactly the 6 by-design entries lack an oracle") {
+    // every other query MUST carry DuckDB oracle SQL — if an edit drops
+    // an oracle, the driver silently downgrades that query to a
+    // rows-only check; this spec turns that downgrade into a CI failure
+    val rowsOnlyByDesign = Set(
+      "q32_minhash_bands", // probabilistic banding artifact
+      "q33_simhash", // probabilistic sketch
+      "q34_ann_lsh_topk", // probabilistic ANN (recall-bounded by spec)
+      "q44_corpus_curate", // sub-1.0-threshold composite (end state oracled by q95)
+      "q75_incremental_neardup", // signature-agreement estimate path (no exact verify by design)
+      "q86_bpe_train") // iterative driver-loop training
+    val withoutOracle = Queries.all.collect { case Queries.Q(n, _, None) => n }.toSet
+    assert(withoutOracle == rowsOnlyByDesign,
+      s"rows-only set drifted — missing oracle: ${withoutOracle -- rowsOnlyByDesign}; " +
+        s"unexpectedly oracled: ${rowsOnlyByDesign -- withoutOracle}")
+  }
+
   test("every component is checked somehow: a query, a spec, or the smoke probe") {
     components.foreach { case (id, _, queries, specs) =>
       assert(queries.nonEmpty || specs.nonEmpty || id == "S6",
