@@ -134,6 +134,44 @@ class XlsxSpec extends SparkSpec {
       "by-name union must realign drifting workbooks")
   }
 
+  test("allowMissingColumns property: random header subsets/permutations always realign by name") {
+    // 12 seeded drift scenarios: a 5-column universe, 3 workbooks each
+    // carrying a random non-empty subset in random order with distinct
+    // per-file row values — the union read must reproduce exactly the
+    // by-name expectation whatever the drift looks like
+    val universe = Vector("c1", "c2", "c3", "c4", "c5")
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(400 + seed)
+      val dir = tmpDir()
+      val expected = scala.collection.mutable.Set.empty[Map[String, String]]
+      val firstSeen = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (f <- 1 to 3) {
+        val cols = rnd.shuffle(universe).take(1 + rnd.nextInt(universe.size))
+        cols.foreach(firstSeen += _)
+        val rows = (1 to 1 + rnd.nextInt(3)).map { r =>
+          cols.map(c => s"s$seed-f$f-r$r-$c")
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq), 1),
+          org.apache.spark.sql.types.StructType(cols.map(c =>
+            org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+        Xlsx.write(df, f"$dir/wb$f%02d.xlsx")
+        rows.foreach(r => expected += cols.zip(r).toMap)
+      }
+      val back = Xlsx.read(spark, dir.toString, allowMissingColumns = true)
+      val gotCols = back.columns.toSeq
+      assert(gotCols == firstSeen.toSeq,
+        s"seed $seed: union schema must be first-seen order over path-sorted files: " +
+          s"$gotCols vs $firstSeen")
+      val got = back.collect().map { row =>
+        gotCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(row.getString(i)).map(c -> _) }.toMap
+      }.toSet
+      assert(got == expected.toSet,
+        s"seed $seed: by-name union mismatch\n got $got\n exp $expected")
+    }
+  }
+
   test("read is lazy and uncached: header validation parses one row per workbook") {
     val dir = tmpDir()
     (1 to 6).foreach { i =>
