@@ -215,10 +215,12 @@ object Similarity {
     */
   def assignCluster(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "assignCluster: need at least one centroid")
-    val cents = typedLit(centroids)
-    val scored = transform(cents, (c, ci) =>
-      struct(VectorFunctions.cosineNative(emb, c).as("cd"), ci.as("cid")))
-    array_max(scored).getField("cid")
+    // native fused argmax (plans/ArgmaxCosine): the HOF form this
+    // replaces — array_max(transform(centsLit, struct(cosine, idx)))
+    // — allocated k structs + an array PER ROW, which dominated every
+    // Lloyd iteration at k ≈ 100 (q94 sf1 profile). Semantics are
+    // pinned equivalent case-by-case by VectorExpressionsSpec.
+    call_function("graft_argmax_cos", emb, typedLit(centroids))
   }
 
   /** Spherical k-means (Lloyd's algorithm, cosine distance): returns the

@@ -109,6 +109,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_argmax_cos"),
+      new ExpressionInfo(classOf[ArgmaxCosine].getName, "graft_argmax_cos"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, arr) if arr.foldable && (arr.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType, _), _) => true
+              case _ => false
+            }) =>
+          val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          ArgmaxCosine(c,
+            (0 until data.numElements()).map(i => data.getArray(i).toDoubleArray()).toArray)
+        case _ => throw new IllegalArgumentException(
+          "graft_argmax_cos(vec, array(array(...))) takes array<float|double> and a literal centroid matrix")
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (children: Seq[Expression]) => children match {

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => HF, VectorFunctions => VF}
+import graft.operators.Similarity
 
 class VectorExpressionsSpec extends SparkSpec {
   import spark.implicits._
@@ -209,5 +210,66 @@ class VectorExpressionsSpec extends SparkSpec {
       graft.functions.VectorFunctions.cosineNative(col("a"), col("b")).as("nat"))
       .as[(Double, Double)].collect()(0)
     assert(r == ((0.0, 0.0)), s"NaN must not leak into >=-threshold filters: $r")
+  }
+
+  /** The HOF composition graft_argmax_cos replaced (the previous
+    * assignCluster body) — kept HERE as the executable reference.
+    */
+  private def argmaxHof(emb: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val scored = transform(typedLit(centroids), (c, ci) =>
+      struct(VF.cosineNative(emb, c).as("cd"), ci.as("cid")))
+    array_max(scored).getField("cid")
+  }
+
+  test("native argmax-cosine ≡ the HOF struct/array_max form on fixture embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // centroids from the data itself (normalized rows) so cosines are
+    // realistic and ties essentially impossible — then a synthetic
+    // centroid DUPLICATED to force exact ties at real data too
+    val cents0 = emb.orderBy(col("vec_id")).limit(7)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        v.map(_ / n).toSeq
+      }.toSeq
+    val cents = cents0 ++ Seq(cents0.head) // index 7 duplicates index 0
+    val diffs = emb.select(
+      argmaxHof(col("embedding"), cents).as("hof"),
+      Similarity.assignCluster(col("embedding"), cents).as("nat"))
+      .filter(col("hof") =!= col("nat")).count()
+    assert(diffs == 0)
+    // the planted duplicate: every row whose best match is centroid 0
+    // must resolve to the HIGHER duplicate index (7) in both forms
+    val zeros = emb.select(Similarity.assignCluster(col("embedding"), cents).as("c"))
+      .filter(col("c") === 0).count()
+    assert(zeros == 0, "exact ties must resolve to the higher index")
+  }
+
+  test("native argmax-cosine matches HOF semantics on degenerate inputs") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.6, 0.8))
+    val rows = Seq(
+      ("null", null.asInstanceOf[Seq[Float]]),
+      ("empty", Seq.empty[Float]),
+      ("mismatch", Seq(1.0f, 2.0f, 3.0f)),
+      ("nullElem", Seq(1.0f, null.asInstanceOf[Float])), // becomes 0.0f — see below
+      ("zero", Seq(0.0f, 0.0f)),
+      ("nan", Seq(Float.NaN, 1.0f)),
+      ("normal", Seq(2.0f, 1.0f)))
+    val df = rows.toDF("label", "e")
+    val got = df.select(col("label"),
+      argmaxHof(col("e"), cents).as("hof"),
+      Similarity.assignCluster(col("e"), cents).as("nat"))
+      .as[(String, Integer, Integer)].collect()
+    got.foreach { case (label, hof, nat) =>
+      assert(hof == nat, s"$label: hof $hof vs native $nat")
+    }
+    // and a true null ELEMENT (Seq[java.lang.Float] encodes a null slot)
+    val nullElem = Seq(Seq[java.lang.Float](1.0f, null)).toDF("e")
+    val ne = nullElem.select(
+      argmaxHof(col("e"), cents).as("hof"),
+      Similarity.assignCluster(col("e"), cents).as("nat"))
+      .as[(Integer, Integer)].collect()(0)
+    assert(ne._1 == ne._2, s"null element: $ne")
   }
 }
