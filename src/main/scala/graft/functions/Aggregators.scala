@@ -93,6 +93,14 @@ object Aggregators {
     * their total cost is O(n) amortized. Merge: sum weights, keep the
     * top-m by (weight desc, item asc — deterministic cut), subtract the
     * (m+1)-th largest weight from survivors and fold it into Δ.
+    *
+    * Buffer representation: an IMMUTABLE map, deliberately — it rides
+    * Spark's product ExpressionEncoder with no kryo fallback, and the
+    * per-row cost is one HAMT `updated` (a few small allocations,
+    * measured ~1 µs/row all-in at the sf1 bench including the recount
+    * pass). If a profile ever shows this path hot, the next lever is a
+    * kryo-encoded mutable buffer — cut the allocation, pay opaque
+    * buffer serialization.
     * The consumer that makes this EXACT is
     * [[graft.operators.Sketches.topKExact]]: sketch pass → recount only
     * the ≤ m candidates → top-k, never a full-vocabulary shuffle.

@@ -35,17 +35,28 @@ object Bpe {
     * that won its round. Ties break lexicographically on the pair, so
     * training is deterministic for a given corpus.
     *
-    * `minCount` (standard Sennrich practice) drops word types rarer
-    * than the floor BEFORE the driver collect — the hapax long tail is
-    * the bulk of a web-scale vocab but nearly none of its mass, and a
-    * type with freq < minCount contributes < minCount to every pair
-    * count it touches, so merges whose winning pair frequency clears
-    * the floor are unaffected. `maxVocabTypes` is the hard memory
-    * bound: keep only the top-N types by (freq desc, word asc — the
-    * tie order makes the cut deterministic). Driver memory is
-    * O(maxVocabTypes), independent of corpus size. Pass `minCount = 1`
-    * and/or `maxVocabTypes = Int.MaxValue` to disable (tiny fixture
-    * corpora where hapax words matter).
+    * `minCount` (standard practice in BPE trainers) drops word types
+    * rarer than the floor BEFORE the driver collect — the hapax long
+    * tail is the bulk of a web-scale vocab but nearly none of its
+    * mass. Semantics, stated honestly: the merges are DEFINED over the
+    * floored vocabulary, exactly as reference trainers define them
+    * under a vocabulary threshold. The floor is an approximation of
+    * unfloored training, not an invariance: each dropped type
+    * contributes < minCount to any single pair count, but a large
+    * dropped TAIL sharing a pair can move that pair's aggregate count
+    * arbitrarily, so a pathological corpus (say, 10⁶ hapax types all
+    * containing the same bigram) can learn a different merge list than
+    * minCount = 1 would. On natural text the tail's per-pair mass is
+    * negligible and the floored model is the standard one trainers
+    * ship. `maxVocabTypes` is the hard memory bound: keep only the
+    * top-N types by (freq desc, word asc — the tie order makes the cut
+    * deterministic). Driver memory is O(maxVocabTypes), independent of
+    * corpus size. Pass `minCount = 1` and/or
+    * `maxVocabTypes = Int.MaxValue` for unfloored training (tiny
+    * fixture corpora where hapax words matter). NOTE: the round-12
+    * default change (1 → 2) changed learned weights on fixture corpora
+    * with hapax types — q86's rows-only output crossed that semantic
+    * boundary in round 12 (flagged in BASELINE.md).
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {

@@ -215,12 +215,28 @@ object Similarity {
     */
   def assignCluster(emb: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "assignCluster: need at least one centroid")
-    // native fused argmax (plans/ArgmaxCosine): the HOF form this
-    // replaces — array_max(transform(centsLit, struct(cosine, idx)))
-    // — allocated k structs + an array PER ROW, which dominated every
-    // Lloyd iteration at k ≈ 100 (q94 sf1 profile). Semantics are
-    // pinned equivalent case-by-case by VectorExpressionsSpec.
-    call_function("graft_argmax_cos", emb, typedLit(centroids))
+    // native fused argmax (plans/ArgmaxCosine): the HOF form below —
+    // array_max(transform(centsLit, struct(cosine, idx))) — allocated
+    // k structs + an array PER ROW, which dominated every Lloyd
+    // iteration at k ≈ 100 (q94 sf1 profile). Semantics are pinned
+    // equivalent case-by-case by VectorExpressionsSpec. Sessions built
+    // without GraftExtensions (an external consumer's own
+    // SparkSession) keep working: fall back to the pure-Column HOF
+    // form — the pre-round-12 implementation — when the native
+    // function is not registered, instead of failing analysis.
+    val nativeAvailable = org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+      s.sessionState.catalog.isRegisteredFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmax_cos")))
+    if (nativeAvailable)
+      call_function("graft_argmax_cos", emb, typedLit(centroids))
+    else {
+      // pure-Column throughout: VectorFunctions.cosine is the HOF
+      // cosine (bit-identical to the native expression by spec), so
+      // this branch resolves in ANY session, registry or not
+      val scored = transform(typedLit(centroids), (c, ci) =>
+        struct(VectorFunctions.cosine(emb, c).as("cd"), ci.as("cid")))
+      array_max(scored).getField("cid")
+    }
   }
 
   /** Spherical k-means (Lloyd's algorithm, cosine distance): returns the

@@ -122,16 +122,25 @@ object Sketches {
   /** Misra–Gries frequent-items sketch of a column: one aggregation
     * pass with an m-counter buffer per partition (map-side merged), so
     * the shuffle moves ≤ m counters per partition however large the
-    * column's vocabulary. Returns ≤ m rows (item, weight) plus the
-    * sketch's exact decrement total `delta`: true(item) ∈ [weight,
-    * weight + delta], and every item with frequency > delta is
-    * guaranteed present ([[graft.functions.Aggregators.MisraGries]]).
+    * column's vocabulary. Returns (item, weight, delta) rows —
+    * true(item) ∈ [weight, weight + delta], and every item with
+    * frequency > delta is guaranteed present
+    * ([[graft.functions.Aggregators.MisraGries]]).
+    *
+    * The delta column ALWAYS survives: a flat-vocabulary merge cascade
+    * can evict every counter (kept = ∅, delta > 0 — "every item's true
+    * count is ≤ delta"), and a plain explode would drop that row
+    * entirely, making 'sketch gave up' indistinguishable from 'empty
+    * input'. That case surfaces as ONE row with null item/weight
+    * carrying the delta; a truly empty input yields that row with
+    * delta 0. Filter `item IS NOT NULL` for the tabular view;
+    * [[topKExact]] consumes the struct directly.
     */
   def frequentItems(df: DataFrame, c: Column, m: Int): DataFrame = {
     val mg = udaf(graft.functions.Aggregators.MisraGries(m))
     df.select(c.cast("string").as("__it")).where(col("__it").isNotNull)
       .agg(mg(col("__it")).as("s"))
-      .select(explode(col("s.items")).as("it"), col("s.delta").as("delta"))
+      .select(explode_outer(col("s.items")).as("it"), col("s.delta").as("delta"))
       .select(col("it.item").as("item"), col("it.weight").as("weight"), col("delta"))
   }
 

@@ -123,11 +123,14 @@ object ArgmaxCosine {
         na += x * x; i += 1
       }
       if (!(na > 0)) return k - 1
+      // a centroid scores 0.0 here iff its norm is NOT positive — zero
+      // OR NaN (the HOF's `nb > 0` test fails for both); positive-norm
+      // centroids score null and lose to any 0.0
       var best = k - 1
       var c = k - 1
       var found = false
       while (c >= 0 && !found) {
-        if (norms(c) == 0.0) { best = c; found = true }
+        if (!(norms(c) > 0.0)) { best = c; found = true }
         c -= 1
       }
       return best

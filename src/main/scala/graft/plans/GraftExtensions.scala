@@ -119,8 +119,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               case _ => false
             }) =>
           val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          ArgmaxCosine(c,
-            (0 until data.numElements()).map(i => data.getArray(i).toDoubleArray()).toArray)
+          if (data == null) throw new IllegalArgumentException(
+            "graft_argmax_cos: centroid matrix literal must not be NULL")
+          val cents = (0 until data.numElements()).map { i =>
+            if (data.isNullAt(i)) throw new IllegalArgumentException(
+              s"graft_argmax_cos: centroid $i is NULL")
+            data.getArray(i).toDoubleArray()
+          }.toArray
+          ArgmaxCosine(c, cents)
         case _ => throw new IllegalArgumentException(
           "graft_argmax_cos(vec, array(array(...))) takes array<float|double> and a literal centroid matrix")
       }))

@@ -76,6 +76,17 @@ object Xlsx {
       headers.map(r => r.getString(0) -> r.getSeq[String](1)).sortBy(_._1).toSeq
     val header: Seq[String] =
       if (allowMissingColumns) {
+        // union-by-name is ill-defined for a workbook whose header
+        // repeats a name: indexOf would silently read only the FIRST
+        // occurrence's cells and the union would collapse the columns
+        // — refuse loudly instead of dropping data (strict mode keeps
+        // duplicates positionally, so it remains the escape hatch)
+        byPath.foreach { case (p, hh) =>
+          val dups = hh.groupBy(identity).collect { case (c, o) if o.size > 1 => c }
+          require(dups.isEmpty,
+            s"Xlsx.read(allowMissingColumns): $p repeats header name(s) ${dups.mkString(", ")} " +
+              "— by-name union cannot address duplicate columns; read it in strict mode")
+        }
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
         byPath.foreach(_._2.foreach(seen += _))
         seen.toSeq

@@ -154,9 +154,26 @@ class SketchesSpec extends SparkSpec {
     // flat vocabulary, tiny m: the k-th count cannot clear Δ — the
     // operator must REFUSE rather than silently under-rank
     val flat = (1 to 200).flatMap(i => Seq.fill(5)(s"f$i"))
+    val flatDf = rnd.shuffle(flat).toDF("t")
     val ex = intercept[IllegalArgumentException] {
-      Sketches.topKExact(rnd.shuffle(flat).toDF("t"), col("t"), k = 3, m = 8)
+      Sketches.topKExact(flatDf, col("t"), k = 3, m = 8)
     }
     assert(ex.getMessage.contains("Raise m"))
+    // the delta error bound must SURVIVE a total counter wipe-out:
+    // 'sketch gave up' (null item row, delta > 0) is distinguishable
+    // from 'empty input' (delta 0)
+    val wiped = Sketches.frequentItems(flatDf, col("t"), m = 8)
+      .select(col("item"), col("delta")).collect()
+    if (wiped.forall(_.isNullAt(0))) {
+      assert(wiped.length == 1 && wiped.head.getLong(1) > 0L,
+        s"wiped sketch must carry delta: ${wiped.toSeq}")
+    } else {
+      assert(wiped.forall(r => !r.isNullAt(0)) && wiped.head.getLong(1) > 0L)
+    }
+    val emptyIn = Sketches.frequentItems(
+      Seq.empty[String].toDF("t"), col("t"), m = 8)
+      .select(col("item"), col("delta")).collect()
+    assert(emptyIn.length == 1 && emptyIn.head.isNullAt(0)
+      && emptyIn.head.getLong(1) == 0L, s"empty input: ${emptyIn.toSeq}")
   }
 }

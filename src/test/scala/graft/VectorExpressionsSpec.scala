@@ -271,5 +271,16 @@ class VectorExpressionsSpec extends SparkSpec {
       Similarity.assignCluster(col("e"), cents).as("nat"))
       .as[(Integer, Integer)].collect()(0)
     assert(ne._1 == ne._2, s"null element: $ne")
+    // NaN-NORM centroid under a length-mismatched input: the HOF scores
+    // it 0.0 (nb > 0 is false for NaN) while positive-norm centroids
+    // score null — the native mismatch branch must agree (it keys on
+    // !(norm > 0), which catches NaN like zero)
+    val nanCents = Seq(Seq(Double.NaN, 1.0), Seq(1.0, 0.0))
+    val mm = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("e")
+    val nm = mm.select(
+      argmaxHof(col("e"), nanCents).as("hof"),
+      Similarity.assignCluster(col("e"), nanCents).as("nat"))
+      .as[(Integer, Integer)].collect()(0)
+    assert(nm._1 == nm._2 && nm._2 == 0, s"NaN-norm centroid on mismatch: $nm")
   }
 }

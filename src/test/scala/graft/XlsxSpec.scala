@@ -127,6 +127,16 @@ class XlsxSpec extends SparkSpec {
     val back = Xlsx.read(spark, dir.toString, allowMissingColumns = true)
     // union schema in first-seen order over path-sorted files
     assert(back.columns.toSeq == Seq("id", "v", "extra"))
+    // a workbook with a REPEATED header name: by-name union cannot
+    // address the duplicate columns — refuse loudly (indexOf would
+    // silently read only the first occurrence's cells)
+    val dupDir = tmpDir()
+    Xlsx.write(Seq((1L, "a", "b")).toDF("id", "v", "v"), s"$dupDir/dup.xlsx")
+    val dupEx = intercept[IllegalArgumentException](
+      Xlsx.read(spark, dupDir.toString, allowMissingColumns = true))
+    assert(dupEx.getMessage.contains("repeats header name"))
+    // strict mode still reads it positionally (the escape hatch)
+    assert(Xlsx.read(spark, dupDir.toString).columns.count(_ == "v") == 2)
     assert(back.as[(String, String, Option[String])].collect().toSet == Set(
       ("1", "a", Some("x1")),
       ("2", "b", None), // week2 lacks `extra` → null
