@@ -24,6 +24,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
   }
 
+  test("curate is idempotent: re-curating a curated corpus keeps every row") {
+    // the reference's rerun-no-op contract (test.py:203-204) lifted to
+    // the corpus pipeline: a curated corpus is already gated, exactly
+    // deduped, and near-dup free, so running curate() over its
+    // (id, text) projection must keep EXACTLY the same documents — any
+    // loss would mean a gate or dedup stage is not stable on its own
+    // output (e.g. a near-dup threshold that re-flags survivors). Run
+    // on the 500-doc fixture corpus for realistic text, plus the
+    // planted-dup fixture above.
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
+    val planted = Seq(
+      (100001L, base), (100002L, base), (100003L, base + " extra"),
+      (100004L, "too short"),
+      (100005L, (100 to 140).map(i => s"zz$i the").mkString(" ")))
+      .toDF("doc_id", "text")
+    val once = CorpusPipeline.curate(
+      fixture.unionByName(planted), "doc_id", "text", cfg)
+    val ids1 = once.select("doc_id").as[Long].collect().toSet
+    val twice = CorpusPipeline.curate(
+      once.select(col("doc_id"), col("text")), "doc_id", "text", cfg)
+    val ids2 = twice.select("doc_id").as[Long].collect().toSet
+    assert(ids2 == ids1,
+      s"re-curation must be a no-op: lost ${ids1 -- ids2}, gained ${ids2 -- ids1}")
+  }
+
   test("snapshotGate: identical curated output, identical schema, snapshot-backed dedup input") {
     val base = (1 to 30).map(i => s"tok$i the a of").mkString(" ")
     val docs = Seq(
