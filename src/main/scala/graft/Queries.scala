@@ -2178,8 +2178,11 @@ object Queries {
       // design); the algorithm itself is pinned by BpeSpec (expected
       // merges on the classic fixture, determinism under repartition).
       import s.implicits._
+      // minCount = 2 is the production floor, OPT-IN here (the library
+      // default is unfloored — flooring is a semantics choice, ADVICE r12);
+      // this call site keeps the exact r12 training output
       val merges = graft.operators.Bpe.learnMerges(
-        Tables.documents(s, d), "text", 12)
+        Tables.documents(s, d), "text", 12, minCount = 2L)
       merges.zipWithIndex
         .map { case ((a, b, n), i) => (i + 1, a, b, n) }
         .toDF("rank", "sym_a", "sym_b", "weighted_freq")

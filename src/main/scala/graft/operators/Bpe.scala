@@ -24,9 +24,9 @@ import graft.functions.{TextFunctions => TF}
   * collect (see [[learnMerges]]'s `minCount` / `maxVocabTypes`): a
   * noisy 100 TB web corpus has 10⁸–10⁹ distinct token types (URLs,
   * hex hashes, typos), so an unbounded collect would be a multi-GB
-  * driver OOM. With the default floor the driver holds only the
-  * repeated-type vocab (~5M types ≈ 100 MB on real web text, hard cap
-  * `maxVocabTypes` regardless of corpus).
+  * driver OOM. With the opt-in `minCount = 2` floor the driver holds
+  * only the repeated-type vocab (~5M types ≈ 100 MB on real web text,
+  * hard cap `maxVocabTypes` regardless of corpus).
   */
 object Bpe {
 
@@ -51,15 +51,20 @@ object Bpe {
     * ship. `maxVocabTypes` is the hard memory bound: keep only the
     * top-N types by (freq desc, word asc — the tie order makes the cut
     * deterministic). Driver memory is O(maxVocabTypes), independent of
-    * corpus size. Pass `minCount = 1` and/or
-    * `maxVocabTypes = Int.MaxValue` for unfloored training (tiny
-    * fixture corpora where hapax words matter). NOTE: the round-12
-    * default change (1 → 2) changed learned weights on fixture corpora
-    * with hapax types — q86's rows-only output crossed that semantic
-    * boundary in round 12 (flagged in BASELINE.md).
+    * corpus size.
+    *
+    * DEFAULT is `minCount = 1` (no floor): flooring changes training
+    * SEMANTICS, not just cost, so it is opt-in at the call site —
+    * production corpus-scale callers pass `minCount = 2` (q86 does);
+    * the library default never silently drops hapax types on an
+    * existing caller's corpus. (Round 12 briefly shipped a floored
+    * default; reverted round 13 per ADVICE — version note: any caller
+    * that adopted the r12 default must now pass `minCount = 2`.)
+    * `maxVocabTypes` stays defaulted because it is a pure memory
+    * backstop orders of magnitude above any natural repeated vocab.
     */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
+      minCount: Long = 1L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
     import scala.collection.mutable
     // ONE distributed corpus pass: the word-frequency table, floored and
     // capped BEFORE it reaches the driver. Everything after this line is

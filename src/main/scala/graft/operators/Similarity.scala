@@ -213,7 +213,22 @@ object Similarity {
     * deterministic). No join, no shuffle: assigning a 100 TB corpus to k
     * clusters is a map-only stage.
     */
-  def assignCluster(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+  def assignCluster(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    assignCluster(org.apache.spark.sql.SparkSession.getActiveSession, emb, centroids)
+
+  /** [[assignCluster]] resolved against an EXPLICIT session's function
+    * registry. The no-session overload above probes
+    * `SparkSession.getActiveSession`, which in a multi-session app can
+    * be a DIFFERENT session than the one that will analyze the returned
+    * Column — an active session with GraftExtensions plus a target
+    * session without it would emit the native call and fail analysis
+    * downstream (ADVICE r12). Callers that own the target DataFrame
+    * pass `df.sparkSession` here (every in-repo caller does); the
+    * 2-arg overload remains for single-session apps, where active ==
+    * target by construction.
+    */
+  def assignCluster(session: Option[org.apache.spark.sql.SparkSession],
+      emb: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty, "assignCluster: need at least one centroid")
     // native fused argmax (plans/ArgmaxCosine): the HOF form below —
     // array_max(transform(centsLit, struct(cosine, idx))) — allocated
@@ -224,9 +239,8 @@ object Similarity {
     // SparkSession) keep working: fall back to the pure-Column HOF
     // form — the pre-round-12 implementation — when the native
     // function is not registered, instead of failing analysis.
-    val nativeAvailable = org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
-      s.sessionState.catalog.isRegisteredFunction(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_argmax_cos")))
+    val nativeAvailable =
+      session.exists(graft.plans.GraftExtensions.hasFunction(_, "graft_argmax_cos"))
     if (nativeAvailable)
       call_function("graft_argmax_cos", emb, typedLit(centroids))
     else {
@@ -374,7 +388,8 @@ object Similarity {
       var shift = Double.MaxValue
       while (iter < maxIter && shift > tol) {
         val stats = normed
-          .select(assignCluster(col("__e"), cents.map(_.toSeq).toSeq).as("__c"), col("__e"))
+          .select(assignCluster(Some(spark), col("__e"), cents.map(_.toSeq).toSeq).as("__c"),
+            col("__e"))
           .groupBy(col("__c"))
           .agg(sumAgg(col("__e")).as("__s"), count(lit(1)).as("__n"))
           .as[(Int, Seq[Double], Long)].collect()

@@ -100,6 +100,22 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  // case-class equality over the Array[Array[Double]] field is REFERENCE
+  // equality, so two semantically identical invocations never compare
+  // equal — defeating Catalyst canonicalization and common-subexpression
+  // elimination (ADVICE r12; perf only, never correctness). Compare and
+  // hash centroid CONTENT instead.
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgmaxCosine => child == a.child &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], a.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+
   override def prettyName: String = "graft_argmax_cos"
 }
 

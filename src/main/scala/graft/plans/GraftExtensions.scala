@@ -11,6 +11,20 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
   * `SparkSession.builder.withExtensions(new GraftExtensions)` (done by
   * [[graft.Sessions.local]]).
   */
+object GraftExtensions {
+
+  /** Is a graft native function registered in `session`'s catalog?
+    * Operators that prefer a native expression but must keep working in
+    * sessions built WITHOUT GraftExtensions probe with this and fall
+    * back to the pure-Column HOF form. Resolve against the session that
+    * OWNS the target DataFrame (`df.sparkSession`), never
+    * `getActiveSession`, which can be a different session in
+    * multi-session apps (ADVICE r12).
+    */
+  def hasFunction(session: org.apache.spark.sql.SparkSession, name: String): Boolean =
+    session.sessionState.catalog.isRegisteredFunction(FunctionIdentifier(name))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -129,6 +143,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ArgmaxCosine(c, cents)
         case _ => throw new IllegalArgumentException(
           "graft_argmax_cos(vec, array(array(...))) takes array<float|double> and a literal centroid matrix")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_span_mask"),
+      new ExpressionInfo(classOf[SpanMask].getName, "graft_span_mask"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, s, Literal(nn: Int, IntegerType)) => SpanMask(t, s, nn)
+        case _ => throw new IllegalArgumentException(
+          "graft_span_mask(toks, starts, n) takes array<string>, array<int> and a literal window length")
       }))
 
     ext.injectFunction((

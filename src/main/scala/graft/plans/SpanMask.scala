@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Duplicate-span token masking: given a document's token array and the
+  * start positions of its duplicated `n`-token windows, return the
+  * tokens NOT covered by any window, order preserved — the per-document
+  * kernel of span-level dedup
+  * ([[graft.pipeline.CorpusPipeline.removeDuplicateSpans]]).
+  *
+  * Semantically identical to the HOF formulation
+  * {{{
+  * filter(transform(w, (t, i) =>
+  *   when(exists(ds, p => i >= p && i < p + n), null).otherwise(t)),
+  *   x => x.isNotNull)
+  * }}}
+  * but that form evaluates `exists` over the FULL start list for EVERY
+  * token — O(tokens × dup-windows) per document, worst-case quadratic in
+  * document length on boilerplate-heavy docs, and the engine's single
+  * largest CPU sink at scale (sf1: 62 of ~203 stage cpu-s; VERDICT r12).
+  * Here the starts are sorted once per row and a two-pointer sweep walks
+  * tokens and windows together — O(tokens + windows·log windows), the
+  * same monotonic-sweep pattern as [[WinnowMin]] — with full
+  * participation in whole-stage codegen.
+  *
+  * Null semantics, matching the HOF form exactly: a NULL tokens array →
+  * NULL result (`transform`/`filter` propagate it); a NULL starts array
+  * covers NOTHING — `exists(null, …)` is null, `when(null, …)` falls to
+  * the otherwise branch, so every token survives (the production caller
+  * coalesces absent start lists to empty anyway); a null ELEMENT in
+  * `tokens` is dropped whether covered or not (the HOF's `otherwise(t)`
+  * keeps it null and the filter removes it); a null element in `starts`
+  * covers nothing.
+  */
+case class SpanMask(tokens: Expression, starts: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = starts
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if n >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckFailure("graft_span_mask: window length must be >= 1")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_span_mask expects (array<string>, array<int>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullable: Boolean = left.nullable
+
+  // NOT nullSafeEval: only the tokens side is null-intolerant — a null
+  // starts array must behave as an empty one (see null semantics above)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) null
+    else {
+      val s = starts.eval(input)
+      SpanMask.mask(t.asInstanceOf[ArrayData],
+        if (s == null) null else s.asInstanceOf[ArrayData], n)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tGen = tokens.genCode(ctx)
+    val sGen = starts.genCode(ctx)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val javaType = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code = code"""
+      ${tGen.code}
+      boolean ${ev.isNull} = ${tGen.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${sGen.code}
+        ${ev.value} = graft.plans.SpanMask.mask(
+          ${tGen.value}, ${sGen.isNull} ? null : ${sGen.value}, $n);
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, starts = newRight)
+
+  override def prettyName: String = "graft_span_mask"
+}
+
+object SpanMask {
+
+  /** Shared kernel for eval and codegen. `coverEnd` tracks the furthest
+    * exclusive end of any window whose start is ≤ the current token —
+    * starts are sorted, so once the pointer passes a start it can never
+    * matter again, and overlapping windows compose by max().
+    */
+  def mask(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
+    val m = if (starts == null) 0 else starts.numElements()
+    val s = new Array[Int](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      if (!starts.isNullAt(i)) { s(cnt) = starts.getInt(i); cnt += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(s, 0, cnt)
+    val len = toks.numElements()
+    val out = new Array[AnyRef](len)
+    var k = 0
+    var j = 0
+    var coverEnd = Long.MinValue // start + n as Long: no Int overflow
+    i = 0
+    while (i < len) {
+      while (j < cnt && s(j) <= i) {
+        val e = s(j).toLong + n
+        if (e > coverEnd) coverEnd = e
+        j += 1
+      }
+      if (i >= coverEnd && !toks.isNullAt(i)) { out(k) = toks.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+}

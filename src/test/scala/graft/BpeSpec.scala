@@ -11,16 +11,16 @@ class BpeSpec extends SparkSpec {
     // (in every word below), then 'low' once lo exists
     val docs = Seq(
       "low low low lower lower lowest").toDF("text")
-    val merges = Bpe.learnMerges(docs, "text", 3)
+    val merges = Bpe.learnMerges(docs, "text", 3, minCount = 2L)
     assert(merges.head._1 == "l" && merges.head._2 == "o",
       s"first merge must be (l,o): $merges")
     assert(merges(1)._1 == "lo" && merges(1)._2 == "w",
       s"second merge must be (lo,w): $merges")
-    // weighted by word frequency UNDER the default minCount=2 floor:
+    // weighted by word frequency UNDER the opt-in minCount=2 floor:
     // hapax 'lowest' is dropped before the collect, so l+o counts the
-    // 3 'low' + 2 'lower' = 5; with the floor disabled it counts all 6
+    // 3 'low' + 2 'lower' = 5; the (default) unfloored run counts all 6
     assert(merges.head._3 == 5L)
-    val unfloored = Bpe.learnMerges(docs, "text", 3, minCount = 1L)
+    val unfloored = Bpe.learnMerges(docs, "text", 3)
     assert(unfloored.head == ("l", "o", 6L))
   }
 
@@ -28,8 +28,8 @@ class BpeSpec extends SparkSpec {
     // every word type occurs >= 2 times, so the floor drops nothing and
     // floored == unfloored exactly (pairs AND weighted counts)
     val docs = Seq("low low low lower lower lowest lowest newest newest").toDF("text")
-    val floored = Bpe.learnMerges(docs, "text", 8) // default minCount = 2
-    val unfloored = Bpe.learnMerges(docs, "text", 8, minCount = 1L)
+    val floored = Bpe.learnMerges(docs, "text", 8, minCount = 2L)
+    val unfloored = Bpe.learnMerges(docs, "text", 8) // default: no floor
     assert(floored == unfloored)
     assert(floored.nonEmpty)
   }

@@ -15,10 +15,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class CoverageManifestSpec extends AnyFunSuite {
 
   private val root = {
-    // sbt runs tests with cwd = project root; keep a fallback for IDEs
-    val cwd = new java.io.File(".").getCanonicalFile
-    if (new java.io.File(cwd, "coverage.json").exists()) cwd
-    else new java.io.File("/root/repo")
+    // sbt runs tests with cwd = project root; for IDE/forked runs walk
+    // UP from cwd to the nearest directory holding build.sbt — never a
+    // hardcoded absolute path, which would pin the spec to one machine's
+    // checkout location (ADVICE r12)
+    @scala.annotation.tailrec
+    def ascend(d: java.io.File): java.io.File =
+      if (new java.io.File(d, "build.sbt").exists() || d.getParentFile == null) d
+      else ascend(d.getParentFile)
+    ascend(new java.io.File(".").getCanonicalFile)
   }
 
   private lazy val components: Seq[(String, Seq[String], Seq[String], Seq[String])] = {

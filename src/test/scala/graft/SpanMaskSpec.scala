@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the native duplicate-span mask (plans/SpanMask,
+  * `graft_span_mask`) EXACTLY equivalent to the HOF formulation it
+  * replaced in [[graft.pipeline.CorpusPipeline.removeDuplicateSpans]]
+  * — randomized overlap cases plus every edge the sweep must handle.
+  */
+class SpanMaskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hof(n: Int) =
+    filter(
+      transform(col("w"), (t, i) =>
+        when(exists(col("ds"), p => i >= p && i < p + lit(n)),
+          lit(null).cast("string")).otherwise(t)),
+      _.isNotNull)
+
+  private def native(n: Int) =
+    call_function("graft_span_mask", col("w"), col("ds"), lit(n))
+
+  private def assertParity(rows: Seq[(Seq[String], Seq[Int])], n: Int): Unit = {
+    val df = rows.toDF("w", "ds")
+    val mismatch = df
+      .select(hof(n).as("h"), native(n).as("g"))
+      .filter(not(col("h") <=> col("g")))
+      .count()
+    assert(mismatch == 0, s"native != HOF for n=$n on ${rows.size} rows")
+  }
+
+  test("edge cases: empty/disjoint/overlapping/duplicate/tail/out-of-range starts") {
+    val toks = (0 until 12).map(i => s"t$i")
+    val cases = Seq[(Seq[String], Seq[Int])](
+      (toks, Seq.empty[Int]),                    // no dup windows
+      (Seq.empty[String], Seq(0, 3)),            // empty doc, windows anyway
+      (toks, Seq(0)),                            // head window
+      (toks, Seq(9)),                            // tail window (runs past end)
+      (toks, Seq(11)),                           // window of the last token
+      (toks, Seq(20)),                           // start beyond the doc
+      (toks, Seq(2, 4)),                         // overlapping windows
+      (toks, Seq(2, 2, 2)),                      // duplicate starts
+      (toks, Seq(0, 3, 6, 9)),                   // back-to-back coverage
+      (toks, (0 until 12)),                      // every position covered
+      (toks, Seq(7, 1, 4))                       // unsorted input
+    )
+    assertParity(cases, 3)
+    assertParity(cases, 1)
+    assertParity(cases, 50) // window longer than any doc
+  }
+
+  test("null tokens are dropped by both forms, covered or not") {
+    val rows = Seq[(Seq[String], Seq[Int])](
+      (Seq("a", null, "b", null, "c"), Seq(1)),
+      (Seq(null, null), Seq.empty[Int]),
+      (Seq("a", null, "b"), Seq(0, 1, 2)))
+    assertParity(rows, 2)
+  }
+
+  test("null arrays propagate like the HOF form") {
+    val df = Seq((Option(Seq("a", "b")), Option.empty[Seq[Int]]),
+      (Option.empty[Seq[String]], Option(Seq(1))))
+      .toDF("w", "ds")
+    val out = df.select(hof(2).as("h"), native(2).as("g"))
+      .filter(not(col("h") <=> col("g"))).count()
+    assert(out == 0)
+    // null TOKENS → null result; null STARTS → tokens pass through
+    val rows = df.select(col("w"), native(2).as("g")).orderBy(col("w").isNull).collect()
+    assert(rows(0).getSeq[String](1) == Seq("a", "b")) // w present, ds null
+    assert(rows(1).isNullAt(1))                        // w null
+  }
+
+  test("randomized parity: 300 documents with random overlap structure") {
+    val rnd = new scala.util.Random(1307L)
+    val rows = (0 until 300).map { _ =>
+      val len = rnd.nextInt(40)
+      val toks = (0 until len).map(i => s"w${rnd.nextInt(8)}_$i": String)
+      val nStarts = rnd.nextInt(10)
+      // starts drawn past the end on purpose (ragged tail windows)
+      val starts = (0 until nStarts).map(_ => rnd.nextInt(len + 4))
+      (toks, starts)
+    }
+    for (n <- Seq(1, 2, 3, 5)) assertParity(rows, n)
+  }
+
+  test("removeDuplicateSpans end-to-end still removes cross-doc spans") {
+    // two docs sharing a 3-token span + one clean doc: the shared span
+    // vanishes from both carriers, the clean doc is untouched
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 unique2"),
+      (2L, "prefix alpha beta gamma delta tail"),
+      (3L, "totally different content here")).toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusPipeline
+      .removeDuplicateSpans(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect()
+    // doc 3: nothing removed
+    assert(out(2).getAs[Long]("n_removed") == 0L)
+    // docs 1 and 2: the shared window's tokens are gone
+    val kept1 = out(0).getSeq[String](out(0).fieldIndex("kept_units"))
+    assert(!kept1.contains("alpha") && kept1.contains("unique1"))
+    assert(out(0).getAs[Long]("n_removed") > 0L)
+    assert(out(1).getAs[Long]("n_removed") > 0L)
+  }
+}
