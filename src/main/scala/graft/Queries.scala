@@ -2759,6 +2759,141 @@ object Queries {
       FROM s, range(10) r
       ORDER BY n DESC, user_id LIMIT 10"""))
 
+  // ---- oracle twins for the sketch-signature family (round 13) ----
+  // q32/q33/q34 stay rows-only by necessity: their production values
+  // derive from xxhash64 / seeded hyperplanes, which DuckDB cannot
+  // compute. These twins run the SAME machinery with the one
+  // non-replayable ingredient swapped for a DuckDB-replayable
+  // equivalent — the q95/q87 pattern — so the plumbing itself gets a
+  // full hash oracle while production keeps xxhash64.
+
+  private val q98 = Q(
+    "q98_minhash_bands_sha",
+    (s, d) => {
+      // q32's twin: the MinHash + banding PLUMBING (distinct shingles →
+      // min per permutation → sentinel on empty → band slicing → key
+      // hash) through the SAME generic entry points production uses
+      // (HF.minHashGeneric / HF.bandKeyWith — bandKey IS bandKeyWith
+      // with xxhash64), permuting and keying with Sketches.sha60
+      // (sha-256 prefix) instead of xxhash64. Every band key value is
+      // replayed by DuckDB from the raw text.
+      val k = 8; val bands = 4; val rpb = 2
+      val Sk = graft.operators.Sketches
+      val toks = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 3)
+      val grams = toks.select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          concat(element_at(col("toks"), i), lit("\u001f"),
+            element_at(col("toks"), i + 1), lit("\u001f"),
+            element_at(col("toks"), i + 2)))).as("grams"))
+      val gh = grams.select(col("doc_id"),
+        transform(col("grams"), g => Sk.sha60(g)).as("gh"))
+      val sig = gh.select(col("doc_id"),
+        HF.minHashGeneric(col("gh"), k,
+          (i, h) => Sk.sha60(concat(lit(s"$i:"), h.cast("string")))).as("sig"))
+      sig.select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            HF.bandKeyWith(col("sig"), b, rpb, cols =>
+              Sk.sha60(concat_ws(",", cols.map(_.cast("string")): _*)))
+              .as("band_key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+        .orderBy(col("doc_id"), col("band"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(toks) - 1),
+          i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))) AS gram
+        FROM tf),
+      gh AS (SELECT doc_id,
+          CAST(('0x' || substr(sha256(gram), 1, 15)) AS BIGINT) AS h FROM g),
+      perm AS (SELECT doc_id, i,
+          min(CAST(('0x' || substr(sha256(
+            CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+        FROM gh CROSS JOIN range(8) r(i) GROUP BY doc_id, i),
+      sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM perm GROUP BY doc_id),
+      b AS (SELECT doc_id, unnest(range(4)) AS band, s FROM sig)
+      SELECT doc_id, CAST(band AS INT) AS band,
+        CAST(('0x' || substr(sha256(
+          CAST(band AS VARCHAR) || ',' ||
+          CAST(s[band*2 + 1] AS VARCHAR) || ',' ||
+          CAST(s[band*2 + 2] AS VARCHAR)), 1, 15)) AS BIGINT) AS band_key
+      FROM b ORDER BY doc_id, band"""))
+
+  private val q99 = Q(
+    "q99_simhash_sha",
+    (s, d) => {
+      // q33's twin: the SimHash bit-vote/pack plumbing — per-token hash
+      // multiset → ±1 vote per bit → sign → packed signature → chunk
+      // slicing — through the SAME HOF entry points the native
+      // graft_simhash is spec-pinned bit-identical to
+      // (HF.simHashFromHashesHof / HF.simHashChunk), over sha60 token
+      // hashes so DuckDB replays every signature and chunk value.
+      val bits = 16; val chunks = 4
+      val Sk = graft.operators.Sketches
+      val th = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), transform(col("toks"), t => Sk.sha60(t)).as("th"))
+      th.select(col("doc_id"), HF.simHashFromHashesHof(col("th"), bits).as("simhash"))
+        .select(col("doc_id") +: col("simhash") +:
+          (0 until chunks).map(c =>
+            HF.simHashChunk(col("simhash"), c, bits, chunks).as(s"chunk_$c")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT doc_id,
+          CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      v AS (SELECT doc_id, j,
+          CASE WHEN SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+        FROM h CROSS JOIN range(16) r(j) GROUP BY doc_id, j),
+      s AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM v GROUP BY doc_id)
+      SELECT doc_id, simhash,
+        CAST((simhash >> 0) & 15 AS BIGINT) AS chunk_0,
+        CAST((simhash >> 4) & 15 AS BIGINT) AS chunk_1,
+        CAST((simhash >> 8) & 15 AS BIGINT) AS chunk_2,
+        CAST((simhash >> 12) & 15 AS BIGINT) AS chunk_3
+      FROM s ORDER BY doc_id"""))
+
+  private val q100 = Q(
+    "q100_lsh_ann_planted",
+    (s, d) => {
+      // q34's twin: the FULL lshCosineTopK operator (hyperplane
+      // signatures on both sides, per-table explode, (table, sig)
+      // candidate equi-join, dedup, exact cosine re-rank, native TopK)
+      // with its one probabilistic degree of freedom — LSH recall —
+      // pinned shut by the q94 trick: queries are ×2 copies of every
+      // 5th corpus vector. Doubling is EXACT in float, so sign(dot) is
+      // preserved for every hyperplane → the copy collides with its
+      // source in EVERY table (candidacy guaranteed, not
+      // probabilistic), and the rank-1 neighbor at k=1 is the source at
+      // cosine 1.0 (fixture max natural off-diagonal cosine ~0.60;
+      // 1 ± 1 ulp rounds to 1.0 at 6 decimals). Sub-1.0 recall stays
+      // spec-verified (SimilaritySpec's recall ≥ 0.8 bound).
+      val emb = Tables.embeddings(s, d)
+      val offset = plantedIdOffset(emb, "vec_id")
+      val planted = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(offset))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      Similarity.lshCosineTopK(
+          emb, "vec_id", "embedding", planted, "vec_id", "embedding",
+          k = 1, dim = 64, tables = 6, bitsPerTable = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM embeddings WHERE vec_id % 5 = 0 ORDER BY query_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2768,5 +2903,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -83,12 +83,22 @@ object HashFunctions {
   /** The original HOF formulation, kept as the independent reference the
     * equivalence spec checks the native expression against.
     */
-  def minHashFromHashesHof(hashes: Column, k: Int): Column = {
-    val cols: Seq[Column] = (0 until k).map { i =>
-      coalesce(array_min(transform(hashes, h => xxhash64(lit(i), h))), lit(Long.MaxValue))
-    }
-    array(cols: _*)
-  }
+  def minHashFromHashesHof(hashes: Column, k: Int): Column =
+    minHashGeneric(hashes, k, (i, h) => xxhash64(lit(i), h))
+
+  /** The MinHash PLUMBING — min over each of k permutations of the
+    * hashed item set, empty set → the all-MaxValue sentinel — with the
+    * permutation function pluggable. Production permutes with xxhash64
+    * ([[minHashFromHashesHof]], and the fused native [[graft.plans
+    * .MinHashSig]] pinned bit-identical to it by spec); the
+    * DuckDB-replayable oracle twin (q98) permutes with a sha-256-prefix
+    * hash so this exact structure gets a full SQL hash oracle —
+    * xxhash64 itself is the one piece DuckDB cannot replay.
+    */
+  def minHashGeneric(hashes: Column, k: Int, perm: (Int, Column) => Column): Column =
+    array((0 until k).map { i =>
+      coalesce(array_min(transform(hashes, h => perm(i, h))), lit(Long.MaxValue))
+    }: _*)
 
   /** LSH band key: hash of rows `[band*rowsPerBand, (band+1)*rowsPerBand)`
     * of the signature. Two docs whose signatures agree on every row of a
@@ -101,9 +111,18 @@ object HashFunctions {
     * row through an interpreted `transform`).
     */
   def bandKey(signature: Column, band: Int, rowsPerBand: Int): Column =
-    xxhash64(
+    bandKeyWith(signature, band, rowsPerBand, cols => xxhash64(cols: _*))
+
+  /** The banding PLUMBING — band/width slicing of the signature into the
+    * key tuple — with the key hash pluggable. Production hashes with
+    * xxhash64 ([[bandKey]]); the oracle twin (q98) hashes the same tuple
+    * with a sha-256 prefix so the slicing structure is SQL-replayable.
+    */
+  def bandKeyWith(signature: Column, band: Int, rowsPerBand: Int,
+      hasher: Seq[Column] => Column): Column =
+    hasher(
       lit(band) +: (0 until rowsPerBand).map(r =>
-        element_at(signature, band * rowsPerBand + r + 1)): _*)
+        element_at(signature, band * rowsPerBand + r + 1)))
 
   /** SimHash of a token-array column, packed into a Long with `bits`
     * significant bits (bit j = sign of the sum over tokens of ±1 driven by
