@@ -207,6 +207,57 @@ object Dedup {
     batch.join(matches, batch(idCol) === matches("b_id"), "left").drop("b_id")
   }
 
+  /** Compaction for the accumulated signature STATE of
+    * [[minHashNearDuplicatesVsState]] — without it the state table
+    * grows monotonically forever (every run appends the survivors'
+    * signatures), which is unbounded at a years-long 100 TB crawl
+    * cadence even though each row is only k×8 bytes. Rewrites
+    * `stateDir` in place (checked two-rename swap + crash recovery via
+    * [[graft.sources.Compaction.rewriteParquetDir]], sized to
+    * `targetBytes` files) keeping:
+    *
+    *   - ONE row per `idCol`: the max-`versionCol` row when a version
+    *     column is present (keep-latest — a re-signed document's stale
+    *     signature stops matching, which is the intended semantics:
+    *     state describes the CURRENT kept corpus). Without a version
+    *     column only EXACT duplicate rows (byte-identical re-appends)
+    *     are collapsed — keep-latest is undefined when nothing orders
+    *     the duplicates, and guessing would drop live signatures
+    *     nondeterministically.
+    *   - only rows passing `retain` (optional retention predicate —
+    *     e.g. `col("seen_at") > cutoff` for a sliding-window dedup
+    *     policy), applied AFTER keep-latest so the latest row decides
+    *     retention.
+    *
+    * Returns (rowsBefore, rowsAfter). Detection parity: compacting a
+    * state whose duplicates are redundant (identical signatures, or
+    * superseded versions of unchanged docs) leaves
+    * minHashNearDuplicatesVsState's verdicts unchanged — DedupSpec pins
+    * this plus the rerun-no-op property (compacting a compacted state
+    * keeps every row). Same single-writer contract as all state
+    * maintenance here.
+    */
+  def compactSignatureState(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      idCol: String,
+      versionCol: Option[String] = None,
+      retain: Option[Column] = None,
+      targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
+      val latest = versionCol match {
+        case Some(v) =>
+          // max_by keeps whole rows; ties on the version break by the
+          // full row struct (total because rows compare field-wise)
+          df.groupBy(col(idCol))
+            .agg(max_by(struct(df.columns.map(df(_)): _*),
+              struct(col(v), struct(df.columns.map(df(_)): _*))).as("__r"))
+            .select(col("__r.*"))
+        case None => df.distinct()
+      }
+      retain.fold(latest)(latest.filter)
+    }
+
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Blocking by
     * signature chunk (pigeonhole: distance < chunks ⇒ some chunk equal)
     * keeps this an equi-join too.

@@ -36,42 +36,33 @@ object Compaction {
       .map(s => (s.getPath.toString, s.getLen))
   }
 
-  /** Rewrite `dir` into ~`targetBytes` files when it is fragmented
-    * (more files than the byte-optimal count). Returns
-    * (filesBefore, filesAfter); no-op (and no rewrite job) when the
-    * directory is already within budget.
+  /** Crash recovery preamble: a previous run that died between
+    * rename(dir, old) and rename(tmp, dir) leaves the live directory
+    * absent with every byte parked under `__compact_old` — restore it
+    * before proceeding so the rerun compacts instead of failing the
+    * read.
     */
-  def compactParquetDir(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20): (Int, Int) = {
-    // crash recovery: a previous run that died between rename(dir, old)
-    // and rename(tmp, dir) leaves the live directory absent with every
-    // byte parked under __compact_old — restore it before proceeding so
-    // the rerun compacts instead of failing the read
-    locally {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val old = new Path(dir + "__compact_old")
-      if (!fs.exists(p) && fs.exists(old))
-        require(fs.rename(old, p),
-          s"compactParquetDir: crash recovery rename $old -> $p failed")
-    }
-    val before = dataFiles(spark, dir)
-    if (before.isEmpty) return (0, 0)
-    val totalBytes = before.map(_._2).sum
-    val wantFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (before.size <= wantFiles) return (before.size, before.size)
+  private def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "__compact_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p),
+        s"compactParquetDir: crash recovery rename $old -> $p failed")
+  }
 
+  /** Swap `dir + "__compact_tmp"` (already written) into `dir` with a
+    * checked two-rename protocol instead of delete+rename: HadoopFS
+    * returns FALSE rather than throwing on many failures, and an
+    * unchecked delete+rename that half-succeeds silently loses the
+    * directory (data would sit only in the tmp dir while the caller
+    * reports success). Keeping the original under `__compact_old` until
+    * the swap lands also gives a rollback path.
+    */
+  private def swapTmpIntoPlace(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__compact_tmp")
-    spark.read.parquet(dir).repartition(wantFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // checked two-rename swap instead of delete+rename: HadoopFS returns
-    // FALSE rather than throwing on many failures, and an unchecked
-    // delete+rename that half-succeeds silently loses the directory (data
-    // would sit only in the tmp dir while this method reports success).
-    // Keeping the original under __compact_old until the swap lands also
-    // gives a rollback path.
     val old = new Path(dir + "__compact_old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(p, old), s"compactParquetDir: could not move $p aside to $old")
@@ -82,6 +73,66 @@ object Compaction {
           (if (back) " (original restored)" else s" AND rollback failed — data is at $old"))
     }
     fs.delete(old, true)
+  }
+
+  /** Rewrite `dir` into ~`targetBytes` files when it is fragmented
+    * (more files than the byte-optimal count). Returns
+    * (filesBefore, filesAfter); no-op (and no rewrite job) when the
+    * directory is already within budget.
+    */
+  def compactParquetDir(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    recoverCrashedSwap(spark, dir)
+    val before = dataFiles(spark, dir)
+    if (before.isEmpty) return (0, 0)
+    val totalBytes = before.map(_._2).sum
+    val wantFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (before.size <= wantFiles) return (before.size, before.size)
+
+    spark.read.parquet(dir).repartition(wantFiles)
+      .write.mode("overwrite").parquet(dir + "__compact_tmp")
+    swapTmpIntoPlace(spark, dir)
     (before.size, dataFiles(spark, dir).size)
+  }
+
+  /** Rewrite the ROWS of a parquet directory through `transform` and
+    * swap the result into place under the same checked two-rename
+    * protocol (same crash-recovery preamble, same `__compact_old`
+    * rollback window) — the primitive behind state-table compaction
+    * ([[graft.operators.Dedup.compactSignatureState]]), where the
+    * rewrite drops rows (keep-latest, retention) rather than merely
+    * re-bucketing files. Output file count is sized from the input
+    * bytes scaled by the row survival ratio, so a 90%-dropped state
+    * lands in proportionally fewer `targetBytes` files. Returns
+    * (rowsBefore, rowsAfter); `(0, 0)` without a write when the
+    * directory is absent or empty.
+    *
+    * Same single-writer contract as compactParquetDir: run inside the
+    * ingest's existing single-writer window.
+    */
+  def rewriteParquetDir(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20)(transform: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame): (Long, Long) = {
+    recoverCrashedSwap(spark, dir)
+    val files = dataFiles(spark, dir)
+    if (files.isEmpty) return (0L, 0L)
+    val input = spark.read.parquet(dir)
+    // persist: three actions follow (two counts + the write), all over
+    // the transformed rows; the cache is released before the swap so no
+    // live plan holds the OLD directory's file listing
+    val out = transform(input).persist()
+    val result =
+      try {
+        val rowsBefore = input.count()
+        val rowsAfter = out.count()
+        val keepRatio = if (rowsBefore == 0) 1.0 else rowsAfter.toDouble / rowsBefore
+        val outBytes = (files.map(_._2).sum * keepRatio).toLong
+        val wantFiles = math.max(1, math.ceil(outBytes.toDouble / targetBytes).toInt)
+        out.repartition(wantFiles)
+          .write.mode("overwrite").parquet(dir + "__compact_tmp")
+        (rowsBefore, rowsAfter)
+      } finally out.unpersist(blocking = false)
+    swapTmpIntoPlace(spark, dir)
+    result
   }
 }

@@ -106,6 +106,68 @@ class DedupSpec extends SparkSpec {
       s"short docs must not match the state's short doc: $got")
   }
 
+  test("compactSignatureState: detect-parity, keep-latest, retention, rerun no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstate").toString + "/state"
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (50 to 90).map(i => s"yy$i").mkString(" ")
+    val stateDocs = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    def sigs(docs: org.apache.spark.sql.DataFrame, batchId: Long) =
+      Dedup.minHashSignatures(docs, "doc_id", "text", shingleSize = 2, numHashes = 32)
+        .withColumn("batch_id", lit(batchId))
+    // three redundant appends: run 1 full, run 2 re-appends doc 1
+    // UNCHANGED (identical sig, bumped version), run 3 re-appends both
+    sigs(stateDocs, 1L).write.mode("append").parquet(dir)
+    sigs(stateDocs.filter(col("doc_id") === 1L), 2L).write.mode("append").parquet(dir)
+    sigs(stateDocs, 3L).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 5)
+
+    val batch = Seq((10L, base), (11L, (200 to 240).map(i => s"qq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def verdicts(state: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashNearDuplicatesVsState(batch, "doc_id", "text", state,
+        shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), col("dup_of"), col("est_jaccard"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1.0 else r.getDouble(2))).sortBy(_._1).toSeq
+
+    val before = verdicts(spark.read.parquet(dir))
+    val (b1, a1) = Dedup.compactSignatureState(spark, dir, "doc_id",
+      versionCol = Some("batch_id"))
+    assert(b1 == 5 && a1 == 2, s"keep-latest must leave one row per doc: $b1 -> $a1")
+    val compacted = spark.read.parquet(dir)
+    // latest version won
+    assert(compacted.select(min(col("batch_id"))).head().getLong(0) == 3L)
+    // DETECTION PARITY: redundant duplicates removed, verdicts unchanged
+    assert(verdicts(compacted) == before)
+
+    // rerun no-op: compacting a compacted state keeps every row
+    val (b2, a2) = Dedup.compactSignatureState(spark, dir, "doc_id",
+      versionCol = Some("batch_id"))
+    assert(b2 == 2 && a2 == 2)
+
+    // retention predicate drops doc 2's signature; doc 1 still detected
+    val (_, a3) = Dedup.compactSignatureState(spark, dir, "doc_id",
+      versionCol = Some("batch_id"), retain = Some(col("doc_id") =!= 2L))
+    assert(a3 == 1)
+    assert(verdicts(spark.read.parquet(dir)).map(v => v._1 -> v._2) ==
+      Seq(10L -> 1L, 11L -> -1L))
+  }
+
+  test("compactSignatureState without a version column collapses exact re-appends only") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstate2").toString + "/state"
+    val docs = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val s = Dedup.minHashSignatures(docs, "doc_id", "text", 2, 16)
+    s.write.mode("append").parquet(dir)
+    s.write.mode("append").parquet(dir) // byte-identical re-append
+    // a CHANGED doc 1 lands a second, different signature — no version
+    // column orders the two, so BOTH must survive (nothing guessed)
+    Dedup.minHashSignatures(Seq((1L, "a b c d e CHANGED")).toDF("doc_id", "text"),
+      "doc_id", "text", 2, 16).write.mode("append").parquet(dir)
+    val (before, after) = Dedup.compactSignatureState(spark, dir, "doc_id")
+    assert(before == 5 && after == 3, s"exact dups only: $before -> $after")
+  }
+
   test("simhash near-dup: identical docs distance 0; different docs filtered") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, a), (2L, a), (3L, "completely different words entirely")).toDF("doc_id", "text")
