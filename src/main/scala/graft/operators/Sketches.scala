@@ -117,6 +117,32 @@ object Sketches {
   def hllEstimate(state: DataFrame, alias: String = "distinct_est"): DataFrame =
     state.withColumn(alias, hll_sketch_estimate(col("hll_state")))
 
+  /** Merge-read an APPEND-ONLY HLL state directory (the layout
+    * [[graft.streaming.StreamOps.hllDistinctStream]] maintains: one
+    * delta sketch row per key per micro-batch) down to one estimate per
+    * key. Duplicate delta rows — at-least-once redelivery upstream —
+    * cannot inflate the estimate: the union is a per-key register max.
+    */
+  def hllStateEstimates(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCols: Seq[String]): DataFrame =
+    hllEstimate(hllMergeStates(keyCols, spark.read.parquet(stateDir)))
+
+  /** Compact an append-only HLL state directory to ONE merged sketch
+    * row per key, in place (checked two-rename swap + crash recovery,
+    * [[graft.sources.Compaction.rewriteParquetDir]]). Append-only state
+    * grows one sketch-row per key per run forever; the merged row is
+    * the same register state the read path would compute, so estimates
+    * are unchanged up to the documented merge-order jitter (read via
+    * error bounds, never estimate equality). Returns
+    * (rowsBefore, rowsAfter). Single-writer contract: do not run while
+    * a stream is mid-append.
+    */
+  def compactHllState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCols: Seq[String],
+      targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
+      df => hllMergeStates(keyCols, df))
+
   // --------------------------------------------------- heavy hitters
 
   /** Misra–Gries frequent-items sketch of a column: one aggregation

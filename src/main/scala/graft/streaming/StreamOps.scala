@@ -50,6 +50,47 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("wstart"), col(keyCol), col("n"), col("sum_value"))
 
+  /** Incremental per-key DISTINCT accounting as an `AvailableNow`
+    * stream — the reference's incremental-by-rerun contract
+    * (`test.py:99-111`: keep state, process only the delta) applied to
+    * distinct counting. Each invocation reads only files the checkpoint
+    * has not seen, sketches JUST that delta into per-key HLL rows
+    * ([[graft.operators.Sketches.hllDistinctState]]), and APPENDS them
+    * to `stateDir`; "distinct all-time" is a register-max merge over
+    * the state ([[graft.operators.Sketches.hllStateEstimates]]) —
+    * history is never rescanned, state is ~2^lgK bytes per key per run
+    * until [[graft.operators.Sketches.compactHllState]] folds it to one
+    * row per key.
+    *
+    * Failure semantics: `foreachBatch` is at-least-once — a batch that
+    * dies after its append re-runs and appends its delta sketch AGAIN.
+    * That is SAFE here by construction: the read path's union is a
+    * per-key register max, so a duplicated delta is a no-op on the
+    * estimate (the q96 redelivery property; StreamingSpec proves the
+    * differential vs batch under exactly this double-append).
+    */
+  def hllDistinctStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String],
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      lgK: Int = 12): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    in.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Sketches
+          .hllDistinctState(batch, keyCols, col(valueCol), lgK)
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

@@ -381,6 +381,73 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
+  test("streaming HLL state: delta-only sketching, redelivery no-op, differential vs batch, compaction") {
+    val base = Files.createTempDirectory("hllstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val Sk = graft.operators.Sketches
+    def run(): Unit = StreamOps.hllDistinctStream(
+      spark, inDir, schema, Seq("k"), "v", stDir, ckDir, lgK = 12).awaitTermination()
+    def estimates(): Map[String, Double] =
+      Sk.hllStateEstimates(spark, stDir, Seq("k"))
+        .select("k", "distinct_est").as[(String, Double)].collect().toMap
+    // run 1: two keys, values 0..499 (a) and 0..99 (b, overlapping ids on
+    // purpose — distinct is per key)
+    val batch1 = (0L until 500L).map(v => ("a", v)) ++ (0L until 100L).map(v => ("b", v))
+    batch1.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+    val afterRun1 = spark.read.parquet(stDir).count()
+    assert(afterRun1 == 2, s"one delta sketch row per key: $afterRun1")
+
+    // run 2 with NOTHING new: checkpoint yields no batch → state untouched
+    run()
+    assert(spark.read.parquet(stDir).count() == afterRun1, "no-op rerun must not append")
+
+    // run 3: delta adds 500..749 to a (250 new) and re-sends 0..99 of b
+    // (all already seen — a full redelivery-shaped overlap)
+    val batch2 = (500L until 750L).map(v => ("a", v)) ++ (0L until 100L).map(v => ("b", v))
+    batch2.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(stDir).count() == 4)
+
+    // error-bound read (the q96 idiom: NEVER estimate equality; rsd at
+    // lgK=12 is ~1.6%, bound with slack for merge-order jitter)
+    val est = estimates()
+    assert(math.abs(est("a") - 750.0) / 750.0 < 0.10, s"a: $est")
+    assert(math.abs(est("b") - 100.0) / 100.0 < 0.10, s"b: $est")
+
+    // differential vs BATCH: one-shot state over all data reads inside
+    // the same bound; the streamed merge must land within a tight
+    // relative gap of it (register-level agreement, modulo the
+    // documented HIP jitter)
+    val batchEst = Sk.hllEstimate(Sk.hllDistinctState(
+        (batch1 ++ batch2).toDF("k", "v"), Seq("k"), col("v"), 12))
+      .select("k", "distinct_est").as[(String, Double)].collect().toMap
+    for (k <- Seq("a", "b"))
+      assert(math.abs(est(k) - batchEst(k)) / batchEst(k) < 0.02,
+        s"stream vs batch $k: $est vs $batchEst")
+
+    // redelivery no-op on the ESTIMATE: duplicate an entire delta file
+    // append (at-least-once foreachBatch) — register max absorbs it
+    val snapshot = estimates()
+    spark.read.parquet(stDir).limit(2).write.mode("append").parquet(stDir)
+    val redelivered = estimates()
+    for (k <- Seq("a", "b"))
+      assert(math.abs(redelivered(k) - snapshot(k)) / snapshot(k) < 0.005,
+        s"redelivered delta must not move the estimate: $snapshot vs $redelivered")
+
+    // compaction folds to one row per key; estimates stay inside bound
+    val (b0, a0) = Sk.compactHllState(spark, stDir, Seq("k"))
+    assert(b0 == 6 && a0 == 2, s"compaction: $b0 -> $a0")
+    val compacted = estimates()
+    for (k <- Seq("a", "b"))
+      assert(math.abs(compacted(k) - snapshot(k)) / snapshot(k) < 0.01,
+        s"compaction must preserve estimates: $snapshot vs $compacted")
+  }
+
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
     val base = Files.createTempDirectory("upstream").toString
     val inDir = s"$base/in"; val ckDir = s"$base/ck"
