@@ -168,6 +168,49 @@ class DedupSpec extends SparkSpec {
     assert(before == 5 && after == 3, s"exact dups only: $before -> $after")
   }
 
+  test("signature-agreement estimate: 150-seed Chernoff envelope at controlled jaccard") {
+    // q75's estimate path (matching minhash positions / k) has no SQL
+    // oracle — natural pairs at jaccard j agree on all 32 positions only
+    // with probability j^32 (memory: ~0.38 at j=0.97), so estimate
+    // values are not SQL-predictable. It IS bound-testable: for shingle
+    // sets with EXACT jaccard j, each signature position agrees with
+    // probability j independently (k-permutation minhash), so over N
+    // seeds the mean agreement is j ± z·√(j(1−j)/(32N)) and the
+    // full-agreement rate is j^32 ± z·√(j^32(1−j^32)/N). z = 4.5 keeps
+    // the false-alarm odds ~1e-5 per bound; the draw is deterministic
+    // (xxhash64), so this either holds or flags a real estimator bug.
+    import graft.functions.{HashFunctions => HF}
+    val n = 150
+    // (targetJaccard, shared, perSideOnly): j = s / (s + 2x) exactly
+    val designs = Seq((0.5, 40, 20), (0.8, 80, 10), (0.97, 194, 3))
+    for ((j, s, x) <- designs) {
+      val rows = (1 to n).map { seed =>
+        val shared = (0 until s).map(i => s"sh${seed}_$i")
+        val ta = shared ++ (0 until x).map(i => s"a${seed}_$i")
+        val tb = shared ++ (0 until x).map(i => s"b${seed}_$i")
+        (seed, ta, tb)
+      }
+      val agreements = rows.toDF("seed", "ta", "tb")
+        .select(
+          HF.minHashFromHashes(HF.hashShingles(col("ta")), 32).as("sa"),
+          HF.minHashFromHashes(HF.hashShingles(col("tb")), 32).as("sb"))
+        .select((aggregate(
+          zip_with(col("sa"), col("sb"), (p, q) => when(p === q, 1L).otherwise(0L)),
+          lit(0L), _ + _).cast("double") / 32.0).as("agree"))
+        .as[Double].collect()
+      assert(agreements.length == n)
+      val mean = agreements.sum / n
+      val meanSd = math.sqrt(j * (1 - j) / (32.0 * n))
+      assert(math.abs(mean - j) <= 4.5 * meanSd,
+        f"j=$j: mean agreement $mean%.4f outside $j ± ${4.5 * meanSd}%.4f")
+      val fullRate = agreements.count(_ == 1.0).toDouble / n
+      val p32 = math.pow(j, 32)
+      val fullSd = math.sqrt(p32 * (1 - p32) / n)
+      assert(math.abs(fullRate - p32) <= math.max(4.5 * fullSd, 1.5 / n),
+        f"j=$j: full-agreement rate $fullRate%.4f outside ${p32}%.4f ± ${4.5 * fullSd}%.4f")
+    }
+  }
+
   test("simhash near-dup: identical docs distance 0; different docs filtered") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, a), (2L, a), (3L, "completely different words entirely")).toDF("doc_id", "text")
