@@ -1,21 +1,62 @@
 package graft
-/** Dev tool: dump formatted physical plans for plan-shape auditing. */
+
+/** Dev diagnostic main (NOT part of the library surface; the driver
+  * never invokes it). Modes:
+  *
+  *   - `plans [sfDir]` — dump formatted physical plans for the standing
+  *     plan-shape audit set (the queries whose scale posture VERDICT
+  *     reviews round over round);
+  *   - `explain <sfDir> <q1,q2>` — executedPlan for named queries;
+  *   - `time <sfDir> <q1,q2> [reps]` — run named queries N times in one
+  *     JVM, timing each pass (chasing run-count / host-contention
+  *     effects seen in Bench);
+  *   - `bpe <sfDir> [numMerges]` — scale check for BPE's driver-side
+  *     merge maintenance.
+  */
 object PlanAudit {
+
+  private val auditSet = Set("q01_pricing_summary", "q03_top_revenue", "q19_hourly_events",
+    "q29_cosine_topk", "q30_embedding_neardup", "q23_dedup_exact", "q05_customers_no_orders",
+    "q37_minhash_neardup_pairs", "q40_asof_join", "q41_fuzzy_first_match",
+    "q59_quality_classifier", "q60_domain_cap", "q61_mixture_sample",
+    "q62_url_canonicalize", "q63_span_dedup",
+    "q69_markup_strip", "q70_chunk_overlap", "q71_snapshot_diff",
+    "q72_vocab_drift", "q73_term_stats", "q74_zorder_key",
+    "q75_incremental_neardup")
+
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("plans")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val names = if (args.length > 2) args(2).split(",").toSeq else Seq.empty
     val spark = Sessions.local("8", "8")
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = Set("q01_pricing_summary", "q03_top_revenue", "q19_hourly_events",
-      "q29_cosine_topk", "q30_embedding_neardup", "q23_dedup_exact", "q05_customers_no_orders",
-      "q37_minhash_neardup_pairs", "q40_asof_join", "q41_fuzzy_first_match",
-      "q59_quality_classifier", "q60_domain_cap", "q61_mixture_sample",
-      "q62_url_canonicalize", "q63_span_dedup",
-      "q69_markup_strip", "q70_chunk_overlap", "q71_snapshot_diff",
-      "q72_vocab_drift", "q73_term_stats", "q74_zorder_key",
-      "q75_incremental_neardup")
-    Queries.all.filter(q => names(q.name)).foreach { q =>
-      println(s"\n================= ${q.name} =================")
-      println(q.run(spark, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+    mode match {
+      case "plans" =>
+        Queries.all.filter(q => auditSet(q.name)).foreach { q =>
+          println(s"\n================= ${q.name} =================")
+          println(q.run(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      case "explain" =>
+        names.foreach { n =>
+          System.err.println(s"===== $n =====")
+          System.err.println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+        }
+      case "bpe" =>
+        val n = if (args.length > 2) args(2).toInt else 1000
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.learnMerges(
+          Tables.documents(spark, sfDir), "text", n, minCount = 2L)
+        System.err.println(f"[audit] bpe $n merges in ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(learned ${merges.size}; last=${merges.lastOption})")
+      case "time" =>
+        val reps = if (args.length > 3) args(3).toInt else 3
+        for (r <- 1 to reps; n <- names) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          System.err.println(f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      case other =>
+        System.err.println(s"unknown mode '$other' (plans | explain | time | bpe)")
     }
     spark.stop()
   }

@@ -52,7 +52,10 @@ class FotoPipelineSpec extends SparkSpec {
     graft.sources.Xlsx.write(
       Seq(("P Two", "9", "http://x/c.jpg", "dinding", null: String, null: String))
         .toDF(cols: _*), s"$tmp/forms_export_2.xlsx")
-    val wide = graft.sources.Xlsx.read(spark, tmp)
+    // Xlsx.read returns a LAZY plan (each action re-parses every workbook:
+    // zip + StAX, CPU-bound) — this frame feeds several downstream actions,
+    // so persist per the source's multi-action cache contract
+    val wide = graft.sources.Xlsx.read(spark, tmp).persist()
     val long = FotoPipeline.unpivotSlots(wide, Seq("kode_proyek", "minggu"), FotoPipeline.slotPairs(2))
     val state = Seq.empty[(String, String, String)].toDF("kode_proyek", "minggu", "nama_file")
     val dim = Seq((1, "Foto Pertama"), (2, "Foto Kedua")).toDF("slot", "folder")
