@@ -64,8 +64,57 @@ object ScaleUp {
   private[graft] def rotateText(text: org.apache.spark.sql.Column,
                          replica: org.apache.spark.sql.Column,
                          factor: Int): org.apache.spark.sql.Column =
+    translateChain(text, replica, factor, rotAlphabet)
+
+  /** Per-replica alphabet PERMUTATION (identity at r = 0) — the
+    * factor > 10 text bijection: rotation keeps only 10 distinct digit
+    * mappings (and the letter cycle collides with the digit cycle at
+    * lcm distances), so replicas at distance 10 would carry IDENTICAL
+    * text and the dedup family's pair structure would explode
+    * superlinearly instead of replicating. A seeded Fisher–Yates
+    * permutation of the lowercase letters (mirrored onto upper) plus a
+    * digit rotation gives each replica a distinct joint mapping —
+    * ScaleUpSpec asserts pairwise distinctness outright for r < 100,
+    * distinct on the LETTER block alone, so any token containing a
+    * letter differs across every replica pair. DIGIT-ONLY tokens can
+    * still collide across SOME replica pairs at factor > 10, and that
+    * is a pigeonhole inevitability, not a seed choice: only 10 images
+    * of a digit exist, so ≥ ⌈factor/10⌉ replicas share one — no family
+    * of > 10 bijections on 10 symbols is pairwise everywhere-differing.
+    * Impact is bounded: a cross-replica duplicate n-token WINDOW needs
+    * n consecutive all-digit tokens under an agreeing pair, and a
+    * whole-document collision needs a letterless document (the fixtures
+    * have none). Like rotation it is a character bijection, so
+    * within-replica equality/shingle/jaccard structure is preserved
+    * EXACTLY.
+    */
+  private[graft] def permAlphabet(r: Int): String =
+    if (r == 0) lower + upper + digit
+    else {
+      val arr = lower.toCharArray
+      val rnd = new java.util.Random(0x5ca1eab1eL * 1000L + r)
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      val lp = new String(arr)
+      val k = r % digit.length
+      lp + lp.toUpperCase + (digit.drop(k) + digit.take(k))
+    }
+
+  private[graft] def permuteText(text: org.apache.spark.sql.Column,
+                         replica: org.apache.spark.sql.Column,
+                         factor: Int): org.apache.spark.sql.Column =
+    translateChain(text, replica, factor, permAlphabet)
+
+  private def translateChain(text: org.apache.spark.sql.Column,
+                             replica: org.apache.spark.sql.Column,
+                             factor: Int,
+                             alpha: Int => String): org.apache.spark.sql.Column =
     (1 until factor).foldLeft(when(replica === 0, text)) { (acc, r) =>
-      acc.when(replica === r, translate(text, lower + upper + digit, rotAlphabet(r)))
+      acc.when(replica === r, translate(text, lower + upper + digit, alpha(r)))
     }.otherwise(text)
 
   /** Per-replica ISOMETRY (identity at r=0): a signed coordinate
@@ -111,10 +160,17 @@ object ScaleUp {
     */
   def generate(spark: org.apache.spark.sql.SparkSession, srcDir: String,
       outDir: String, factor: Int): Unit = {
-    require(factor >= 1 && factor <= 10,
-      "factor must be in [1, 10]: the DIGIT rotation cycles at 10, so " +
-        "replicas r and r+10 would share a digit mapping and digit-only " +
-        "tokens would collide across them")
+    require(factor >= 1 && factor <= 100,
+      "factor must be in [1, 100]: ScaleUpSpec pins alphabet-mapping " +
+        "distinctness (hence cross-replica text distinctness) only to 100")
+    // factor ≤ 10 keeps the ORIGINAL rotation bijection so sf1 output
+    // stays byte-identical across rounds (Bench's fingerprinted cache,
+    // BASELINE.md comparability); larger factors switch to the
+    // permutation bijection, whose mappings stay distinct past the
+    // digit-rotation cycle
+    val textBijection: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+      Int) => org.apache.spark.sql.Column =
+      if (factor <= 10) rotateText else permuteText
 
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
       val exploded = df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
@@ -141,7 +197,7 @@ object ScaleUp {
     write(replicate(src("events"), Seq("event_id", "user_id")), "events")
     write(
       replicate(src("documents"), Seq("doc_id"))
-        .withColumn("text", rotateText(col("text"), col("__r"), factor)),
+        .withColumn("text", textBijection(col("text"), col("__r"), factor)),
       "documents")
     // signed-permutation isometry (within-replica cosines preserved to
     // ~1 ulp — elements bit-exact, accumulation order differs) + label

@@ -60,6 +60,50 @@ class ScaleUpSpec extends SparkSpec {
       "planted near-dup similarity identical in every replica")
   }
 
+  test("permutation alphabets: bijections, identity at 0, pairwise distinct to factor 100") {
+    val alphabets = (0 until 100).map(ScaleUp.permAlphabet)
+    val identity = ('a' to 'z').mkString + ('A' to 'Z').mkString + ('0' to '9').mkString
+    assert(alphabets(0) == identity, "replica 0 must be untouched")
+    alphabets.foreach { a =>
+      assert(a.sorted == identity.sorted, s"not a bijection of the alphabet: $a")
+      // case coherence: upper block mirrors the lower block's permutation
+      assert(a.slice(26, 52) == a.take(26).toUpperCase)
+    }
+    // THE factor>10 guarantee: all 100 joint mappings distinct — and
+    // distinct already on the LETTER block alone, so any token with a
+    // letter differs across every replica pair (rotation broke this at
+    // distance 10 on digits, and at lcm distances outright)
+    assert(alphabets.map(_.take(26)).distinct.size == 100)
+  }
+
+  test("permuteText at factor > 10: within-replica structure preserved, none across") {
+    val base = Seq(
+      (0L, "spark scan table merge sort batch 99"),
+      (1L, "spark scan table merge sort batch 99"),
+      (2L, "totally other words 42"))
+    // replicas sampled across the >10 region, including the distance-10
+    // pair (4, 14) that ROTATION would have collided on digits
+    val reps = Seq(0, 4, 13, 14, 77)
+    val df = base.flatMap { case (id, t) => reps.map(r => (id, r, t)) }
+      .toDF("doc_id", "__r", "text")
+      .withColumn("text", ScaleUp.permuteText(col("text"), col("__r"), 100))
+    val exactPairs = df.groupBy("__r", "text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).count()
+    assert(exactPairs == reps.size.toLong, "one exact-dup class per replica, none across")
+    // the achievable factor>10 guarantee: no LETTER-BEARING token
+    // survives across replicas (digit-only tokens CAN collide on
+    // digit-map-agreeing pairs — pigeonhole over 10 symbols; here "99"
+    // and "42" collide between replicas 4 and 14, by design documented)
+    val toks = df.select(col("__r"), explode(split(col("text"), " ")).as("tok")).distinct()
+    val crossTok = toks.filter(col("tok").rlike("[A-Za-z]"))
+      .groupBy("tok").agg(countDistinct("__r").as("nr"))
+      .filter(col("nr") > 1).count()
+    assert(crossTok == 0, "no letter-bearing token survives across replicas")
+    val crossDigit = toks.groupBy("tok").agg(countDistinct("__r").as("nr"))
+      .filter(col("nr") > 1).count()
+    assert(crossDigit == 2, "exactly the two digit-only tokens on the distance-10 pair")
+  }
+
   test("embedding perturbation is a within-replica isometry; replicas decorrelated") {
     // two near-dup vectors + one distant one, replicated 3×
     val va = Array.tabulate(16)(i => (math.sin(i * 1.7) * 0.4).toFloat)
