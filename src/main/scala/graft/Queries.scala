@@ -2894,6 +2894,62 @@ object Queries {
         vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
       FROM embeddings WHERE vec_id % 5 = 0 ORDER BY query_id"""))
 
+  private val q101 = Q(
+    "q101_incremental_neardup_oracle",
+    (s, d) => {
+      // q75's twin: the FULL minHashNearDuplicatesVsState machinery
+      // (state-side banding from stored signatures, batch-side banding,
+      // the (band, key) equi-join, the positionwise agreement estimate,
+      // the threshold filter, the argmax, the left join-back) with the
+      // oracle scoped to the DETERMINISTIC part of the answer: WHICH
+      // batch docs get flagged at threshold 1.0.
+      //   - an exact copy's candidacy AND estimate are guaranteed
+      //     (identical text ⇒ identical signature ⇒ collides with its
+      //     source in every band, est exactly 32/32 = 1.0) → flagged;
+      //   - alphabet-permuted fresh docs have DISJOINT shingle sets vs
+      //     every state doc, so est = 1.0 would need a 64-bit hash
+      //     collision → never flagged.
+      // dup_of / est VALUES are deliberately NOT oracled: natural
+      // near-twin pairs at jaccard j hit 32/32 agreement with
+      // probability j^32 (the fixture's doc 70/447 pair sits at
+      // j = 91/92 ⇒ p ≈ 0.70, and the estimate path picked 447 over
+      // the fingerprint-equal 70 in the first cut of this query), so
+      // which candidate wins the argmax is signature luck, not SQL.
+      // Those values stay spec-verified (DedupSpec planted-state tests
+      // + the 150-seed Chernoff envelope); q75 keeps the production
+      // sub-1.0 threshold.
+      val docs = Tables.documents(s, d)
+      val offset = plantedIdOffset(docs, "doc_id")
+      val state = Dedup.minHashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32)
+      val copies = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .withColumn("doc_id", col("doc_id") + lit(2L * offset))
+        .withColumn("text", translate(col("text"),
+          "abcdefghijklmnopqrstuvwxyz", "qwertyuiopasdfghjklzxcvbnm"))
+      Dedup.minHashNearDuplicatesVsState(
+          copies.unionByName(fresh), "doc_id", "text", state,
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 1.0)
+        .select(col("doc_id"), col("dup_of").isNotNull.as("flagged"))
+        .orderBy(col("doc_id"))
+    },
+    // flagged ⇔ the source doc has ≥ 3 tokens (⇒ a real signature its
+    // exact copy always matches); fresh docs are never flagged
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL),
+      sig AS (SELECT doc_id FROM t WHERE len(toks) >= 3),
+      off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+      copies AS (SELECT d.doc_id + off.o AS doc_id, d.doc_id AS src
+        FROM documents d, off WHERE d.doc_id % 10 = 0),
+      freshb AS (SELECT d.doc_id + 2 * off.o AS doc_id
+        FROM documents d, off WHERE d.doc_id % 10 = 5)
+      SELECT c.doc_id, (s.doc_id IS NOT NULL) AS flagged
+      FROM copies c LEFT JOIN sig s ON s.doc_id = c.src
+      UNION ALL
+      SELECT doc_id, false AS flagged FROM freshb
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2903,5 +2959,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

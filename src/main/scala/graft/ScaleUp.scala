@@ -174,9 +174,20 @@ object ScaleUp {
 
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
       val exploded = df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
-      keyCols.foldLeft(exploded) { (d, k) =>
+      val keyed = keyCols.foldLeft(exploded) { (d, k) =>
         d.withColumn(k, col(k) + col("__r") * stride)
       }
+      // Layout realism at factor > 10: the narrow explode preserves the
+      // SOURCE's partitioning, so a ×100 table would land in the same
+      // 1–2 files the fixture read produced — and every downstream scan
+      // of the synthetic dir would run its projections on 2–3 tasks,
+      // measuring file-layout starvation instead of the engine (a real
+      // 100× corpus has ~100× the files). Repartition EARLY so the
+      // per-replica text/embedding transforms below also parallelize.
+      // Factor ≤ 10 keeps the original single-file layout so cached sf1
+      // output stays byte-identical across rounds.
+      if (factor > 10) keyed.repartition(math.min(64, math.max(8, factor / 2)))
+      else keyed
     }
 
     def write(df: DataFrame, name: String): Unit = {

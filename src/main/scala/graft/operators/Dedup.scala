@@ -381,7 +381,7 @@ object Dedup {
     // cosines order below every real score) and pile into one quadratic
     // self-join block.
     val blocked = df.withColumn("__sem_cluster",
-      when(usable, Similarity.assignCluster(
+      when(usable, Similarity.assignClusterApprox(
         Some(df.sparkSession), col(embCol), cents.map(_.toSeq).toSeq)))
     val pairs = embeddingNearDuplicates(blocked, idCol, embCol, "__sem_cluster", threshold)
     scoreCol match {

@@ -253,6 +253,117 @@ object Similarity {
     }
   }
 
+  /** Group `cents` into at most `c` coarse cells by driver-side mini
+    * spherical k-means OVER THE CENTROIDS (k is thousands at most, so
+    * this is microseconds of pure-Scala work, no Spark jobs).
+    * Deterministic: farthest-point seeding from index 0, fixed
+    * iteration count, ties → lower index. Empty cells are dropped.
+    * Returns (coarse vectors, member ids per cell — ascending).
+    */
+  private[graft] def coarsenCentroids(cents: Array[Array[Double]], c: Int,
+      iters: Int = 8): (Array[Array[Double]], Array[Array[Int]]) = {
+    val k = cents.length
+    val dim = cents.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = norm(a); val nb = norm(b)
+      if (na > 0 && nb > 0) dot(a, b) / (na * nb) else 0.0
+    }
+    val cc = math.min(c, k)
+    // farthest-point seeds (max-min cosine distance, ties → lower index)
+    val seeds = scala.collection.mutable.ArrayBuffer(0)
+    val minDist = Array.tabulate(k)(i => 1.0 - cos(cents(i), cents(0)))
+    while (seeds.size < cc) {
+      var bestI = 0
+      var i = 1
+      while (i < k) { if (minDist(i) > minDist(bestI)) bestI = i; i += 1 }
+      seeds += bestI
+      var j = 0
+      while (j < k) {
+        val d = 1.0 - cos(cents(j), cents(bestI))
+        if (d < minDist(j)) minDist(j) = d
+        j += 1
+      }
+    }
+    var coarse = seeds.map(cents(_).clone()).toArray
+    val assign = new Array[Int](k)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < k) {
+        var best = 0; var bestCos = cos(cents(i), coarse(0))
+        var g = 1
+        while (g < coarse.length) {
+          val s = cos(cents(i), coarse(g))
+          if (s > bestCos) { best = g; bestCos = s }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val next = Array.fill(coarse.length)(new Array[Double](dim))
+      val cnt = new Array[Int](coarse.length)
+      i = 0
+      while (i < k) {
+        val g = assign(i); cnt(g) += 1
+        var j = 0
+        while (j < dim) { next(g)(j) += cents(i)(j); j += 1 }
+        i += 1
+      }
+      var g = 0
+      while (g < coarse.length) {
+        if (cnt(g) > 0) {
+          val nn = norm(next(g))
+          if (nn > 1e-12) {
+            var j = 0
+            while (j < dim) { next(g)(j) /= nn; j += 1 }
+            coarse(g) = next(g)
+          }
+        } // empty or degenerate cells keep their previous coarse vector
+        g += 1
+      }
+      it += 1
+    }
+    val byCell = (0 until k).groupBy(assign).toSeq.sortBy(_._1)
+    (byCell.map { case (g, _) => coarse(g) }.toArray,
+      byCell.map(_._2.sorted.toArray).toArray)
+  }
+
+  /** [[assignCluster]]'s corpus-scale form: EXACT argmax below
+    * `exactMax` centroids, two-level IVF-style assignment
+    * ([[graft.plans.ArgmaxCosineTwoLevel]]: √k coarse cells, top-nprobe
+    * probed, exact within) above it. SemDeDup derives k ∝ n, so exact
+    * assignment is Θ(n²·dim/256) total flops — fine to k ≈ hundreds,
+    * quadratic death at corpus scale (the sf10 probe measured it);
+    * two-level is Θ(n·√k·dim). Above the knee the assignment is
+    * APPROXIMATE (the true argmax can sit outside the probed cells —
+    * recall already bounded by blocking in every consumer), but remains
+    * a pure deterministic function of the vector: identical vectors and
+    * exact scalar multiples still ALWAYS co-assign, which is the
+    * property semantic dedup's exact-duplicate guarantee and q94's
+    * oracle rest on. Built directly as an Expression (no function
+    * registry needed), so it resolves in any session.
+    */
+  def assignClusterApprox(session: Option[org.apache.spark.sql.SparkSession],
+      emb: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int = 2, exactMax: Int = 256): Column = {
+    val k = centroids.size
+    if (k <= exactMax) assignCluster(session, emb, centroids)
+    else {
+      val arr = centroids.map(_.toArray).toArray
+      val (coarse, members) = coarsenCentroids(arr, math.ceil(math.sqrt(k)).toInt)
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.ArgmaxCosineTwoLevel(
+          org.apache.spark.sql.GraftSqlBridge.expression(emb),
+          coarse, members, arr, nprobe))
+    }
+  }
+
   /** Spherical k-means (Lloyd's algorithm, cosine distance): returns the
     * k unit-length centroids. Deterministic seeding in ONE pass: the 4k
     * training-sample vectors with the smallest `xxhash64(id)` form a
@@ -388,8 +499,8 @@ object Similarity {
       var shift = Double.MaxValue
       while (iter < maxIter && shift > tol) {
         val stats = normed
-          .select(assignCluster(Some(spark), col("__e"), cents.map(_.toSeq).toSeq).as("__c"),
-            col("__e"))
+          .select(assignClusterApprox(Some(spark), col("__e"),
+            cents.map(_.toSeq).toSeq).as("__c"), col("__e"))
           .groupBy(col("__c"))
           .agg(sumAgg(col("__e")).as("__s"), count(lit(1)).as("__n"))
           .as[(Int, Seq[Double], Long)].collect()

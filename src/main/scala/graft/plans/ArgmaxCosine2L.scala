@@ -1,0 +1,241 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Two-level (IVF-style) nearest-centroid assignment: score the input
+  * against `c ≈ √k` COARSE centroids, keep the top `nprobe` coarse
+  * cells, and run the exact cosine argmax only over the fine centroids
+  * belonging to those cells. Per-row cost drops from k·dim to
+  * ~(√k + nprobe·k/√k)·dim — the difference between Θ(n²) and
+  * Θ(n^1.5) total assignment flops under SemDeDup's k ∝ n contract
+  * ([[graft.operators.Dedup.semanticDeduplicate]] derives k = n/256,
+  * so EXACT assignment flops grow quadratically in corpus size; the
+  * sf10 probe measured exactly that shape).
+  *
+  * APPROXIMATE by design: the true argmax centroid can live outside
+  * the probed cells (the standard IVF trade, tunable via `nprobe`).
+  * What stays exact and deterministic:
+  *   - the result is a pure function of the input vector — identical
+  *     vectors (and exact scalar multiples, which have identical
+  *     cosine profiles) ALWAYS co-assign, the property q94's planted
+  *     oracle and exact-duplicate semantic dedup rest on;
+  *   - within the probed cells the argmax is exact, with
+  *     [[ArgmaxCosine]]'s tie rule (ties → higher global index, NaN
+  *     outranks);
+  *   - degenerate inputs (null array, null element, length mismatch,
+  *     zero/NaN norm) follow [[ArgmaxCosine]] exactly — the mismatch
+  *     branch delegates to the same kernel.
+  *
+  * Centroid data rides row-major in the generated class
+  * (`addReferenceObj`), members in CSR layout; empty coarse cells are
+  * dropped at construction so probed cells always hold candidates.
+  */
+case class ArgmaxCosineTwoLevel(
+    child: Expression,
+    coarse: Array[Array[Double]],
+    members: Array[Array[Int]], // members(g) = global centroid ids of cell g, ascending
+    cents: Array[Array[Double]],
+    nprobe: Int)
+    extends UnaryExpression {
+
+  require(coarse.length == members.length,
+    "graft_argmax_cos2l: one member list per coarse cell")
+  require(members.forall(_.nonEmpty),
+    "graft_argmax_cos2l: empty coarse cells must be dropped at construction")
+  require(nprobe >= 1, "graft_argmax_cos2l: nprobe must be >= 1")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if cents.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure("graft_argmax_cos2l needs at least one centroid")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax_cos2l expects array<float|double>, got ${dt.sql}")
+  }
+
+  private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val dim: Int = cents.head.length
+
+  private def flatten(m: Array[Array[Double]]): Array[Double] = {
+    require(m.forall(_.length == dim),
+      "graft_argmax_cos2l: centroids must share one dimension")
+    val out = new Array[Double](m.length * dim)
+    var i = 0
+    while (i < m.length) { System.arraycopy(m(i), 0, out, i * dim, dim); i += 1 }
+    out
+  }
+  private def normsOf(m: Array[Array[Double]]): Array[Double] = m.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private lazy val coarseFlat = flatten(coarse)
+  private lazy val coarseNorms = normsOf(coarse)
+  private lazy val centFlat = flatten(cents)
+  private lazy val centNorms = normsOf(cents)
+  private lazy val memberStart: Array[Int] = members.scanLeft(0)(_ + _.length)
+  private lazy val memberIdx: Array[Int] = members.flatten
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) cents.length - 1
+    else ArgmaxCosineTwoLevel.compute(
+      v.asInstanceOf[ArrayData], coarseFlat, coarseNorms, coarse.length,
+      centFlat, centNorms, cents.length, dim, elemIsFloat,
+      memberIdx, memberStart, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cf = ctx.addReferenceObj("cos2lCoarse", coarseFlat, "double[]")
+    val cn = ctx.addReferenceObj("cos2lCoarseNorms", coarseNorms, "double[]")
+    val ff = ctx.addReferenceObj("cos2lCents", centFlat, "double[]")
+    val fn = ctx.addReferenceObj("cos2lCentNorms", centNorms, "double[]")
+    val mi = ctx.addReferenceObj("cos2lMemberIdx", memberIdx, "int[]")
+    val ms = ctx.addReferenceObj("cos2lMemberStart", memberStart, "int[]")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} = ${childGen.isNull}
+          ? ${cents.length - 1}
+          : graft.plans.ArgmaxCosineTwoLevel.compute(
+              ${childGen.value}, $cf, $cn, ${coarse.length},
+              $ff, $fn, ${cents.length}, $dim, $elemIsFloat, $mi, $ms, $nprobe);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality over the Array fields (same rationale as
+  // ArgmaxCosine: case-class Array equality is reference equality,
+  // which defeats canonicalization/CSE)
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgmaxCosineTwoLevel => child == a.child && nprobe == a.nprobe &&
+      java.util.Arrays.deepEquals(
+        coarse.asInstanceOf[Array[AnyRef]], a.coarse.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        members.asInstanceOf[Array[AnyRef]], a.members.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], a.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    ((31 * child.hashCode() + nprobe) * 31 +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])) * 31 +
+      java.util.Arrays.deepHashCode(coarse.asInstanceOf[Array[AnyRef]])
+
+  override def prettyName: String = "graft_argmax_cos2l"
+}
+
+object ArgmaxCosineTwoLevel {
+
+  /** Runtime kernel shared by eval and codegen. Degenerate inputs and
+    * the length-mismatch branch delegate to [[ArgmaxCosine.compute]]
+    * (identical semantics); the clean path probes then argmaxes.
+    */
+  def compute(arr: ArrayData, coarseFlat: Array[Double], coarseNorms: Array[Double],
+      c: Int, centFlat: Array[Double], centNorms: Array[Double], k: Int,
+      dim: Int, isFloat: Boolean,
+      memberIdx: Array[Int], memberStart: Array[Int], nprobe: Int): Int = {
+    val n = arr.numElements()
+    if (n != dim)
+      return ArgmaxCosine.compute(arr, centFlat, centNorms, k, dim, isFloat)
+    val v = new Array[Double](dim)
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return k - 1
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      v(i) = x; na += x * x
+      i += 1
+    }
+    if (!(na > 0)) return k - 1
+    val sqrtNa = math.sqrt(na)
+
+    // top-nprobe coarse cells by (cosine, index) — same better-rule as
+    // the fine stage; p is tiny so insertion sort is the right tool
+    val p = math.min(nprobe, c)
+    val topIdx = new Array[Int](p)
+    val topScore = new Array[Double](p)
+    var filled = 0
+    var g = 0
+    while (g < c) {
+      var dot = 0.0
+      val off = g * dim
+      var j = 0
+      while (j < dim) { dot += v(j) * coarseFlat(off + j); j += 1 }
+      val cos = if (coarseNorms(g) > 0) dot / (sqrtNa * coarseNorms(g)) else 0.0
+      // insert if better than the current worst (or not yet filled)
+      if (filled < p) {
+        topIdx(filled) = g; topScore(filled) = cos; filled += 1
+        // bubble up into sorted (desc) position
+        var b = filled - 1
+        while (b > 0 && better(topScore(b), topIdx(b), topScore(b - 1), topIdx(b - 1))) {
+          swap(topIdx, topScore, b, b - 1); b -= 1
+        }
+      } else if (better(cos, g, topScore(p - 1), topIdx(p - 1))) {
+        topIdx(p - 1) = g; topScore(p - 1) = cos
+        var b = p - 1
+        while (b > 0 && better(topScore(b), topIdx(b), topScore(b - 1), topIdx(b - 1))) {
+          swap(topIdx, topScore, b, b - 1); b -= 1
+        }
+      }
+      g += 1
+    }
+
+    // exact argmax over the probed cells' members, ArgmaxCosine tie rule
+    var best = -1
+    var bestCos = 0.0
+    var t = 0
+    while (t < filled) {
+      val cell = topIdx(t)
+      var m = memberStart(cell)
+      val end = memberStart(cell + 1)
+      while (m < end) {
+        val gid = memberIdx(m)
+        var dot = 0.0
+        val off = gid * dim
+        var j = 0
+        while (j < dim) { dot += v(j) * centFlat(off + j); j += 1 }
+        val cos = if (centNorms(gid) > 0) dot / (sqrtNa * centNorms(gid)) else 0.0
+        val take =
+          if (best < 0) true
+          else if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos) || gid > best
+          else if (java.lang.Double.isNaN(bestCos)) false
+          else if (cos > bestCos) true
+          else cos == bestCos && gid > best
+        if (take) { best = gid; bestCos = cos }
+        m += 1
+      }
+      t += 1
+    }
+    if (best < 0) k - 1 else best
+  }
+
+  /** (score a, idx a) strictly better than (score b, idx b) under the
+    * ArgmaxCosine ordering: NaN outranks, ties → higher index.
+    */
+  private def better(a: Double, ia: Int, b: Double, ib: Int): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b) || ia > ib
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b || (a == b && ia > ib)
+
+  private def swap(idx: Array[Int], sc: Array[Double], a: Int, b: Int): Unit = {
+    val ti = idx(a); idx(a) = idx(b); idx(b) = ti
+    val ts = sc(a); sc(a) = sc(b); sc(b) = ts
+  }
+}

@@ -215,6 +215,64 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.length == 5, "empty clusters keep their previous centroid")
   }
 
+  test("two-level assignment: near-exact on clustered data, co-assignment, degenerate edges") {
+    val rnd = new scala.util.Random(913L)
+    val dim = 16
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    // 20 well-separated anchors; 300 fine centroids = anchors + small noise
+    val anchors = (0 until 20).map(_ => unit(Array.fill(dim)(rnd.nextGaussian())))
+    val cents: Seq[Seq[Double]] = (0 until 300).map { i =>
+      val a = anchors(i % 20)
+      unit(a.toArray.zip(Array.fill(dim)(rnd.nextGaussian() * 0.08)).map { case (x, e) => x + e })
+    }
+    assert(cents.size > 256, "must cross the two-level knee")
+    // vectors near random anchors (tighter noise than the centroid spread)
+    val vecs = (0 until 400).map { i =>
+      val a = anchors(rnd.nextInt(20))
+      unit(a.toArray.zip(Array.fill(dim)(rnd.nextGaussian() * 0.05)).map { case (x, e) => x + e })
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "e")
+    val got = df.select(col("id"),
+        Similarity.assignCluster(Some(spark), col("e"), cents).as("exact"),
+        Similarity.assignClusterApprox(Some(spark), col("e"), cents).as("approx"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val agree = got.count { case (a, b) => a == b }
+    assert(agree >= (got.length * 0.95).toInt,
+      s"two-level must agree with exact argmax on clustered data: $agree/${got.length}")
+
+    // exact scalar multiples co-assign (the q94 oracle property), and the
+    // assignment is a pure function (identical vectors agree trivially)
+    val fdf = Seq((1L, vecs.head.map(_.toFloat)), (2L, vecs.head.map(x => (x * 2).toFloat)))
+      .toDF("id", "e")
+    val co = fdf.select(Similarity.assignClusterApprox(Some(spark), col("e"), cents))
+      .as[Int].collect()
+    assert(co(0) == co(1), s"x2 copy must co-assign: ${co.toSeq}")
+
+    // degenerate inputs → k-1, mirroring ArgmaxCosine
+    val bad = Seq(
+      (1L, Option.empty[Seq[Double]]),
+      (2L, Option(Seq.empty[Double])),
+      (3L, Option(Seq.fill(dim)(0.0))),
+      (4L, Option(Seq(1.0, 2.0)))) // dim mismatch: all 300 norms positive → k-1
+      .toDF("id", "e")
+    val degs = bad.select(Similarity.assignClusterApprox(Some(spark), col("e"), cents))
+      .as[Int].collect().toSet
+    assert(degs == Set(cents.size - 1), s"degenerates must hit k-1: $degs")
+  }
+
+  test("coarsenCentroids: cells partition the centroid ids; none empty") {
+    val rnd = new scala.util.Random(7L)
+    val cents = Array.fill(57)(Array.fill(8)(rnd.nextGaussian()))
+    val (coarse, members) = Similarity.coarsenCentroids(cents, 8)
+    assert(coarse.length == members.length)
+    assert(members.forall(_.nonEmpty))
+    assert(members.flatten.sorted.toSeq == (0 until 57))
+    members.foreach(m => assert(m.sorted.toSeq == m.toSeq, "members ascending"))
+  }
+
   test("semanticDeduplicate drops scaled copies, keeps distinct vectors; keep-best honors score") {
     // i and i+3 share an axis but differ in the tail component → cosine
     // ≈ 0.96 < 0.999, so only exact scaled copies collapse
