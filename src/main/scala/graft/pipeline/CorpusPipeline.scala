@@ -643,9 +643,16 @@ object CorpusPipeline {
     val grams = toks.select(col(idCol),
       posexplode(call_function("graft_shingles", col("w"), lit(n), lit(false))))
       .toDF(idCol, "pos", "gh")
+    // "occurs in >1 distinct document" ⇔ min(doc) ≠ max(doc): same
+    // predicate as count_distinct(doc) > 1 (same-doc repeats give
+    // min = max; null docs drop out of both forms), but min/max are
+    // plain map-side-combinable partials — the aggregation state is one
+    // entry per GRAM (~|vocab|) instead of count_distinct's one entry
+    // per (gram, doc) PAIR (~|corpus|), the difference between a hash
+    // table that fits in memory at 100 TB and one that spills
     val dupGrams = grams.groupBy(col("gh"))
-      .agg(count_distinct(col(idCol)).as("ndocs"))
-      .filter(col("ndocs") > 1)
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
       .select(col("gh"))
     val dupStarts = grams.join(dupGrams, "gh")
       .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
