@@ -2950,6 +2950,55 @@ object Queries {
       SELECT doc_id, false AS flagged FROM freshb
       ORDER BY doc_id"""))
 
+  private val q102 = Q(
+    "q102_leakage_safe_split",
+    (s, d) => {
+      // leakage-safe split (CorpusPipeline.leakageSafeSplit): near-dup
+      // clusters move to train/val/test TOGETHER, keyed by the cluster's
+      // min id. The q37 planted-copy trick makes the pair set at
+      // threshold 1.0 deterministic (equal text ⇒ equal shingle set ⇒
+      // collides in every band, jaccard exactly 1.0), and components
+      // over equal-fingerprint pairs are exactly the fingerprint GROUPS
+      // — so the representative, and hence every split label, is
+      // DuckDB-replayable, including the leakage property itself (copy
+      // and source provably share a split_key row-for-row).
+      val docs = Tables.documents(s, d)
+      val offset = plantedIdOffset(docs, "doc_id")
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+      val corpus = docs.unionByName(planted)
+      val pairs = Dedup.minHashNearDuplicates(corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 1.0)
+      graft.pipeline.CorpusPipeline.leakageSafeSplit(
+          corpus, "doc_id", pairs, salt = "graft")
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        FROM documents WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM u WHERE text IS NOT NULL),
+      sh AS (SELECT doc_id,
+          array_to_string(list_sort(list_distinct(
+            list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))),
+            chr(30)) AS fp
+        FROM t WHERE len(toks) >= 3),
+      grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep,
+          count(*) OVER (PARTITION BY fp) AS sz FROM sh),
+      key AS (SELECT u.doc_id,
+          CASE WHEN grp.sz > 1 THEN grp.rep ELSE u.doc_id END AS split_key
+        FROM u LEFT JOIN grp ON grp.doc_id = u.doc_id),
+      b AS (SELECT doc_id, split_key,
+          CAST(('0x' || substr(sha256(CAST(split_key AS VARCHAR) || 'graft'), 1, 8)) AS BIGINT) % 10000 AS h
+        FROM key)
+      SELECT doc_id, split_key,
+        CASE WHEN h < 9800 THEN 'train' WHEN h < 9900 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2959,5 +3008,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }

@@ -736,6 +736,41 @@ object CorpusPipeline {
     df.withColumn("split", label)
   }
 
+  /** Leakage-safe train/val/test assignment: the split is decided at the
+    * NEAR-DUP-CLUSTER level, not the document level. [[deterministicSplit]]
+    * hashes ids independently, so a held-out eval document's near-copy
+    * lands in train with probability ≈ the train weight — the classic
+    * contamination path that silently inflates eval scores. Here the
+    * near-dup PAIRS from any detector ([[graft.operators.Dedup.minHashNearDuplicates]],
+    * `embeddingNearDuplicates`, semantic dedup's verified pairs) cluster
+    * transitively (min-label connected components); every document keys
+    * by its cluster REPRESENTATIVE — clustered docs by the min id in the
+    * cluster, untouched docs by their own id — and the representative's
+    * sha-256 bucket decides the split, so whole clusters move together
+    * and the assignment stays a pure function of (corpus, pairs, salt):
+    * partition-invariant, re-run-stable, externally replayable.
+    *
+    * Scale shape: the edge list is near-dup-sized (≪ corpus), components
+    * cost O(E) equi-joins × O(log diameter) rounds, and the join back is
+    * one LEFT equi-join on the id whose right side holds only CLUSTERED
+    * docs — AQE broadcasts it at the usual few-percent duplicate rate;
+    * document text never shuffles (the split is a projection over the
+    * joined key).
+    *
+    * Returns `df` + (`split_key`, `split`).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      salt: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val clusters = graft.operators.Dedup.nearDupClusters(pairs, idACol, idBCol)
+      .select(col("id").as("__lss_id"), col("cluster_id").as("__lss_rep"))
+    val keyed = df.join(clusters, col(idCol) === col("__lss_id"), "left")
+      .withColumn("split_key", coalesce(col("__lss_rep"), col(idCol)))
+      .drop("__lss_id", "__lss_rep")
+    deterministicSplit(keyed, "split_key", salt, splits)
+  }
+
   /** Remove text units (lines, paragraphs, tokens — any exploded array)
     * that occur in at least `minDocs` distinct documents: the
     * boilerplate-removal pass of web-corpus curation (nav bars, cookie

@@ -443,6 +443,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(even.keySet == Set("a", "b") && even.values.forall(_ > 100))
   }
 
+  test("leakageSafeSplit: clusters move together, singletons match deterministicSplit, partition-invariant") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // transitive chain 1-2, 2-3 plus a plain pair 10-11: components
+    // {1,2,3} rep 1 and {10,11} rep 10; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = CorpusPipeline.leakageSafeSplit(docs, "doc_id", pairs, "s1",
+        splits = Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L)
+    // the leakage property: every cluster member shares one split label
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    assert(out(10L)._2 == out(11L)._2)
+    // singletons: split_key is the id itself and the label is exactly
+    // what deterministicSplit assigns standalone
+    val solo = CorpusPipeline.deterministicSplit(
+        docs.filter(col("doc_id") > 11), "doc_id", "s1",
+        Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    solo.foreach { case (id, s) =>
+      assert(out(id)._1 == id && out(id)._2 == s, s"singleton $id")
+    }
+    // pure function of (corpus, pairs, salt): partitioning-invariant
+    val re = CorpusPipeline.leakageSafeSplit(
+        docs.repartition(7), "doc_id", pairs.repartition(3), "s1",
+        splits = Seq("a" -> 0.5, "b" -> 0.5))
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(re == out)
+  }
+
   test("boilerplate line removal: frequent lines drop, prose stays, order preserved") {
     val nav = "HOME | ABOUT | CONTACT"
     val footer = "(c) example.com all rights reserved"
