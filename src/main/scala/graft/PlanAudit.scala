@@ -36,6 +36,8 @@ object PlanAudit {
           println(q.run(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         }
+      case "explain" | "time" if names.isEmpty =>
+        System.err.println(s"usage: PlanAudit $mode <sfDir> <q1,q2,...> — no query names given, nothing to do")
       case "explain" =>
         names.foreach { n =>
           System.err.println(s"===== $n =====")

@@ -2906,9 +2906,14 @@ object Queries {
       //   - an exact copy's candidacy AND estimate are guaranteed
       //     (identical text ⇒ identical signature ⇒ collides with its
       //     source in every band, est exactly 32/32 = 1.0) → flagged;
-      //   - alphabet-permuted fresh docs have DISJOINT shingle sets vs
-      //     every state doc, so est = 1.0 would need a 64-bit hash
-      //     collision → never flagged.
+      //   - fresh docs carry SYNTHETIC per-doc tokens ("☃a<id>" …)
+      //     whose shingles are disjoint from every state doc BY
+      //     CONSTRUCTION (fixture text never contains U+2603), so
+      //     est = 1.0 would need a 64-bit hash collision → never
+      //     flagged. (An alphabet-permute of the real text is NOT
+      //     enough: translate only maps a–z, so digit/punctuation-only
+      //     trigrams survive it unchanged and a numeric-heavy fixture
+      //     doc could legitimately match its own permuted copy.)
       // dup_of / est VALUES are deliberately NOT oracled: natural
       // near-twin pairs at jaccard j hit 32/32 agreement with
       // probability j^32 (the fixture's doc 70/447 pair sits at
@@ -2926,8 +2931,9 @@ object Queries {
         .withColumn("doc_id", col("doc_id") + lit(offset))
       val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
         .withColumn("doc_id", col("doc_id") + lit(2L * offset))
-        .withColumn("text", translate(col("text"),
-          "abcdefghijklmnopqrstuvwxyz", "qwertyuiopasdfghjklzxcvbnm"))
+        .withColumn("text", concat_ws(" ",
+          concat(lit("☃a"), col("doc_id")), concat(lit("☃b"), col("doc_id")),
+          concat(lit("☃c"), col("doc_id")), concat(lit("☃d"), col("doc_id"))))
       Dedup.minHashNearDuplicatesVsState(
           copies.unionByName(fresh), "doc_id", "text", state,
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 1.0)

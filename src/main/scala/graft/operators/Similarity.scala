@@ -292,8 +292,7 @@ object Similarity {
     }
     var coarse = seeds.map(cents(_).clone()).toArray
     val assign = new Array[Int](k)
-    var it = 0
-    while (it < iters) {
+    def reassign(): Unit = {
       var i = 0
       while (i < k) {
         var best = 0; var bestCos = cos(cents(i), coarse(0))
@@ -306,9 +305,13 @@ object Similarity {
         assign(i) = best
         i += 1
       }
+    }
+    var it = 0
+    while (it < iters) {
+      reassign()
       val next = Array.fill(coarse.length)(new Array[Double](dim))
       val cnt = new Array[Int](coarse.length)
-      i = 0
+      var i = 0
       while (i < k) {
         val g = assign(i); cnt(g) += 1
         var j = 0
@@ -329,6 +332,12 @@ object Similarity {
       }
       it += 1
     }
+    // the loop updates `coarse` AFTER computing `assign`, so re-derive
+    // the membership once against the FINAL coarse vectors — otherwise
+    // the returned (coarse, members) pair is internally inconsistent
+    // and a vector equal to a fine centroid can probe the right cell
+    // yet not find it there (review finding, round 13)
+    reassign()
     val byCell = (0 until k).groupBy(assign).toSeq.sortBy(_._1)
     (byCell.map { case (g, _) => coarse(g) }.toArray,
       byCell.map(_._2.sorted.toArray).toArray)

@@ -57,23 +57,9 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
   private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val dim: Int = cents.head.length
-  // flat row-major matrix + per-centroid norms (accumulated
-  // left-to-right, like CosineSimilarity computes them)
-  private lazy val flat: Array[Double] = {
-    require(cents.forall(_.length == dim),
-      "graft_argmax_cos: centroids must share one dimension")
-    val out = new Array[Double](cents.length * dim)
-    var c = 0
-    while (c < cents.length) {
-      System.arraycopy(cents(c), 0, out, c * dim, dim); c += 1
-    }
-    out
-  }
-  private lazy val norms: Array[Double] = cents.map { v =>
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i) * v(i); i += 1 }
-    math.sqrt(s)
-  }
+  private lazy val flat: Array[Double] =
+    ArgmaxCosine.flattenCentroids(cents, dim, "graft_argmax_cos")
+  private lazy val norms: Array[Double] = ArgmaxCosine.centroidNorms(cents)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -120,6 +106,38 @@ case class ArgmaxCosine(child: Expression, cents: Array[Array[Double]])
 }
 
 object ArgmaxCosine {
+
+  /** (score a, idx a) strictly better than (score b, idx b) under the
+    * argmax-cosine ordering (array_max's struct ordering): NaN outranks
+    * every double, ties → higher index. THE single definition — the
+    * in-order scan below and [[ArgmaxCosineTwoLevel]]'s out-of-order
+    * probe/fine stages all decide through it, so the tie rule cannot
+    * silently diverge between the exact and two-level paths.
+    */
+  private[plans] def better(a: Double, ia: Int, b: Double, ib: Int): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b) || ia > ib
+    else if (java.lang.Double.isNaN(b)) false
+    else a > b || (a == b && ia > ib)
+
+  /** k×dim row-major centroid matrix (shared builder). */
+  private[plans] def flattenCentroids(m: Array[Array[Double]], dim: Int,
+      who: String): Array[Double] = {
+    require(m.forall(_.length == dim), s"$who: centroids must share one dimension")
+    val out = new Array[Double](m.length * dim)
+    var c = 0
+    while (c < m.length) { System.arraycopy(m(c), 0, out, c * dim, dim); c += 1 }
+    out
+  }
+
+  /** Per-centroid L2 norms, accumulated left-to-right like
+    * CosineSimilarity computes them (shared builder).
+    */
+  private[plans] def centroidNorms(m: Array[Array[Double]]): Array[Double] =
+    m.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
 
   /** Runtime kernel shared by eval and codegen; semantics documented on
     * the expression. `flat` is k×dim row-major; `norms(c) = ‖cent_c‖`.
@@ -171,14 +189,9 @@ object ArgmaxCosine {
       var j = 0
       while (j < dim) { dot += v(j) * flat(off + j); j += 1 }
       val cos = if (norms(c) > 0) dot / (sqrtNa * norms(c)) else 0.0
-      // argmax with array_max's struct ordering: ties → higher index,
-      // NaN outranks every double (and ties with NaN → higher index)
-      val better =
-        if (c == 0) true
-        else if (java.lang.Double.isNaN(cos)) true
-        else if (java.lang.Double.isNaN(bestCos)) false
-        else cos >= bestCos
-      if (better) { best = c; bestCos = cos }
+      if (c == 0 || ArgmaxCosine.better(cos, c, bestCos, best)) {
+        best = c; bestCos = cos
+      }
       c += 1
     }
     best

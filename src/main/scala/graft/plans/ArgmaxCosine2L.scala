@@ -66,24 +66,12 @@ case class ArgmaxCosineTwoLevel(
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   private lazy val dim: Int = cents.head.length
 
-  private def flatten(m: Array[Array[Double]]): Array[Double] = {
-    require(m.forall(_.length == dim),
-      "graft_argmax_cos2l: centroids must share one dimension")
-    val out = new Array[Double](m.length * dim)
-    var i = 0
-    while (i < m.length) { System.arraycopy(m(i), 0, out, i * dim, dim); i += 1 }
-    out
-  }
-  private def normsOf(m: Array[Array[Double]]): Array[Double] = m.map { v =>
-    var s = 0.0; var i = 0
-    while (i < v.length) { s += v(i) * v(i); i += 1 }
-    math.sqrt(s)
-  }
-
-  private lazy val coarseFlat = flatten(coarse)
-  private lazy val coarseNorms = normsOf(coarse)
-  private lazy val centFlat = flatten(cents)
-  private lazy val centNorms = normsOf(cents)
+  private lazy val coarseFlat =
+    ArgmaxCosine.flattenCentroids(coarse, dim, "graft_argmax_cos2l")
+  private lazy val coarseNorms = ArgmaxCosine.centroidNorms(coarse)
+  private lazy val centFlat =
+    ArgmaxCosine.flattenCentroids(cents, dim, "graft_argmax_cos2l")
+  private lazy val centNorms = ArgmaxCosine.centroidNorms(cents)
   private lazy val memberStart: Array[Int] = members.scanLeft(0)(_ + _.length)
   private lazy val memberIdx: Array[Int] = members.flatten
 
@@ -212,13 +200,9 @@ object ArgmaxCosineTwoLevel {
         var j = 0
         while (j < dim) { dot += v(j) * centFlat(off + j); j += 1 }
         val cos = if (centNorms(gid) > 0) dot / (sqrtNa * centNorms(gid)) else 0.0
-        val take =
-          if (best < 0) true
-          else if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos) || gid > best
-          else if (java.lang.Double.isNaN(bestCos)) false
-          else if (cos > bestCos) true
-          else cos == bestCos && gid > best
-        if (take) { best = gid; bestCos = cos }
+        if (best < 0 || ArgmaxCosine.better(cos, gid, bestCos, best)) {
+          best = gid; bestCos = cos
+        }
         m += 1
       }
       t += 1
@@ -226,13 +210,10 @@ object ArgmaxCosineTwoLevel {
     if (best < 0) k - 1 else best
   }
 
-  /** (score a, idx a) strictly better than (score b, idx b) under the
-    * ArgmaxCosine ordering: NaN outranks, ties → higher index.
-    */
+  // the probe ordering delegates to ArgmaxCosine.better — the single
+  // definition of the (NaN-outranks, ties → higher index) rule
   private def better(a: Double, ia: Int, b: Double, ib: Int): Boolean =
-    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b) || ia > ib
-    else if (java.lang.Double.isNaN(b)) false
-    else a > b || (a == b && ia > ib)
+    ArgmaxCosine.better(a, ia, b, ib)
 
   private def swap(idx: Array[Int], sc: Array[Double], a: Int, b: Int): Unit = {
     val ti = idx(a); idx(a) = idx(b); idx(b) = ti

@@ -271,6 +271,20 @@ class SimilaritySpec extends SparkSpec {
     assert(members.forall(_.nonEmpty))
     assert(members.flatten.sorted.toSeq == (0 until 57))
     members.foreach(m => assert(m.sorted.toSeq == m.toSeq, "members ascending"))
+    // self-consistency: each fine centroid lives in the cell its OWN
+    // argmax against the RETURNED coarse vectors selects (first-max on
+    // ties, coarsenCentroids' rule) — the returned pair must reflect
+    // the final coarse vectors, not the pre-update assignment
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0) d / (na * nb) else 0.0
+    }
+    cents.zipWithIndex.foreach { case (c, i) =>
+      val own = coarse.indices.maxBy(g => (cos(c, coarse(g)), -g))
+      assert(members(own).contains(i),
+        s"fine centroid $i must be a member of its best coarse cell $own")
+    }
   }
 
   test("semanticDeduplicate drops scaled copies, keeps distinct vectors; keep-best honors score") {
