@@ -66,11 +66,12 @@ object CorpusPipeline {
         // report scale and what curateObserved's Observation contract
         // needs
       snapshotGate: Boolean = false)
-        // true = eager localCheckpoint of the gate survivors (minus
-        // __toks) before the dedup stages. The near-dup pair DAG has ~6
-        // lazy consumers of its input and each re-derives the annotate
-        // needle-scan projection; pinning the survivors once is the
-        // measured win at report-to-mid scale (q93: 3.35 → 2.54 s;
+        // true = eager localCheckpoint of the EXACT-DEDUP survivors
+        // (minus __toks) inside dedup(). The near-dup pair DAG has ~5
+        // lazy consumers of the exact-deduped frame and each re-derives
+        // the annotate needle-scan projection AND the exact-dedup
+        // sha2/exchange/window subtree; pinning once past that stage is
+        // the measured win at report-to-mid scale (q93: 3.35 → 2.54 s;
         // q44 numbers in PLANS.md). Keep FALSE for observed pipelines
         // (an eager action completes the Observation promise from a
         // metrics-less run — curateObserved forces it off) and for
@@ -124,9 +125,17 @@ object CorpusPipeline {
     * from every MinHash-LSH verified pair, the higher id is removed.
     */
   def dedup(df: DataFrame, idCol: String, textCol: String, cfg: Config): DataFrame = {
-    val exact = Dedup.exactContentGroups(df, idCol, textCol)
+    val exact0 = Dedup.exactContentGroups(df, idCol, textCol)
       .filter(col(idCol) === col("canonical_id"))
       .drop("canonical_id", "dup_count")
+    // snapshotGate pins HERE, post exact-dedup: the near-dup DAG below
+    // has ~5 lazy consumers of `exact` (banding self-join sides, verify
+    // joins, the final anti-join), and each would otherwise re-run the
+    // whole upstream — annotate projection, gates, sha2 fingerprint,
+    // full-text exchange and keep-min window. One eager snapshot of the
+    // (smaller) exact survivors makes all of that a single pass; blocks
+    // release via ContextCleaner when the result is GC'd.
+    val exact = if (cfg.snapshotGate) exact0.localCheckpoint() else exact0
     val nearPairs = Dedup.minHashNearDuplicates(
       exact, idCol, textCol,
       shingleSize = cfg.nearDupShingleSize, numHashes = cfg.nearDupNumHashes,
@@ -159,13 +168,15 @@ object CorpusPipeline {
       case Some(k) => gated0.filter(TF.linearScoreMilli(col("__toks"), k) >= 0L)
       case None => gated0
     }
-    // snapshotGate: pin the survivors once so the dedup stages' many
-    // lazy consumers stop re-running the annotate projection. __toks is
-    // dropped first (only the gates above read it; checkpointing the
-    // token arrays would multiply the snapshot's bytes) — the final
-    // drop("__toks") below is a no-op on this branch.
+    // snapshotGate: the pin itself lives in dedup() AFTER the exact
+    // stage (so the sha2 + full-text exchange + keep-min window also
+    // compute once — pinning here left that subtree re-running per
+    // near-dup consumer, ~5× in q44's plan). __toks is dropped on this
+    // branch so the snapshot doesn't carry the token arrays (only the
+    // gates above read it); the final drop("__toks") below is then a
+    // no-op.
     val gated =
-      if (cfg.snapshotGate) gated1.drop("__toks").localCheckpoint()
+      if (cfg.snapshotGate) gated1.drop("__toks")
       else gated1
     val deduped = dedup(gated, idCol, textCol, cfg)
     val spanned = cfg.spanDedupN match {
