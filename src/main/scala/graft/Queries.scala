@@ -2777,10 +2777,16 @@ object Queries {
       // with xxhash64), permuting and keying with Sketches.sha60
       // (sha-256 prefix) instead of xxhash64. Every band key value is
       // replayed by DuckDB from the raw text.
+      // Deterministic ¼ doc sample: the twin's evidence is PER-DOC
+      // (each signature/band key is a pure function of that doc's
+      // text), so sampling docs loses zero code-path coverage while
+      // keeping the sha-256 volume — the deliberately expensive
+      // DuckDB-replayable ingredient — from dominating the bench sweep
+      // (measured 4.9 s of the 63 s sf0.1 total unsampled).
       val k = 8; val bands = 4; val rpb = 2
       val Sk = graft.operators.Sketches
       val toks = Tables.documents(s, d)
-        .where(col("text").isNotNull)
+        .where(col("text").isNotNull && pmod(col("doc_id"), lit(4)) === 0)
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         .where(size(col("toks")) >= 3)
       val grams = toks.select(col("doc_id"),
@@ -2804,7 +2810,7 @@ object Queries {
     },
     Some("""WITH t AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        FROM documents WHERE text IS NOT NULL),
+        FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
       tf AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
           range(1, len(toks) - 1),
