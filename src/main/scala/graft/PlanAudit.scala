@@ -11,7 +11,11 @@ package graft
   *     JVM, timing each pass (chasing run-count / host-contention
   *     effects seen in Bench);
   *   - `bpe <sfDir> [numMerges]` — scale check for BPE's driver-side
-  *     merge maintenance.
+  *     merge maintenance;
+  *   - `sem <sfDir> [reps]` — stage-level timing of the semantic-dedup
+  *     composite (q94's shape): k-means training alone, blocked-pair
+  *     generation alone, then the full operator — isolates which stage
+  *     owns the wall at a given SF.
   */
 object PlanAudit {
 
@@ -57,8 +61,60 @@ object PlanAudit {
           SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
           System.err.println(f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+      case "sem" =>
+        import org.apache.spark.sql.functions._
+        val reps = if (args.length > 2) args(2).toInt else 2
+        val emb = Tables.embeddings(spark, sfDir)
+        val st = emb.agg(coalesce(max(col("vec_id")), lit(0L)).as("mx"),
+          count(lit(1)).as("n")).head()
+        val planted = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .withColumn("vec_id", col("vec_id") + lit(st.getLong(0) + 1L))
+          .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+        val corpus = emb.unionByName(planted)
+        val k = math.max(8, (st.getLong(1) * 11L / 10L / 256L).toInt)
+        for (r <- 1 to reps) {
+          var t0 = System.nanoTime()
+          val cents = operators.Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k, maxIter = 5)
+          val tK = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val blocked = corpus.withColumn("__sem_cluster",
+            operators.Similarity.assignClusterApprox(Some(spark), col("embedding"), cents.map(_.toSeq).toSeq))
+          val nPairs = operators.Dedup.embeddingNearDuplicates(
+            blocked, "vec_id", "embedding", "__sem_cluster", 0.95).count()
+          val tP = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          operators.Dedup.semanticDeduplicate(corpus, "vec_id", "embedding",
+            k = k, threshold = 0.95, maxIter = 5)
+            .write.mode("overwrite").format("noop").save()
+          val tF = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[audit] rep $r sem k=$k: kmeans=$tK%.2f s  pairs($nPairs)=$tP%.2f s  full=$tF%.2f s")
+        }
+        // micro: one Lloyd iteration's pieces over the persisted sample
+        if (args.length > 3 && args(3) == "micro") {
+          import spark.implicits._
+          val normed = operators.Similarity.trainingSample(corpus, "vec_id", "embedding", 1 << 21).persist()
+          normed.count()
+          val pool = normed.orderBy(col("__h")).limit(k * 4)
+            .select(col("__e")).as[Seq[Double]].collect().map(_.toArray)
+          val cents = pool.take(k).map(_.toSeq).toSeq
+          val sumAgg = org.apache.spark.sql.functions.udaf(
+            graft.functions.Aggregators.VectorSum(pool.head.length))
+          for (r <- 1 to 3) {
+            var t0 = System.nanoTime()
+            normed.select(operators.Similarity.assignClusterApprox(Some(spark), col("__e"), cents).as("__c"))
+              .groupBy(col("__c")).count().collect()
+            val tA = (System.nanoTime() - t0) / 1e9
+            t0 = System.nanoTime()
+            normed.select(operators.Similarity.assignClusterApprox(Some(spark), col("__e"), cents).as("__c"), col("__e"))
+              .groupBy(col("__c")).agg(sumAgg(col("__e")).as("__s"), count(lit(1)).as("__n"))
+              .as[(Int, Seq[Double], Long)].collect()
+            val tS = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[audit] micro rep $r: assign+count=$tA%.2f s  assign+vecsum=$tS%.2f s")
+          }
+          normed.unpersist()
+        }
       case other =>
-        System.err.println(s"unknown mode '$other' (plans | explain | time | bpe)")
+        System.err.println(s"unknown mode '$other' (plans | explain | time | bpe | sem)")
     }
     spark.stop()
   }

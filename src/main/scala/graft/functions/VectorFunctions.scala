@@ -65,11 +65,28 @@ object VectorFunctions {
       (acc, x) => acc + x)
 
   /** L2-normalized copy of the vector (unit length); zero vector maps to
-    * itself.
+    * itself. Native one-pass codegen ([[graft.plans.L2Normalize]], built
+    * directly as an Expression so it resolves in any session) — the HOF
+    * form below re-evaluates the captured norm subexpression per ELEMENT
+    * when interpreted (`aggregate` is CodegenFallback), i.e. dim² evals
+    * per row; parity is spec-pinned.
     */
-  def l2Normalize(a: Column): Column = {
+  def l2Normalize(a: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.L2Normalize(org.apache.spark.sql.GraftSqlBridge.expression(a)))
+
+  /** Reference HOF formulation of [[l2Normalize]] (kept for the
+    * bit-parity spec; do not use on hot paths — see the native form's
+    * scaladoc for why). The explicit `isnan` guard matches the native
+    * form's Java `nrm > 0` (false for NaN): without it Spark's
+    * NaN-largest ordering makes `NaN > 0` TRUE and a NaN-norm vector
+    * would normalize to all-NaN instead of passing through — the same
+    * guard [[cosine]] carries.
+    */
+  def l2NormalizeHof(a: Column): Column = {
     val n = l2Norm(a)
-    when(n > 0, transform(a, x => x.cast("double") / n)).otherwise(transform(a, x => x.cast("double")))
+    when(n > 0 && !isnan(n), transform(a, x => x.cast("double") / n))
+      .otherwise(transform(a, x => x.cast("double")))
   }
 
   /** Signed random-hyperplane (SimHash-for-vectors) signature: one bit per

@@ -283,4 +283,49 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[(Integer, Integer)].collect()(0)
     assert(nm._1 == nm._2 && nm._2 == 0, s"NaN-norm centroid on mismatch: $nm")
   }
+
+  test("native l2-normalize ≡ the HOF form bit-for-bit on fixture embeddings (float input)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = emb.select(
+      VF.l2Normalize(col("embedding")).as("nat"),
+      VF.l2NormalizeHof(col("embedding")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), s"row $i differs")
+    }
+    // and the output really is unit length (cosine with itself = 1)
+    val n1 = emb.select(VF.cosineNative(
+        VF.l2Normalize(col("embedding")), VF.l2Normalize(col("embedding"))).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-9).count()
+    assert(n1 == 0L)
+  }
+
+  test("native l2-normalize matches HOF semantics on degenerate inputs") {
+    // null input, null element (cast copy, nulls kept), NaN element
+    // (copy), zero vector (copy), empty array, normal vector
+    val rows: Seq[Option[Seq[Option[Double]]]] = Seq(
+      None,
+      Some(Seq(Some(3.0), None, Some(4.0))),
+      Some(Seq(Some(Double.NaN), Some(1.0))),
+      Some(Seq(Some(0.0), Some(0.0))),
+      Some(Seq.empty),
+      Some(Seq(Some(3.0), Some(4.0))))
+    val df = rows.toDF("a")
+    val got = df.select(
+      VF.l2Normalize(col("a")).as("nat"),
+      VF.l2NormalizeHof(col("a")).as("hof")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"row $i nullness")
+      if (!r.isNullAt(0)) {
+        val (nat, hof) = (r.getSeq[Any](0), r.getSeq[Any](1))
+        // NaN != NaN under ==; compare via toString per element
+        assert(nat.map(String.valueOf) == hof.map(String.valueOf), s"row $i: nat=$nat hof=$hof")
+      }
+    }
+    assert(got(0).isNullAt(0))                                   // null in, null out
+    assert(got(1).getSeq[Any](0) == Seq(3.0, null, 4.0))         // null elem → cast copy
+    assert(got(3).getSeq[Any](0) == Seq(0.0, 0.0))               // zero norm → copy
+    assert(got(4).getSeq[Any](0) == Seq.empty)                   // empty → empty
+    assert(got(5).getSeq[Any](0) == Seq(0.6, 0.8))               // 3-4-5 triangle
+  }
 }
