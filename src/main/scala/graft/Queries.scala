@@ -3011,6 +3011,43 @@ object Queries {
         CASE WHEN h < 9800 THEN 'train' WHEN h < 9900 THEN 'val' ELSE 'test' END AS split
       FROM b ORDER BY doc_id"""))
 
+  private val q103 = Q(
+    "q103_bpe_first_merge",
+    (s, d) => {
+      // oracle twin for q86's rows-only BPE training (the q95/q98
+      // pattern): training round 1 IS an argmax over the adjacent-pair
+      // counts of the word-frequency table, and that one round is
+      // SQL-expressible even though the full iteration is not.
+      // Bpe.initialPairCounts keeps the SAME vocab pass training
+      // collects (shared vocabTable, same minCount = 2 floor as q86)
+      // distributed, and the is_first_merge column pins the driver-side
+      // heap argmax — tie-break included — to the SQL row_number() = 1
+      // replay. Evidence transfers: the corpus pass, the floor, the
+      // pair weighting, and merge #1's selection are all hash-checked.
+      val docs = Tables.documents(s, d)
+      val first = graft.operators.Bpe.learnMerges(docs, "text", 1, minCount = 2L).head
+      graft.operators.Bpe.initialPairCounts(docs, "text", minCount = 2L)
+        .withColumn("is_first_merge",
+          col("a") === lit(first._1) && col("b") === lit(first._2) &&
+            col("cnt") === lit(first._3))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""WITH v AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1 HAVING count(*) >= 2),
+      p AS (
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM v WHERE length(w) >= 2)
+        GROUP BY 1, 2)
+      SELECT a, b, cnt,
+        (row_number() OVER (ORDER BY cnt DESC, a, b)) = 1 AS is_first_merge
+      FROM p ORDER BY cnt DESC, a, b LIMIT 20"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3020,5 +3057,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

@@ -63,23 +63,56 @@ object Bpe {
     * `maxVocabTypes` stays defaulted because it is a pure memory
     * backstop orders of magnitude above any natural repeated vocab.
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 1L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
-    import scala.collection.mutable
-    // ONE distributed corpus pass: the word-frequency table, floored and
-    // capped BEFORE it reaches the driver. Everything after this line is
-    // driver-side and independent of corpus size. The cap's sort is over
-    // the already-floored vocab table (not the corpus) — vocab-sized,
-    // one-time, trivial next to the corpus pass it follows.
+  /** The ONE distributed corpus pass training runs on: the
+    * word-frequency table `(w, freq)`, floored and capped BEFORE it
+    * reaches the driver. Shared verbatim by [[learnMerges]] (which
+    * collects it) and [[initialPairCounts]] (which keeps it
+    * distributed), so the oracle twin q103 exercises exactly the frame
+    * training consumes.
+    */
+  private[graft] def vocabTable(docs: DataFrame, textCol: String,
+      minCount: Long, maxVocabTypes: Int): DataFrame = {
     val vocab = docs.select(explode(TF.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
-    val bounded =
-      if (maxVocabTypes == Int.MaxValue) vocab
-      else vocab.orderBy(col("freq").desc, col("w").asc).limit(maxVocabTypes)
+    // The cap's sort is over the already-floored vocab table (not the
+    // corpus) — vocab-sized, one-time, trivial next to the corpus pass.
+    if (maxVocabTypes == Int.MaxValue) vocab
+    else vocab.orderBy(col("freq").desc, col("w").asc).limit(maxVocabTypes)
+  }
+
+  /** Distributed first-iteration pair statistics: every adjacent
+    * symbol pair's corpus-weighted count over [[vocabTable]]'s
+    * word-frequency frame — BPE training round 1 computes exactly this
+    * (driver-side, incrementally thereafter); here it stays a
+    * DataFrame, which makes it (a) a scale diagnostic — "what would
+    * training merge first" with no driver collect at all — and (b) the
+    * SQL-replayable oracle surface for the otherwise iterative,
+    * rows-only training path (q103 hash-checks it against DuckDB,
+    * including the (count desc, pair asc) argmax tie-break that picks
+    * merge #1). Overlap semantics match training's sliding window:
+    * "aaa" contributes (a,a) twice. Pairs are over UTF-16 units on the
+    * driver and code points here — identical except for astral-plane
+    * symbols, which character-level BPE vocabularies don't reach.
+    */
+  def initialPairCounts(docs: DataFrame, textCol: String,
+      minCount: Long = 1L, maxVocabTypes: Int = 5000000): DataFrame =
+    vocabTable(docs, textCol, minCount, maxVocabTypes)
+      .filter(length(col("w")) >= 2) // single-symbol words have no pairs
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    // Everything after the collect is driver-side and independent of
+    // corpus size.
     val wordFreq: Array[(Array[String], Long)] =
-      bounded.collect()
+      vocabTable(docs, textCol, minCount, maxVocabTypes).collect()
         .map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
     val syms: Array[mutable.ArrayBuffer[String]] =
       wordFreq.map { case (s, _) => mutable.ArrayBuffer.from(s) }

@@ -51,6 +51,25 @@ class BpeSpec extends SparkSpec {
     assert(uncapped != capped)
   }
 
+  test("initialPairCounts: distributed round-1 statistics match training's argmax, overlaps counted sliding") {
+    // 'low'×3, 'lower'×2, hapax 'lowest', plus 'aaa'×2 to pin overlap
+    // semantics: the sliding window counts (a,a) TWICE per 'aaa'
+    val docs = Seq("low low low lower lower lowest aaa aaa").toDF("text")
+    val pc = Bpe.initialPairCounts(docs, "text", minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // floored vocab: low(3), lower(2), aaa(2) — lowest dropped
+    assert(pc(("l", "o")) == 5L)
+    assert(pc(("o", "w")) == 5L)
+    assert(pc(("w", "e")) == 2L)
+    assert(pc(("a", "a")) == 4L, "aaa must contribute (a,a) twice per word occurrence")
+    assert(!pc.contains(("e", "s")), "hapax 'lowest' must be dropped by the floor")
+    // the distributed table's argmax (count desc, pair asc) IS merge #1
+    val top = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+    val first = Bpe.learnMerges(docs, "text", 1, minCount = 2L).head
+    assert((top._1._1, top._1._2, top._2) == first,
+      s"distributed argmax $top must equal training's first merge $first")
+  }
+
   test("applyMerge: leftmost-first, non-overlapping, fused symbol") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("l", "o", "w"), "l", "o") == Seq("lo", "w"))
