@@ -233,4 +233,65 @@ object Sketches {
     import spark.implicits._
     items.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "n")
   }
+
+  // ------------------------------------------- streaming MG state
+
+  /** Merge an append-only Misra–Gries state table (the layout
+    * [[graft.streaming.StreamOps.frequentItemsStream]] maintains: one
+    * [[frequentItems]] row set per micro-batch, tagged `run_id`) down
+    * to one summary — the MG contract over ALL runs: for every output
+    * row, true(item) ∈ [weight, weight + delta]; any item absent from
+    * the summary has true count ≤ delta (delta = Σ per-run Δ, since
+    * each run's summary bounds its own batch exactly).
+    *
+    * Unlike the HLL register max, raw MG counters are NOT
+    * re-aggregation-safe — summing a duplicated delta twice would
+    * inflate weights. Redelivery safety comes from the run key
+    * instead: an at-least-once retried AvailableNow batch re-appends
+    * IDENTICAL rows under the SAME `run_id` (the batch's file set is
+    * pinned in the checkpoint WAL before execution), so level 1 — max
+    * per (run_id, item) — collapses duplicates exactly, including a
+    * partially-written first attempt. The merged read is therefore
+    * bit-DETERMINISTIC, not just bound-preserving (StreamingSpec
+    * asserts equality under redelivery, a stronger property than the
+    * HLL estimate-jitter bound).
+    *
+    * State stays plain data rows (item, weight, delta, run_id), ≤ m+1
+    * rows per run, readable by any engine. The summary keeps
+    * [[frequentItems]]' shape: `item IS NULL` carries delta when no
+    * counter survived; delta repeats on every row. The item collect is
+    * bounded by m × runs ([[compactMgState]] folds runs to one).
+    */
+  def mgStateSummary(states: DataFrame): DataFrame = {
+    val perRun = states.groupBy(col("run_id"), col("item"))
+      .agg(max(col("weight")).as("weight"), max(col("delta")).as("delta"))
+    val totalDelta = perRun.groupBy(col("run_id"))
+      .agg(max(col("delta")).as("run_delta"))
+      .agg(coalesce(sum(col("run_delta")), lit(0L)).as("delta"))
+    perRun.where(col("item").isNotNull)
+      .groupBy(col("item")).agg(sum(col("weight")).as("weight"))
+      .agg(collect_list(struct(col("item"), col("weight"))).as("its"))
+      .crossJoin(totalDelta)
+      .select(explode_outer(col("its")).as("it"), col("delta"))
+      .select(col("it.item").as("item"), col("it.weight").as("weight"), col("delta"))
+  }
+
+  /** [[mgStateSummary]] over a state directory. */
+  def mgStateSummary(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    mgStateSummary(spark.read.parquet(stateDir))
+
+  /** Compact an append-only MG state directory to ONE merged summary
+    * run (`run_id = -1`), in place — same two-rename swap and crash
+    * recovery as [[compactHllState]]. The fold is [[mgStateSummary]]
+    * itself, so reads before and after compaction are IDENTICAL (exact
+    * weights, summed delta). Single-writer contract, and stricter than
+    * HLL's: run only with the stream quiesced AND its appends durable —
+    * a batch retried AFTER its rows were folded into `-1` would no
+    * longer dedupe by `run_id` and would double-count.
+    */
+  def compactMgState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
+      df => mgStateSummary(df).withColumn("run_id", lit(-1L)))
 }

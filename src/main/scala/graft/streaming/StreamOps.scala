@@ -91,6 +91,47 @@ object StreamOps {
       .start()
   }
 
+  /** Incremental heavy-hitters accounting as an `AvailableNow` stream —
+    * the MG companion to [[hllDistinctStream]]: each invocation reads
+    * only files the checkpoint has not seen, sketches JUST that delta
+    * with a Misra–Gries pass
+    * ([[graft.operators.Sketches.frequentItems]]: ≤ m+1 plain data
+    * rows per run, no full-vocabulary shuffle), tags it with the
+    * micro-batch id, and APPENDS to `stateDir`. "Heavy items all-time"
+    * reads off [[graft.operators.Sketches.mgStateSummary]] — history
+    * is never rescanned; [[graft.operators.Sketches.compactMgState]]
+    * folds the append-only runs to one.
+    *
+    * Failure semantics: `foreachBatch` is at-least-once, and MG
+    * counters — unlike HLL registers — would inflate if a duplicated
+    * delta were summed twice. The `run_id` tag is what makes the
+    * retry safe: a re-run batch has the SAME id and IDENTICAL rows
+    * (its file set is WAL-pinned before execution), and the read path
+    * dedupes per (run_id, item) before summing (StreamingSpec proves
+    * read-equality under exactly this double-append).
+    */
+  def frequentItemsStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      m: Int): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    in.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .frequentItems(batch, col(valueCol), m)
+          .withColumn("run_id", lit(batchId))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

@@ -448,6 +448,71 @@ class StreamingSpec extends SparkSpec {
         s"compaction must preserve estimates: $snapshot vs $compacted")
   }
 
+  test("streaming MG state: delta-only sketching, exact read-equality under redelivery and compaction") {
+    val base = Files.createTempDirectory("mgstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val Sk = graft.operators.Sketches
+    def run(): Unit = StreamOps.frequentItemsStream(
+      spark, inDir, schema, "v", stDir, ckDir, m = 8).awaitTermination()
+    def summary(): (Map[String, Long], Long) = {
+      val rows = Sk.mgStateSummary(spark, stDir).collect()
+      val delta = rows.head.getLong(2)
+      (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap, delta)
+    }
+    // skewed stream, heavy items planted well above the achievable Δ
+    // (Δ_r ≤ n_r/(m+1)): run 1 = hot×400 warm×250 + 100 distinct rares
+    val batch1 = Seq.fill(400)("hot") ++ Seq.fill(250)("warm") ++
+      (1 to 100).map(i => f"rare$i%03d")
+    batch1.toDF("v").write.mode("append").parquet(inDir)
+    run()
+    val afterRun1 = spark.read.parquet(stDir).count()
+    assert(afterRun1 <= 9, s"at most m+1 state rows per run: $afterRun1")
+
+    // rerun with NOTHING new: checkpoint yields no batch → state untouched
+    run()
+    assert(spark.read.parquet(stDir).count() == afterRun1, "no-op rerun must not append")
+
+    // run 2 delta: hot×300 cold×200 + 100 fresh rares
+    val batch2 = Seq.fill(300)("hot") ++ Seq.fill(200)("cold") ++
+      (101 to 200).map(i => f"rare$i%03d")
+    batch2.toDF("v").write.mode("append").parquet(inDir)
+    run()
+
+    // the merged MG contract: weight ≤ true ≤ weight + Δ for every
+    // summary item, Δ = Σ per-run deltas ≤ Σ n_r/(m+1); the planted
+    // heavies clear Δ so they MUST be present
+    val (items, delta) = summary()
+    assert(delta <= (750 / 9) + (600 / 9), s"delta must sum per-run bounds: $delta")
+    val truth = Map("hot" -> 700L, "warm" -> 250L, "cold" -> 200L)
+    for ((it, t) <- truth) {
+      assert(items.contains(it), s"$it (true $t > delta $delta) must survive: $items")
+      assert(items(it) <= t && t <= items(it) + delta,
+        s"$it: weight ${items(it)} must bound true $t within +$delta")
+    }
+    // differential vs one-shot batch sketch: same contract on all data
+    val oneShot = Sk.frequentItems((batch1 ++ batch2).toDF("v"), col("v"), 8)
+      .collect().filter(!_.isNullAt(0)).map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    for ((it, (w, d)) <- oneShot if truth.contains(it))
+      assert(w <= truth(it) && truth(it) <= w + d, s"one-shot $it out of bound")
+
+    // redelivery: re-append one run's ENTIRE row set (at-least-once
+    // foreachBatch retry — same run_id, identical rows). Unlike HLL's
+    // jitter bound, the MG read must be EXACTLY unchanged.
+    val snapshot = summary()
+    val maxRun = spark.read.parquet(stDir).agg(max(col("run_id"))).collect().head.getLong(0)
+    spark.read.parquet(stDir).where(col("run_id") === maxRun)
+      .write.mode("append").parquet(stDir)
+    assert(summary() == snapshot, "redelivered run must not move the summary at all")
+
+    // compaction folds runs to one; reads stay exactly equal
+    val (b0, a0) = Sk.compactMgState(spark, stDir)
+    assert(b0 > a0, s"compaction must shrink state: $b0 -> $a0")
+    assert(summary() == snapshot, "compaction must preserve the summary exactly")
+  }
+
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
     val base = Files.createTempDirectory("upstream").toString
     val inDir = s"$base/in"; val ckDir = s"$base/ck"
