@@ -437,7 +437,7 @@ object Queries {
         .select(unix_timestamp(col("window.start")).as("wstart"), col("n"))
         .orderBy(col("wstart"))
     },
-    Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+    Some("""WITH e AS MATERIALIZED (SELECT epoch_us(ts) AS us FROM events),
       g AS (SELECT (us // 1800000000) * 1800000000 AS su FROM e
         UNION ALL SELECT (us // 1800000000) * 1800000000 - 1800000000 AS su FROM e)
       SELECT CAST(su // 1000000 AS BIGINT) AS wstart, count(*) AS n
@@ -2376,7 +2376,7 @@ object Queries {
     Some("""WITH RECURSIVE e(src, dst, w) AS (VALUES
         (1,2,3),(1,3,0),(2,4,5),(3,4,2),(4,5,1),(2,6,0),(6,7,4),(5,8,0),
         (7,8,2),(3,9,7),(9,10,1),(10,8,3),(1,11,0),(11,12,6),(12,8,0)),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
       paths(node, d, lag) AS (
         SELECT node, 0, 0 FROM nodes
         UNION ALL
@@ -3048,6 +3048,67 @@ object Queries {
         (row_number() OVER (ORDER BY cnt DESC, a, b)) = 1 AS is_first_merge
       FROM p ORDER BY cnt DESC, a, b LIMIT 20"""))
 
+  /** One unrolled PageRank iteration for q104's oracle: DuckDB 1.0 has
+    * no grouped aggregation in recursive CTEs, so the FIXED iteration
+    * count is replayed as a CTE chain — same join + sum-by-dst + uniform
+    * dangling redistribution the engine computes, exact to double
+    * arithmetic (rounded once at the end, the standing oracle rule).
+    */
+  private def prIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""r$i AS MATERIALIZED (
+      SELECT nodes.node,
+        (1 - 0.85) / (SELECT n FROM nn)
+        + 0.85 * (coalesce(c.contrib, 0)
+          + (SELECT coalesce(sum(rank), 0) FROM $prev
+             WHERE node NOT IN (SELECT src FROM e)) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT p.dst AS node, sum($prev.rank * p.p) AS contrib
+        FROM p JOIN $prev ON $prev.node = p.src GROUP BY 1) c
+        ON c.node = nodes.node)"""
+  }
+
+  private val q104 = Q(
+    "q104_pagerank_trade",
+    (s, d) => {
+      // nation-level trade-influence ranking (Relational.pageRank): the
+      // 100 TB shape is "aggregate a petabyte link/event log to a
+      // (src, dst, weight) graph, then rank" — the distributed part is
+      // the lineitem-sized edge aggregation (customer nation → supplier
+      // nation, weight = shipment count; dims broadcast); the fixed
+      // 10-iteration power loop then touches only node/edge-sized
+      // frames and is deterministic, so DuckDB replays it exactly.
+      val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d); val supp = Tables.supplier(s, d)
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(cust("c_nationkey").as("src"), supp("s_nationkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val pr = Relational.pageRank(edges, "src", "dst", Some("w"),
+        iterations = 10, damping = 0.85)
+      pr.join(Tables.nation(s, d), pr("node") === col("n_nationkey"))
+        .select(col("node"), col("n_name"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      ow AS MATERIALIZED (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+      p AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow ON ow.src = e.src),
+      r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      ${(1 to 10).map(prIterSql).mkString(",\n      ")}
+      SELECT r10.node, n.n_name, round(r10.rank, 6) AS rank
+      FROM r10 JOIN nation n ON n.n_nationkey = r10.node
+      ORDER BY r10.node"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3057,5 +3118,5 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 }

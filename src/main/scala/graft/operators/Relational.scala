@@ -732,6 +732,83 @@ object Relational {
     out
   }
 
+  /** Weighted PageRank with a FIXED iteration count — the
+    * domain-authority / node-importance ranking a crawl-curation
+    * pipeline runs over its link graph (CommonCrawl-style host ranking
+    * is exactly this shape). Fixed iterations rather than an epsilon
+    * test on purpose: the result is a deterministic closed-form
+    * function of the edge table, so it is externally replayable
+    * (q104's DuckDB oracle unrolls the same iterations) and costs no
+    * per-round convergence action.
+    *
+    * Scale shape: the expensive part of real usage is aggregating a
+    * petabyte event/link log down to the `(src, dst, weight)` edge
+    * table — that is the caller's groupBy and stays fully distributed;
+    * the iteration itself touches only node-and-edge-sized frames.
+    * Each round is one equi-join of ranks to the out-normalized edges
+    * + one sum-by-dst (shuffles on node id only), a left join back to
+    * the node set (so sinks keep receiving mass), and a broadcast-able
+    * one-row cross join carrying the dangling mass — nodes WITHOUT
+    * out-edges redistribute their rank uniformly, the standard
+    * correction, computed in-plan with no per-iteration driver action.
+    * The whole run is ONE lazy plan; lineage is truncated every 8
+    * rounds ([[localCheckpointTracked]]) so deep iteration counts
+    * don't compound analysis cost.
+    *
+    * Output: `(node, rank)` for every node in the edge table; ranks
+    * sum to 1. Null-endpoint edges are dropped (a null src/dst is not
+    * a node). `weightCol = None` ranks the unweighted graph.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String] = None, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)).as("w"))
+    val (nodes, nodesPinned) = localCheckpointTracked(
+      e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
+    val n = nodes.count()
+    if (n == 0) {
+      releasePinned(sc, nodesPinned)
+      return nodes.select(col("node"), lit(0.0).as("rank"))
+    }
+    // out-normalized transition table, materialized once: every
+    // iteration re-reads it, never the raw edges
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val (trans, transPinned) = localCheckpointTracked(
+      e.join(outw, "src").select(col("src"), col("dst"), (col("w") / col("outw")).as("p")))
+    val srcs = trans.select(col("src").as("node")).distinct()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranksPinned = Set.empty[Int]
+    for (i <- 1 to iterations) {
+      // dangling mass: total rank sitting on nodes with no out-edges,
+      // redistributed uniformly — one scalar row, cross-joined (never
+      // a driver action)
+      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = trans.join(ranks, col("node") === col("src"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(col("rank") * col("p")).as("contrib"))
+      val stepped = nodes.join(contribs, col("node") === col("cnode"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("rank"))
+      if (i % 8 == 0 && i < iterations) {
+        val (cp, cpPinned) = localCheckpointTracked(stepped)
+        releasePinned(sc, ranksPinned)
+        ranks = cp; ranksPinned = cpPinned
+      } else ranks = stepped
+    }
+    // nodes/trans are always checkpoint-pinned, so rehomed always
+    // persists+materializes the result BEFORE releasing their blocks
+    rehomed(ranks, ranksPinned ++ nodesPinned ++ transPinned)
+  }
+
   /** Driver kernel of [[descendantCounts]]'s small-graph path: the same
     * register propagation as the distributed exact path, as per-node
     * `java.util.BitSet`s with ROUND-SYNCHRONOUS sweeps (reads only the

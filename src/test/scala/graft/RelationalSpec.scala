@@ -445,6 +445,47 @@ class RelationalSpec extends SparkSpec {
     assert(cc(big) == 1L && cc(2L) == 1L, s"big id intact: $cc")
   }
 
+  test("pageRank: symmetric cycle is uniform, ranks sum to 1, weights steer mass") {
+    // two-node cycle: perfectly symmetric, so every iteration keeps the
+    // uniform distribution exactly (closed form, no tolerance games)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    val rc = Relational.pageRank(cyc, "s", "t", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rc(1L) - 0.5) < 1e-12 && math.abs(rc(2L) - 0.5) < 1e-12, s"$rc")
+
+    // weighted fan: a splits 3:1 to b vs c; b and c cycle back. b must
+    // outrank c, and ranks must sum to 1
+    val fan = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("s", "t", "w")
+    val rf = Relational.pageRank(fan, "s", "t", Some("w"), iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rf(2L) > rf(3L), s"weighted edge must steer mass: $rf")
+    assert(math.abs(rf.values.sum - 1.0) < 1e-9, s"ranks must sum to 1: $rf")
+  }
+
+  test("pageRank: dangling redistribution matches a scalar reference loop; partition-invariant") {
+    // a -> b, b dangling. Reference: the same fixed-iteration recurrence
+    // computed with plain doubles.
+    val edges = Seq((10L, 20L)).toDF("s", "t")
+    val got = Relational.pageRank(edges, "s", "t", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var ra = 0.5; var rb = 0.5
+    for (_ <- 1 to 10) {
+      val dm = rb // b has no out-edges
+      val na = (1 - 0.85) / 2 + 0.85 * (0.0 + dm / 2)
+      val nb = (1 - 0.85) / 2 + 0.85 * (ra + dm / 2)
+      ra = na; rb = nb
+    }
+    assert(math.abs(got(10L) - ra) < 1e-12 && math.abs(got(20L) - rb) < 1e-12,
+      s"got $got, reference ($ra, $rb)")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "dangling mass must be conserved")
+
+    // partitioning must not change the result beyond double round-off
+    val rep = Relational.pageRank(edges.repartition(7), "s", "t", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- got) assert(math.abs(rep(k) - v) < 1e-12, s"partition-variant at $k")
+  }
+
   test("cpmSchedule fails loudly when a dependency references a missing stage") {
     val stages = Seq((1L, 5L), (2L, 3L)).toDF("stage_id", "duration_days")
     val deps = Seq((2L, 9L, "FS", 0L))
