@@ -758,16 +758,80 @@ object Relational {
     * Output: `(node, rank)` for every node in the edge table; ranks
     * sum to 1. Null-endpoint edges are dropped (a null src/dst is not
     * a node). `weightCol = None` ranks the unweighted graph.
+    * Edge tables at or under `localMaxEdges` run the identical
+    * recurrence as a driver loop (threshold-guarded fast path with
+    * distributed fallback, the same split as [[descendantCounts]] /
+    * [[dagRelaxMax]]); `localMaxEdges = 0` forces the distributed path.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: Option[String] = None, iterations: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, localMaxEdges: Long = 100000L): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
-    val sc = edges.sparkSession.sparkContext
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)).as("w"))
+      .persist()
+    try {
+      // small-graph fast path — see dagRelaxMax/descendantCounts: after
+      // the caller's log→graph aggregation the EDGE table is often tiny
+      // (25 nations, a few thousand hosts) while the fixed-iteration
+      // distributed loop pays ~4 shuffle stages per round in driver and
+      // codegen fixed costs. Below the threshold, collect the edge list
+      // and run the same recurrence as a driver loop (deterministic
+      // accumulation order — edges sorted — so the result is
+      // partition-invariant). Mixed src/dst endpoint types skip the
+      // fast path: an Any-keyed index would split 1 ≠ 1L into two nodes.
+      if (localMaxEdges > 0 && e.schema.head.dataType == e.schema(1).dataType &&
+          e.count() <= localMaxEdges) {
+        val rows = e.collect()
+        val nodeType = e.schema.head.dataType
+        val (nodeIds, ranks) = pageRankLocal(rows, iterations, damping)
+        val spark = edges.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nodeType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+        val out = spark.createDataFrame(
+          java.util.Arrays.asList(nodeIds.indices.map(i =>
+            org.apache.spark.sql.Row(nodeIds(i), ranks(i))): _*), schema)
+        return out
+      }
+      pageRankDistributed(e, iterations, damping)
+    } finally e.unpersist()
+  }
+
+  /** Driver kernel of [[pageRank]]'s small-graph path: the identical
+    * recurrence over a sorted edge array (sorting pins the double
+    * accumulation order, so the result does not depend on how the
+    * collected rows were partitioned).
+    */
+  private def pageRankLocal(edgeRows: Array[org.apache.spark.sql.Row],
+      iterations: Int, damping: Double): (Array[Any], Array[Double]) = {
+    val sorted = edgeRows.sortBy(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1))))
+    val idx = scala.collection.mutable.LinkedHashMap.empty[Any, Int]
+    def id(a: Any): Int = idx.getOrElseUpdate(a, idx.size)
+    val es = sorted.map(r => (id(r.get(0)), id(r.get(1)), r.getDouble(2)))
+    val n = idx.size
+    if (n == 0) return (Array.empty, Array.empty)
+    val outw = new Array[Double](n)
+    es.foreach { case (s, _, w) => outw(s) += w }
+    var ranks = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val contrib = new Array[Double](n)
+      es.foreach { case (s, t, w) => contrib(t) += ranks(s) * (w / outw(s)) }
+      var dm = 0.0
+      var i = 0
+      while (i < n) { if (outw(i) == 0.0) dm += ranks(i); i += 1 }
+      ranks = Array.tabulate(n)(j =>
+        (1 - damping) / n + damping * (contrib(j) + dm / n))
+    }
+    (idx.keys.toArray, ranks)
+  }
+
+  private def pageRankDistributed(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val sc = e.sparkSession.sparkContext
     val (nodes, nodesPinned) = localCheckpointTracked(
       e.select(col("src").as("node")).union(e.select(col("dst"))).distinct())
     val n = nodes.count()

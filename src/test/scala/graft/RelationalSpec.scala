@@ -484,6 +484,21 @@ class RelationalSpec extends SparkSpec {
     val rep = Relational.pageRank(edges.repartition(7), "s", "t", iterations = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for ((k, v) <- got) assert(math.abs(rep(k) - v) < 1e-12, s"partition-variant at $k")
+
+    // the DISTRIBUTED path (forced via localMaxEdges = 0) must agree
+    // with the driver fast path on a graph exercising weights, a cycle,
+    // AND a dangling node
+    val mixed = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 4L, 2.0))
+      .toDF("s", "t", "w")
+    val fast = Relational.pageRank(mixed, "s", "t", Some("w"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Relational.pageRank(mixed, "s", "t", Some("w"), iterations = 10,
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet == dist.keySet)
+    for ((k, v) <- fast) assert(math.abs(dist(k) - v) < 1e-12,
+      s"distributed vs local mismatch at $k: ${dist(k)} vs $v")
+    assert(math.abs(dist.values.sum - 1.0) < 1e-9, "distributed must conserve mass")
   }
 
   test("cpmSchedule fails loudly when a dependency references a missing stage") {
