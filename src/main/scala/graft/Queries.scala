@@ -3109,6 +3109,48 @@ object Queries {
       FROM r10 JOIN nation n ON n.n_nationkey = r10.node
       ORDER BY r10.node"""))
 
+  private val q105 = Q(
+    "q105_containment_join",
+    (s, d) => {
+      // quote/snippet detection (Similarity.containmentJoin): the
+      // asymmetric overlap jaccard misses — an 8-token snippet inside a
+      // full document scores containment 1.0 but jaccard ~0.02. Probes
+      // are 12-token snippets of every 100th doc; at threshold
+      // 1.0 a match means every snippet token appears in the corpus
+      // doc, which DuckDB replays exactly (bounded probe set × full
+      // corpus list-intersect), so pair set AND value are hash-checked.
+      // Each snippet must at minimum rediscover its own source.
+      val docs = Tables.documents(s, d)
+      // every 100th doc, 12-token snippets: the synthetic corpus is
+      // deliberately repetitive (23-token docs over a small vocab), so
+      // denser probes or shorter snippets make a third of the corpus a
+      // match — probe sparsity keeps the fixture's output match-shaped
+      val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("snip_id"),
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 12)).as("snip_text"))
+      Similarity.containmentJoin(probes, "snip_id", "snip_text",
+          docs, "doc_id", "text", threshold = 1.0)
+        .select(col("probe_id"), col("corpus_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents WHERE text IS NOT NULL),
+      r AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS raw
+        FROM documents WHERE text IS NOT NULL),
+      s AS (
+        SELECT doc_id AS probe_id, list_distinct(raw[1:12]) AS ptoks
+        FROM r WHERE doc_id % 100 = 0)
+      SELECT s.probe_id, t.doc_id AS corpus_id,
+        round(CAST(len(list_intersect(s.ptoks, t.toks)) AS DOUBLE)
+              / len(s.ptoks), 4) AS containment
+      FROM s, t
+      WHERE len(s.ptoks) > 0
+        AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
+      ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3118,5 +3160,6 @@ object Queries {
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
+    q105)
 }

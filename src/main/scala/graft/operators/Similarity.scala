@@ -554,6 +554,80 @@ object Similarity {
     * full token arrays back by id (two hash joins). No all-pairs stage
     * exists anywhere.
     */
+  /** Exact set-CONTAINMENT join: every (probe, corpus) pair with
+    * `|T(probe) ∩ T(corpus)| / |T(probe)| >= threshold` — the
+    * asymmetric companion to [[jaccardSimilarityJoin]], for the cases
+    * jaccard structurally misses: a short quote inside a long article,
+    * a benchmark item embedded in a crawl page, a boilerplate block
+    * subsumed by every page that carries it (a 10-token snippet inside
+    * a 5000-token page has jaccard ≈ 0.002 but containment 1.0).
+    *
+    * Scale shape, AllPairs-style: probes keep only a PREFIX of their
+    * tokens — by pigeonhole, a pair clearing the threshold must share
+    * a token within the probe's first `n - ceil(t·n) + 1` tokens under
+    * ANY fixed global order — while the corpus side is fully indexed
+    * (containment gives no lower bound relative to |corpus doc|, so no
+    * corpus prefix exists; the index is the exploded token stream, an
+    * equi-join, never an all-pairs). The global order is ascending
+    * corpus document-frequency, so prefixes hold the rarest tokens and
+    * candidate fan-out stays bounded; probe tokens ABSENT from the
+    * corpus vocabulary rank rarest of all (df 0) — they fill the
+    * prefix first and match nothing, pruning unsatisfiable probes for
+    * free. Candidates then verify exactly (array_intersect), recall
+    * 1.0 by construction. Probes with an empty token set are dropped
+    * (containment is undefined). Like the jaccard join, near-1
+    * thresholds keep prefixes at 1–2 rare tokens; LOW thresholds admit
+    * common tokens into prefixes and grow candidates — below ~0.5
+    * prefer the MinHash path.
+    *
+    * Sizing contract, same as the decontamination family: PROBES are
+    * the broadcast-able side (a benchmark, a quote list, a boilerplate
+    * set — thousands to low millions), the CORPUS is the unbounded
+    * side. Probe prefixes and token sets broadcast, so the corpus-
+    * token-sized index explode and the verify join never shuffle the
+    * corpus. Corpus-vs-corpus containment is a different (quadratic)
+    * problem — use [[jaccardSimilarityJoin]] / MinHash banding there.
+    */
+  def containmentJoin(probes: DataFrame, probeIdCol: String, probeTextCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // eager snapshots, same discipline (and same measured
+    // checkpoint-over-persist choice) as jaccardSimilarityJoin: each
+    // side feeds the rank/index subtree AND the verify subtree
+    val pa = probes.select(col(probeIdCol).as("probe_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col(probeTextCol))).as("__pa"))
+      .filter(size(col("__pa")) > 0)
+      .localCheckpoint(true)
+    val cb = corpus.select(col(corpusIdCol).as("corpus_id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col(corpusTextCol))).as("__cb"))
+      .localCheckpoint(true)
+    val rank = cb.select(explode(col("__cb")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixes = pa
+      .select(col("probe_id"), size(col("__pa")).as("n"), explode(col("__pa")).as("tok"))
+      .join(rank, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("probe_id"), col("n"))
+      // epsilon before ceil — see jaccardSimilarityJoin: one ulp of
+      // n·t overshoot must not shorten the prefix of an exact operator
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
+        lit(1), (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast("int")).as("pre"))
+      .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
+    val index = cb.select(col("corpus_id"), explode(col("__cb")).as("tok"))
+    // probe prefixes are tiny (≤ prefix-len rows per probe) next to the
+    // corpus-token-sized index: broadcast them so the index streams
+    // map-side and the 1-token-per-row explosion never shuffles
+    val cands = broadcast(prefixes).join(index, "tok")
+      .select(col("probe_id"), col("corpus_id")).distinct()
+    cands.join(broadcast(pa), "probe_id").join(cb, "corpus_id")
+      .withColumn("containment",
+        size(array_intersect(col("__pa"), col("__cb"))).cast("double") /
+          size(col("__pa")))
+      .filter(col("containment") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("containment"))
+  }
+
   def jaccardSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")

@@ -137,6 +137,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got2 == want2, s"exactness at the float-ceil boundary: got $got2 want $want2")
   }
 
+  test("containmentJoin: exactly the brute-force pairs; asymmetric; out-of-vocab probes prune") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 40).map("w" + _)
+    val corpus = (1L to 50L).map(i => (i, rnd.shuffle(vocab).take(15).mkString(" ")))
+    // probes: 4-token snippets of docs 1..8 (containment 1.0 in their
+    // source), one mixed probe (half in-corpus, half fresh tokens), and
+    // one fully out-of-vocab probe that must match NOTHING
+    val snippets = (1L to 8L).map(i =>
+      (200L + i, corpus(i.toInt - 1)._2.split(" ").take(4).mkString(" ")))
+    val mixed = Seq((301L, corpus.head._2.split(" ").take(2).mkString(" ") + " qq1 qq2"))
+    val alien = Seq((302L, "zz1 zz2 zz3 zz4"))
+    val probes = (snippets ++ mixed ++ alien).toDF("pid", "ptext")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    for (t <- Seq(1.0, 0.75, 0.5)) {
+      val got = Similarity.containmentJoin(probes, "pid", "ptext",
+          corpusDf, "doc_id", "text", t)
+        .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (pid, pt) <- snippets ++ mixed ++ alien
+        (cid, ct) <- corpus
+        pa = pt.split(" ").toSet; ca = ct.split(" ").toSet
+        c = (pa & ca).size.toDouble / pa.size if c >= t
+      } yield (pid, cid)).toSet
+      assert(got == want, s"t=$t: got $got want $want")
+      if (t == 1.0) {
+        assert((1L to 8L).forall(i => got.contains((200L + i, i))),
+          s"every snippet must rediscover its source: $got")
+        assert(!got.exists(_._1 == 302L), "out-of-vocab probe must match nothing")
+      }
+    }
+    // asymmetry: jaccard of a 4-token snippet vs its 15-token source is
+    // ~4/15 — the jaccard join at 0.75 finds none of the snippet pairs
+    val all = (corpus ++ snippets).toDF("doc_id", "text")
+    val jacc = Similarity.jaccardSimilarityJoin(all, "doc_id", "text", 0.75)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jacc.exists { case (a, b) => a <= 8 && b > 200 },
+      s"fixture sanity: jaccard must structurally miss snippet-in-doc pairs: $jacc")
+  }
+
   test("kmeans recovers planted well-separated clusters; assignment is a pure projection") {
     // three orthogonal-ish direction bundles with small jitter
     def mk(axis: Int, n: Int, base: Long) = (0 until n).map { j =>
