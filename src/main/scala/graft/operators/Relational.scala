@@ -757,7 +757,12 @@ object Relational {
     *
     * Output: `(node, rank)` for every node in the edge table; ranks
     * sum to 1. Null-endpoint edges are dropped (a null src/dst is not
-    * a node). `weightCol = None` ranks the unweighted graph.
+    * a node); so are edges with null or non-positive weight (same
+    * contract as the Efraimidis–Spirakis sampler — a w ≤ 0 transition
+    * probability is undefined, and letting one through would make the
+    * out-weight normalization NaN). A node ONLY touched by dropped
+    * edges leaves the graph entirely. `weightCol = None` ranks the
+    * unweighted graph.
     * Edge tables at or under `localMaxEdges` run the identical
     * recurrence as a driver loop (threshold-guarded fast path with
     * distributed fallback, the same split as [[descendantCounts]] /
@@ -771,6 +776,7 @@ object Relational {
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)).as("w"))
+      .filter(col("w") > 0) // null/zero/negative weights: no transition
       .persist()
     try {
       // small-graph fast path — see dagRelaxMax/descendantCounts: after

@@ -499,6 +499,23 @@ class RelationalSpec extends SparkSpec {
     for ((k, v) <- fast) assert(math.abs(dist(k) - v) < 1e-12,
       s"distributed vs local mismatch at $k: ${dist(k)} vs $v")
     assert(math.abs(dist.values.sum - 1.0) < 1e-9, "distributed must conserve mass")
+
+    // zero/negative/null-weight edges carry no transition probability:
+    // both paths must drop them (letting one through would NaN the
+    // out-weight normalization), and a node only touched by dropped
+    // edges leaves the graph
+    val dirty = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 4L, 2.0),
+      (1L, 9L, 0.0), (9L, 2L, -5.0))
+    val dirtyDf = dirty.toDF("s", "t", "w")
+      .unionByName(Seq((4L, 1L)).toDF("s", "t").withColumn("w", lit(null).cast("double")))
+    for (lme <- Seq(100000L, 0L)) {
+      val r = Relational.pageRank(dirtyDf, "s", "t", Some("w"), iterations = 10,
+          localMaxEdges = lme)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(!r.contains(9L), s"node on only-dropped edges must vanish (lme=$lme): $r")
+      for ((k, v) <- fast) assert(math.abs(r(k) - v) < 1e-12,
+        s"dropped edges must not perturb ranks (lme=$lme, node $k)")
+    }
   }
 
   test("cpmSchedule fails loudly when a dependency references a missing stage") {
