@@ -203,7 +203,11 @@ object Bench {
       // round 12: the sketch-state family joins the scale sentinels —
       // q96's HLL merge must stay sketch-sized and q97's MG candidate
       // shuffle must stay m-bounded however large the stream
-      "q96_hll_incremental_distinct", "q97_heavy_hitters")
+      "q96_hll_incremental_distinct", "q97_heavy_hitters",
+      // round 13: the containment join is pair-explosion-shaped by
+      // construction (probe prefixes × full corpus index) — exactly
+      // what the sentinels watch for
+      "q105_containment_join")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
