@@ -204,6 +204,8 @@ object Bench {
       // q96's HLL merge must stay sketch-sized and q97's MG candidate
       // shuffle must stay m-bounded however large the stream
       "q96_hll_incremental_distinct", "q97_heavy_hitters",
+      // round 13: the exact histogram state must stay bucket-sized
+      "q106_hist_quantile_state",
       // round 13: the containment join is pair-explosion-shaped by
       // construction (probe prefixes × full corpus index) — exactly
       // what the sentinels watch for

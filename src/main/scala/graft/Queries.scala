@@ -3151,6 +3151,46 @@ object Queries {
         AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
       ORDER BY 1, 2"""))
 
+  private val q106 = Q(
+    "q106_hist_quantile_state",
+    (s, d) => {
+      // incremental quantile accounting (Sketches.histDeltaState /
+      // histStateQuantiles): the EXACT third member of the
+      // incremental-state family (q96 HLL distinct, q97 MG heavy
+      // hitters) — over integer milli-buckets the histogram is a
+      // lossless sufficient statistic, so state-merged quantiles equal
+      // a full rescan bit-for-bit and the oracle needs no error-bound
+      // boolean. Two delta states (event_id parity = two nightly runs)
+      // plus a verbatim REDELIVERY of run 0 prove the at-least-once
+      // no-op in-query; DuckDB replays nearest-rank quantiles over the
+      // raw events.
+      import graft.operators.Sketches
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("b"))
+      val r0 = Sketches.histDeltaState(
+          ev.filter(pmod(col("event_id"), lit(2)) === 0), Seq("event_type"), col("b"))
+        .withColumn("run_id", lit(0L))
+      val r1 = Sketches.histDeltaState(
+          ev.filter(pmod(col("event_id"), lit(2)) === 1), Seq("event_type"), col("b"))
+        .withColumn("run_id", lit(1L))
+      val state = r0.unionByName(r1).unionByName(r0) // run 0 retried
+      Sketches.histStateQuantiles(state, Seq("event_type"), Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), col("q"), col("value").as("value_milli"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS b
+        FROM events WHERE value IS NOT NULL),
+      tot AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+      s AS (SELECT event_type, b,
+          row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn FROM e),
+      qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+      SELECT s.event_type, qs.q, s.b AS value_milli
+      FROM qs, tot t JOIN s ON s.event_type = t.event_type
+      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n) AS BIGINT), 1)
+      ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3161,5 +3201,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105)
+    q105, q106)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct-count sketches — the mergeable
@@ -294,4 +295,78 @@ object Sketches {
       stateDir: String, targetBytes: Long = 128L << 20): (Long, Long) =
     graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
       df => mgStateSummary(df).withColumn("run_id", lit(-1L)))
+
+  // ------------------------------------- incremental quantile state
+
+  /** Per-key integer-bucket histogram of a batch — the third member of
+    * the incremental-state family (distinct = HLL q96, heavy hitters =
+    * MG q97, quantiles = this), and the only EXACT one: over an
+    * integer-valued metric (the engine's milli-unit house style — score
+    * millis, latency micros, size bytes) the histogram is a lossless
+    * sufficient statistic, so incremental quantiles equal a full rescan
+    * BIT-FOR-BIT, no sketch error to bound. State is `(key…, bucket,
+    * cnt)` — distinct-bucket-sized however many rows the batch has
+    * (a bounded metric domain ⇒ bounded state forever; for unbounded
+    * or fractional metrics the CALLER quantizes, same contract as
+    * q59/q80's integer scores). Null buckets are excluded (a row with
+    * no metric contributes to no quantile).
+    */
+  def histDeltaState(df: DataFrame, keyCols: Seq[String], bucket: Column): DataFrame =
+    df.select((keyCols.map(col) :+ bucket.cast("long").as("bucket")): _*)
+      .where(col("bucket").isNotNull)
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge an append-only histogram state (rows from [[histDeltaState]]
+    * tagged `run_id`, the layout
+    * [[graft.streaming.StreamOps.histQuantileStream]] maintains) and
+    * read nearest-rank quantiles per key: value(q) = min bucket whose
+    * cumulative count reaches `max(1, ceil(q·N))`. Counts, like MG
+    * weights, would inflate under at-least-once redelivery — the same
+    * `run_id` + per-(run, key, bucket) max dedupe makes a retried
+    * batch a no-op and the read bit-deterministic. One exchange on the
+    * key for the cumulative window; the q-explosion happens on the
+    * already-reduced bucket rows.
+    */
+  def histStateQuantiles(states: DataFrame, keyCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"histStateQuantiles: quantiles must be in (0, 1], got $qs")
+    val perRun = states
+      .groupBy((col("run_id") +: keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("cnt")).as("cnt"))
+    val merged = perRun
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
+      .withColumn("total", sum(col("cnt")).over(byKey))
+    cum.withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("rank", greatest(ceil(col("q") * col("total")), lit(1L)))
+      .where(col("cum") >= col("rank"))
+      .groupBy((keyCols.map(col) :+ col("q")): _*)
+      .agg(min(col("bucket")).as("value"))
+  }
+
+  /** [[histStateQuantiles]] over a state directory. */
+  def histStateQuantiles(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCols: Seq[String], qs: Seq[Double]): DataFrame =
+    histStateQuantiles(spark.read.parquet(stateDir), keyCols, qs)
+
+  /** Compact an append-only histogram state directory to one summed
+    * run (`run_id = -1`), in place. The fold IS the read path's merge,
+    * so quantiles are bit-identical before and after. Same quiesced +
+    * durable single-writer contract as [[compactMgState]].
+    */
+  def compactHistState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, keyCols: Seq[String],
+      targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
+      df.groupBy((col("run_id") +: keyCols.map(col) :+ col("bucket")): _*)
+        .agg(max(col("cnt")).as("cnt"))
+        .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("run_id", lit(-1L))
+    }
 }

@@ -132,6 +132,43 @@ object StreamOps {
       .start()
   }
 
+  /** Incremental per-key QUANTILE accounting as an `AvailableNow`
+    * stream — the exact third member of the incremental-state family
+    * ([[hllDistinctStream]] = distinct, [[frequentItemsStream]] =
+    * heavy hitters): each run histograms ONLY its file delta over an
+    * integer bucket expression
+    * ([[graft.operators.Sketches.histDeltaState]]; callers quantize
+    * fractional metrics to milli-units, the house integer-score
+    * contract) and appends `(key…, bucket, cnt, run_id)`; reads merge
+    * via [[graft.operators.Sketches.histStateQuantiles]] — over an
+    * integer metric the histogram is lossless, so incremental
+    * quantiles equal a full rescan bit-for-bit. Redelivery safety is
+    * the MG design: counts would inflate if a retried batch re-summed,
+    * so rows tag the WAL-pinned batch id and the read dedupes per
+    * (run, key, bucket) before summing.
+    */
+  def histQuantileStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String],
+      bucketExpr: String,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val in = spark.readStream.schema(schema).parquet(inputDir)
+    in.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Sketches
+          .histDeltaState(batch, keyCols, expr(bucketExpr))
+          .withColumn("run_id", lit(batchId))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

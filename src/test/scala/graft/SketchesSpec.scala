@@ -176,4 +176,41 @@ class SketchesSpec extends SparkSpec {
     assert(emptyIn.length == 1 && emptyIn.head.isNullAt(0)
       && emptyIn.head.getLong(1) == 0L, s"empty input: ${emptyIn.toSeq}")
   }
+
+  test("histogram state: nearest-rank table, null exclusion, multi-run merge with redelivery dedupe") {
+    import spark.implicits._
+    // nearest-rank definition, pinned on a 4-value fixture: value(q) =
+    // min bucket whose cumulative count >= max(1, ceil(q*N))
+    val one = Sketches.histDeltaState(
+        Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)).toDF("k", "v"),
+        Seq("k"), col("v"))
+      .withColumn("run_id", lit(0L))
+    val table = Sketches.histStateQuantiles(one, Seq("k"),
+        Seq(0.25, 0.5, 0.51, 0.75, 1.0))
+      .select("q", "value").as[(Double, Long)].collect().toMap
+    assert(table == Map(0.25 -> 1L, 0.5 -> 2L, 0.51 -> 3L, 0.75 -> 3L, 1.0 -> 4L),
+      s"nearest-rank table: $table")
+
+    // null metric rows contribute to no quantile
+    val withNulls = Sketches.histDeltaState(
+      Seq(("x", Some(5L)), ("x", None), ("x", Some(5L))).toDF("k", "v"),
+      Seq("k"), col("v"))
+    assert(withNulls.agg(sum(col("cnt"))).collect().head.getLong(0) == 2L)
+
+    // two runs merge by SUM; a duplicated run row dedupes by max first
+    val r0 = Sketches.histDeltaState(Seq(("x", 1L), ("x", 1L)).toDF("k", "v"),
+      Seq("k"), col("v")).withColumn("run_id", lit(0L))
+    val r1 = Sketches.histDeltaState(Seq(("x", 2L)).toDF("k", "v"),
+      Seq("k"), col("v")).withColumn("run_id", lit(1L))
+    val redelivered = r0.unionByName(r1).unionByName(r0) // run 0 retried
+    val med = Sketches.histStateQuantiles(redelivered, Seq("k"), Seq(0.5, 1.0))
+      .select("q", "value").as[(Double, Long)].collect().toMap
+    // multiset {1,1,2}: median rank ceil(1.5)=2 -> 1; max -> 2. A
+    // double-counted run 0 would make N=5, rank 3 -> still 1 for the
+    // median but max count wrong — assert the total too
+    assert(med == Map(0.5 -> 1L, 1.0 -> 2L), s"$med")
+    val n = redelivered.groupBy("run_id", "k", "bucket").agg(max("cnt").as("c"))
+      .agg(sum("c")).collect().head.getLong(0)
+    assert(n == 3L, s"redelivery dedupe must keep the multiset at 3, got $n")
+  }
 }

@@ -513,6 +513,55 @@ class StreamingSpec extends SparkSpec {
     assert(summary() == snapshot, "compaction must preserve the summary exactly")
   }
 
+  test("streaming histogram state: incremental quantiles equal a full rescan exactly") {
+    val base = Files.createTempDirectory("histstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val Sk = graft.operators.Sketches
+    val qs = Seq(0.5, 0.9, 0.99)
+    def run(): Unit = StreamOps.histQuantileStream(
+      spark, inDir, schema, Seq("k"), "v", stDir, ckDir).awaitTermination()
+    def read(): Map[(String, Double), Long] =
+      Sk.histStateQuantiles(spark, stDir, Seq("k"), qs)
+        .select("k", "q", "value").as[(String, Double, Long)].collect()
+        .map { case (k, q, v) => (k, q) -> v }.toMap
+    // run 1: a = 1..100 (+ skew: 100 extra copies of 7), b = 1..10
+    val batch1 = (1L to 100L).map(("a", _)) ++ Seq.fill(100)(("a", 7L)) ++
+      (1L to 10L).map(("b", _))
+    batch1.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+    // run 2 delta: a grows 101..200, b re-sends 1..10 (values repeat —
+    // counts must ADD, this is a histogram not a set)
+    val batch2 = (101L to 200L).map(("a", _)) ++ (1L to 10L).map(("b", _))
+    batch2.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+
+    // EXACT differential: nearest-rank quantiles of the full multiset
+    val got = read()
+    def nearestRank(values: Seq[Long], q: Double): Long = {
+      val sorted = values.sorted
+      sorted(math.max(1, math.ceil(q * sorted.size).toLong).toInt - 1)
+    }
+    val all = (batch1 ++ batch2).groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    for (k <- Seq("a", "b"); q <- qs)
+      assert(got((k, q)) == nearestRank(all(k), q),
+        s"($k, $q): got ${got((k, q))}, want ${nearestRank(all(k), q)}")
+
+    // redelivery: re-append the last run's rows verbatim → bit-equal read
+    val maxRun = spark.read.parquet(stDir).agg(max(col("run_id"))).collect().head.getLong(0)
+    spark.read.parquet(stDir).where(col("run_id") === maxRun)
+      .write.mode("append").parquet(stDir)
+    assert(read() == got, "redelivered run must not move any quantile")
+
+    // compaction: fewer rows, identical quantiles
+    val (b0, a0) = Sk.compactHistState(spark, stDir, Seq("k"))
+    assert(b0 > a0, s"compaction must shrink state: $b0 -> $a0")
+    assert(read() == got, "compaction must preserve quantiles exactly")
+  }
+
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
     val base = Files.createTempDirectory("upstream").toString
     val inDir = s"$base/in"; val ckDir = s"$base/ck"
