@@ -3025,8 +3025,15 @@ object Queries {
       // replay. Evidence transfers: the corpus pass, the floor, the
       // pair weighting, and merge #1's selection are all hash-checked.
       val docs = Tables.documents(s, d)
-      val first = graft.operators.Bpe.learnMerges(docs, "text", 1, minCount = 2L).head
-      graft.operators.Bpe.initialPairCounts(docs, "text", minCount = 2L)
+      // one corpus pass: snapshot the vocab frame and feed BOTH the
+      // driver training round and the distributed pair table (the
+      // localCheckpoint lifetime follows the jaccard-join precedent:
+      // blocks reclaimed by the ContextCleaner with the result plan)
+      val vocab = graft.operators.Bpe
+        .vocabTable(docs, "text", minCount = 2L, maxVocabTypes = 5000000)
+        .localCheckpoint(true)
+      val first = graft.operators.Bpe.learnMergesFromVocab(vocab, 1).head
+      graft.operators.Bpe.initialPairCountsFrom(vocab)
         .withColumn("is_first_merge",
           col("a") === lit(first._1) && col("b") === lit(first._2) &&
             col("cnt") === lit(first._3))
@@ -3188,7 +3195,7 @@ object Queries {
       qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
       SELECT s.event_type, qs.q, s.b AS value_milli
       FROM qs, tot t JOIN s ON s.event_type = t.event_type
-      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n) AS BIGINT), 1)
+      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - 1e-9) AS BIGINT), 1)
       ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------------------

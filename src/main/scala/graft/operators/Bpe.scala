@@ -98,7 +98,16 @@ object Bpe {
     */
   def initialPairCounts(docs: DataFrame, textCol: String,
       minCount: Long = 1L, maxVocabTypes: Int = 5000000): DataFrame =
-    vocabTable(docs, textCol, minCount, maxVocabTypes)
+    initialPairCountsFrom(vocabTable(docs, textCol, minCount, maxVocabTypes))
+
+  /** [[initialPairCounts]] over an already-built `(w, freq)` vocab
+    * frame — the seam that lets a caller running BOTH training and the
+    * pair diagnostics (q103) pay the corpus pass once: snapshot
+    * [[vocabTable]]'s output and feed it here and to
+    * [[learnMergesFromVocab]].
+    */
+  private[graft] def initialPairCountsFrom(vocab: DataFrame): DataFrame =
+    vocab
       .filter(length(col("w")) >= 2) // single-symbol words have no pairs
       .select(col("freq"), explode(expr(
         "transform(sequence(1, length(w) - 1), " +
@@ -107,12 +116,19 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
 
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 1L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] = {
+      minCount: Long = 1L, maxVocabTypes: Int = 5000000): Seq[(String, String, Long)] =
+    learnMergesFromVocab(vocabTable(docs, textCol, minCount, maxVocabTypes), numMerges)
+
+  /** [[learnMerges]] from an already-built `(w, freq)` vocab frame
+    * (see [[initialPairCountsFrom]]).
+    */
+  private[graft] def learnMergesFromVocab(vocab: DataFrame,
+      numMerges: Int): Seq[(String, String, Long)] = {
     import scala.collection.mutable
     // Everything after the collect is driver-side and independent of
     // corpus size.
     val wordFreq: Array[(Array[String], Long)] =
-      vocabTable(docs, textCol, minCount, maxVocabTypes).collect()
+      vocab.collect()
         .map(r => (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
     val syms: Array[mutable.ArrayBuffer[String]] =
       wordFreq.map { case (s, _) => mutable.ArrayBuffer.from(s) }

@@ -787,9 +787,15 @@ object Relational {
       // and run the same recurrence as a driver loop (deterministic
       // accumulation order — edges sorted — so the result is
       // partition-invariant). Mixed src/dst endpoint types skip the
-      // fast path: an Any-keyed index would split 1 ≠ 1L into two nodes.
-      if (localMaxEdges > 0 && e.schema.head.dataType == e.schema(1).dataType &&
-          e.count() <= localMaxEdges) {
+      // fast path (an Any-keyed index would split 1 ≠ 1L into two
+      // nodes) — and so does BinaryType: collected Array[Byte] ids
+      // compare by REFERENCE, which would shatter every hash-digest
+      // node into per-edge singletons, silently and differently per
+      // run. The distributed path compares binary ids by value.
+      val endpointType = e.schema.head.dataType
+      val localSafe = endpointType == e.schema(1).dataType &&
+        endpointType != org.apache.spark.sql.types.BinaryType
+      if (localMaxEdges > 0 && localSafe && e.count() <= localMaxEdges) {
         val rows = e.collect()
         val nodeType = e.schema.head.dataType
         val (nodeIds, ranks) = pageRankLocal(rows, iterations, damping)

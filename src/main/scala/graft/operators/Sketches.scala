@@ -249,13 +249,20 @@ object Sketches {
     * re-aggregation-safe — summing a duplicated delta twice would
     * inflate weights. Redelivery safety comes from the run key
     * instead: an at-least-once retried AvailableNow batch re-appends
-    * IDENTICAL rows under the SAME `run_id` (the batch's file set is
-    * pinned in the checkpoint WAL before execution), so level 1 — max
-    * per (run_id, item) — collapses duplicates exactly, including a
-    * partially-written first attempt. The merged read is therefore
-    * bit-DETERMINISTIC, not just bound-preserving (StreamingSpec
-    * asserts equality under redelivery, a stronger property than the
-    * HLL estimate-jitter bound).
+    * rows under the SAME `run_id` (the batch's file set is pinned in
+    * the checkpoint WAL before execution), and level 1 — max per
+    * (run_id, item) — collapses duplicates, including a
+    * partially-written first attempt. When the retry's rows are
+    * IDENTICAL (deterministic re-run; the case StreamingSpec pins)
+    * the read is bit-equal. Because the MG merge is order-sensitive
+    * (truncation at the (m+1)-th weight), a multi-partition retry can
+    * legally emit a DIFFERENT valid summary for the same batch; the
+    * max-dedupe then stays within the MG contract instead of
+    * bit-equal: each attempt independently satisfies
+    * wᵢ(item) ≤ true ≤ wᵢ(item) + Δᵢ, so max wᵢ ≤ true ≤
+    * max wᵢ + max Δᵢ, and an item absent from every attempt has
+    * true ≤ min Δᵢ ≤ the run's max-Δ contribution
+    * (see [[graft.streaming.StreamOps.frequentItemsStream]]).
     *
     * State stays plain data rows (item, weight, delta, run_id), ≤ m+1
     * rows per run, readable by any engine. The summary keeps
@@ -332,22 +339,33 @@ object Sketches {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"histStateQuantiles: quantiles must be in (0, 1], got $qs")
-    val perRun = states
-      .groupBy((col("run_id") +: keyCols.map(col) :+ col("bucket")): _*)
-      .agg(max(col("cnt")).as("cnt"))
-    val merged = perRun
-      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
-      .agg(sum(col("cnt")).as("cnt"))
     val byKey = Window.partitionBy(keyCols.map(col): _*)
-    val cum = merged
+    val cum = histStateMerged(states, keyCols)
       .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
       .withColumn("total", sum(col("cnt")).over(byKey))
+    // epsilon before ceil — same rule as containmentJoin's prefix
+    // length: q·N in doubles can overshoot an exact integer by one ulp
+    // (0.07 × 100 = 7.000000000000001), and ceil'ing that would return
+    // the rank-8 bucket for the documented rank-7 contract
     cum.withColumn("q", explode(array(qs.map(lit): _*)))
-      .withColumn("rank", greatest(ceil(col("q") * col("total")), lit(1L)))
+      .withColumn("rank", greatest(ceil(col("q") * col("total") - 1e-9), lit(1L)))
       .where(col("cum") >= col("rank"))
       .groupBy((keyCols.map(col) :+ col("q")): _*)
       .agg(min(col("bucket")).as("value"))
   }
+
+  /** The read path's merge, shared by [[histStateQuantiles]] and
+    * [[compactHistState]] BY CONSTRUCTION (not copy-paste) so the
+    * "compaction preserves reads bit-for-bit" invariant cannot drift:
+    * dedupe redelivered rows per (run, key, bucket) by max, then sum
+    * across runs.
+    */
+  private def histStateMerged(states: DataFrame, keyCols: Seq[String]): DataFrame =
+    states
+      .groupBy((col("run_id") +: keyCols.map(col) :+ col("bucket")): _*)
+      .agg(max(col("cnt")).as("cnt"))
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** [[histStateQuantiles]] over a state directory. */
   def histStateQuantiles(spark: org.apache.spark.sql.SparkSession,
@@ -362,11 +380,6 @@ object Sketches {
   def compactHistState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, keyCols: Seq[String],
       targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
-      df.groupBy((col("run_id") +: keyCols.map(col) :+ col("bucket")): _*)
-        .agg(max(col("cnt")).as("cnt"))
-        .groupBy((keyCols.map(col) :+ col("bucket")): _*)
-        .agg(sum(col("cnt")).as("cnt"))
-        .withColumn("run_id", lit(-1L))
-    }
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
+      df => histStateMerged(df, keyCols).withColumn("run_id", lit(-1L)))
 }

@@ -77,15 +77,32 @@ object StreamOps {
       valueCol: String,
       stateDir: String,
       checkpointDir: String,
-      lgK: Int = 12): StreamingQuery = {
+      lgK: Int = 12): StreamingQuery =
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, _) => graft.operators.Sketches
+        .hllDistinctState(batch, keyCols, col(valueCol), lgK))
+
+  /** Shared scaffold of the incremental-state family
+    * ([[hllDistinctStream]] / [[frequentItemsStream]] /
+    * [[histQuantileStream]]): an `AvailableNow` checkpointed read of
+    * the input directory whose every micro-batch is reduced by
+    * `delta(batch, batchId)` and APPENDED to the state directory. One
+    * place owns the trigger/checkpoint/append wiring, so a fix to it
+    * cannot fork across the family.
+    */
+  private def appendStateStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateDir: String,
+      checkpointDir: String)(
+      delta: (DataFrame, Long) => DataFrame): StreamingQuery = {
     val in = spark.readStream.schema(schema).parquet(inputDir)
     in.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Sketches
-          .hllDistinctState(batch, keyCols, col(valueCol), lgK)
-          .write.mode("append").parquet(stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        delta(batch, batchId).write.mode("append").parquet(stateDir)
         ()
       }
       .start()
@@ -104,11 +121,22 @@ object StreamOps {
     *
     * Failure semantics: `foreachBatch` is at-least-once, and MG
     * counters — unlike HLL registers — would inflate if a duplicated
-    * delta were summed twice. The `run_id` tag is what makes the
-    * retry safe: a re-run batch has the SAME id and IDENTICAL rows
-    * (its file set is WAL-pinned before execution), and the read path
-    * dedupes per (run_id, item) before summing (StreamingSpec proves
-    * read-equality under exactly this double-append).
+    * delta were summed twice. The `run_id` tag makes the retry safe:
+    * a re-run batch has the SAME id (its file set is WAL-pinned
+    * before execution) and the read path dedupes per (run_id, item)
+    * by max before summing. Two regimes, stated honestly: when the
+    * retry emits IDENTICAL rows (single-partition merge, or any
+    * deterministic re-run — the common case StreamingSpec pins), the
+    * read is bit-identical. In general the MG merge is
+    * order-SENSITIVE (truncation at the (m+1)-th weight depends on
+    * the shuffle-fetch interleaving), so two attempts of the same
+    * batch may legally emit different valid summaries; the
+    * max-dedupe then keeps the read WITHIN THE MG CONTRACT rather
+    * than bit-equal — for each item, max(w₁, w₂) ≤ true ≤
+    * max(w₁, w₂) + max(Δ₁, Δ₂) because every attempt's summary
+    * bounds the same batch (true ≤ wᵢ + Δᵢ ∀i), and an item absent
+    * from both attempts has true ≤ min Δᵢ. A mixed-attempt run can
+    * hold up to 2(m+1) rows until compaction folds it.
     */
   def frequentItemsStream(
       spark: SparkSession,
@@ -117,20 +145,11 @@ object StreamOps {
       valueCol: String,
       stateDir: String,
       checkpointDir: String,
-      m: Int): StreamingQuery = {
-    val in = spark.readStream.schema(schema).parquet(inputDir)
-    in.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketches
-          .frequentItems(batch, col(valueCol), m)
-          .withColumn("run_id", lit(batchId))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
-  }
+      m: Int): StreamingQuery =
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Sketches
+        .frequentItems(batch, col(valueCol), m)
+        .withColumn("run_id", lit(batchId)))
 
   /** Incremental per-key QUANTILE accounting as an `AvailableNow`
     * stream — the exact third member of the incremental-state family
@@ -154,20 +173,11 @@ object StreamOps {
       keyCols: Seq[String],
       bucketExpr: String,
       stateDir: String,
-      checkpointDir: String): StreamingQuery = {
-    val in = spark.readStream.schema(schema).parquet(inputDir)
-    in.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Sketches
-          .histDeltaState(batch, keyCols, expr(bucketExpr))
-          .withColumn("run_id", lit(batchId))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
-  }
+      checkpointDir: String): StreamingQuery =
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Sketches
+        .histDeltaState(batch, keyCols, expr(bucketExpr))
+        .withColumn("run_id", lit(batchId)))
 
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.

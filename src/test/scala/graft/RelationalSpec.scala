@@ -518,6 +518,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: binary node ids compare by value (distributed path), not reference") {
+    // each logical id appears as a FRESH Array[Byte] instance per edge —
+    // the driver fast path's Any-keyed index would split them by
+    // reference into per-edge singleton nodes, so BinaryType must route
+    // to the distributed path, where ids compare by value
+    def b(x: Byte) = Array(x)
+    val edges = Seq((b(1), b(2)), (b(2), b(3)), (b(3), b(1))).toDF("s", "t")
+    val r = Relational.pageRank(edges, "s", "t", iterations = 10)
+      .collect().map(row => (row.getAs[Array[Byte]](0).toSeq, row.getDouble(1)))
+    assert(r.length == 3, s"3-cycle must stay 3 nodes, got ${r.length}: $r")
+    r.foreach { case (id, rank) =>
+      assert(math.abs(rank - 1.0 / 3) < 1e-12, s"symmetric cycle must be uniform: $id -> $rank")
+    }
+  }
+
   test("cpmSchedule fails loudly when a dependency references a missing stage") {
     val stages = Seq((1L, 5L), (2L, 3L)).toDF("stage_id", "duration_days")
     val deps = Seq((2L, 9L, "FS", 0L))

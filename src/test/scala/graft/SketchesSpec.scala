@@ -191,6 +191,15 @@ class SketchesSpec extends SparkSpec {
     assert(table == Map(0.25 -> 1L, 0.5 -> 2L, 0.51 -> 3L, 0.75 -> 3L, 1.0 -> 4L),
       s"nearest-rank table: $table")
 
+    // float-ceil regression: 0.07 × 100 = 7.000000000000001 in doubles —
+    // an unguarded ceil would return the rank-8 bucket for rank 7
+    val hundred = Sketches.histDeltaState(
+        (1L to 100L).map(("x", _)).toDF("k", "v"), Seq("k"), col("v"))
+      .withColumn("run_id", lit(0L))
+    val p7 = Sketches.histStateQuantiles(hundred, Seq("k"), Seq(0.07))
+      .select("value").as[Long].collect().head
+    assert(p7 == 7L, s"ceil(0.07*100) overshoot must not shift the rank: got $p7")
+
     // null metric rows contribute to no quantile
     val withNulls = Sketches.histDeltaState(
       Seq(("x", Some(5L)), ("x", None), ("x", Some(5L))).toDF("k", "v"),
