@@ -331,7 +331,10 @@ object Sketches {
     * cumulative count reaches `max(1, ceil(q·N))`. Counts, like MG
     * weights, would inflate under at-least-once redelivery — the same
     * `run_id` + per-(run, key, bucket) max dedupe makes a retried
-    * batch a no-op and the read bit-deterministic. One exchange on the
+    * batch a no-op and the read bit-deterministic — and HERE that
+    * holds unconditionally, unlike the MG stream: the delta is an
+    * exact order-insensitive groupBy count, so any retry of the same
+    * WAL-pinned file set emits IDENTICAL rows. One exchange on the
     * key for the cumulative window; the q-explosion happens on the
     * already-reduced bucket rows.
     */
