@@ -3195,7 +3195,7 @@ object Queries {
       qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
       SELECT s.event_type, qs.q, s.b AS value_milli
       FROM qs, tot t JOIN s ON s.event_type = t.event_type
-      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - 1e-9) AS BIGINT), 1)
+      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - (1e-9 + qs.q * t.n * 1e-12)) AS BIGINT), 1)
       ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------------------

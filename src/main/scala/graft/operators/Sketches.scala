@@ -347,11 +347,19 @@ object Sketches {
       .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
       .withColumn("total", sum(col("cnt")).over(byKey))
     // epsilon before ceil — same rule as containmentJoin's prefix
-    // length: q·N in doubles can overshoot an exact integer by one ulp
+    // length: q·N in doubles can overshoot an exact integer
     // (0.07 × 100 = 7.000000000000001), and ceil'ing that would return
-    // the rank-8 bucket for the documented rank-7 contract
+    // the rank-8 bucket for the documented rank-7 contract. The guard
+    // must be SCALE-RELATIVE, not constant: the product's
+    // representation error grows as ~1.7e-16·q·N absolute (0.9 × 10⁷
+    // overshoots by 2.2e-9, already past a fixed 1e-9), so subtract
+    // 1e-9 + 1e-12·q·N — a 10⁴× margin over worst-case double error
+    // that stays below one rank for any q·N < 10¹² (past that,
+    // nearest-rank at ±1 is beyond what a double product can encode
+    // for ANY implementation)
+    val qn = col("q") * col("total")
     cum.withColumn("q", explode(array(qs.map(lit): _*)))
-      .withColumn("rank", greatest(ceil(col("q") * col("total") - 1e-9), lit(1L)))
+      .withColumn("rank", greatest(ceil(qn - (lit(1e-9) + qn * 1e-12)), lit(1L)))
       .where(col("cum") >= col("rank"))
       .groupBy((keyCols.map(col) :+ col("q")): _*)
       .agg(min(col("bucket")).as("value"))

@@ -200,6 +200,17 @@ class SketchesSpec extends SparkSpec {
       .select("value").as[Long].collect().head
     assert(p7 == 7L, s"ceil(0.07*100) overshoot must not shift the rank: got $p7")
 
+    // the guard must be SCALE-relative: 0.9 × 10^7 overshoots by
+    // ~2.2e-9 in doubles, past any fixed 1e-9 epsilon. State rows are
+    // bucket-sized, so a 10-million-row histogram is just 10 rows:
+    // buckets 1..10 with a million counts each — p90 is the LAST row
+    // of bucket 9 (rank 9,000,000), not the first of bucket 10
+    val big = (1L to 10L).map(b => ("x", b, 1000000L, 0L))
+      .toDF("k", "bucket", "cnt", "run_id")
+    val p90 = Sketches.histStateQuantiles(big, Seq("k"), Seq(0.9))
+      .select("value").as[Long].collect().head
+    assert(p90 == 9L, s"scale-relative epsilon: ceil(0.9*1e7) overshoot shifted the rank: $p90")
+
     // null metric rows contribute to no quantile
     val withNulls = Sketches.histDeltaState(
       Seq(("x", Some(5L)), ("x", None), ("x", Some(5L))).toDF("k", "v"),

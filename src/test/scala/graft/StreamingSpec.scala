@@ -543,7 +543,8 @@ class StreamingSpec extends SparkSpec {
     val got = read()
     def nearestRank(values: Seq[Long], q: Double): Long = {
       val sorted = values.sorted
-      sorted(math.max(1, math.ceil(q * sorted.size - 1e-9).toLong).toInt - 1)
+      val qn = q * sorted.size
+      sorted(math.max(1, math.ceil(qn - (1e-9 + qn * 1e-12)).toLong).toInt - 1)
     }
     val all = (batch1 ++ batch2).groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
     for (k <- Seq("a", "b"); q <- qs)
