@@ -518,6 +518,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pageRank randomized differential: distributed path equals the driver kernel") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2) {
+      // random multigraph: duplicate (s,t) edges, self-loops, and
+      // dangling nodes all occur at these sizes
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, (rnd.nextInt(5) + 1).toDouble))
+      val df = edges.toDF("s", "t", "w")
+      val fast = Relational.pageRank(df, "s", "t", Some("w"), iterations = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = Relational.pageRank(df, "s", "t", Some("w"), iterations = 5,
+          localMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fast.keySet == dist.keySet, s"trial $trial node sets differ")
+      for ((k, v) <- fast) assert(math.abs(dist(k) - v) < 1e-12,
+        s"trial $trial node $k: dist ${dist(k)} vs local $v")
+      assert(math.abs(fast.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+    }
+  }
+
   test("pageRank: binary node ids compare by value (distributed path), not reference") {
     // each logical id appears as a FRESH Array[Byte] instance per edge —
     // the driver fast path's Any-keyed index would split them by
