@@ -3198,6 +3198,58 @@ object Queries {
       WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - (1e-9 + qs.q * t.n * 1e-12)) AS BIGINT), 1)
       ORDER BY 1, 2"""))
 
+  private val q107 = Q(
+    "q107_kmv_incremental",
+    (s, d) => {
+      // incremental corpus-merge accounting (Sketches.kmvStateSketch):
+      // the KMV member of the state family answers run-over-run
+      // NEWNESS — "how many distinct tokens did this run add" — by
+      // reconstructing the sketch as of run 0 (maxRunId provenance
+      // read) next to the full merge, history never rescanned. The
+      // state is plain sorted hashes, so unlike q96's error-bound
+      // boolean this oracle is a FULL hash check: the k-th minima are
+      // exact longs DuckDB replays, and run 0 is redelivered verbatim
+      // in-query (set semantics absorb it with no run bookkeeping).
+      import s.implicits._
+      val k = 256
+      val Sk = graft.operators.Sketches
+      val toks = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("side"), explode(TF.tokens(col("text"))).as("tok"))
+        .persist()
+      val (before, after) =
+        try {
+          val r0 = Sk.kmvSketch(toks.filter(col("side") === 0), col("tok"), k)
+            .withColumn("run_id", lit(0L))
+          val r1 = Sk.kmvSketch(toks.filter(col("side") === 1), col("tok"), k)
+            .withColumn("run_id", lit(1L))
+          val state = r0.unionByName(r1).unionByName(r0) // run 0 retried
+          (Sk.kmvStateSketch(state, k, maxRunId = 0L), Sk.kmvStateSketch(state, k))
+        } finally toks.unpersist(blocking = false)
+      val (eb, ea) = (Sk.kmvEstimate(before, k), Sk.kmvEstimate(after, k))
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((before.last, after.last, r4(eb), r4(ea), r4(ea - eb)))
+        .toDF("kth_before", "kth_after", "est_before", "est_after", "est_added")
+    },
+    Some("""WITH t AS (SELECT doc_id % 2 AS side,
+          unnest(string_split_regex(trim(text),'\s+')) AS tok FROM documents),
+      hh AS (SELECT DISTINCT side,
+          CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h FROM t),
+      bs AS (SELECT h FROM hh WHERE side = 0 ORDER BY h LIMIT 256),
+      als AS (SELECT h FROM (SELECT DISTINCT h FROM hh) ORDER BY h LIMIT 256),
+      eb AS (SELECT count(*) AS n, max(h) AS kth FROM bs),
+      ea AS (SELECT count(*) AS n, max(h) AS kth FROM als),
+      est AS (SELECT
+        eb.kth AS kth_before, ea.kth AS kth_after,
+        CASE WHEN eb.n < 256 THEN CAST(eb.n AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60) / eb.kth END AS raw_b,
+        CASE WHEN ea.n < 256 THEN CAST(ea.n AS DOUBLE)
+             ELSE 255.0 * pow(2.0, 60) / ea.kth END AS raw_a
+        FROM eb, ea)
+      SELECT kth_before, kth_after, round(raw_b, 4) AS est_before,
+        round(raw_a, 4) AS est_after, round(raw_a - raw_b, 4) AS est_added
+      FROM est"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3208,5 +3260,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106)
+    q105, q106, q107)
 }

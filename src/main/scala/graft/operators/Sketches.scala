@@ -68,6 +68,49 @@ object Sketches {
 
   val M: Double = math.pow(2.0, 60)
 
+  // ---------------------------------------------- incremental KMV state
+
+  /** Read the merged KMV sketch off an append-only state table (rows
+    * `(h, run_id)`, the layout
+    * [[graft.streaming.StreamOps.kmvDistinctStream]] maintains): the k
+    * smallest DISTINCT hashes across runs. KMV merging is pure set
+    * semantics, so this is the state family's only member whose
+    * redelivery story needs no run tag at all — duplicated rows are
+    * absorbed by `distinct()`, and [[kmvSketch]] is itself
+    * deterministic so a retried batch appends identical rows anyway.
+    * The tag exists for PROVENANCE reads: `maxRunId` reconstructs the
+    * sketch as of any earlier run, which is what makes "how many NEW
+    * distinct items did run r add" answerable without rescanning
+    * history ([[kmvEstimate]] after minus before). k-bounded driver
+    * collect, like the batch sketch.
+    */
+  def kmvStateSketch(states: DataFrame, k: Int,
+      maxRunId: Long = Long.MaxValue): Array[Long] =
+    states.where(col("run_id") <= maxRunId)
+      .select(col("h")).distinct().orderBy(col("h")).limit(k)
+      .collect().map(_.getLong(0))
+
+  /** [[kmvStateSketch]] over a state directory. */
+  def kmvStateSketch(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, k: Int, maxRunId: Long): Array[Long] =
+    kmvStateSketch(spark.read.parquet(stateDir), k, maxRunId)
+
+  /** Compact an append-only KMV state directory to the k smallest
+    * distinct hashes (`run_id = -1`), in place. LOSSLESS for the
+    * union sketch FOREVER, not just today: future runs only add
+    * competing hashes, so the k-th minimum only moves down and a hash
+    * outside the current top-k can never re-enter a merged sketch.
+    * Run provenance (`maxRunId` reads) does not survive compaction —
+    * compact at the retention horizon, not before newness questions
+    * are answered. Same quiesced single-writer contract as the other
+    * state compactions.
+    */
+  def compactKmvState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
+      df => df.select(col("h")).distinct().orderBy(col("h")).limit(k)
+        .withColumn("run_id", lit(-1L)))
+
   // ------------------------------------------------------- HLL state
   // Mergeable per-key distinct STATE — the incremental accounting
   // pattern at 100 TB: a nightly job sketches ONLY its delta, the

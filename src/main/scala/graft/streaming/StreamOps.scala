@@ -179,6 +179,31 @@ object StreamOps {
         .histDeltaState(batch, keyCols, expr(bucketExpr))
         .withColumn("run_id", lit(batchId)))
 
+  /** Incremental KMV distinct accounting as an `AvailableNow` stream —
+    * the fourth member of the incremental-state family, and the one
+    * that answers what HLL state cannot: run-over-run NEWNESS ("how
+    * many distinct tokens did this crawl add") via union AND
+    * intersection estimates over plain-data sketches. Each run appends
+    * its delta's k smallest sha-60 hashes tagged with the batch id;
+    * reads merge by set union ([[graft.operators.Sketches
+    * .kmvStateSketch]] — `maxRunId` reconstructs any historical
+    * sketch), so redelivery is absorbed by `distinct()` with no run
+    * bookkeeping needed, and every read is bit-deterministic
+    * unconditionally (the sketch is sorted plain data).
+    */
+  def kmvDistinctStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      k: Int): StreamingQuery =
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Sketches
+        .kmvSketch(batch, col(valueCol), k)
+        .withColumn("run_id", lit(batchId)))
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

@@ -563,6 +563,52 @@ class StreamingSpec extends SparkSpec {
     assert(read() == got, "compaction must preserve quantiles exactly")
   }
 
+  test("streaming KMV state: merged sketch equals batch exactly; provenance reads; compaction lossless") {
+    val base = Files.createTempDirectory("kmvstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val Sk = graft.operators.Sketches
+    val k = 64
+    def run(): Unit = StreamOps.kmvDistinctStream(
+      spark, inDir, schema, "v", stDir, ckDir, k).awaitTermination()
+    // run 1: 200 distinct tokens; run 2: 100 overlapping + 150 fresh
+    val batch1 = (1 to 200).map(i => s"tok$i")
+    batch1.toDF("v").write.mode("append").parquet(inDir)
+    run()
+    val batch2 = (101 to 350).map(i => s"tok$i")
+    batch2.toDF("v").write.mode("append").parquet(inDir)
+    run()
+
+    // the merged sketch is BIT-IDENTICAL to the batch sketch over all
+    // data — set semantics, no estimate tolerance needed
+    val merged = Sk.kmvStateSketch(spark.read.parquet(stDir), k)
+    val oneShot = Sk.kmvSketch((batch1 ++ batch2).toDF("v"), col("v"), k)
+      .collect().map(_.getLong(0))
+    assert(merged.toSeq == oneShot.toSeq, "merged state must equal the one-shot sketch")
+
+    // provenance: maxRunId = 0 reconstructs run 1's sketch exactly,
+    // and the before/after estimates answer the newness question
+    val before = Sk.kmvStateSketch(spark.read.parquet(stDir), k, maxRunId = 0L)
+    val run1Only = Sk.kmvSketch(batch1.toDF("v"), col("v"), k)
+      .collect().map(_.getLong(0))
+    assert(before.toSeq == run1Only.toSeq, "maxRunId must reconstruct the historical sketch")
+    val (estBefore, estAfter) = (Sk.kmvEstimate(before, k), Sk.kmvEstimate(merged, k))
+    assert(math.abs(estBefore - 200.0) / 200.0 < 0.5 &&
+      math.abs(estAfter - 350.0) / 350.0 < 0.5, s"estimates: $estBefore, $estAfter")
+
+    // redelivery: duplicate the whole state → identical sketch
+    spark.read.parquet(stDir).write.mode("append").parquet(stDir)
+    assert(Sk.kmvStateSketch(spark.read.parquet(stDir), k).toSeq == merged.toSeq)
+
+    // compaction: ≤ k rows survive, union sketch unchanged
+    val (b0, a0) = Sk.compactKmvState(spark, stDir, k)
+    assert(b0 > a0 && a0 <= k, s"compaction: $b0 -> $a0")
+    assert(Sk.kmvStateSketch(spark.read.parquet(stDir), k).toSeq == merged.toSeq,
+      "compaction must be lossless for the union sketch")
+  }
+
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
     val base = Files.createTempDirectory("upstream").toString
     val inDir = s"$base/in"; val ckDir = s"$base/ck"
