@@ -3195,7 +3195,7 @@ object Queries {
       qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
       SELECT s.event_type, qs.q, s.b AS value_milli
       FROM qs, tot t JOIN s ON s.event_type = t.event_type
-      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - (1e-9 + qs.q * t.n * 1e-12)) AS BIGINT), 1)
+      WHERE s.rn = greatest(CAST(ceil(qs.q * t.n - (1e-9 + qs.q * t.n * 4e-15)) AS BIGINT), 1)
       ORDER BY 1, 2"""))
 
   private val q107 = Q(
@@ -3228,7 +3228,10 @@ object Queries {
       val (eb, ea) = (Sk.kmvEstimate(before, k), Sk.kmvEstimate(after, k))
       def r4(x: Double): Double =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((before.last, after.last, r4(eb), r4(ea), r4(ea - eb)))
+      // lastOption: an empty side degenerates to (NULL, est 0.0) — the
+      // same row the oracle's max(h)/CASE arms produce, a value match
+      // rather than a crash/oracle divergence
+      Seq((before.lastOption, after.lastOption, r4(eb), r4(ea), r4(ea - eb)))
         .toDF("kth_before", "kth_after", "est_before", "est_after", "est_added")
     },
     Some("""WITH t AS (SELECT doc_id % 2 AS side,

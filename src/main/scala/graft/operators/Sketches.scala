@@ -85,10 +85,23 @@ object Sketches {
     * collect, like the batch sketch.
     */
   def kmvStateSketch(states: DataFrame, k: Int,
-      maxRunId: Long = Long.MaxValue): Array[Long] =
+      maxRunId: Long = Long.MaxValue): Array[Long] = {
+    if (maxRunId != Long.MaxValue) {
+      // a provenance read against compacted state would silently
+      // include the folded run_id = -1 rows (they pass every <=
+      // filter) and answer every newness question with ~0 — refuse
+      // loudly instead; the state table is sketch-sized, so the probe
+      // is cheap
+      require(states.where(col("run_id") === -1L).isEmpty,
+        "kmvStateSketch: provenance read (maxRunId) against compacted state — " +
+          "compaction folded run history into run_id = -1, so per-run sketches " +
+          "no longer exist. Compact at the retention horizon, AFTER newness " +
+          "questions are answered.")
+    }
     states.where(col("run_id") <= maxRunId)
       .select(col("h")).distinct().orderBy(col("h")).limit(k)
       .collect().map(_.getLong(0))
+  }
 
   /** [[kmvStateSketch]] over a state directory. */
   def kmvStateSketch(spark: org.apache.spark.sql.SparkSession,
@@ -389,20 +402,23 @@ object Sketches {
     val cum = histStateMerged(states, keyCols)
       .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
       .withColumn("total", sum(col("cnt")).over(byKey))
-    // epsilon before ceil — same rule as containmentJoin's prefix
-    // length: q·N in doubles can overshoot an exact integer
-    // (0.07 × 100 = 7.000000000000001), and ceil'ing that would return
-    // the rank-8 bucket for the documented rank-7 contract. The guard
-    // must be SCALE-RELATIVE, not constant: the product's
-    // representation error grows as ~1.7e-16·q·N absolute (0.9 × 10⁷
-    // overshoots by 2.2e-9, already past a fixed 1e-9), so subtract
-    // 1e-9 + 1e-12·q·N — a 10⁴× margin over worst-case double error
-    // that stays below one rank for any q·N < 10¹² (past that,
-    // nearest-rank at ±1 is beyond what a double product can encode
-    // for ANY implementation)
+    // epsilon before ceil: q·N in doubles can overshoot a
+    // mathematically-integer value (0.07 × 100 = 7.000000000000001;
+    // 0.07 × 10¹⁰ = 700000000.0000001), and ceil'ing that returns the
+    // next rank. The guard is RELATIVE — 4e-15·q·N, ~18× the worst-case
+    // 2.3e-16 relative representation error — because a constant can't
+    // serve both regimes: 1e-9 stops forgiving overshoot once
+    // q·N ≳ 4×10⁶ (the 0.07 × 10¹⁰ case), while any constant big
+    // enough there would swallow real sub-1e-9 work at small N. A
+    // relative guard must ALSO stay under genuine fractional parts,
+    // which for a d-decimal q are multiples of 10⁻ᵈ: with the 1e-9
+    // floor (harmless for d ≤ 8) the rank is exact for any
+    // q·N < ~2×10^(14−d) — e.g. p99.9 keeps exact nearest-rank to
+    // 2×10¹¹ rows per key (a 1e-12 relative guard, by contrast, broke
+    // it at 10⁹ — measured before shipping this constant)
     val qn = col("q") * col("total")
     cum.withColumn("q", explode(array(qs.map(lit): _*)))
-      .withColumn("rank", greatest(ceil(qn - (lit(1e-9) + qn * 1e-12)), lit(1L)))
+      .withColumn("rank", greatest(ceil(qn - (lit(1e-9) + qn * 4e-15)), lit(1L)))
       .where(col("cum") >= col("rank"))
       .groupBy((keyCols.map(col) :+ col("q")): _*)
       .agg(min(col("bucket")).as("value"))

@@ -521,10 +521,14 @@ class RelationalSpec extends SparkSpec {
   test("pageRank randomized differential: distributed path equals the driver kernel") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 2) {
-      // random multigraph: duplicate (s,t) edges, self-loops, and
-      // dangling nodes all occur at these sizes
+      // random multigraph: duplicate (s,t) edges and self-loops occur
+      // at these sizes; the dangling node is FORCED (edge into id 99,
+      // which never sources) — with this seed every id in 0..11
+      // sources somewhere, so without it the dangling-mass path (the
+      // likeliest cross-path divergence) would silently go untested
       val edges = (1 to 60).map(_ =>
-        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, (rnd.nextInt(5) + 1).toDouble))
+        (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong, (rnd.nextInt(5) + 1).toDouble)) :+
+        ((rnd.nextInt(12).toLong, 99L, 2.0))
       val df = edges.toDF("s", "t", "w")
       val fast = Relational.pageRank(df, "s", "t", Some("w"), iterations = 5)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

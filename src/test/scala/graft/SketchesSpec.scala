@@ -200,16 +200,27 @@ class SketchesSpec extends SparkSpec {
       .select("value").as[Long].collect().head
     assert(p7 == 7L, s"ceil(0.07*100) overshoot must not shift the rank: got $p7")
 
-    // the guard must be SCALE-relative: 0.9 × 10^7 overshoots by
-    // ~2.2e-9 in doubles, past any fixed 1e-9 epsilon. State rows are
-    // bucket-sized, so a 10-million-row histogram is just 10 rows:
-    // buckets 1..10 with a million counts each — p90 is the LAST row
-    // of bucket 9 (rank 9,000,000), not the first of bucket 10
-    val big = (1L to 10L).map(b => ("x", b, 1000000L, 0L))
+    // the guard must be SCALE-relative: 0.07 × 10^10 =
+    // 700000000.0000001 in doubles, so a fixed 1e-9 epsilon stops
+    // forgiving the overshoot (ceil -> 700,000,001 — verified failing
+    // on the fixed guard before this constant shipped). State rows are
+    // bucket-sized, so a 10-BILLION-row histogram is just 100 rows:
+    // buckets 1..100 with 1e8 counts each — p7's rank is exactly
+    // 7×10^8, the LAST row of bucket 7, not the first of bucket 8
+    val big = (1L to 100L).map(b => ("x", b, 100000000L, 0L))
       .toDF("k", "bucket", "cnt", "run_id")
-    val p90 = Sketches.histStateQuantiles(big, Seq("k"), Seq(0.9))
+    val p07 = Sketches.histStateQuantiles(big, Seq("k"), Seq(0.07))
       .select("value").as[Long].collect().head
-    assert(p90 == 9L, s"scale-relative epsilon: ceil(0.9*1e7) overshoot shifted the rank: $p90")
+    assert(p07 == 7L, s"relative epsilon: ceil(0.07*1e10) overshoot shifted the rank: $p07")
+    // ...while staying under real fractional parts at scale: p99.9
+    // over ~10^9 rows has q*N frac = .001 — an oversized relative
+    // guard (1e-12 was measured failing here) would swallow it and
+    // land one rank LOW, on the previous bucket
+    val uneven = Seq(("x", 1L, 999987011L, 0L), ("x", 2L, 1000988L, 0L))
+      .toDF("k", "bucket", "cnt", "run_id")
+    val p999 = Sketches.histStateQuantiles(uneven, Seq("k"), Seq(0.999))
+      .select("value").as[Long].collect().head
+    assert(p999 == 2L, s"guard must not swallow the genuine .001 fractional part: $p999")
 
     // null metric rows contribute to no quantile
     val withNulls = Sketches.histDeltaState(

@@ -544,7 +544,7 @@ class StreamingSpec extends SparkSpec {
     def nearestRank(values: Seq[Long], q: Double): Long = {
       val sorted = values.sorted
       val qn = q * sorted.size
-      sorted(math.max(1, math.ceil(qn - (1e-9 + qn * 1e-12)).toLong).toInt - 1)
+      sorted(math.max(1, math.ceil(qn - (1e-9 + qn * 4e-15)).toLong).toInt - 1)
     }
     val all = (batch1 ++ batch2).groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
     for (k <- Seq("a", "b"); q <- qs)
@@ -607,6 +607,13 @@ class StreamingSpec extends SparkSpec {
     assert(b0 > a0 && a0 <= k, s"compaction: $b0 -> $a0")
     assert(Sk.kmvStateSketch(spark.read.parquet(stDir), k).toSeq == merged.toSeq,
       "compaction must be lossless for the union sketch")
+    // ...but run provenance is GONE: a maxRunId read would silently
+    // include the folded rows and answer every newness question with
+    // ~0 — it must refuse instead
+    val ex = intercept[IllegalArgumentException] {
+      Sk.kmvStateSketch(spark.read.parquet(stDir), k, maxRunId = 0L)
+    }
+    assert(ex.getMessage.contains("compacted"), s"wrong refusal: ${ex.getMessage}")
   }
 
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
