@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared numeric guards for Column expressions. */
+object Guards {
+
+  /** `ceil(x)` for a double product that can be MATHEMATICALLY an
+    * integer: subtract `1e-9 + 4e-15·x` first, so representation
+    * overshoot (0.07 × 100 = 7.000000000000001; 0.07 × 10¹⁰ =
+    * 700000000.0000001 — past any fixed absolute guard) never bumps
+    * the result to the next integer. The relative term is ~18× the
+    * worst-case 2.3e-16 relative error of a rounded double product;
+    * the 1e-9 floor is harmless for fractional parts down to 10⁻⁸.
+    * Exactness contract: for a d-decimal factor q against an integer
+    * N, `guardedCeil(q·N)` equals the mathematical `ceil(q·N)` while
+    * q·N < ~2×10^(14−d) — both failure regimes (a fixed guard that
+    * stops forgiving overshoot past 4×10⁶, and an oversized 1e-12
+    * relative guard that swallowed p99.9's genuine .001 fractional
+    * part at 10⁹ rows) were measured before this constant shipped;
+    * see PLANS.md round-13 part 7. ONE definition on purpose: the
+    * constant lives here and in the textual oracle/spec replicas
+    * only — retunes must not fork across call sites.
+    */
+  def guardedCeil(x: Column): Column =
+    ceil(x - (lit(1e-9) + x * 4e-15))
+}

@@ -612,8 +612,9 @@ object Similarity {
       // epsilon before ceil — see jaccardSimilarityJoin: one ulp of
       // n·t overshoot must not shorten the prefix of an exact operator
       .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
-        lit(1), (col("n") - ceil(col("n") * threshold -
-          (lit(1e-9) + col("n") * threshold * 4e-15)) + 1).cast("int")).as("pre"))
+        lit(1), (col("n") -
+          graft.functions.Guards.guardedCeil(col("n") * threshold) + 1)
+          .cast("int")).as("pre"))
       .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
     val index = cb.select(col("corpus_id"), explode(col("__cb")).as("tok"))
     // probe prefixes are tiny (≤ prefix-len rows per probe) next to the
@@ -657,20 +658,17 @@ object Similarity {
       .select(col(idCol), size(col("__toks")).as("n"), explode(col("__toks")).as("tok"))
       .join(rank, "tok")
       .groupBy(col(idCol), col("n"))
-      // epsilon before ceil: n·t in doubles can overshoot an exact
-      // integer by one ulp (100·0.55 = 55.000000000000007), and
-      // ceil'ing that would shorten the prefix by one token — a silent
-      // recall hole in an operator sold as exact. The guard carries a
-      // RELATIVE term (4e-15·n·t, ~18× worst-case representation
-      // error) on top of the 1e-9 floor: the floor alone stops
-      // forgiving overshoot once n·t ≳ 4×10⁶ (0.07 × 10¹⁰ overshoots
-      // by 1e-7 — a 10M-token book at threshold 0.07 would silently
-      // lose one prefix token). Oversizing the guard is SAFE on this
+      // guarded ceil (graft.functions.Guards): n·t overshoot would
+      // shorten the prefix by one token — a silent recall hole in an
+      // operator sold as exact (100·0.55 = 55.000000000000007; a
+      // fixed-guard variant loses a token on 10M-token docs at
+      // 0.07-class thresholds). Oversizing the guard is SAFE on this
       // side: it can only lengthen the prefix by one rare token
       // (extra candidates, never a miss).
       .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
-        lit(1), (col("n") - ceil(col("n") * threshold -
-          (lit(1e-9) + col("n") * threshold * 4e-15)) + 1).cast("int")).as("pre"))
+        lit(1), (col("n") -
+          graft.functions.Guards.guardedCeil(col("n") * threshold) + 1)
+          .cast("int")).as("pre"))
       .select(col(idCol), explode(col("pre.tok")).as("tok"))
       .localCheckpoint(true) // self-joined next: one aggregation, not two
     val cands = prefixes.as("l")

@@ -87,16 +87,22 @@ object Sketches {
   def kmvStateSketch(states: DataFrame, k: Int,
       maxRunId: Long = Long.MaxValue): Array[Long] = {
     if (maxRunId != Long.MaxValue) {
-      // a provenance read against compacted state would silently
-      // include the folded run_id = -1 rows (they pass every <=
-      // filter) and answer every newness question with ~0 — refuse
-      // loudly instead; the state table is sketch-sized, so the probe
-      // is cheap
-      require(states.where(col("run_id") === -1L).isEmpty,
-        "kmvStateSketch: provenance read (maxRunId) against compacted state — " +
-          "compaction folded run history into run_id = -1, so per-run sketches " +
-          "no longer exist. Compact at the retention horizon, AFTER newness " +
-          "questions are answered.")
+      // provenance reads stay EXACT after compaction as long as they
+      // don't reach behind it: folds carry the HORIZON run id (the
+      // max run folded, see compactKmvState), so the <= filter
+      // includes them exactly when it should. What cannot be answered
+      // is maxRunId OLDER than the oldest surviving tag — that
+      // history was folded away — and silently returning a partial
+      // sketch would corrupt every newness subtraction, so refuse
+      // loudly. One sketch-sized min() pass; callers doing several
+      // provenance reads over a derived (uncached) state plan should
+      // snapshot it first.
+      val oldest = states.agg(min(col("run_id"))).collect().head
+      require(oldest.isNullAt(0) || oldest.getLong(0) <= maxRunId,
+        s"kmvStateSketch: provenance read maxRunId=$maxRunId reaches behind the " +
+          s"oldest surviving run tag ${oldest.getLong(0)} — compaction folded that " +
+          "history (folds carry the horizon run id). Compact at the retention " +
+          "horizon, AFTER newness questions are answered.")
     }
     states.where(col("run_id") <= maxRunId)
       .select(col("h")).distinct().orderBy(col("h")).limit(k)
@@ -109,20 +115,27 @@ object Sketches {
     kmvStateSketch(spark.read.parquet(stateDir), k, maxRunId)
 
   /** Compact an append-only KMV state directory to the k smallest
-    * distinct hashes (`run_id = -1`), in place. LOSSLESS for the
-    * union sketch FOREVER, not just today: future runs only add
-    * competing hashes, so the k-th minimum only moves down and a hash
-    * outside the current top-k can never re-enter a merged sketch.
-    * Run provenance (`maxRunId` reads) does not survive compaction —
-    * compact at the retention horizon, not before newness questions
-    * are answered. Same quiesced single-writer contract as the other
+    * distinct hashes, in place. LOSSLESS for the union sketch
+    * FOREVER, not just today: future runs only add competing hashes,
+    * so the k-th minimum only moves down and a hash outside the
+    * current top-k can never re-enter a merged sketch. Folded rows
+    * are tagged with the HORIZON — the largest run id folded — so
+    * provenance reads at or after the horizon stay exact after
+    * compaction (the folded rows belong in every `run <= maxRunId`
+    * sketch with maxRunId ≥ horizon), and reads reaching BEHIND it
+    * refuse loudly in [[kmvStateSketch]] instead of silently
+    * answering with a partial sketch. Compact at the retention
+    * horizon. Same quiesced single-writer contract as the other
     * state compactions.
     */
   def compactKmvState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes)(
-      df => df.select(col("h")).distinct().orderBy(col("h")).limit(k)
-        .withColumn("run_id", lit(-1L)))
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
+      val horizon = df.agg(max(col("run_id"))).collect().head
+      val h = if (horizon.isNullAt(0)) 0L else horizon.getLong(0)
+      df.select(col("h")).distinct().orderBy(col("h")).limit(k)
+        .withColumn("run_id", lit(h))
+    }
 
   // ------------------------------------------------------- HLL state
   // Mergeable per-key distinct STATE — the incremental accounting
@@ -402,23 +415,14 @@ object Sketches {
     val cum = histStateMerged(states, keyCols)
       .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
       .withColumn("total", sum(col("cnt")).over(byKey))
-    // epsilon before ceil: q·N in doubles can overshoot a
-    // mathematically-integer value (0.07 × 100 = 7.000000000000001;
-    // 0.07 × 10¹⁰ = 700000000.0000001), and ceil'ing that returns the
-    // next rank. The guard is RELATIVE — 4e-15·q·N, ~18× the worst-case
-    // 2.3e-16 relative representation error — because a constant can't
-    // serve both regimes: 1e-9 stops forgiving overshoot once
-    // q·N ≳ 4×10⁶ (the 0.07 × 10¹⁰ case), while any constant big
-    // enough there would swallow real sub-1e-9 work at small N. A
-    // relative guard must ALSO stay under genuine fractional parts,
-    // which for a d-decimal q are multiples of 10⁻ᵈ: with the 1e-9
-    // floor (harmless for d ≤ 8) the rank is exact for any
-    // q·N < ~2×10^(14−d) — e.g. p99.9 keeps exact nearest-rank to
-    // 2×10¹¹ rows per key (a 1e-12 relative guard, by contrast, broke
-    // it at 10⁹ — measured before shipping this constant)
-    val qn = col("q") * col("total")
+    // guarded ceil (graft.functions.Guards: the shared
+    // epsilon-before-ceil rule): q·N in doubles can overshoot a
+    // mathematically-integer rank boundary, and an unguarded (or
+    // wrongly-sized) guard shifts the rank — both regimes are
+    // spec-pinned below and documented at the helper
     cum.withColumn("q", explode(array(qs.map(lit): _*)))
-      .withColumn("rank", greatest(ceil(qn - (lit(1e-9) + qn * 4e-15)), lit(1L)))
+      .withColumn("rank", greatest(
+        graft.functions.Guards.guardedCeil(col("q") * col("total")), lit(1L)))
       .where(col("cum") >= col("rank"))
       .groupBy((keyCols.map(col) :+ col("q")): _*)
       .agg(min(col("bucket")).as("value"))

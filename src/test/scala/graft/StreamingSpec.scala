@@ -607,13 +607,17 @@ class StreamingSpec extends SparkSpec {
     assert(b0 > a0 && a0 <= k, s"compaction: $b0 -> $a0")
     assert(Sk.kmvStateSketch(spark.read.parquet(stDir), k).toSeq == merged.toSeq,
       "compaction must be lossless for the union sketch")
-    // ...but run provenance is GONE: a maxRunId read would silently
-    // include the folded rows and answer every newness question with
-    // ~0 — it must refuse instead
+    // folds carry the HORIZON run id, so provenance reads AT or after
+    // it stay exact after compaction...
+    val atHorizon = Sk.kmvStateSketch(spark.read.parquet(stDir), k, maxRunId = 1L)
+    assert(atHorizon.toSeq == merged.toSeq,
+      "post-compaction read at the horizon must stay exact")
+    // ...while reads reaching BEHIND the horizon refuse loudly instead
+    // of silently answering every newness question with a partial set
     val ex = intercept[IllegalArgumentException] {
       Sk.kmvStateSketch(spark.read.parquet(stDir), k, maxRunId = 0L)
     }
-    assert(ex.getMessage.contains("compacted"), s"wrong refusal: ${ex.getMessage}")
+    assert(ex.getMessage.contains("behind the"), s"wrong refusal: ${ex.getMessage}")
   }
 
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
