@@ -3132,7 +3132,13 @@ object Queries {
       // deliberately repetitive (23-token docs over a small vocab), so
       // denser probes or shorter snippets make a third of the corpus a
       // match — probe sparsity keeps the fixture's output match-shaped
+      // null-text docs must drop BEFORE snippet extraction: concat_ws
+      // turns a NULL text into snip_text = "", whose single empty token
+      // containmentJoin would happily keep while the oracle's
+      // `WHERE text IS NOT NULL` excludes the doc — a latent fixture-
+      // dependent divergence (r13 ADVICE)
       val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .where(col("text").isNotNull)
         .select(col("doc_id").as("snip_id"),
           concat_ws(" ", slice(TF.tokens(col("text")), 1, 12)).as("snip_text"))
       Similarity.containmentJoin(probes, "snip_id", "snip_text",

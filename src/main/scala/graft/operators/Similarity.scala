@@ -275,19 +275,28 @@ object Similarity {
       if (na > 0 && nb > 0) dot(a, b) / (na * nb) else 0.0
     }
     val cc = math.min(c, k)
-    // farthest-point seeds (max-min cosine distance, ties → lower index)
+    // farthest-point seeds (max-min cosine distance, ties → lower index).
+    // Stop early when the max remaining min-distance is 0: every
+    // unseeded centroid is then a (cosine-)duplicate of a chosen seed,
+    // and re-selecting one would mint a duplicate coarse cell that
+    // wastes an nprobe slot for zero recall (r13 ADVICE). Fewer seeds
+    // than cc is fine — every consumer iterates coarse.length.
     val seeds = scala.collection.mutable.ArrayBuffer(0)
     val minDist = Array.tabulate(k)(i => 1.0 - cos(cents(i), cents(0)))
-    while (seeds.size < cc) {
+    var exhausted = false
+    while (seeds.size < cc && !exhausted) {
       var bestI = 0
       var i = 1
       while (i < k) { if (minDist(i) > minDist(bestI)) bestI = i; i += 1 }
-      seeds += bestI
-      var j = 0
-      while (j < k) {
-        val d = 1.0 - cos(cents(j), cents(bestI))
-        if (d < minDist(j)) minDist(j) = d
-        j += 1
+      if (minDist(bestI) <= 0.0) exhausted = true
+      else {
+        seeds += bestI
+        var j = 0
+        while (j < k) {
+          val d = 1.0 - cos(cents(j), cents(bestI))
+          if (d < minDist(j)) minDist(j) = d
+          j += 1
+        }
       }
     }
     var coarse = seeds.map(cents(_).clone()).toArray

@@ -109,10 +109,52 @@ object Sketches {
       .collect().map(_.getLong(0))
   }
 
-  /** [[kmvStateSketch]] over a state directory. */
+  /** [[kmvStateSketch]] over a state directory — the front door that can
+    * also enforce the COMPACTION-k contract: once [[compactKmvState]]
+    * truncated the state to k' hashes, a read with k > k' would come
+    * back with fewer than k values, which [[kmvEstimate]] reports as an
+    * EXACT count — a silent undercount (r13 ADVICE). The compaction
+    * writes its k to a `_kmv_compact_k` sidecar (underscore-prefixed, so
+    * the parquet reader ignores it); this overload refuses loudly when
+    * the read k exceeds it. Callers reading a bare DataFrame must uphold
+    * the contract themselves: never read with a k larger than any k a
+    * prior compaction used.
+    */
   def kmvStateSketch(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, k: Int, maxRunId: Long): Array[Long] =
+      stateDir: String, k: Int, maxRunId: Long): Array[Long] = {
+    readKmvCompactK(spark, stateDir).foreach { ck =>
+      require(k <= ck,
+        s"kmvStateSketch: read k=$k exceeds the compaction k=$ck recorded in " +
+          s"$stateDir/$KmvKSidecar — the state was truncated to $ck hashes, so a " +
+          s"$k-sketch read would be silently partial and kmvEstimate would report " +
+          "it as an exact count. Read with k <= the smallest k any compaction used.")
+    }
     kmvStateSketch(spark.read.parquet(stateDir), k, maxRunId)
+  }
+
+  private[graft] val KmvKSidecar = "_kmv_compact_k"
+
+  /** The smallest k any [[compactKmvState]] run recorded for `stateDir`,
+    * if the sidecar exists. */
+  private[graft] def readKmvCompactK(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, KmvKSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeKmvCompactK(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, KmvKSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$k\n".getBytes("UTF-8")) finally out.close()
+  }
 
   /** Compact an append-only KMV state directory to the k smallest
     * distinct hashes, in place. LOSSLESS for the union sketch
@@ -129,13 +171,25 @@ object Sketches {
     * state compactions.
     */
   def compactKmvState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
+      stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) = {
+    // the binding bound across compactions is the SMALLEST k ever used
+    // (a later, larger-k compaction cannot restore hashes an earlier one
+    // dropped); read the prior sidecar before the swap discards it.
+    // Sidecar lands after the swap — a crash between the two leaves the
+    // old (or no) sidecar, which a rerun of this idempotent compaction
+    // repairs; same quiesced single-writer window as the rewrite itself.
+    val effK = readKmvCompactK(spark, stateDir).fold(k)(math.min(_, k))
+    val result = graft.sources.Compaction.rewriteParquetDir(spark, stateDir,
+        targetBytes) { df =>
       val horizon = df.agg(max(col("run_id"))).collect().head
       val h = if (horizon.isNullAt(0)) 0L else horizon.getLong(0)
       df.select(col("h")).distinct().orderBy(col("h")).limit(k)
         .withColumn("run_id", lit(h))
     }
+    if (result != ((0L, 0L)) || graft.sources.Compaction.dataFiles(spark, stateDir).nonEmpty)
+      writeKmvCompactK(spark, stateDir, effK)
+    result
+  }
 
   // ------------------------------------------------------- HLL state
   // Mergeable per-key distinct STATE — the incremental accounting

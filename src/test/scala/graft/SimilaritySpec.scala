@@ -327,6 +327,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coarsenCentroids: duplicate fine centroids never mint duplicate coarse cells") {
+    // 3 distinct directions, each duplicated many times (plus exact
+    // scalar multiples — cosine-identical): farthest-point seeding must
+    // stop once every unseeded centroid is distance-0 from a seed,
+    // instead of re-picking a duplicate and wasting nprobe slots
+    val dirs = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    val cents = Array.tabulate(30)(i => dirs(i % 3).map(_ * (1.0 + (i / 3))))
+    val (coarse, members) = Similarity.coarsenCentroids(cents, 8)
+    assert(coarse.length == 3, s"3 distinct directions -> 3 cells, got ${coarse.length}")
+    assert(members.flatten.sorted.toSeq == (0 until 30))
+    // no two coarse cells may be cosine-duplicates of each other
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (i <- coarse.indices; j <- coarse.indices if i < j)
+      assert(cos(coarse(i), coarse(j)) < 0.999, s"cells $i,$j are duplicates")
+  }
+
   test("semanticDeduplicate drops scaled copies, keeps distinct vectors; keep-best honors score") {
     // i and i+3 share an axis but differ in the tail component → cosine
     // ≈ 0.96 < 0.999, so only exact scaled copies collapse

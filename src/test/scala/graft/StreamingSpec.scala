@@ -618,6 +618,26 @@ class StreamingSpec extends SparkSpec {
       Sk.kmvStateSketch(spark.read.parquet(stDir), k, maxRunId = 0L)
     }
     assert(ex.getMessage.contains("behind the"), s"wrong refusal: ${ex.getMessage}")
+
+    // compaction-k guard (r13 ADVICE): the compaction recorded k in the
+    // sidecar, so a directory read with a LARGER k refuses loudly
+    // instead of returning a truncated sketch that kmvEstimate would
+    // report as an exact count
+    assert(Sk.readKmvCompactK(spark, stDir).contains(k), "sidecar must record k")
+    val exK = intercept[IllegalArgumentException] {
+      Sk.kmvStateSketch(spark, stDir, k * 2, Long.MaxValue)
+    }
+    assert(exK.getMessage.contains("exceeds the compaction k"), exK.getMessage)
+    assert(Sk.kmvStateSketch(spark, stDir, k, Long.MaxValue).toSeq == merged.toSeq,
+      "reads at the compaction k keep working through the front door")
+    // a second, SMALLER-k compaction tightens the bound (min over runs)
+    Sk.compactKmvState(spark, stDir, k / 2)
+    assert(Sk.readKmvCompactK(spark, stDir).contains(k / 2))
+    intercept[IllegalArgumentException] {
+      Sk.kmvStateSketch(spark, stDir, k, Long.MaxValue)
+    }
+    assert(Sk.kmvStateSketch(spark, stDir, k / 2, Long.MaxValue).toSeq ==
+      merged.take(k / 2).toSeq, "half-k sketch is the k-smallest prefix")
   }
 
   test("incremental upload: checkpoint + idempotent sink = exactly-once to the store") {
