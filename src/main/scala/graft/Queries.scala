@@ -3259,6 +3259,60 @@ object Queries {
         round(raw_a, 4) AS est_after, round(raw_a - raw_b, 4) AS est_added
       FROM est"""))
 
+  private val q108 = Q(
+    "q108_containment_indexed",
+    (s, d) => {
+      // q105's twin over the PERSISTED token index (TokenIndex,
+      // VERDICT r13 item 4): the corpus is ingested as two incremental
+      // runs (doc_id parity), run 1 is RE-APPENDED verbatim (the
+      // at-least-once retry), the index is compacted in place, and the
+      // same probe set then runs containmentJoinIndexed — which
+      // answers the exact containment join FROM the index alone, no
+      // corpus rescan. Output and oracle are identical to q105, so the
+      // hash check pins one-shot/indexed parity, redelivery
+      // absorption, and compaction losslessness in a single query.
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q108_${Integer.toHexString(d.hashCode)}")
+      // fresh state per invocation: bench reps must measure the same
+      // build-probe cycle, not an ever-growing append pile
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists()) rm(dir)
+      val TI = graft.operators.TokenIndex
+      TI.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", dir.toString, 0L)
+      TI.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", dir.toString, 1L)
+      TI.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", dir.toString, 1L)
+      TI.compact(s, dir.toString)
+      val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .where(col("text").isNotNull)
+        .select(col("doc_id").as("snip_id"),
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 12)).as("snip_text"))
+      TI.containmentJoinIndexed(s, probes, "snip_id", "snip_text",
+          dir.toString, threshold = 1.0)
+        .select(col("probe_id"), col("corpus_id"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents WHERE text IS NOT NULL),
+      r AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS raw
+        FROM documents WHERE text IS NOT NULL),
+      s AS (
+        SELECT doc_id AS probe_id, list_distinct(raw[1:12]) AS ptoks
+        FROM r WHERE doc_id % 100 = 0)
+      SELECT s.probe_id, t.doc_id AS corpus_id,
+        round(CAST(len(list_intersect(s.ptoks, t.toks)) AS DOUBLE)
+              / len(s.ptoks), 4) AS containment
+      FROM s, t
+      WHERE len(s.ptoks) > 0
+        AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
+      ORDER BY 1, 2"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3269,5 +3323,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107)
+    q105, q106, q107, q108)
 }

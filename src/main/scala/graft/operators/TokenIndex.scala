@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Persisted corpus-token index for REPEATED-probe containment search
+  * and decontamination (VERDICT r13 item 4).
+  *
+  * [[Similarity.containmentJoin]] is the one-shot operator: every call
+  * re-tokenizes the corpus, re-aggregates the document-frequency rank,
+  * and re-explodes the token index. For a single ad-hoc probe batch
+  * that is the right plan — but the production cadence is the OPPOSITE
+  * shape: the corpus grows by a nightly delta while benchmark/quote
+  * probe sets arrive repeatedly, and re-paying the full corpus scan per
+  * probe batch is the dominant cost (the r13 sf10 probe put it at
+  * ~64 ms/probe of corpus-side work). This is the signature-state
+  * pattern ([[Dedup.incrementalNearDuplicates]] + `compactSignatureState`)
+  * applied to the token index: write per-ingest deltas once, probe
+  * incrementally forever, compact at the retention horizon.
+  *
+  * On-disk layout under `indexDir` (plain parquet, appended per run):
+  *  - `postings/`: `(tok, corpus_id, run_id)` — each corpus document's
+  *    DISTINCT token set, exploded. The probe-side verify counts
+  *    matching postings per (probe, corpus) pair, so the index alone
+  *    answers containment EXACTLY — corpus text is never stored and
+  *    never rescanned.
+  *  - `df/`: `(tok, df, run_id)` — the batch's per-token document
+  *    frequency. Merged df orders the global prefix heuristic only;
+  *    see the staleness note below.
+  *
+  * Redelivery safety (at-least-once appends, the streaming contract
+  * every state family here honors): a retried batch re-appends
+  * IDENTICAL rows (tokenization is deterministic). Candidate selection
+  * `distinct()`s pairs, the verify counts DISTINCT tokens per pair,
+  * and [[dfTable]] dedups per `(run_id, tok)` with `max` before
+  * summing — so duplicated postings and df rows change NOTHING in the
+  * output. Stronger still: because verify counts distinct tokens per
+  * (probe, corpus) pair, even a whole document re-ingested under a NEW
+  * run id cannot change any containment value — it only drifts df,
+  * which is a performance knob (see below), never recall.
+  *
+  * Df staleness is SAFE: the pigeonhole prefix argument needs only
+  * SOME fixed total order over the probe's own tokens (the corpus side
+  * is fully indexed, never prefixed), so a df snapshot that lags the
+  * corpus — or double-counts a re-ingested document — can only make
+  * prefixes pick slightly-less-rare tokens (more candidates, identical
+  * output). Recall is 1.0 by construction in every case.
+  *
+  * Compaction (same quiesced single-writer window as
+  * [[graft.sources.Compaction]], run at the retention horizon after
+  * in-flight retries settle): postings fold to the distinct
+  * `(tok, corpus_id)` set, df folds to one summed row per token, both
+  * tagged with the horizon run id — lossless for every future read.
+  */
+object TokenIndex {
+
+  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  private def dfDir(indexDir: String) = s"$indexDir/df"
+
+  /** Index one corpus ingest batch: append its postings and df delta
+    * under `runId`. Contract: append-only corpus, one batch per run id
+    * (retries of the SAME batch under the same run id are absorbed —
+    * see the redelivery note above). Null-text documents contribute no
+    * postings (they have no token set, matching
+    * [[Similarity.containmentJoin]]'s tokenizer on the corpus side).
+    */
+  def append(corpusBatch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, runId: Long): Unit = {
+    // one snapshot feeds both writes: postings land first, df is
+    // derived from the same materialized frame (never a second
+    // tokenize pass over the corpus)
+    val posts = corpusBatch
+      .select(col(idCol).as("corpus_id"),
+        array_distinct(TF.tokens(col(textCol))).as("__cb"))
+      .select(col("corpus_id"), explode(col("__cb")).as("tok"))
+      .localCheckpoint(true)
+    posts.select(col("tok"), col("corpus_id"), lit(runId).as("run_id"))
+      .write.mode("append").parquet(postingsDir(indexDir))
+    posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"), lit(runId).as("run_id"))
+      .write.mode("append").parquet(dfDir(indexDir))
+  }
+
+  /** Merged `(tok, df)` across all runs: per-(run, tok) max absorbs
+    * redelivered rows, then runs sum (disjoint append-only batches).
+    * Vocabulary-sized — orders of magnitude under the postings. */
+  def dfTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(dfDir(indexDir))
+      .groupBy(col("tok"), col("run_id")).agg(max(col("df")).as("df"))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+
+  /** [[Similarity.containmentJoin]] against the PERSISTED index:
+    * identical output — every (probe, corpus) pair with
+    * `|T(probe) ∩ T(corpus)| / |T(probe)| >= threshold` — with zero
+    * corpus-side work beyond streaming the postings.
+    *
+    * Plan shape: probe prefixes (rarest tokens under the merged-df
+    * order, df-0 for tokens the corpus has never seen — unsatisfiable
+    * probes prune for free) BROADCAST against the postings stream for
+    * candidates; then the verify joins the postings to the BROADCAST
+    * candidate pairs and probe token sets and counts distinct matching
+    * tokens per pair — the intersection size, computed FROM the index,
+    * no document arrays anywhere. The postings flow map-side through
+    * two broadcast hash joins + a partial-aggregated count: the corpus
+    * never shuffles, same sizing contract as the one-shot operator
+    * (probes are the bounded side).
+    */
+  def containmentJoinIndexed(spark: SparkSession, probes: DataFrame,
+      probeIdCol: String, probeTextCol: String, indexDir: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val pt = probes.select(col(probeIdCol).as("probe_id"),
+        array_distinct(TF.tokens(col(probeTextCol))).as("__pa"))
+      .filter(size(col("__pa")) > 0)
+      .select(col("probe_id"), size(col("__pa")).as("n"),
+        explode(col("__pa")).as("tok"))
+      .localCheckpoint(true) // feeds prefix selection AND the verify
+    val postings = spark.read.parquet(postingsDir(indexDir))
+      .select(col("tok"), col("corpus_id"))
+    val prefixes = pt
+      .join(dfTable(spark, indexDir), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("probe_id"), col("n"))
+      // guarded ceil, same reasoning as the one-shot operator: an ulp
+      // of n·t overshoot must never shorten an exact operator's prefix
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("tok")))),
+        lit(1), (col("n") -
+          graft.functions.Guards.guardedCeil(col("n") * threshold) + 1)
+          .cast("int")).as("pre"))
+      .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
+    val cands = broadcast(prefixes).join(postings, "tok")
+      .select(col("probe_id"), col("corpus_id")).distinct()
+    postings.join(broadcast(cands), "corpus_id")
+      .join(broadcast(pt), Seq("probe_id", "tok"))
+      .groupBy(col("probe_id"), col("corpus_id"), col("n"))
+      .agg(countDistinct(col("tok")).as("hits"))
+      .withColumn("containment", col("hits").cast("double") / col("n"))
+      .filter(col("containment") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("containment"))
+  }
+
+  /** Fold both state tables in place (lossless; horizon-tagged).
+    * Returns ((postingsRowsBefore, after), (dfRowsBefore, after)). */
+  def compact(spark: SparkSession, indexDir: String,
+      targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long)) = {
+    def horizon(df: DataFrame): Long = {
+      val h = df.agg(max(col("run_id"))).collect().head
+      if (h.isNullAt(0)) 0L else h.getLong(0)
+    }
+    val p = graft.sources.Compaction.rewriteParquetDir(spark,
+        postingsDir(indexDir), targetBytes) { df =>
+      df.select(col("tok"), col("corpus_id")).distinct()
+        .withColumn("run_id", lit(horizon(df)))
+        .select(col("tok"), col("corpus_id"), col("run_id"))
+    }
+    val d = graft.sources.Compaction.rewriteParquetDir(spark,
+        dfDir(indexDir), targetBytes) { df =>
+      df.groupBy(col("tok"), col("run_id")).agg(max(col("df")).as("df"))
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .withColumn("run_id", lit(horizon(df)))
+        .select(col("tok"), col("df"), col("run_id"))
+    }
+    (p, d)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TokenIndex}
+
+class TokenIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def probesOf(every: Int, snip: Int) = docs
+    .filter(pmod(col("doc_id"), lit(every)) === 0 && col("text").isNotNull)
+    .select(col("doc_id").as("pid"),
+      concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
+        1, snip)).as("ptext"))
+
+  private def sortedPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.select(col("probe_id").cast("long"), col("corpus_id").cast("long"),
+        round(col("containment"), 9))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+
+  test("indexed containment join: exact parity with the one-shot operator, incl. sub-1.0 thresholds") {
+    val dir = Files.createTempDirectory("tokidx").toString
+    TokenIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", dir, 0L)
+    TokenIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", dir, 1L)
+    for (t <- Seq(1.0, 0.75, 0.6)) {
+      val probes = probesOf(25, 8)
+      val oneShot = sortedPairs(Similarity.containmentJoin(
+        probes, "pid", "ptext", docs, "doc_id", "text", t))
+      val indexed = sortedPairs(TokenIndex.containmentJoinIndexed(
+        spark, probes, "pid", "ptext", dir, t))
+      assert(indexed == oneShot, s"threshold $t: indexed != one-shot")
+      assert(oneShot.nonEmpty, s"threshold $t: fixture must produce matches")
+    }
+  }
+
+  test("probing uses ONLY the persisted state: corpus deleted after indexing, probes still answer") {
+    // the rerun-uses-state proof: materialize a corpus to parquet,
+    // index it, DELETE the corpus files — a probe that still answers
+    // correctly cannot be rescanning the corpus
+    val base = Files.createTempDirectory("tokidx_state")
+    val corpusDir = s"$base/corpus"; val idxDir = s"$base/idx"
+    Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"),
+      (3L, "unrelated words entirely here"))
+      .toDF("id", "text").write.parquet(corpusDir)
+    TokenIndex.append(spark.read.parquet(corpusDir), "id", "text", idxDir, 0L)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(corpusDir))
+    assert(!new java.io.File(corpusDir).exists())
+    val got = sortedPairs(TokenIndex.containmentJoinIndexed(spark,
+      Seq((10L, "beta gamma")).toDF("pid", "ptext"), "pid", "ptext", idxDir, 1.0))
+    assert(got == Seq((10L, 1L, 1.0), (10L, 2L, 1.0)))
+  }
+
+  test("redelivered batch and re-ingested docs change nothing; unknown-token probes prune free") {
+    val base = Files.createTempDirectory("tokidx_redeliver")
+    val idxDir = s"$base/idx"
+    val b0 = Seq((1L, "a b c"), (2L, "b c d")).toDF("id", "text")
+    val b1 = Seq((3L, "c d e")).toDF("id", "text")
+    TokenIndex.append(b0, "id", "text", idxDir, 0L)
+    TokenIndex.append(b1, "id", "text", idxDir, 1L)
+    val probes = Seq((7L, "c d"), (8L, "zz qq")).toDF("pid", "ptext")
+    def run() = sortedPairs(
+      TokenIndex.containmentJoinIndexed(spark, probes, "pid", "ptext", idxDir, 1.0))
+    val want = Seq((7L, 2L, 1.0), (7L, 3L, 1.0)) // probe 8: vocab-absent, no pairs
+    assert(run() == want)
+    val df0 = TokenIndex.dfTable(spark, idxDir).as[(String, Long)].collect().sorted.toSeq
+    // at-least-once retry: identical rows re-appended under the same run
+    TokenIndex.append(b1, "id", "text", idxDir, 1L)
+    assert(run() == want, "redelivered batch must be absorbed")
+    assert(TokenIndex.dfTable(spark, idxDir).as[(String, Long)].collect().sorted.toSeq == df0,
+      "dfTable must dedup per (run, tok)")
+    // whole-doc re-ingestion under a NEW run: df drifts (perf knob
+    // only), the containment OUTPUT must not move
+    TokenIndex.append(b1, "id", "text", idxDir, 2L)
+    assert(run() == want, "re-ingested doc must not change any containment")
+  }
+
+  test("compaction: fewer rows, horizon-tagged, identical probe answers") {
+    val base = Files.createTempDirectory("tokidx_compact")
+    val idxDir = s"$base/idx"
+    TokenIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", idxDir, 0L)
+    TokenIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", idxDir, 1L)
+    TokenIndex.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", idxDir, 1L) // retry to give the fold work
+    val probes = probesOf(50, 10)
+    val before = sortedPairs(TokenIndex.containmentJoinIndexed(
+      spark, probes, "pid", "ptext", idxDir, 1.0))
+    val ((pb, pa), (db, da)) = TokenIndex.compact(spark, idxDir)
+    assert(pb > pa, s"postings must shrink: $pb -> $pa")
+    assert(db > da, s"df must fold: $db -> $da")
+    val runs = spark.read.parquet(s"$idxDir/df").select("run_id").distinct()
+      .as[Long].collect().toSeq
+    assert(runs == Seq(1L), s"folded rows carry the horizon run id: $runs")
+    val after = sortedPairs(TokenIndex.containmentJoinIndexed(
+      spark, probes, "pid", "ptext", idxDir, 1.0))
+    assert(after == before, "compaction must be lossless for every probe")
+    assert(before.nonEmpty)
+  }
+}
