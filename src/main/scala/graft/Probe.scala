@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 measurement harness (VERDICT r13 items 1/3/6) — a main, not
+  * a test: these are multi-minute scale probes whose numbers land in
+  * BASELINE.md, run solo (never concurrently with benches or `sbt
+  * test`; see the measurement-honesty notes there).
+  *
+  *   runMain graft.Probe state      # state-family read cost vs run count
+  *   runMain graft.Probe pagerank   # distributed PageRank loop at 10^6–10^7 edges
+  *   runMain graft.Probe bpe        # 50k-merge BPE train on a heavy-tail vocab
+  *
+  * Results print as one JSON-ish line per measurement on stdout
+  * (prefix `[probe]`).
+  */
+object Probe {
+
+  private def timeMin[A](reps: Int)(f: => A): (Double, A) = {
+    var best = Double.MaxValue
+    var last: Option[A] = None
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val a = f
+      val s = (System.nanoTime() - t0) / 1e9
+      if (s < best) best = s
+      last = Some(a)
+    }
+    (best, last.get)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("state")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    mode match {
+      case "state" => stateReads(spark)
+      case "pagerank" => pageRankProbe(spark)
+      case "bpe" => bpeProbe(spark)
+      case "tokenindex" => tokenIndexProbe(spark)
+      case other => sys.error(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+
+  // ------------------------------------------------- state read curve
+
+  /** Item 1: the four state families append one delta per run forever;
+    * measure the READ path at 10/100/500 uncompacted runs and after
+    * compaction. Deltas are nightly-shaped: 10k-row batches, per-run
+    * state rows bounded by each family's own contract (3 HLL rows,
+    * ≤ m+1 MG rows, ≤ keys×buckets hist rows, k KMV rows).
+    */
+  private def stateReads(spark: SparkSession): Unit = {
+    import graft.operators.Sketches
+    val base = java.nio.file.Files.createTempDirectory("stateprobe").toString
+    val reps = 3
+    val checkpoints = Seq(10, 100, 500)
+    val ks = Seq("k")
+
+    def delta(run: Int): DataFrame =
+      spark.range(10000).select(
+        (col("id") % 3).cast("string").as("k"),
+        // rotating value range: runs overlap ~50%, distincts keep growing
+        ((col("id") + lit(run.toLong * 5000L)) % 2000000L).as("v"),
+        pmod(xxhash64(col("id") + lit(run.toLong * 13L)), lit(500L)).as("b"))
+
+    case class Family(name: String,
+        write: (DataFrame, Int, String) => Unit,
+        read: String => Long, // returns a row count / sketch length as the materialization proof
+        compact: String => (Long, Long))
+    val fams = Seq(
+      Family("hll",
+        (d, r, dir) => Sketches.hllDistinctState(d, ks, col("v"))
+          .withColumn("run_id", lit(r.toLong))
+          .coalesce(1).write.mode("append").parquet(dir),
+        dir => Sketches.hllStateEstimates(spark, dir, ks).collect().length.toLong,
+        dir => Sketches.compactHllState(spark, dir, ks)),
+      Family("mg",
+        (d, r, dir) => Sketches.frequentItems(d, pmod(col("v"), lit(2048L)), 64)
+          .withColumn("run_id", lit(r.toLong))
+          .coalesce(1).write.mode("append").parquet(dir),
+        dir => Sketches.mgStateSummary(spark, dir).collect().length.toLong,
+        dir => Sketches.compactMgState(spark, dir)),
+      Family("hist",
+        (d, r, dir) => Sketches.histDeltaState(d, ks, col("b"))
+          .withColumn("run_id", lit(r.toLong))
+          .coalesce(1).write.mode("append").parquet(dir),
+        dir => Sketches.histStateQuantiles(spark, dir, ks, Seq(0.5, 0.95, 0.99))
+          .collect().length.toLong,
+        dir => Sketches.compactHistState(spark, dir, ks)),
+      Family("kmv",
+        (d, r, dir) => Sketches.kmvSketch(d, col("v"), 256)
+          .withColumn("run_id", lit(r.toLong))
+          .coalesce(1).write.mode("append").parquet(dir),
+        dir => Sketches.kmvStateSketch(spark, dir, 256, Long.MaxValue).length.toLong,
+        dir => Sketches.compactKmvState(spark, dir, 256)))
+
+    for (f <- fams) {
+      val dir = s"$base/${f.name}"
+      var written = 0
+      for (n <- checkpoints) {
+        while (written < n) { f.write(delta(written), written, dir); written += 1 }
+        val files = graft.sources.Compaction.dataFiles(spark, dir).size
+        val rows = spark.read.parquet(dir).count()
+        val (sec, out) = timeMin(reps)(f.read(dir))
+        println(f"[probe] {'family':'${f.name}','runs':$n,'files':$files," +
+          f"'state_rows':$rows,'read_sec':$sec%.3f,'out_rows':$out,'compacted':false}")
+      }
+      val (b, a) = f.compact(dir)
+      val files = graft.sources.Compaction.dataFiles(spark, dir).size
+      val (sec, out) = timeMin(reps)(f.read(dir))
+      println(f"[probe] {'family':'${f.name}','runs':${checkpoints.last},'files':$files," +
+        f"'state_rows':$a,'rows_before_compact':$b,'read_sec':$sec%.3f," +
+        f"'out_rows':$out,'compacted':true}")
+    }
+    rm(new java.io.File(base))
+  }
+
+  // ------------------------------------------------- pagerank at scale
+
+  /** Item 3: exercise [[graft.operators.Relational.pageRank]]'s
+    * DISTRIBUTED iteration (localMaxEdges = 0) on synthetic graphs up
+    * to 10^7 edges — the r13 decade rows measured only the caller-side
+    * edge aggregation; this measures the rank loop itself, plus the
+    * driver fast path on the sizes where both run, for the crossover
+    * note in PLANS.md.
+    */
+  private def pageRankProbe(spark: SparkSession): Unit = {
+    import graft.operators.Relational
+    def graph(edges: Long): DataFrame = {
+      val nodes = math.max(1L, edges / 10L) // mean out-degree 10
+      // mild skew: 1 edge in 10 points at a 1000-node hub set
+      spark.range(edges).select(
+        pmod(xxhash64(col("id")), lit(nodes)).as("src"),
+        when(col("id") % 10 === 0, pmod(xxhash64(col("id") + 7L), lit(1000L)))
+          .otherwise(pmod(xxhash64(col("id") + 1L), lit(nodes))).as("dst"),
+        (pmod(xxhash64(col("id") + 3L), lit(9L)) + 1L).cast("double").as("w"))
+        .localCheckpoint(true) // probe measures the LOOP, not range codegen
+    }
+    for (edges <- Seq(100000L, 1000000L, 10000000L)) {
+      val g = graph(edges)
+      for (iters <- Seq(1, 10)) {
+        val (sec, n) = timeMin(3)(
+          Relational.pageRank(g, "src", "dst", Some("w"), iterations = iters,
+            localMaxEdges = 0L).count())
+        println(f"[probe] {'probe':'pagerank','path':'distributed','edges':$edges," +
+          f"'iters':$iters,'wall_sec':$sec%.2f,'nodes':$n}")
+      }
+      if (edges <= 1000000L) { // driver path, for the crossover note
+        val (sec, n) = timeMin(3)(
+          Relational.pageRank(g, "src", "dst", Some("w"), iterations = 10,
+            localMaxEdges = Long.MaxValue).count())
+        println(f"[probe] {'probe':'pagerank','path':'driver','edges':$edges," +
+          f"'iters':10,'wall_sec':$sec%.2f,'nodes':$n}")
+      }
+    }
+  }
+
+  // ---------------------------------------- token index probe cadence
+
+  /** Item 4's payoff measurement: the nightly-decontamination cadence
+    * is MANY probe batches against one slowly-growing corpus. Compare
+    * per-probe-batch cost of the one-shot containmentJoin (re-ranks +
+    * re-explodes the corpus every call) vs containmentJoinIndexed over
+    * a prebuilt TokenIndex, at sf0.1 (50k docs), plus the one-time
+    * index build cost — the break-even point in batches goes to
+    * BASELINE.md.
+    */
+  private def tokenIndexProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, TokenIndex}
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = Tables.documents(spark, d)
+    // two probe shapes: 12-token snippets are match-DENSE on the
+    // deliberately repetitive fixture (~119 pairs/probe — verify
+    // dominates both paths); full-text probes are match-SPARSE
+    // (near-self-matches only), isolating the corpus-side cost the
+    // index exists to avoid
+    // snip = -1: one guaranteed-out-of-vocab token per probe — zero
+    // possible matches at threshold 1.0, the decontamination NO-HIT
+    // case that dominates nightly cadences; isolates pure corpus-side
+    // overhead (one-shot re-tokenizes + re-ranks the corpus even to
+    // answer "nothing matched")
+    def probes(salt: Int, snip: Int) = docs
+      .filter(pmod(col("doc_id"), lit(100)) === salt && col("text").isNotNull)
+      .select(col("doc_id").as("pid"),
+        if (snip > 0)
+          concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
+            1, snip)).as("ptext")
+        else if (snip == 0) col("text").as("ptext")
+        else concat_ws(" ", col("text"),
+          concat(lit("zzuniq"), col("doc_id"))).as("ptext"))
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("tokidxprobe").toString
+    val t0 = System.nanoTime()
+    TokenIndex.append(docs, "doc_id", "text", dir, 0L)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] {'probe':'tokenindex','stage':'build','sf':'$d','build_sec':$buildSec%.2f}")
+    // distinct salts: each batch is a DIFFERENT probe set, as in
+    // production; reps inside timeMin re-run the same batch warm
+    for (snip <- Seq(12, 0, -1); salt <- Seq(0, 1, 2)) {
+      val p = probes(salt, snip)
+      val (oneShot, n1) = timeMin(3)(Similarity.containmentJoin(
+        p, "pid", "ptext", docs, "doc_id", "text", 1.0).count())
+      val (indexed, n2) = timeMin(3)(TokenIndex.containmentJoinIndexed(
+        spark, p, "pid", "ptext", dir, 1.0).count())
+      println(f"[probe] {'probe':'tokenindex','stage':'probe','snip':$snip,'salt':$salt," +
+        f"'oneshot_sec':$oneShot%.2f,'indexed_sec':$indexed%.2f,'pairs':$n1,'pairs_indexed':$n2}")
+    }
+    rm(new java.io.File(dir))
+  }
+
+  // ------------------------------------------------- bpe 50k merges
+
+  /** Item 6: time [[graft.operators.Bpe.learnMerges]] end-to-end at a
+    * production vocab size — 300k word types, Zipf frequencies, 50k
+    * merges — to bound the per-merge driver loop (incremental pair
+    * counts + lazy-deletion heap, so the expected cost is ~words
+    * containing the merged pair, not O(vocab) per merge).
+    */
+  private def bpeProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val types = 300000
+    // deterministic heavy-tail vocab: word = base-26 digits of a hash,
+    // length 5–12; freq ~ Zipf (types / rank)
+    val rnd = new scala.util.Random(42L)
+    val words = new scala.collection.mutable.HashSet[String]
+    while (words.size < types) {
+      val len = 5 + rnd.nextInt(8)
+      words += Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val vocab = words.toSeq.sorted.zipWithIndex
+      .map { case (w, i) => (w, math.max(1L, (types / (i + 1)).toLong)) }
+    val vdf = vocab.toDF("w", "freq").localCheckpoint(true)
+    for (merges <- Seq(1000, 10000, 50000)) {
+      val t0 = System.nanoTime()
+      val got = graft.operators.Bpe.learnMergesFromVocab(vdf, merges)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] {'probe':'bpe','vocab_types':$types,'merges':$merges," +
+        f"'learned':${got.size},'wall_sec':$sec%.2f}")
+    }
+  }
+}

@@ -22,10 +22,17 @@ import graft.functions.{TextFunctions => TF}
   *
   * On-disk layout under `indexDir` (plain parquet, appended per run):
   *  - `postings/`: `(tok, corpus_id, run_id)` — each corpus document's
-  *    DISTINCT token set, exploded. The probe-side verify counts
-  *    matching postings per (probe, corpus) pair, so the index alone
-  *    answers containment EXACTLY — corpus text is never stored and
-  *    never rescanned.
+  *    DISTINCT token set, exploded. Candidate generation only: a
+  *    column-pruned 2-column scan equi-joined against the broadcast
+  *    probe prefixes.
+  *  - `arrays/`: `(corpus_id, toks, run_id)` — the same token set,
+  *    PACKED. The exact verify intersects these arrays, one row per
+  *    document, exactly like the one-shot operator. (A first cut
+  *    verified from the exploded postings instead — counting distinct
+  *    matching rows per pair — and measured 6× slower at sf1: the
+  *    verify then streams ~21 narrow rows per document through two
+  *    joins plus a count-distinct exchange, where the packed-array
+  *    intersect touches one cache-friendly row per candidate.)
   *  - `df/`: `(tok, df, run_id)` — the batch's per-token document
   *    frequency. Merged df orders the global prefix heuristic only;
   *    see the staleness note below.
@@ -33,13 +40,15 @@ import graft.functions.{TextFunctions => TF}
   * Redelivery safety (at-least-once appends, the streaming contract
   * every state family here honors): a retried batch re-appends
   * IDENTICAL rows (tokenization is deterministic). Candidate selection
-  * `distinct()`s pairs, the verify counts DISTINCT tokens per pair,
-  * and [[dfTable]] dedups per `(run_id, tok)` with `max` before
-  * summing — so duplicated postings and df rows change NOTHING in the
-  * output. Stronger still: because verify counts distinct tokens per
-  * (probe, corpus) pair, even a whole document re-ingested under a NEW
-  * run id cannot change any containment value — it only drifts df,
-  * which is a performance knob (see below), never recall.
+  * `distinct()`s pairs, duplicate array rows collapse in the OUTPUT
+  * `distinct()` (output-pair-sized — the corpus is never shuffled to
+  * dedup), and [[dfTable]] dedups per `(run_id, tok)` with `max`
+  * before summing — so duplicated rows change NOTHING in the result.
+  * Stronger still: a whole document re-ingested verbatim under a NEW
+  * run id also collapses (same corpus_id, same token set ⇒ same
+  * output row) — only df drifts, which is a performance knob (see
+  * below), never recall. Re-ingesting a corpus_id with DIFFERENT text
+  * violates the append-only contract (both versions would answer).
   *
   * Df staleness is SAFE: the pigeonhole prefix argument needs only
   * SOME fixed total order over the probe's own tokens (the corpus side
@@ -57,6 +66,7 @@ import graft.functions.{TextFunctions => TF}
 object TokenIndex {
 
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  private def arraysDir(indexDir: String) = s"$indexDir/arrays"
   private def dfDir(indexDir: String) = s"$indexDir/df"
 
   /** Index one corpus ingest batch: append its postings and df delta
@@ -68,14 +78,17 @@ object TokenIndex {
     */
   def append(corpusBatch: DataFrame, idCol: String, textCol: String,
       indexDir: String, runId: Long): Unit = {
-    // one snapshot feeds both writes: postings land first, df is
-    // derived from the same materialized frame (never a second
+    // one snapshot feeds all three writes: arrays land first, postings
+    // and df derive from the same materialized frame (never a second
     // tokenize pass over the corpus)
-    val posts = corpusBatch
+    val arrays = corpusBatch
       .select(col(idCol).as("corpus_id"),
-        array_distinct(TF.tokens(col(textCol))).as("__cb"))
-      .select(col("corpus_id"), explode(col("__cb")).as("tok"))
+        array_distinct(TF.tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
       .localCheckpoint(true)
+    arrays.select(col("corpus_id"), col("toks"), lit(runId).as("run_id"))
+      .write.mode("append").parquet(arraysDir(indexDir))
+    val posts = arrays.select(col("corpus_id"), explode(col("toks")).as("tok"))
     posts.select(col("tok"), col("corpus_id"), lit(runId).as("run_id"))
       .write.mode("append").parquet(postingsDir(indexDir))
     posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -98,28 +111,32 @@ object TokenIndex {
     *
     * Plan shape: probe prefixes (rarest tokens under the merged-df
     * order, df-0 for tokens the corpus has never seen — unsatisfiable
-    * probes prune for free) BROADCAST against the postings stream for
-    * candidates; then the verify joins the postings to the BROADCAST
-    * candidate pairs and probe token sets and counts distinct matching
-    * tokens per pair — the intersection size, computed FROM the index,
-    * no document arrays anywhere. The postings flow map-side through
-    * two broadcast hash joins + a partial-aggregated count: the corpus
-    * never shuffles, same sizing contract as the one-shot operator
-    * (probes are the bounded side).
+    * probes prune for free) BROADCAST against the column-pruned
+    * postings scan for candidates; the verify semi-filters the PACKED
+    * arrays scan by the broadcast candidate doc-id set (map-side — the
+    * corpus-sized scan never shuffles), then equi-joins only the
+    * matched, candidate-sized arrays to the pairs and intersects —
+    * exactly the one-shot verify but reading pre-tokenized arrays off
+    * disk instead of re-tokenizing the corpus. The only exchanges are
+    * the prefix aggregation (probe-sized) and the candidate distinct /
+    * pair join / output distinct (all candidate-sized), same sizing
+    * contract as the one-shot operator (probes are the bounded side).
+    * (A broadcast of the full candidate PAIR set was also measured —
+    * collecting ~600k pairs through the driver per call cost more than
+    * the avoided shuffle; the doc-id semi-filter broadcast is the
+    * small, load-bearing one.)
     */
   def containmentJoinIndexed(spark: SparkSession, probes: DataFrame,
       probeIdCol: String, probeTextCol: String, indexDir: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
-    val pt = probes.select(col(probeIdCol).as("probe_id"),
+    val pa = probes.select(col(probeIdCol).as("probe_id"),
         array_distinct(TF.tokens(col(probeTextCol))).as("__pa"))
       .filter(size(col("__pa")) > 0)
+      .localCheckpoint(true) // feeds prefix selection AND the verify
+    val prefixes = pa
       .select(col("probe_id"), size(col("__pa")).as("n"),
         explode(col("__pa")).as("tok"))
-      .localCheckpoint(true) // feeds prefix selection AND the verify
-    val postings = spark.read.parquet(postingsDir(indexDir))
-      .select(col("tok"), col("corpus_id"))
-    val prefixes = pt
       .join(dfTable(spark, indexDir), Seq("tok"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy(col("probe_id"), col("n"))
@@ -130,21 +147,37 @@ object TokenIndex {
           graft.functions.Guards.guardedCeil(col("n") * threshold) + 1)
           .cast("int")).as("pre"))
       .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
+    val postings = spark.read.parquet(postingsDir(indexDir))
+      .select(col("tok"), col("corpus_id"))
     val cands = broadcast(prefixes).join(postings, "tok")
       .select(col("probe_id"), col("corpus_id")).distinct()
-    postings.join(broadcast(cands), "corpus_id")
-      .join(broadcast(pt), Seq("probe_id", "tok"))
-      .groupBy(col("probe_id"), col("corpus_id"), col("n"))
-      .agg(countDistinct(col("tok")).as("hits"))
-      .withColumn("containment", col("hits").cast("double") / col("n"))
+      // feeds the semi-filter AND the pair join; without the snapshot
+      // the prefix/postings subtree would run twice
+      .localCheckpoint(true)
+    val arrays = spark.read.parquet(arraysDir(indexDir))
+      .select(col("corpus_id"), col("toks"))
+    // candidate-doc semi-filter, broadcast so the corpus-sized arrays
+    // scan never shuffles: only matched documents' arrays (candidate-
+    // sized) enter the pair equi-join
+    val matched = arrays.join(
+      broadcast(cands.select(col("corpus_id")).distinct()), "corpus_id")
+    cands.join(broadcast(pa), "probe_id")
+      .join(matched, "corpus_id")
+      .withColumn("containment",
+        size(array_intersect(col("__pa"), col("toks"))).cast("double") /
+          size(col("__pa")))
       .filter(col("containment") >= threshold)
       .select(col("probe_id"), col("corpus_id"), col("containment"))
+      // output-sized dedup: duplicate array rows (retried appends,
+      // verbatim re-ingests) collapse HERE, never via a corpus shuffle
+      .distinct()
   }
 
-  /** Fold both state tables in place (lossless; horizon-tagged).
-    * Returns ((postingsRowsBefore, after), (dfRowsBefore, after)). */
+  /** Fold all three state tables in place (lossless; horizon-tagged).
+    * Returns ((postingsRowsBefore, after), (dfRowsBefore, after),
+    * (arrayRowsBefore, after)). */
   def compact(spark: SparkSession, indexDir: String,
-      targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long)) = {
+      targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long), (Long, Long)) = {
     def horizon(df: DataFrame): Long = {
       val h = df.agg(max(col("run_id"))).collect().head
       if (h.isNullAt(0)) 0L else h.getLong(0)
@@ -162,6 +195,12 @@ object TokenIndex {
         .withColumn("run_id", lit(horizon(df)))
         .select(col("tok"), col("df"), col("run_id"))
     }
-    (p, d)
+    val a = graft.sources.Compaction.rewriteParquetDir(spark,
+        arraysDir(indexDir), targetBytes) { df =>
+      df.select(col("corpus_id"), col("toks")).distinct()
+        .withColumn("run_id", lit(horizon(df)))
+        .select(col("corpus_id"), col("toks"), col("run_id"))
+    }
+    (p, d, a)
   }
 }

@@ -96,9 +96,10 @@ class TokenIndexSpec extends SparkSpec {
     val probes = probesOf(50, 10)
     val before = sortedPairs(TokenIndex.containmentJoinIndexed(
       spark, probes, "pid", "ptext", idxDir, 1.0))
-    val ((pb, pa), (db, da)) = TokenIndex.compact(spark, idxDir)
+    val ((pb, pa), (db, da), (ab, aa)) = TokenIndex.compact(spark, idxDir)
     assert(pb > pa, s"postings must shrink: $pb -> $pa")
     assert(db > da, s"df must fold: $db -> $da")
+    assert(ab > aa, s"arrays must dedup: $ab -> $aa")
     val runs = spark.read.parquet(s"$idxDir/df").select("run_id").distinct()
       .as[Long].collect().toSeq
     assert(runs == Seq(1L), s"folded rows carry the horizon run id: $runs")
