@@ -3313,6 +3313,49 @@ object Queries {
         AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
       ORDER BY 1, 2"""))
 
+  private val q109 = Q(
+    "q109_bm25_indexed",
+    (s, d) => {
+      // q81's BM25 retrieval answered FROM the persisted token index
+      // (TokenIndex.bm25Indexed): postings carry (tf, dl) per (doc,
+      // term) and the run-level stats table carries (N, sum_dl), so
+      // scoring is a term-pushdown scan of the postings — the corpus is
+      // never touched. Same scoring formula, same terms, same rounding
+      // as q81; the oracle differs from q81's only in excluding
+      // null-text docs from (N, avgdl), the index's documented boundary
+      // (the fixture has none at the gate SFs, but the oracle must
+      // mirror the operator's contract, not the fixture's luck).
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q109_${Integer.toHexString(d.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists()) rm(dir)
+      val TI = graft.operators.TokenIndex
+      TI.append(docs, "doc_id", "text", dir.toString, 0L)
+      TI.bm25Indexed(s, dir.toString, Seq("dup", "join", "scan"))
+        .select(col("corpus_id").as("doc_id"),
+          round(col("bm25"), 4).as("bm25"), col("n_terms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
+        FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      p AS (SELECT doc_id, tok, count(*) AS tf FROM u
+        WHERE tok IN ('dup', 'join', 'scan') GROUP BY 1, 2),
+      f AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+      c AS (SELECT p.doc_id,
+          ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) * (p.tf * 2.2) /
+            (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS contrib
+        FROM p JOIN f ON p.tok = f.tok JOIN d ON p.doc_id = d.doc_id CROSS JOIN st)
+      SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3323,5 +3366,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108)
+    q105, q106, q107, q108, q109)
 }

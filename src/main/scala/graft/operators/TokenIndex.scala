@@ -68,6 +68,7 @@ object TokenIndex {
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
   private def arraysDir(indexDir: String) = s"$indexDir/arrays"
   private def dfDir(indexDir: String) = s"$indexDir/df"
+  private def statsDir(indexDir: String) = s"$indexDir/stats"
 
   /** Index one corpus ingest batch: append its postings and df delta
     * under `runId`. Contract: append-only corpus, one batch per run id
@@ -78,22 +79,39 @@ object TokenIndex {
     */
   def append(corpusBatch: DataFrame, idCol: String, textCol: String,
       indexDir: String, runId: Long): Unit = {
-    // one snapshot feeds all three writes: arrays land first, postings
-    // and df derive from the same materialized frame (never a second
-    // tokenize pass over the corpus)
-    val arrays = corpusBatch
-      .select(col(idCol).as("corpus_id"),
-        array_distinct(TF.tokens(col(textCol))).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .localCheckpoint(true)
-    arrays.select(col("corpus_id"), col("toks"), lit(runId).as("run_id"))
+    // one snapshot feeds all four writes: arrays land first, postings /
+    // df / stats derive from the same materialized frame (never a
+    // second tokenize pass over the corpus). Only docs with a non-empty
+    // token set are indexed: a token-less doc can never match a
+    // containment probe or contribute a BM25 posting (boundary vs the
+    // one-shot operators: it also leaves the BM25 (N, avgdl) stats,
+    // where Retrieval.bm25 would count it — callers treating empty
+    // docs as corpus members should filter them symmetrically).
+    val toked = corpusBatch
+      .select(col(idCol).as("corpus_id"), TF.tokens(col(textCol)).as("__raw"))
+      .filter(size(col("__raw")) > 0)
+      .localCheckpoint(true) // the ONE tokenize pass; feeds all four writes
+    toked.select(col("corpus_id"), array_distinct(col("__raw")).as("toks"),
+        lit(runId).as("run_id"))
       .write.mode("append").parquet(arraysDir(indexDir))
-    val posts = arrays.select(col("corpus_id"), explode(col("toks")).as("tok"))
-    posts.select(col("tok"), col("corpus_id"), lit(runId).as("run_id"))
+    // postings carry per-doc term frequency and (denormalized) doc
+    // length, so BM25 probes need NO join back to the corpus at all
+    val postsTf = toked
+      .select(col("corpus_id"), size(col("__raw")).cast("long").as("dl"),
+        explode(col("__raw")).as("tok"))
+      .groupBy(col("corpus_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")) // dl constant per doc
+      .localCheckpoint(true) // feeds postings AND df
+    postsTf.select(col("tok"), col("corpus_id"), col("tf"), col("dl"),
+        lit(runId).as("run_id"))
       .write.mode("append").parquet(postingsDir(indexDir))
-    posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    postsTf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .select(col("tok"), col("df"), lit(runId).as("run_id"))
       .write.mode("append").parquet(dfDir(indexDir))
+    toked.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__raw")).cast("long")).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"), lit(runId).as("run_id"))
+      .write.mode("append").parquet(statsDir(indexDir))
   }
 
   /** Merged `(tok, df)` across all runs: per-(run, tok) max absorbs
@@ -173,9 +191,58 @@ object TokenIndex {
       .distinct()
   }
 
-  /** Fold all three state tables in place (lossless; horizon-tagged).
-    * Returns ((postingsRowsBefore, after), (dfRowsBefore, after),
-    * (arrayRowsBefore, after)). */
+  /** BM25 retrieval FROM the index — [[Retrieval.bm25]]'s exact scoring
+    * (Robertson/Spärck Jones, Lucene's +1 idf smoothing) with ZERO
+    * corpus work: the term filter pushes into the postings parquet scan
+    * (`PushedFilters: In(tok, ...)`), so the only rows that ever leave
+    * the scan are matched (doc, term, tf, dl) postings — for a handful
+    * of query terms, orders of magnitude under the corpus. (N, avgdl)
+    * read off the run-level stats table (sketch-sized); df re-aggregates
+    * the matched postings, exactly the one-shot's construction. Returns
+    * (corpus_id, bm25, n_terms).
+    *
+    * Redelivery: matched postings dedup by DISTINCT full row (retried
+    * appends and verbatim re-ingests are bit-identical, and the matched
+    * set is term-bounded, so the distinct is cheap); stats dedup per
+    * run by max. A verbatim re-ingest under a NEW run id does inflate
+    * (N, sum_dl) — BM25's one contract beyond containment's: ingest
+    * each doc under ONE run id, or compact before scoring.
+    *
+    * Boundary vs [[Retrieval.bm25]]: the index holds only docs with a
+    * non-empty token set (see [[append]]), so (N, avgdl) exclude
+    * token-less docs the one-shot would count. Scores are otherwise
+    * identical (parity spec-pinned).
+    */
+  def bm25Indexed(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val st = spark.read.parquet(statsDir(indexDir))
+      .groupBy(col("run_id"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("sum_dl")).as("sum_dl"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
+    val p = spark.read.parquet(postingsDir(indexDir))
+      .filter(col("tok").isin(terms: _*))
+      .select(col("corpus_id"), col("tok"), col("tf"), col("dl"))
+      .distinct() // term-bounded; absorbs retried + re-ingested rows
+    val df = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    p.join(broadcast(df), "tok")
+      .crossJoin(broadcast(st))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("corpus_id"))
+      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Fold all four state tables in place (lossless; horizon-tagged).
+    * Postings/arrays fold to the distinct row set (retried and
+    * verbatim re-ingested rows collapse — which also RESTORES the BM25
+    * stats contract for re-ingested docs: df folds to the distinct
+    * postings' true count and stats to the folded corpus). Returns
+    * ((postingsBefore, after), (dfBefore, after), (arraysBefore,
+    * after)). */
   def compact(spark: SparkSession, indexDir: String,
       targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long), (Long, Long)) = {
     def horizon(df: DataFrame): Long = {
@@ -184,22 +251,32 @@ object TokenIndex {
     }
     val p = graft.sources.Compaction.rewriteParquetDir(spark,
         postingsDir(indexDir), targetBytes) { df =>
-      df.select(col("tok"), col("corpus_id")).distinct()
+      df.select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct()
         .withColumn("run_id", lit(horizon(df)))
-        .select(col("tok"), col("corpus_id"), col("run_id"))
-    }
-    val d = graft.sources.Compaction.rewriteParquetDir(spark,
-        dfDir(indexDir), targetBytes) { df =>
-      df.groupBy(col("tok"), col("run_id")).agg(max(col("df")).as("df"))
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-        .withColumn("run_id", lit(horizon(df)))
-        .select(col("tok"), col("df"), col("run_id"))
+        .select(col("tok"), col("corpus_id"), col("tf"), col("dl"), col("run_id"))
     }
     val a = graft.sources.Compaction.rewriteParquetDir(spark,
         arraysDir(indexDir), targetBytes) { df =>
       df.select(col("corpus_id"), col("toks")).distinct()
         .withColumn("run_id", lit(horizon(df)))
         .select(col("corpus_id"), col("toks"), col("run_id"))
+    }
+    // df and stats re-derive from the FOLDED postings/arrays rather
+    // than folding their own rows: the distinct above is the ground
+    // truth, so this also heals any re-ingest drift
+    val folded = spark.read.parquet(postingsDir(indexDir))
+    val d = graft.sources.Compaction.rewriteParquetDir(spark,
+        dfDir(indexDir), targetBytes) { df =>
+      folded.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumn("run_id", lit(horizon(df)))
+        .select(col("tok"), col("df"), col("run_id"))
+    }
+    graft.sources.Compaction.rewriteParquetDir(spark,
+        statsDir(indexDir), targetBytes) { df =>
+      folded.select(col("corpus_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("run_id", lit(horizon(df)))
+        .select(col("n_docs"), col("sum_dl"), col("run_id"))
     }
     (p, d, a)
   }

@@ -37,6 +37,14 @@ class TokenIndexSpec extends SparkSpec {
       assert(indexed == oneShot, s"threshold $t: indexed != one-shot")
       assert(oneShot.nonEmpty, s"threshold $t: fixture must produce matches")
     }
+    // plan shape: the containment path must prune the postings scan to
+    // (tok, corpus_id) — never decode the BM25 tf/dl columns — and the
+    // corpus-side scans must join via broadcast (no corpus exchange)
+    val plan = TokenIndex.containmentJoinIndexed(spark, probesOf(25, 8),
+      "pid", "ptext", dir, 1.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("tf:") && !plan.contains("dl:"),
+      "containment must not read the BM25 posting columns")
+    assert(plan.contains("BroadcastHashJoin"), "corpus-side joins must broadcast")
   }
 
   test("probing uses ONLY the persisted state: corpus deleted after indexing, probes still answer") {
@@ -82,6 +90,55 @@ class TokenIndexSpec extends SparkSpec {
     // only), the containment OUTPUT must not move
     TokenIndex.append(b1, "id", "text", idxDir, 2L)
     assert(run() == want, "re-ingested doc must not change any containment")
+  }
+
+  test("bm25Indexed: exact parity with Retrieval.bm25; term filter pushes into the postings scan") {
+    val dir = Files.createTempDirectory("tokidx_bm25").toString
+    TokenIndex.append(docs, "doc_id", "text", dir, 0L)
+    val terms = Seq("dup", "join", "scan")
+    val oneShot = graft.operators.Retrieval.bm25(docs, "doc_id", "text", terms)
+      .select(col("doc_id").cast("long"), col("bm25"), col("n_terms"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val indexed = TokenIndex.bm25Indexed(spark, dir, terms)
+      .select(col("corpus_id").cast("long"), col("bm25"), col("n_terms"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(indexed.length == oneShot.length && oneShot.nonEmpty)
+    indexed.zip(oneShot).foreach { case ((ia, ib, ic), (oa, ob, oc)) =>
+      assert(ia == oa && ic == oc, s"doc/n_terms mismatch: $ia/$ic vs $oa/$oc")
+      assert(math.abs(ib - ob) < 1e-9, s"doc $ia: bm25 $ib vs $ob")
+    }
+    // the whole point of the index: the term filter reaches the parquet
+    // scan, so only matched postings ever leave it
+    val plan = TokenIndex.bm25Indexed(spark, dir, terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(tok"),
+      s"term filter must push into the postings scan:\n${plan.take(2000)}")
+  }
+
+  test("bm25Indexed: retry-safe; compaction heals even a re-ingested batch's stats drift") {
+    val base = Files.createTempDirectory("tokidx_bm25_heal")
+    val idxDir = s"$base/idx"
+    val half0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val half1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    TokenIndex.append(half0, "doc_id", "text", idxDir, 0L)
+    TokenIndex.append(half1, "doc_id", "text", idxDir, 1L)
+    val terms = Seq("dup", "join", "scan")
+    def score() = TokenIndex.bm25Indexed(spark, idxDir, terms)
+      .select(col("corpus_id").cast("long"), round(col("bm25"), 6), col("n_terms"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val want = score()
+    assert(want.nonEmpty)
+    // at-least-once retry (same run id): bit-identical rows, no change
+    TokenIndex.append(half1, "doc_id", "text", idxDir, 1L)
+    assert(score() == want, "retried batch must not move any score")
+    // verbatim re-ingest under a NEW run id: the documented stats-drift
+    // case (N and avgdl inflate)...
+    TokenIndex.append(half1, "doc_id", "text", idxDir, 2L)
+    assert(score() != want, "re-ingest must visibly drift (the documented contract)")
+    // ...and compaction re-derives df/stats from the folded postings,
+    // healing the drift completely
+    TokenIndex.compact(spark, idxDir)
+    assert(score() == want, "compaction must heal re-ingest drift exactly")
   }
 
   test("compaction: fewer rows, horizon-tagged, identical probe answers") {
