@@ -209,7 +209,14 @@ object Bench {
       // round 13: the containment join is pair-explosion-shaped by
       // construction (probe prefixes × full corpus index) — exactly
       // what the sentinels watch for
-      "q105_containment_join")
+      "q105_containment_join",
+      // round 14: indexed BM25 — the sentinel watches that scoring
+      // stays matched-postings-sized (term pushdown) as the corpus
+      // grows. q108 is deliberately NOT a sentinel: its in-query
+      // lifecycle (3 ingests + full-index compaction) dominates its
+      // wall and would drown the probe-path signal; the probe path is
+      // covered by q105 (one-shot twin) + the BASELINE r14 cadence A/B.
+      "q109_bm25_indexed")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

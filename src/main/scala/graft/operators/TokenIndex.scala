@@ -191,6 +191,20 @@ object TokenIndex {
       .distinct()
   }
 
+  /** Incremental decontamination front door: the corpus documents that
+    * CONTAIN any probe (benchmark item, canary, quote) at `threshold`
+    * — drop these ids from the training mix. Exactly
+    * [[containmentJoinIndexed]]'s pair set projected to distinct
+    * corpus ids, so a nightly benchmark sweep re-pays only the
+    * postings scan, never the corpus.
+    */
+  def flaggedCorpusIds(spark: SparkSession, probes: DataFrame,
+      probeIdCol: String, probeTextCol: String, indexDir: String,
+      threshold: Double): DataFrame =
+    containmentJoinIndexed(spark, probes, probeIdCol, probeTextCol,
+      indexDir, threshold)
+      .select(col("corpus_id")).distinct()
+
   /** BM25 retrieval FROM the index — [[Retrieval.bm25]]'s exact scoring
     * (Robertson/Spärck Jones, Lucene's +1 idf smoothing) with ZERO
     * corpus work: the term filter pushes into the postings parquet scan

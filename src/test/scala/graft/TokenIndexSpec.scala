@@ -66,6 +66,12 @@ class TokenIndexSpec extends SparkSpec {
     val got = sortedPairs(TokenIndex.containmentJoinIndexed(spark,
       Seq((10L, "beta gamma")).toDF("pid", "ptext"), "pid", "ptext", idxDir, 1.0))
     assert(got == Seq((10L, 1L, 1.0), (10L, 2L, 1.0)))
+    // decontamination front door: the same probe flags docs 1 and 2 for
+    // removal from the training mix — again with the corpus gone
+    val flagged = TokenIndex.flaggedCorpusIds(spark,
+      Seq((10L, "beta gamma")).toDF("pid", "ptext"), "pid", "ptext", idxDir, 1.0)
+      .as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(1L, 2L))
   }
 
   test("redelivered batch and re-ingested docs change nothing; unknown-token probes prune free") {
