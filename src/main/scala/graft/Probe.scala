@@ -30,10 +30,8 @@ object Probe {
     (best, last.get)
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit =
+    graft.sources.Compaction.deleteLocalDir(f)
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("state")

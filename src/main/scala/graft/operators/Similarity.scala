@@ -276,11 +276,16 @@ object Similarity {
     }
     val cc = math.min(c, k)
     // farthest-point seeds (max-min cosine distance, ties → lower index).
-    // Stop early when the max remaining min-distance is 0: every
+    // Stop early when the max remaining min-distance is ~0: every
     // unseeded centroid is then a (cosine-)duplicate of a chosen seed,
     // and re-selecting one would mint a duplicate coarse cell that
-    // wastes an nprobe slot for zero recall (r13 ADVICE). Fewer seeds
-    // than cc is fine — every consumer iterates coarse.length.
+    // wastes an nprobe slot for zero recall (r13 ADVICE). The cutoff is
+    // 1e-12, not 0.0: 1−cos of an exact or scaled duplicate computes as
+    // positive float noise up to ~1e-15 in a quarter of random cases
+    // (verified numerically in the r14 review), so an exact-zero test
+    // would keep seeding duplicates. 1e-12 is still ~1e5× below any
+    // genuine angular separation a coarse cell could exploit. Fewer
+    // seeds than cc is fine — every consumer iterates coarse.length.
     val seeds = scala.collection.mutable.ArrayBuffer(0)
     val minDist = Array.tabulate(k)(i => 1.0 - cos(cents(i), cents(0)))
     var exhausted = false
@@ -288,7 +293,7 @@ object Similarity {
       var bestI = 0
       var i = 1
       while (i < k) { if (minDist(i) > minDist(bestI)) bestI = i; i += 1 }
-      if (minDist(bestI) <= 0.0) exhausted = true
+      if (minDist(bestI) <= 1e-12) exhausted = true
       else {
         seeds += bestI
         var j = 0
@@ -607,6 +612,13 @@ object Similarity {
     val pa = probes.select(col(probeIdCol).as("probe_id"),
       array_distinct(graft.functions.TextFunctions.tokens(col(probeTextCol))).as("__pa"))
       .filter(size(col("__pa")) > 0)
+      // duplicate probe ROWS collapse (concatenated benchmark lists
+      // re-list items): without this, the prefix aggregation would
+      // collect each token twice and the slice would cover only HALF
+      // the distinct prefix tokens — a silent recall hole in an exact
+      // operator (r14 review). Same probe id with DIFFERENT text
+      // remains a caller error (the id must identify one text).
+      .distinct()
       .localCheckpoint(true)
     val cb = corpus.select(col(corpusIdCol).as("corpus_id"),
       array_distinct(graft.functions.TextFunctions.tokens(col(corpusTextCol))).as("__cb"))

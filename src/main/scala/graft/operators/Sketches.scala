@@ -114,31 +114,43 @@ object Sketches {
     * truncated the state to k' hashes, a read with k > k' would come
     * back with fewer than k values, which [[kmvEstimate]] reports as an
     * EXACT count — a silent undercount (r13 ADVICE). The compaction
-    * writes its k to a `_kmv_compact_k` sidecar (underscore-prefixed, so
-    * the parquet reader ignores it); this overload refuses loudly when
-    * the read k exceeds it. Callers reading a bare DataFrame must uphold
-    * the contract themselves: never read with a k larger than any k a
-    * prior compaction used.
+    * writes its k to a SIBLING `__kmv_k` sidecar (see [[kmvKPath]] —
+    * outside the swapped directory so no compaction crash can lose the
+    * bound); this overload refuses loudly when the read k exceeds it.
+    * Callers reading a bare DataFrame must uphold the contract
+    * themselves: never read with a k larger than any k a prior
+    * compaction used.
     */
   def kmvStateSketch(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, k: Int, maxRunId: Long): Array[Long] = {
     readKmvCompactK(spark, stateDir).foreach { ck =>
       require(k <= ck,
         s"kmvStateSketch: read k=$k exceeds the compaction k=$ck recorded in " +
-          s"$stateDir/$KmvKSidecar — the state was truncated to $ck hashes, so a " +
+          s"$stateDir$KmvKSidecar — the state was truncated to $ck hashes, so a " +
           s"$k-sketch read would be silently partial and kmvEstimate would report " +
           "it as an exact count. Read with k <= the smallest k any compaction used.")
     }
     kmvStateSketch(spark.read.parquet(stateDir), k, maxRunId)
   }
 
-  private[graft] val KmvKSidecar = "_kmv_compact_k"
+  private[graft] val KmvKSidecar = "__kmv_k"
+
+  /** The sidecar is a SIBLING of the state directory
+    * (`<stateDir>__kmv_k`), deliberately outside it: compaction swaps
+    * the directory itself (write-tmp → rename-aside → rename-in), so a
+    * sidecar INSIDE it would be destroyed by every swap and a crash
+    * between the swap and the rewrite would permanently lose the min-k
+    * bound — silently re-opening the exact undercount hole the guard
+    * closes. A sibling survives the swap untouched.
+    */
+  private def kmvKPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir.stripSuffix("/") + KmvKSidecar)
 
   /** The smallest k any [[compactKmvState]] run recorded for `stateDir`,
     * if the sidecar exists. */
   private[graft] def readKmvCompactK(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(stateDir, KmvKSidecar)
+    val p = kmvKPath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -150,7 +162,7 @@ object Sketches {
 
   private def writeKmvCompactK(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, k: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(stateDir, KmvKSidecar)
+    val p = kmvKPath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s"$k\n".getBytes("UTF-8")) finally out.close()
@@ -174,21 +186,23 @@ object Sketches {
       stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) = {
     // the binding bound across compactions is the SMALLEST k ever used
     // (a later, larger-k compaction cannot restore hashes an earlier one
-    // dropped); read the prior sidecar before the swap discards it.
-    // Sidecar lands after the swap — a crash between the two leaves the
-    // old (or no) sidecar, which a rerun of this idempotent compaction
-    // repairs; same quiesced single-writer window as the rewrite itself.
+    // dropped). The sidecar is a SIBLING file (see kmvKPath) so the
+    // directory swap cannot destroy it; same quiesced single-writer
+    // window as the rewrite itself.
     val effK = readKmvCompactK(spark, stateDir).fold(k)(math.min(_, k))
-    val result = graft.sources.Compaction.rewriteParquetDir(spark, stateDir,
+    // record the bound BEFORE truncating: a crash mid-rewrite then
+    // leaves a bound at least as tight as the data (reads refuse more
+    // than strictly necessary — the safe direction), never a truncated
+    // state with no bound
+    if (graft.sources.Compaction.dataFiles(spark, stateDir).nonEmpty)
+      writeKmvCompactK(spark, stateDir, effK)
+    graft.sources.Compaction.rewriteParquetDir(spark, stateDir,
         targetBytes) { df =>
       val horizon = df.agg(max(col("run_id"))).collect().head
       val h = if (horizon.isNullAt(0)) 0L else horizon.getLong(0)
       df.select(col("h")).distinct().orderBy(col("h")).limit(k)
         .withColumn("run_id", lit(h))
     }
-    if (result != ((0L, 0L)) || graft.sources.Compaction.dataFiles(spark, stateDir).nonEmpty)
-      writeKmvCompactK(spark, stateDir, effK)
-    result
   }
 
   // ------------------------------------------------------- HLL state

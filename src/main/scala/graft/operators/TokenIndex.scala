@@ -40,9 +40,10 @@ import graft.functions.{TextFunctions => TF}
   * Redelivery safety (at-least-once appends, the streaming contract
   * every state family here honors): a retried batch re-appends
   * IDENTICAL rows (tokenization is deterministic). Candidate selection
-  * `distinct()`s pairs, duplicate array rows collapse in the OUTPUT
-  * `distinct()` (output-pair-sized — the corpus is never shuffled to
-  * dedup), and [[dfTable]] dedups per `(run_id, tok)` with `max`
+  * `distinct()`s pairs, duplicate array rows collapse in the
+  * MATCHED-arrays `distinct()` (candidate-sized — the corpus is never
+  * shuffled to dedup, and output multiplicity matches the one-shot
+  * operator), and [[dfTable]] dedups per `(run_id, tok)` with `max`
   * before summing — so duplicated rows change NOTHING in the result.
   * Stronger still: a whole document re-ingested verbatim under a NEW
   * run id also collapses (same corpus_id, same token set ⇒ same
@@ -137,8 +138,9 @@ object TokenIndex {
     * exactly the one-shot verify but reading pre-tokenized arrays off
     * disk instead of re-tokenizing the corpus. The only exchanges are
     * the prefix aggregation (probe-sized) and the candidate distinct /
-    * pair join / output distinct (all candidate-sized), same sizing
-    * contract as the one-shot operator (probes are the bounded side).
+    * matched-arrays dedup / pair join (all candidate-sized), same
+    * sizing contract as the one-shot operator (probes are the bounded
+    * side).
     * (A broadcast of the full candidate PAIR set was also measured —
     * collecting ~600k pairs through the driver per call cost more than
     * the avoided shuffle; the doc-id semi-filter broadcast is the
@@ -151,6 +153,11 @@ object TokenIndex {
     val pa = probes.select(col(probeIdCol).as("probe_id"),
         array_distinct(TF.tokens(col(probeTextCol))).as("__pa"))
       .filter(size(col("__pa")) > 0)
+      // duplicate probe rows collapse — same reasoning (and same
+      // resulting multiplicity) as the one-shot operator: without it
+      // the prefix aggregation double-collects tokens and silently
+      // halves prefix coverage (r14 review)
+      .distinct()
       .localCheckpoint(true) // feeds prefix selection AND the verify
     val prefixes = pa
       .select(col("probe_id"), size(col("__pa")).as("n"),
@@ -176,9 +183,14 @@ object TokenIndex {
       .select(col("corpus_id"), col("toks"))
     // candidate-doc semi-filter, broadcast so the corpus-sized arrays
     // scan never shuffles: only matched documents' arrays (candidate-
-    // sized) enter the pair equi-join
+    // sized) enter the pair equi-join. The distinct() dedups duplicate
+    // ARRAY rows (retried appends, verbatim re-ingests) on the
+    // candidate-sized matched subset — never via a corpus shuffle, and
+    // never on the output (which would change pair multiplicity vs the
+    // one-shot operator; r14 review)
     val matched = arrays.join(
-      broadcast(cands.select(col("corpus_id")).distinct()), "corpus_id")
+        broadcast(cands.select(col("corpus_id")).distinct()), "corpus_id")
+      .distinct()
     cands.join(broadcast(pa), "probe_id")
       .join(matched, "corpus_id")
       .withColumn("containment",
@@ -186,9 +198,6 @@ object TokenIndex {
           size(col("__pa")))
       .filter(col("containment") >= threshold)
       .select(col("probe_id"), col("corpus_id"), col("containment"))
-      // output-sized dedup: duplicate array rows (retried appends,
-      // verbatim re-ingests) collapse HERE, never via a corpus shuffle
-      .distinct()
   }
 
   /** Incremental decontamination front door: the corpus documents that

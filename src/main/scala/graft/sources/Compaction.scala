@@ -26,6 +26,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** Recursive LOCAL-filesystem delete for temp/state directories the
+    * engine itself created (fixture indexes, probe scratch). Null-safe
+    * against `listFiles` returning null (permission/race). One shared
+    * copy — query bodies, probes, and specs all need it.
+    */
+  def deleteLocalDir(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteLocalDir)
+    f.delete(): Unit
+  }
+
   /** Parquet data files under `dir` (non-recursive), with sizes. */
   def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)

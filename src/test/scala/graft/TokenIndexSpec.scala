@@ -57,11 +57,7 @@ class TokenIndexSpec extends SparkSpec {
       (3L, "unrelated words entirely here"))
       .toDF("id", "text").write.parquet(corpusDir)
     TokenIndex.append(spark.read.parquet(corpusDir), "id", "text", idxDir, 0L)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(corpusDir))
+    graft.sources.Compaction.deleteLocalDir(new java.io.File(corpusDir))
     assert(!new java.io.File(corpusDir).exists())
     val got = sortedPairs(TokenIndex.containmentJoinIndexed(spark,
       Seq((10L, "beta gamma")).toDF("pid", "ptext"), "pid", "ptext", idxDir, 1.0))
@@ -96,6 +92,33 @@ class TokenIndexSpec extends SparkSpec {
     // only), the containment OUTPUT must not move
     TokenIndex.append(b1, "id", "text", idxDir, 2L)
     assert(run() == want, "re-ingested doc must not change any containment")
+  }
+
+  test("duplicated probe rows cannot halve prefix coverage (recall hole pinned, both operators)") {
+    // probe [a b c d] at t=0.5 needs a 3-token prefix {a,b,c} (df asc).
+    // Before the r14 fix a duplicated probe row doubled every token in
+    // the prefix aggregation, so the 3-slot slice held [a,a,b] = only
+    // {a,b} — and the qualifying pair sharing exactly {c,d} (containment
+    // 0.5) was silently missed by an operator sold as exact.
+    val corpus = Seq(
+      (1L, "a q1 q2"), (2L, "b q3 q4"), (3L, "b q5 q6"),
+      (4L, "c d q7"), // the pair: overlap {c,d}, containment 2/4 = 0.5
+      (5L, "c q8 d"), (6L, "c q9 q10")) // df: a=1 b=2 c=3 d=2... d appears in 4,5 -> 2
+      .toDF("id", "text")
+    val dupProbes = Seq((9L, "a b c d"), (9L, "a b c d")).toDF("pid", "ptext")
+    val oneShot = Similarity.containmentJoin(
+      dupProbes, "pid", "ptext", corpus, "id", "text", 0.5)
+      .select(col("probe_id").cast("long"), col("corpus_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(oneShot.contains((9L, 4L)),
+      s"one-shot must find the {c,d}-overlap pair despite the duplicate probe row: $oneShot")
+    val base = Files.createTempDirectory("tokidx_dup").toString
+    TokenIndex.append(corpus, "id", "text", base, 0L)
+    val indexed = TokenIndex.containmentJoinIndexed(
+      spark, dupProbes, "pid", "ptext", base, 0.5)
+      .select(col("probe_id").cast("long"), col("corpus_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(indexed == oneShot, s"indexed $indexed != one-shot $oneShot")
   }
 
   test("bm25Indexed: exact parity with Retrieval.bm25; term filter pushes into the postings scan") {
