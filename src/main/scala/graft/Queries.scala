@@ -3330,16 +3330,7 @@ object Queries {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q109_${Integer.toHexString(d.hashCode)}")
       val marker = new java.io.File(dir, "_SRC_FP")
-      val srcFp = {
-        val src = new java.io.File(d, "documents.parquet")
-        val files = Option(if (src.isDirectory) src.listFiles() else Array(src))
-          .getOrElse(Array.empty).sortBy(_.getName)
-        val lines = s"n=${files.length}" +:
-          files.toSeq.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        md.digest(lines.mkString("\n").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-      }
+      val srcFp = fixtureFingerprint(d, "documents.parquet")
       val TI = graft.operators.TokenIndex
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
@@ -3370,6 +3361,66 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n_terms
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  private val q110 = Q(
+    "q110_ivf_index_planted",
+    (s, d) => {
+      // q100's planted-copy idiom over the PERSISTED IVF index
+      // (VectorIndex): k-means trains and the corpus assigns ONCE per
+      // fixture fingerprint (the q109 idiom), then the probe batch —
+      // ×2 copies of every 5th vector — searches the index. Doubling
+      // is exact in float, so the copy's cosine profile is
+      // bit-identical to its source: it argmax-assigns to its source's
+      // cell (candidacy guaranteed under any clustering, the
+      // ArgmaxCosine co-assignment property) and the rank-1 neighbor
+      // at k=1 is the source at cosine 1.0. Same oracle as q100.
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q110_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet")
+      val VI = graft.operators.VectorIndex
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        // k ∝ n (the SemDeDup sizing rule: cell occupancy stays flat, so
+        // probe cost per query stays flat at any corpus size)
+        val n = emb.count()
+        VI.build(emb, "vec_id", "embedding", dir.toString,
+          k = math.max(8, (n / 64L).toInt), maxIter = 5)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val offset = plantedIdOffset(emb, "vec_id")
+      val planted = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(offset))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      VI.queryTopK(s, planted, "vec_id", "embedding", dir.toString,
+          k = 1, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM embeddings WHERE vec_id % 5 = 0 ORDER BY query_id"""))
+
+  /** Content fingerprint of one fixture table (names+sizes+mtimes
+    * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
+    * derived index across invocations: a rebuilt fixture at the same
+    * path must invalidate the index, silently stale state has no
+    * failure signal. */
+  private def fixtureFingerprint(sfDir: String, table: String): String = {
+    val src = new java.io.File(sfDir, table)
+    val files = Option(if (src.isDirectory) src.listFiles() else Array(src))
+      .getOrElse(Array.empty).sortBy(_.getName)
+    val lines = s"n=${files.length}" +:
+      files.toSeq.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   // ---------------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3380,5 +3431,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109)
+    q105, q106, q107, q108, q109, q110)
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Persisted IVF ANN index — [[TokenIndex]]'s pattern applied to the
+  * embedding column: [[Similarity.ivfCosineTopK]] re-trains k-means and
+  * re-assigns the whole corpus on EVERY call, which is the right shape
+  * for one ad-hoc search and exactly the wrong one for the production
+  * cadence (a slowly-growing corpus probed by query batch after query
+  * batch — retrieval, near-dup lookups, embedding decontamination).
+  * Here the expensive parts are paid once: k-means trains at [[build]],
+  * every corpus vector's cell assignment is PERSISTED as a posting, and
+  * a probe batch touches only the centroid table (k rows, broadcast)
+  * plus the postings of the probed cells.
+  *
+  * On-disk layout under `indexDir` (plain parquet):
+  *  - `centroids/`: `(centroid_id int, centroid array<double>)` — the
+  *    model, written once by [[build]]. Bounded by k.
+  *  - `postings/`: `(centroid_id, vec_id, emb, run_id)` — each corpus
+  *    vector in its nearest cell, embedding stored alongside so the
+  *    exact re-rank reads ONLY probed cells, never the corpus.
+  *
+  * Incremental growth ([[append]]): new batches assign against the
+  * FROZEN centroids — the standard IVF production contract (Faiss-style:
+  * train once on a representative sample, add forever; re-[[build]]
+  * when drift warrants a new model). Assignment is a deterministic pure
+  * projection, so a retried batch appends bit-identical rows and the
+  * query-side `dropDuplicates(query, neighbor)` absorbs them — the same
+  * holds for a verbatim re-ingest under a new run id. [[compact]] folds
+  * the postings to the distinct vector set, horizon-tagged.
+  *
+  * Recall contract: identical to `ivfCosineTopK` with the same
+  * centroids and nprobe (spec-pinned equality) — approximate by cell
+  * blocking, with the [[plans.ArgmaxCosine]] guarantee that exact
+  * scalar multiples always co-assign (what q110's planted oracle
+  * rests on).
+  */
+object VectorIndex {
+
+  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+
+  /** Train the cell model on the corpus and index it as run 0. k-means
+    * is [[Similarity.kmeansCentroids]] (deterministic hash-seeded
+    * sample, bounded training set); assignment is the fused native
+    * argmax, two-level above 256 cells.
+    */
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+      indexDir: String, k: Int, maxIter: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.kmeansCentroids(corpus, idCol, embCol, k, maxIter)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
+    append(corpus, idCol, embCol, indexDir, runId = 0L)
+  }
+
+  /** Centroids as the driver-side list every assignment broadcasts.
+    * k-bounded collect, like the sketch reads. */
+  private def centroidSeq(spark: SparkSession, indexDir: String): Seq[Seq[Double]] =
+    spark.read.parquet(centroidsDir(indexDir))
+      .orderBy(col("centroid_id"))
+      .collect().map(_.getSeq[Double](1)).toSeq
+
+  /** Assign one corpus batch against the frozen centroids and append
+    * its postings under `runId` (append-only corpus, one batch per run,
+    * retries absorbed — see the class note). Vectors with null/empty
+    * embeddings are not indexed (they can never be a neighbor). */
+  def append(batch: DataFrame, idCol: String, embCol: String,
+      indexDir: String, runId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = centroidSeq(spark, indexDir)
+    batch.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(
+        Similarity.assignClusterApprox(Some(spark), col(embCol), cents)
+          .as("centroid_id"),
+        col(idCol).as("vec_id"), col(embCol).as("emb"),
+        lit(runId).as("run_id"))
+      .write.mode("append").parquet(postingsDir(indexDir))
+  }
+
+  /** Top-k cosine neighbors for each query, FROM the index: queries
+    * assign to their `nprobe` best cells (the same slice-sort rule as
+    * `ivfCosineTopK` — cosine desc, centroid_id asc), the probed cells'
+    * postings join back by cell id, and the exact cosine re-rank runs
+    * on that candidate-sized set through the native TopK. The corpus
+    * never re-assigns, never re-trains, never shuffles at full width —
+    * the one exchange is the ≤ k·|queries| TopK bound.
+    */
+  def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
+      queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val centDf = spark.read.parquet(centroidsDir(indexDir))
+    val centArr = broadcast(
+      centDf.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
+    val qa = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
+        .where(col("__qe").isNotNull && size(col("__qe")) > 0)
+        .crossJoin(centArr)
+        .withColumn("__ranked", slice(array_sort(
+          transform(col("__cents"), c =>
+            struct(
+              VectorFunctions.cosineNative(col("__qe"), c.getField("centroid")).as("cd"),
+              c.getField("centroid_id").as("centroid_id"))),
+          (l, r) =>
+            when(l.getField("cd") > r.getField("cd"), -1)
+              .when(l.getField("cd") < r.getField("cd"), 1)
+              .when(l.getField("centroid_id") < r.getField("centroid_id"), -1)
+              .when(l.getField("centroid_id") > r.getField("centroid_id"), 1)
+              .otherwise(0)), 1, nprobe))
+        .select(col("query_id"), col("__qe"),
+          explode(col("__ranked.centroid_id")).as("centroid_id")))
+    val postings = spark.read.parquet(postingsDir(indexDir))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
+    Similarity.rankTopK(
+      postings.join(qa, "centroid_id")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))),
+      k)
+  }
+
+  /** Fold the postings to the distinct vector set, in place,
+    * horizon-tagged (retries and verbatim re-ingests collapse).
+    * Returns (rowsBefore, rowsAfter). */
+  def compact(spark: SparkSession, indexDir: String,
+      targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Compaction.rewriteParquetDir(spark,
+        postingsDir(indexDir), targetBytes) { df =>
+      val h = df.agg(max(col("run_id"))).collect().head
+      val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
+      df.select(col("centroid_id"), col("vec_id"), col("emb")).distinct()
+        .withColumn("run_id", lit(horizon))
+        .select(col("centroid_id"), col("vec_id"), col("emb"), col("run_id"))
+    }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, VectorIndex}
+
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        round(col("cosine"), 9), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+
+  test("queryTopK equals ivfCosineTopK with the same centroids; probes survive corpus deletion") {
+    val base = Files.createTempDirectory("vecidx")
+    val corpusDir = s"$base/corpus"; val idxDir = s"$base/idx"
+    emb.write.parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val cents = spark.read.parquet(s"$idxDir/centroids")
+    val oneShot = topk(Similarity.ivfCosineTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      cents, k = 3, nprobe = 2))
+    val indexed = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    assert(indexed == oneShot && oneShot.nonEmpty,
+      s"indexed(${indexed.size}) != one-shot(${oneShot.size})")
+    // state-only proof: delete the corpus parquet — the probe path must
+    // not notice (it reads centroids + postings only)
+    graft.sources.Compaction.deleteLocalDir(new java.io.File(corpusDir))
+    assert(topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)) == indexed)
+  }
+
+  test("incremental appends equal a one-shot index; retries, re-ingests and compaction change nothing") {
+    val base = Files.createTempDirectory("vecidx_inc")
+    val full = s"$base/full"; val inc = s"$base/inc"
+    val h0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val h1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // one model, two indexes: build trains on h0 then indexes it; the
+    // incremental index reuses the SAME frozen centroids via append
+    VectorIndex.build(h0, "vec_id", "embedding", full, k = 8, maxIter = 5)
+    VectorIndex.append(h1, "vec_id", "embedding", full, runId = 1L)
+    VectorIndex.build(h0, "vec_id", "embedding", inc, k = 8, maxIter = 5)
+    // centroids must be identical (deterministic training on h0)
+    val cFull = spark.read.parquet(s"$full/centroids").orderBy("centroid_id")
+      .as[(Int, Seq[Double])].collect().toSeq
+    val cInc = spark.read.parquet(s"$inc/centroids").orderBy("centroid_id")
+      .as[(Int, Seq[Double])].collect().toSeq
+    assert(cFull == cInc, "k-means training must be deterministic")
+    VectorIndex.append(h1, "vec_id", "embedding", inc, runId = 1L)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def q(dir: String) = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", dir, k = 3, nprobe = 2))
+    val want = q(full)
+    assert(q(inc) == want && want.nonEmpty, "two-batch index must equal one-shot")
+    // at-least-once retry of batch 1: identical postings, same answers
+    VectorIndex.append(h1, "vec_id", "embedding", inc, runId = 1L)
+    assert(q(inc) == want, "retried batch must be absorbed")
+    // verbatim re-ingest under a NEW run id: also absorbed (dedup is on
+    // (query, neighbor), ids unchanged)
+    VectorIndex.append(h1, "vec_id", "embedding", inc, runId = 2L)
+    assert(q(inc) == want, "re-ingested batch must be absorbed")
+    // compaction folds the duplicates away and answers stay identical
+    val (b, a) = VectorIndex.compact(spark, inc)
+    assert(b > a, s"compaction must shrink: $b -> $a")
+    assert(a == emb.count(), "folded postings = one row per corpus vector")
+    assert(q(inc) == want, "compaction must be lossless")
+  }
+
+  test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
+    val base = Files.createTempDirectory("vecidx_plant")
+    val idxDir = s"$base/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 16, maxIter = 5)
+    val planted = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val got = VectorIndex.queryTopK(spark, planted, "vec_id", "embedding",
+        idxDir, k = 1, nprobe = 1)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        round(col("cosine"), 6))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val want = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+      .map(v => (v + 10000L, v, 1.0))
+    assert(got == want, s"every scaled copy must hit its source even at nprobe=1")
+  }
+}
