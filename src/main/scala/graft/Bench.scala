@@ -210,13 +210,15 @@ object Bench {
       // construction (probe prefixes × full corpus index) — exactly
       // what the sentinels watch for
       "q105_containment_join",
-      // round 14: indexed BM25 — the sentinel watches that scoring
-      // stays matched-postings-sized (term pushdown) as the corpus
-      // grows. q108 is deliberately NOT a sentinel: its in-query
+      // round 14: indexed BM25 + indexed IVF ANN — both build their
+      // index ONCE per fixture fingerprint, so the sentinel watches the
+      // PROBE path: BM25 scoring must stay matched-postings-sized (term
+      // pushdown) and the ANN probe must stay probed-cells-sized as the
+      // corpus grows. q108 is deliberately NOT a sentinel: its in-query
       // lifecycle (3 ingests + full-index compaction) dominates its
       // wall and would drown the probe-path signal; the probe path is
       // covered by q105 (one-shot twin) + the BASELINE r14 cadence A/B.
-      "q109_bm25_indexed")
+      "q109_bm25_indexed", "q110_ivf_index_planted")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

@@ -44,6 +44,7 @@ object Probe {
       case "pagerank" => pageRankProbe(spark)
       case "bpe" => bpeProbe(spark)
       case "tokenindex" => tokenIndexProbe(spark)
+      case "vecindex" => vectorIndexProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
@@ -212,6 +213,62 @@ object Probe {
         spark, p, "pid", "ptext", dir, 1.0).count())
       println(f"[probe] {'probe':'tokenindex','stage':'probe','snip':$snip,'salt':$salt," +
         f"'oneshot_sec':$oneShot%.2f,'indexed_sec':$indexed%.2f,'pairs':$n1,'pairs_indexed':$n2}")
+    }
+    rm(new java.io.File(dir))
+  }
+
+  // --------------------------------------- vector index probe cadence
+
+  /** VectorIndex's payoff measurement, mirroring [[tokenIndexProbe]]:
+    * repeated ANN query batches against one corpus — one-shot
+    * `ivfCosineTopK` pays k-means training + full-corpus assignment
+    * EVERY call, the persisted index pays them once. Uses the fixture
+    * embeddings at `SPARK_GRAFT_SF_DIR`, k-means k = n/64, nprobe 2,
+    * top-3, 3 query batches of ~n/50 vectors each.
+    */
+  private def vectorIndexProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+    val n = emb.count()
+    val k = math.max(8, (n / 64L).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("vecidxprobe").toString
+    val t0 = System.nanoTime()
+    VectorIndex.build(emb, "vec_id", "embedding", dir, k = k, maxIter = 5)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] {'probe':'vecindex','stage':'build','sf':'$d','k':$k,'build_sec':$buildSec%.2f}")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    for (salt <- Seq(0, 1, 2)) {
+      val queries = emb.filter(pmod(col("vec_id"), lit(50)) === salt)
+        .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      // one-shot WITH training (the true per-call cost today)...
+      val (trainAndSearch, n1) = timeMin(3) {
+        val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, 5)
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false))))
+        val cdf = spark.createDataFrame(
+          c2.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava, schema)
+        Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", cdf, k = 3, nprobe = 2).count()
+      }
+      // ...one-shot with CACHED centroids (isolates the per-call
+      // corpus re-assignment the postings persistence removes)...
+      val (oneShot, n2) = timeMin(3)(Similarity.ivfCosineTopK(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        cents, k = 3, nprobe = 2).count())
+      // ...vs the persisted index
+      val (indexed, n3) = timeMin(3)(VectorIndex.queryTopK(
+        spark, queries, "vec_id", "embedding", dir, k = 3, nprobe = 2).count())
+      println(f"[probe] {'probe':'vecindex','stage':'probe','salt':$salt," +
+        f"'train_and_search_sec':$trainAndSearch%.2f,'oneshot_sec':$oneShot%.2f," +
+        f"'indexed_sec':$indexed%.2f,'rows':[$n1,$n2,$n3]}")
     }
     rm(new java.io.File(dir))
   }

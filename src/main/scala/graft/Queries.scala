@@ -3330,7 +3330,10 @@ object Queries {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q109_${Integer.toHexString(d.hashCode)}")
       val marker = new java.io.File(dir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet")
+      // the marker carries an index-format version beside the fixture
+      // fingerprint: a TokenIndex schema change must invalidate a
+      // cached index just like a rebuilt fixture does
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|tokenindex-v2"
       val TI = graft.operators.TokenIndex
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
@@ -3377,17 +3380,25 @@ object Queries {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q110_${Integer.toHexString(d.hashCode)}")
       val marker = new java.io.File(dir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "embeddings.parquet")
       val VI = graft.operators.VectorIndex
+      // marker = fixture fingerprint + the build parameters: changing
+      // the k sizing rule (or the index format) must invalidate a
+      // cached index just like a rebuilt fixture does
+      val n = emb.count()
+      val kCells0 = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
+        s"|vecindex-v2|k=$kCells0"
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
       if (fresh) {
         if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
-        // k ∝ n (the SemDeDup sizing rule: cell occupancy stays flat, so
-        // probe cost per query stays flat at any corpus size)
-        val n = emb.count()
-        VI.build(emb, "vec_id", "embedding", dir.toString,
-          k = math.max(8, (n / 64L).toInt), maxIter = 5)
+        // k ∝ √n — the IVF sizing guidance (Faiss), NOT SemDeDup's
+        // k ∝ n: with k ∝ n both the add-time assignment (n·k) and the
+        // per-query probe (k cosines) go quadratic-in-n, which the r14
+        // sf10 decade probe measured (275× cpu at 10× data) before this
+        // sizing + the native probe sort fixed it. √n keeps add-time
+        // Θ(n^1.5) and probe cost Θ(√n) per query.
+        VI.build(emb, "vec_id", "embedding", dir.toString, k = kCells0, maxIter = 5)
         java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
         ()
       }

@@ -155,11 +155,17 @@ object Similarity {
     val ca = assign(corpus, corpusId, corpusEmb, "neighbor_id", "__ce", 1)
     val qa = broadcast(assign(queries, queryId, queryEmb, "query_id", "__qe", nprobe))
 
+    // cosine before the dedup so the hygiene exchange moves narrow
+    // (query, neighbor, cosine) rows, never pairs of embedding arrays
+    // (the r14 VectorIndex decade probe measured the wide form at
+    // ~36 GB of shuffle; duplicate pairs are bit-identical, so either
+    // order is value-equal)
     rankTopK(
       ca.join(qa, "centroid_id")
         .filter(col("neighbor_id") =!= col("query_id"))
-        .dropDuplicates("query_id", "neighbor_id")
-        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))), k)
+        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .dropDuplicates("query_id", "neighbor_id"), k)
   }
 
   /** Embedding-space benchmark decontamination — the semantic-similarity

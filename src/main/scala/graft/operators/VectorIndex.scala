@@ -76,14 +76,26 @@ object VectorIndex {
   /** Assign one corpus batch against the frozen centroids and append
     * its postings under `runId` (append-only corpus, one batch per run,
     * retries absorbed — see the class note). Vectors with null/empty
-    * embeddings are not indexed (they can never be a neighbor). */
+    * embeddings are not indexed (they can never be a neighbor).
+    *
+    * Assignment is the EXACT native argmax, deliberately not the
+    * two-level approximation: add-time pays Θ(n·k) once per batch
+    * (the Faiss flat-coarse-quantizer contract — allocation-free
+    * codegen, ~k·dim flops per vector), and in exchange the
+    * co-assignment guarantee (a scaled copy lands in the cell its
+    * source's TRUE argmax picked, which the query's true-cosine top-1
+    * probe always includes) holds exactly at ANY k — under the 2L
+    * approximation it holds only below its exactMax. Callers with
+    * enormous k can pre-coarsen with [[Similarity.assignClusterApprox]]
+    * at that documented recall cost.
+    */
   def append(batch: DataFrame, idCol: String, embCol: String,
       indexDir: String, runId: Long): Unit = {
     val spark = batch.sparkSession
     val cents = centroidSeq(spark, indexDir)
     batch.where(col(embCol).isNotNull && size(col(embCol)) > 0)
       .select(
-        Similarity.assignClusterApprox(Some(spark), col(embCol), cents)
+        Similarity.assignCluster(Some(spark), col(embCol), cents)
           .as("centroid_id"),
         col(idCol).as("vec_id"), col(embCol).as("emb"),
         lit(runId).as("run_id"))
@@ -103,30 +115,43 @@ object VectorIndex {
     val centDf = spark.read.parquet(centroidsDir(indexDir))
     val centArr = broadcast(
       centDf.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
+    // top-nprobe cells via NEGATION + native struct ordering, not the
+    // lambda comparator ivfCosineTopK carries: `sort_array`'s
+    // interpreted per-comparison lambda over k structs per query was
+    // the sf10 decade probe's blow-up (40k queries × 3125 cells read
+    // 4455 cpu-s — ~275× at 10× data). The negation trick is safe HERE
+    // because VectorIndex owns its schema: centroid_id is OUR Int (the
+    // reason ivfCosineTopK can't use it — its caller-supplied id may
+    // be a string). (-cd asc, id asc) ≡ (cd desc, id asc), identical
+    // tie-breaks.
     val qa = broadcast(
       queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
         .where(col("__qe").isNotNull && size(col("__qe")) > 0)
         .crossJoin(centArr)
-        .withColumn("__ranked", slice(array_sort(
+        .withColumn("__ranked", slice(sort_array(
           transform(col("__cents"), c =>
             struct(
-              VectorFunctions.cosineNative(col("__qe"), c.getField("centroid")).as("cd"),
-              c.getField("centroid_id").as("centroid_id"))),
-          (l, r) =>
-            when(l.getField("cd") > r.getField("cd"), -1)
-              .when(l.getField("cd") < r.getField("cd"), 1)
-              .when(l.getField("centroid_id") < r.getField("centroid_id"), -1)
-              .when(l.getField("centroid_id") > r.getField("centroid_id"), 1)
-              .otherwise(0)), 1, nprobe))
+              (-VectorFunctions.cosineNative(col("__qe"), c.getField("centroid"))).as("ncd"),
+              c.getField("centroid_id").as("centroid_id")))), 1, nprobe))
         .select(col("query_id"), col("__qe"),
           explode(col("__ranked.centroid_id")).as("centroid_id")))
     val postings = spark.read.parquet(postingsDir(indexDir))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
+    // cosine FIRST (map-side, whole-stage codegen — both embedding
+    // arrays die in this projection), THEN the retry-hygiene dedup on
+    // the narrow (query, neighbor, cosine) rows: deduping before the
+    // cosine would shuffle every candidate pair carrying BOTH
+    // embedding arrays — measured ~36 GB at the sf10 decade probe,
+    // the dominant cost of the first cut. Duplicate pairs exist ONLY
+    // from redelivered postings (one cell per vector, distinct probed
+    // cells), so the dedup rows are bit-identical and keeping any one
+    // is deterministic.
     Similarity.rankTopK(
       postings.join(qa, "centroid_id")
         .filter(col("neighbor_id") =!= col("query_id"))
-        .dropDuplicates("query_id", "neighbor_id")
-        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce"))),
+        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .dropDuplicates("query_id", "neighbor_id"),
       k)
   }
 
