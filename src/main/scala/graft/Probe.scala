@@ -245,18 +245,9 @@ object Probe {
       // one-shot WITH training (the true per-call cost today)...
       val (trainAndSearch, n1) = timeMin(3) {
         val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, 5)
-        import scala.jdk.CollectionConverters._
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("centroid_id",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("centroid",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType, containsNull = false))))
-        val cdf = spark.createDataFrame(
-          c2.zipWithIndex.map { case (c, i) =>
-            org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava, schema)
         Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
-          queries, "vec_id", "embedding", cdf, k = 3, nprobe = 2).count()
+          queries, "vec_id", "embedding", VectorIndex.centroidsDf(spark, c2),
+          k = 3, nprobe = 2).count()
       }
       // ...one-shot with CACHED centroids (isolates the per-call
       // corpus re-assignment the postings persistence removes)...

@@ -3381,13 +3381,12 @@ object Queries {
         s"graft_q110_${Integer.toHexString(d.hashCode)}")
       val marker = new java.io.File(dir, "_SRC_FP")
       val VI = graft.operators.VectorIndex
-      // marker = fixture fingerprint + the build parameters: changing
-      // the k sizing rule (or the index format) must invalidate a
-      // cached index just like a rebuilt fixture does
-      val n = emb.count()
-      val kCells0 = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
-        s"|vecindex-v2|k=$kCells0"
+      // marker = fixture fingerprint + a format/sizing-rule version:
+      // changing either must invalidate a cached index just like a
+      // rebuilt fixture does. The rule VERSION (not the derived k) is
+      // recorded, so the cached path never pays the corpus count job
+      // that only the fresh build needs.
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") + "|vecindex-v3|k=sqrt"
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
       if (fresh) {
@@ -3398,7 +3397,9 @@ object Queries {
         // sf10 decade probe measured (275× cpu at 10× data) before this
         // sizing + the native probe sort fixed it. √n keeps add-time
         // Θ(n^1.5) and probe cost Θ(√n) per query.
-        VI.build(emb, "vec_id", "embedding", dir.toString, k = kCells0, maxIter = 5)
+        val n = emb.count()
+        VI.build(emb, "vec_id", "embedding", dir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
         java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
         ()
       }
@@ -3414,7 +3415,9 @@ object Queries {
     },
     Some("""SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
         vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
-      FROM embeddings WHERE vec_id % 5 = 0 ORDER BY query_id"""))
+      FROM embeddings
+      WHERE vec_id % 5 = 0 AND embedding IS NOT NULL AND len(embedding) > 0
+      ORDER BY query_id"""))
 
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a

@@ -150,14 +150,21 @@ object Sketches {
     * if the sidecar exists. */
   private[graft] def readKmvCompactK(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[Int] = {
-    val p = kmvKPath(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+    def readInt(p: org.apache.hadoop.fs.Path): Option[Int] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      }
     }
+    // legacy fallback: the first r14 cut wrote the sidecar INSIDE the
+    // state dir ("_kmv_compact_k") — read it if the sibling is absent
+    // so a state compacted by that code keeps its bound (the next
+    // compaction migrates it to the sibling)
+    readInt(kmvKPath(stateDir)).orElse(
+      readInt(new org.apache.hadoop.fs.Path(stateDir, "_kmv_compact_k")))
   }
 
   private def writeKmvCompactK(spark: org.apache.spark.sql.SparkSession,
@@ -184,6 +191,12 @@ object Sketches {
     */
   def compactKmvState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, k: Int, targetBytes: Long = 128L << 20): (Long, Long) = {
+    // recover a crashed swap FIRST: after a mid-swap crash the live dir
+    // is empty (data parked in __compact_old), and deciding the sidecar
+    // from that empty listing would skip the bound update while the
+    // rewrite below restores-and-truncates the data anyway — the rerun
+    // would reopen the silent-undercount hole (r14 review 2)
+    graft.sources.Compaction.recoverCrashedSwap(spark, stateDir)
     // the binding bound across compactions is the SMALLEST k ever used
     // (a later, larger-k compaction cannot restore hashes an earlier one
     // dropped). The sidecar is a SIBLING file (see kmvKPath) so the

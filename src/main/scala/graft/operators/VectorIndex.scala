@@ -34,9 +34,9 @@ import graft.functions.VectorFunctions
   *
   * Recall contract: identical to `ivfCosineTopK` with the same
   * centroids and nprobe (spec-pinned equality) — approximate by cell
-  * blocking, with the [[plans.ArgmaxCosine]] guarantee that exact
-  * scalar multiples always co-assign (what q110's planted oracle
-  * rests on).
+  * blocking, with the guarantee that exact scalar multiples always
+  * co-assign (corpus and queries share ONE cell-selection rule, see
+  * [[append]] — what q110's planted oracle rests on).
   */
 object VectorIndex {
 
@@ -45,13 +45,30 @@ object VectorIndex {
 
   /** Train the cell model on the corpus and index it as run 0. k-means
     * is [[Similarity.kmeansCentroids]] (deterministic hash-seeded
-    * sample, bounded training set); assignment is the fused native
-    * argmax, two-level above 256 cells.
+    * sample, bounded training set); assignment is [[append]]'s shared
+    * exact cell-selection rule.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
       indexDir: String, k: Int, maxIter: Int = 8): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.kmeansCentroids(corpus, idCol, embCol, k, maxIter)
+    centroidsDf(spark, cents)
+      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
+    // a RE-build is a new model: postings assigned under the old
+    // centroids must not survive it (they would both grow unboundedly
+    // and mis-file vectors in the new cells — r14 review 2), so the
+    // postings overwrite together with the centroids
+    val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    append(corpus, idCol, embCol, indexDir, runId = 0L)
+  }
+
+  /** The centroid model as a DataFrame — shared by [[build]] and any
+    * caller that wants to hand the same model to
+    * [[Similarity.ivfCosineTopK]] (the probe in `graft.Probe` does). */
+  private[graft] def centroidsDf(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("centroid_id",
@@ -60,47 +77,68 @@ object VectorIndex {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, containsNull = false))))
     spark.createDataFrame(
-        cents.zipWithIndex.map { case (c, i) =>
-          org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava, schema)
-      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
-    append(corpus, idCol, embCol, indexDir, runId = 0L)
+      cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }.toSeq.asJava, schema)
   }
-
-  /** Centroids as the driver-side list every assignment broadcasts.
-    * k-bounded collect, like the sketch reads. */
-  private def centroidSeq(spark: SparkSession, indexDir: String): Seq[Seq[Double]] =
-    spark.read.parquet(centroidsDir(indexDir))
-      .orderBy(col("centroid_id"))
-      .collect().map(_.getSeq[Double](1)).toSeq
 
   /** Assign one corpus batch against the frozen centroids and append
     * its postings under `runId` (append-only corpus, one batch per run,
     * retries absorbed — see the class note). Vectors with null/empty
     * embeddings are not indexed (they can never be a neighbor).
     *
-    * Assignment is the EXACT native argmax, deliberately not the
-    * two-level approximation: add-time pays Θ(n·k) once per batch
-    * (the Faiss flat-coarse-quantizer contract — allocation-free
-    * codegen, ~k·dim flops per vector), and in exchange the
-    * co-assignment guarantee (a scaled copy lands in the cell its
-    * source's TRUE argmax picked, which the query's true-cosine top-1
-    * probe always includes) holds exactly at ANY k — under the 2L
-    * approximation it holds only below its exactMax. Callers with
-    * enormous k can pre-coarsen with [[Similarity.assignClusterApprox]]
-    * at that documented recall cost.
+    * Assignment is the EXACT argmax via the SAME [[cellsFor]] rule the
+    * query probe uses — deliberately not the native ArgmaxCosine, whose
+    * tie-break is the OPPOSITE (ties → higher index): with duplicated
+    * centroids (k-means pads its pool when training rows < k) exact
+    * ties are certain, and a corpus filed under the higher duplicate
+    * while queries probe the lower would silently empty nprobe=1
+    * results (r14 review 2). One shared rule on both sides makes the
+    * parity with `ivfCosineTopK` (ties → lower id) and the
+    * co-assignment guarantee exact at ANY k. Add-time pays
+    * Θ(n·k·log k) once per batch — the Faiss flat-coarse-quantizer
+    * contract. Callers with enormous k can pre-coarsen with
+    * [[Similarity.assignClusterApprox]] at that documented recall cost.
     */
   def append(batch: DataFrame, idCol: String, embCol: String,
       indexDir: String, runId: Long): Unit = {
     val spark = batch.sparkSession
-    val cents = centroidSeq(spark, indexDir)
-    batch.where(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(
-        Similarity.assignCluster(Some(spark), col(embCol), cents)
-          .as("centroid_id"),
-        col(idCol).as("vec_id"), col(embCol).as("emb"),
+    val centArr = centroidArray(spark, indexDir)
+    cellsFor(batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
+        "emb", centArr, nprobe = 1)
+      .select(col("centroid_id"), col("vec_id"), col("emb"),
         lit(runId).as("run_id"))
       .write.mode("append").parquet(postingsDir(indexDir))
   }
+
+  /** One broadcast row holding every (centroid_id, centroid). */
+  private def centroidArray(spark: SparkSession, indexDir: String): DataFrame =
+    broadcast(spark.read.parquet(centroidsDir(indexDir))
+      .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
+
+  /** The ONE cell-selection rule, shared by [[append]] (nprobe = 1) and
+    * [[queryTopK]]: top-nprobe cells by (cosine desc, centroid_id asc),
+    * via NEGATION + native struct ordering rather than ivfCosineTopK's
+    * lambda comparator — `array_sort`'s interpreted per-comparison
+    * lambda over k structs per row was the sf10 decade probe's blow-up
+    * (40k queries × 3125 cells read 4455 cpu-s, ~275× at 10× data).
+    * The negation trick is safe HERE because VectorIndex owns its
+    * schema: centroid_id is OUR Int (ivfCosineTopK's caller-supplied
+    * id may be a string). (-cd asc, id asc) ≡ (cd desc, id asc),
+    * identical tie-breaks. Null/empty embeddings drop (they can never
+    * be assigned or be a neighbor).
+    */
+  private def cellsFor(df: DataFrame, embCol: String, centArr: DataFrame,
+      nprobe: Int): DataFrame =
+    df.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .crossJoin(centArr)
+      .withColumn("__ranked", slice(sort_array(
+        transform(col("__cents"), c =>
+          struct(
+            (-VectorFunctions.cosineNative(col(embCol), c.getField("centroid"))).as("ncd"),
+            c.getField("centroid_id").as("centroid_id")))), 1, nprobe))
+      .drop("__cents")
+      .withColumn("centroid_id", explode(col("__ranked.centroid_id")))
+      .drop("__ranked")
 
   /** Top-k cosine neighbors for each query, FROM the index: queries
     * assign to their `nprobe` best cells (the same slice-sort rule as
@@ -112,29 +150,9 @@ object VectorIndex {
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
-    val centDf = spark.read.parquet(centroidsDir(indexDir))
-    val centArr = broadcast(
-      centDf.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
-    // top-nprobe cells via NEGATION + native struct ordering, not the
-    // lambda comparator ivfCosineTopK carries: `sort_array`'s
-    // interpreted per-comparison lambda over k structs per query was
-    // the sf10 decade probe's blow-up (40k queries × 3125 cells read
-    // 4455 cpu-s — ~275× at 10× data). The negation trick is safe HERE
-    // because VectorIndex owns its schema: centroid_id is OUR Int (the
-    // reason ivfCosineTopK can't use it — its caller-supplied id may
-    // be a string). (-cd asc, id asc) ≡ (cd desc, id asc), identical
-    // tie-breaks.
-    val qa = broadcast(
-      queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
-        .where(col("__qe").isNotNull && size(col("__qe")) > 0)
-        .crossJoin(centArr)
-        .withColumn("__ranked", slice(sort_array(
-          transform(col("__cents"), c =>
-            struct(
-              (-VectorFunctions.cosineNative(col("__qe"), c.getField("centroid"))).as("ncd"),
-              c.getField("centroid_id").as("centroid_id")))), 1, nprobe))
-        .select(col("query_id"), col("__qe"),
-          explode(col("__ranked.centroid_id")).as("centroid_id")))
+    val qa = broadcast(cellsFor(
+      queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")),
+      "__qe", centroidArray(spark, indexDir), nprobe))
     val postings = spark.read.parquet(postingsDir(indexDir))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
     // cosine FIRST (map-side, whole-stage codegen — both embedding

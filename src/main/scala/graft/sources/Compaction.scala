@@ -52,7 +52,7 @@ object Compaction {
     * before proceeding so the rerun compacts instead of failing the
     * read.
     */
-  private def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
+  private[graft] def recoverCrashedSwap(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(dir + "__compact_old")

@@ -78,6 +78,50 @@ class VectorIndexSpec extends SparkSpec {
     assert(q(inc) == want, "compaction must be lossless")
   }
 
+  test("re-build replaces the postings with the new model's, never mixes them") {
+    // build overwrites centroids/ — postings assigned under the OLD
+    // model must go with it, or they grow unboundedly and mis-file
+    // vectors in the new cells (r14 review 2)
+    val idxDir = s"${Files.createTempDirectory("vecidx_rebuild")}/idx"
+    val h0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    VectorIndex.build(h0, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    assert(spark.read.parquet(s"$idxDir/postings").count() == emb.count(),
+      "postings after a re-build = exactly the re-built corpus")
+  }
+
+  test("duplicate centroids: corpus and probes share ONE tie rule, so nprobe=1 never probes an empty twin") {
+    // k-means pads duplicate centroids when its pool is smaller than k,
+    // making exact cosine ties certain. The native ArgmaxCosine breaks
+    // ties to the HIGHER index while the probe ranking breaks to the
+    // LOWER — if append used it, every tied vector would file under
+    // cell 2 here while nprobe=1 probes cell 0, returning nothing
+    // (r14 review 2). Both sides now share cellsFor's rule.
+    val base = Files.createTempDirectory("vecidx_ties")
+    val idxDir = s"$base/idx"
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(1.0, 0.0, 0.0))
+    VectorIndex.centroidsDf(spark, cents).write.parquet(s"$idxDir/centroids")
+    val corpus = Seq(
+      (1L, Seq(4.0f, 1.0f, 0.0f)), (2L, Seq(0.0f, 3.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 0L)
+    val cells = spark.read.parquet(s"$idxDir/postings")
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Int)].collect().toMap
+    assert(cells(1L) == 0 && cells(3L) == 0,
+      s"ties between duplicate cells 0 and 2 must file under the LOWER id: $cells")
+    val queries = Seq((10L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2, nprobe = 1))
+    assert(got.map(r => (r._1, r._2)).toSet == Set((10L, 1L), (10L, 3L)),
+      s"nprobe=1 must find the tied-cell members: $got")
+    // and exact parity with the one-shot on the SAME duplicated model
+    val oneShot = topk(Similarity.ivfCosineTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      spark.read.parquet(s"$idxDir/centroids"), k = 2, nprobe = 1))
+    assert(got == oneShot, s"indexed $got != one-shot $oneShot")
+  }
+
   test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
     val base = Files.createTempDirectory("vecidx_plant")
     val idxDir = s"$base/idx"
