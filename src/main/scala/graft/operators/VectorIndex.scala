@@ -19,9 +19,11 @@ import graft.functions.VectorFunctions
   * On-disk layout under `indexDir` (plain parquet):
   *  - `centroids/`: `(centroid_id int, centroid array<double>)` — the
   *    model, written once by [[build]]. Bounded by k.
-  *  - `postings/`: `(centroid_id, vec_id, emb, run_id)` — each corpus
-  *    vector in its nearest cell, embedding stored alongside so the
-  *    exact re-rank reads ONLY probed cells, never the corpus.
+  *  - `postings/`: `(centroid_id, vec_id, emb, run_id)`, PARTITIONED
+  *    by `centroid_id` — each corpus vector in its nearest cell,
+  *    embedding stored alongside, so a probe batch's k-bounded static
+  *    cell filter prunes the scan to the probed cells' FILES: "reads
+  *    only probed cells" holds for bytes off disk, not just join work.
   *
   * Incremental growth ([[append]]): new batches assign against the
   * FROZEN centroids — the standard IVF production contract (Faiss-style:
@@ -103,11 +105,18 @@ object VectorIndex {
       indexDir: String, runId: Long): Unit = {
     val spark = batch.sparkSession
     val centArr = centroidArray(spark, indexDir)
+    // postings are PARTITIONED by cell: the probe path's cell filter
+    // then prunes at the parquet PARTITION level, so a query batch
+    // reads only its probed cells' bytes — "touches only probed cells"
+    // holds for scan I/O, not just join work. Partition count is
+    // k-bounded (√n by the sizing guidance), well inside healthy
+    // partition-table range.
     cellsFor(batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
         "emb", centArr, nprobe = 1)
       .select(col("centroid_id"), col("vec_id"), col("emb"),
         lit(runId).as("run_id"))
-      .write.mode("append").parquet(postingsDir(indexDir))
+      .write.partitionBy("centroid_id").mode("append")
+      .parquet(postingsDir(indexDir))
   }
 
   /** One broadcast row holding every (centroid_id, centroid). */
@@ -150,10 +159,19 @@ object VectorIndex {
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
-    val qa = broadcast(cellsFor(
+    val qa = cellsFor(
       queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")),
-      "__qe", centroidArray(spark, indexDir), nprobe))
+      "__qe", centroidArray(spark, indexDir), nprobe)
+      .localCheckpoint(true) // feeds the cell collect AND the pair join
+    // STATIC partition pruning: the probed cell set is k-bounded
+    // (distinct cells ≤ k regardless of batch size), so collect it and
+    // plant it as a literal filter on the partition column — the
+    // partitioned postings scan then reads ONLY the probed cells'
+    // files at planning time, no reliance on runtime DPP firing.
+    val cells = qa.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     val postings = spark.read.parquet(postingsDir(indexDir))
+      .where(col("centroid_id").isin(cells: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
     // cosine FIRST (map-side, whole-stage codegen — both embedding
     // arrays die in this projection), THEN the retry-hygiene dedup on
@@ -165,7 +183,7 @@ object VectorIndex {
     // cells), so the dedup rows are bit-identical and keeping any one
     // is deterministic.
     Similarity.rankTopK(
-      postings.join(qa, "centroid_id")
+      postings.join(broadcast(qa), "centroid_id")
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -175,15 +193,38 @@ object VectorIndex {
 
   /** Fold the postings to the distinct vector set, in place,
     * horizon-tagged (retries and verbatim re-ingests collapse).
-    * Returns (rowsBefore, rowsAfter). */
-  def compact(spark: SparkSession, indexDir: String,
-      targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Compaction.rewriteParquetDir(spark,
-        postingsDir(indexDir), targetBytes) { df =>
-      val h = df.agg(max(col("run_id"))).collect().head
-      val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
-      df.select(col("centroid_id"), col("vec_id"), col("emb")).distinct()
-        .withColumn("run_id", lit(horizon))
-        .select(col("centroid_id"), col("vec_id"), col("emb"), col("run_id"))
-    }
+    * Hand-rolled rather than `rewriteParquetDir` because the postings
+    * are PARTITIONED by cell and must stay so through the fold —
+    * the generic rewrite's round-robin repartition would flatten the
+    * layout and silently kill the probe path's partition pruning (and
+    * its non-recursive file listing would no-op on a partitioned dir
+    * anyway). Same crash-recovery preamble and checked two-rename swap,
+    * same quiesced single-writer contract. Returns
+    * (rowsBefore, rowsAfter); `(0, 0)` when the directory is absent.
+    */
+  def compact(spark: SparkSession, indexDir: String): (Long, Long) = {
+    val dir = postingsDir(indexDir)
+    graft.sources.Compaction.recoverCrashedSwap(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val input = spark.read.parquet(dir)
+    val h = input.agg(max(col("run_id"))).collect().head
+    val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
+    val folded = input.select(col("centroid_id"), col("vec_id"), col("emb"))
+      .distinct()
+      .select(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
+        col("centroid_id"))
+      .persist()
+    val result =
+      try {
+        val before = input.count()
+        val after = folded.count()
+        folded.write.partitionBy("centroid_id").mode("overwrite")
+          .parquet(dir + "__compact_tmp")
+        (before, after)
+      } finally folded.unpersist(blocking = false)
+    graft.sources.Compaction.swapTmpIntoPlace(spark, dir)
+    result
+  }
 }

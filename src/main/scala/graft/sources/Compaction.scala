@@ -69,7 +69,7 @@ object Compaction {
     * reports success). Keeping the original under `__compact_old` until
     * the swap lands also gives a rollback path.
     */
-  private def swapTmpIntoPlace(spark: SparkSession, dir: String): Unit = {
+  private[graft] def swapTmpIntoPlace(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "__compact_tmp")

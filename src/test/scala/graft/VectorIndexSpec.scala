@@ -38,6 +38,16 @@ class VectorIndexSpec extends SparkSpec {
     graft.sources.Compaction.deleteLocalDir(new java.io.File(corpusDir))
     assert(topk(VectorIndex.queryTopK(
       spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)) == indexed)
+    // and the postings SCAN is partition-pruned to the probed cells:
+    // the k-bounded static cell filter must land in PartitionFilters,
+    // so unprobed cells' files are never opened
+    val plan = VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("centroid_id"),
+      s"probed-cell filter must prune partitions:\n${plan.take(3000)}")
   }
 
   test("incremental appends equal a one-shot index; retries, re-ingests and compaction change nothing") {
