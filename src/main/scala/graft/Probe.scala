@@ -261,6 +261,23 @@ object Probe {
         f"'train_and_search_sec':$trainAndSearch%.2f,'oneshot_sec':$oneShot%.2f," +
         f"'indexed_sec':$indexed%.2f,'rows':[$n1,$n2,$n3]}")
     }
+    // bounded-batch stage: a SMALL probe batch (1-in-500 vectors)
+    // touches a fraction of the cells, so the partition-pruned scan
+    // reads a fraction of the postings bytes — the production
+    // retrieval/decontamination shape the cell partitioning exists for
+    for (salt <- Seq(0, 1)) {
+      val small = emb.filter(pmod(col("vec_id"), lit(500)) === salt)
+        .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val nq = small.count()
+      val (oneShot, _) = timeMin(3)(Similarity.ivfCosineTopK(
+        emb, "vec_id", "embedding", small, "vec_id", "embedding",
+        cents, k = 3, nprobe = 2).count())
+      val (indexed, _) = timeMin(3)(VectorIndex.queryTopK(
+        spark, small, "vec_id", "embedding", dir, k = 3, nprobe = 2).count())
+      println(f"[probe] {'probe':'vecindex','stage':'small_batch','salt':$salt," +
+        f"'n_queries':$nq,'oneshot_sec':$oneShot%.2f,'indexed_sec':$indexed%.2f}")
+    }
     rm(new java.io.File(dir))
   }
 
