@@ -3386,7 +3386,7 @@ object Queries {
       // rebuilt fixture does. The rule VERSION (not the derived k) is
       // recorded, so the cached path never pays the corpus count job
       // that only the fresh build needs.
-      val srcFp = fixtureFingerprint(d, "embeddings.parquet") + "|vecindex-v4|k=sqrt"
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") + "|vecindex-v5|k=sqrt"
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
       if (fresh) {

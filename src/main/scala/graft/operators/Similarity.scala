@@ -134,8 +134,15 @@ object Similarity {
     // group column, which may be a string label; the old `-centroid_id`
     // negation trick required a numeric id and under ANSI mode threw on
     // strings), slice the prefix, explode.
+    // null/empty embeddings drop on BOTH sides — same rule as
+    // VectorIndex.cellsFor, keeping the spec-pinned queryTopK parity
+    // exact on degenerate corpora too: an empty array's cosine is 0.0
+    // to everything, so without the filter it ties to the lowest cell
+    // and can surface as a 0.0-cosine "neighbor" when a probed cell
+    // holds fewer than k real candidates (r15 ADVICE)
     def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) =
       df.select(col(id).as(idOut), col(emb).as(embOut))
+        .where(col(embOut).isNotNull && size(col(embOut)) > 0)
         .crossJoin(centArr)
         .withColumn("__ranked", slice(array_sort(
           transform(col("__cents"), c =>

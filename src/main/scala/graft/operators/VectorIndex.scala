@@ -24,6 +24,10 @@ import graft.functions.VectorFunctions
   *    embedding stored alongside, so a probe batch's k-bounded static
   *    cell filter prunes the scan to the probed cells' FILES: "reads
   *    only probed cells" holds for bytes off disk, not just join work.
+  *  - `_build_complete`: completion marker, deleted first and written
+  *    last by [[build]]; [[queryTopK]] refuses to answer without it,
+  *    so a crashed build is loud, never silently partial (see
+  *    [[build]]'s crash contract).
   *
   * Incremental growth ([[append]]): new batches assign against the
   * FROZEN centroids — the standard IVF production contract (Faiss-style:
@@ -44,26 +48,60 @@ object VectorIndex {
 
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
   private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  // SIBLING of centroids/ and postings/ (indexDir itself is never
+  // swapped), so neither compact()'s two-rename nor a postings rewrite
+  // can destroy it — the KMV __kmv_k sidecar lesson
+  private def builtMarker(indexDir: String) = s"$indexDir/_build_complete"
 
   /** Train the cell model on the corpus and index it as run 0. k-means
     * is [[Similarity.kmeansCentroids]] (deterministic hash-seeded
     * sample, bounded training set); assignment is [[append]]'s shared
     * exact cell-selection rule.
+    *
+    * Crash contract (r15 review): build is NOT atomic — it is
+    * fail-LOUD + rerun-to-heal. The completion marker is deleted
+    * before anything else changes and re-written only after the
+    * corpus is fully indexed, so a crash at ANY point leaves an index
+    * that [[queryTopK]] refuses with a re-run instruction, never a
+    * silently partial or mis-filed one. Step order inside the window
+    * matters too: old-model postings are deleted BEFORE the new
+    * centroids land — the reverse order could strand postings
+    * assigned under the old model filed beneath the new cells.
+    * Re-running build is always safe: training is deterministic and
+    * every step re-executes idempotently.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
       indexDir: String, k: Int, maxIter: Int = 8): Unit = {
     val spark = corpus.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(builtMarker(indexDir))
+    val fs = marker.getFileSystem(hconf)
+    // 1. invalidate: from here until the final marker write the index
+    //    is loudly incomplete
+    if (fs.exists(marker)) fs.delete(marker, false)
     val cents = Similarity.kmeansCentroids(corpus, idCol, embCol, k, maxIter)
+    // 2. a RE-build is a new model: postings assigned under the old
+    //    centroids die FIRST (before the centroid overwrite) — a crash
+    //    in between leaves old centroids with no postings, which the
+    //    absent marker already reports, instead of old postings
+    //    mis-filed under new cells (r14 review 2 / r15 ADVICE)
+    val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+    if (fs.exists(p)) fs.delete(p, true)
     centroidsDf(spark, cents)
       .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
-    // a RE-build is a new model: postings assigned under the old
-    // centroids must not survive it (they would both grow unboundedly
-    // and mis-file vectors in the new cells — r14 review 2), so the
-    // postings overwrite together with the centroids
-    val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
     append(corpus, idCol, embCol, indexDir, runId = 0L)
+    // 3. the index is whole — declare it
+    markBuilt(spark, indexDir)
+  }
+
+  /** Stamp the completion marker — the last step of [[build]], exposed
+    * for callers that assemble an index from externally-trained
+    * centroids + [[append]] instead of [[build]] (specs do). */
+  private[graft] def markBuilt(spark: SparkSession, indexDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(builtMarker(indexDir))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("ok\n".getBytes("UTF-8")) finally out.close()
   }
 
   /** The centroid model as a DataFrame — shared by [[build]] and any
@@ -159,6 +197,15 @@ object VectorIndex {
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
+    // refuse an index whose build never completed: a crash mid-build
+    // (after the centroid overwrite, during the initial corpus append)
+    // would otherwise answer from a silently partial index
+    val marker = new org.apache.hadoop.fs.Path(builtMarker(indexDir))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"VectorIndex at $indexDir is incomplete (no ${marker.getName}): " +
+          "a build crashed or never ran — re-run build() to heal")
     val qa = cellsFor(
       queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")),
       "__qe", centroidArray(spark, indexDir), nprobe)

@@ -115,6 +115,7 @@ class VectorIndexSpec extends SparkSpec {
       (1L, Seq(4.0f, 1.0f, 0.0f)), (2L, Seq(0.0f, 3.0f, 0.0f)),
       (3L, Seq(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
     VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 0L)
+    VectorIndex.markBuilt(spark, idxDir) // hand-assembled index: stamp it whole
     val cells = spark.read.parquet(s"$idxDir/postings")
       .select(col("vec_id"), col("centroid_id"))
       .as[(Long, Int)].collect().toMap
@@ -130,6 +131,64 @@ class VectorIndexSpec extends SparkSpec {
       corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
       spark.read.parquet(s"$idxDir/centroids"), k = 2, nprobe = 1))
     assert(got == oneShot, s"indexed $got != one-shot $oneShot")
+  }
+
+  test("a crashed build is loud: queries refuse an unmarked index; re-running build heals") {
+    // build's crash contract (r15 ADVICE): the completion marker is
+    // deleted first and written last, so a crash at ANY point inside
+    // build leaves an index queryTopK refuses — never a silently
+    // partial one (crash mid-initial-append) and never old postings
+    // mis-filed under new centroids (postings die before the centroid
+    // overwrite).
+    val idxDir = s"${Files.createTempDirectory("vecidx_crash")}/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val want = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    assert(want.nonEmpty)
+    // simulate the crash window: marker gone (build deletes it before
+    // touching anything), postings half-written — delete some rows'
+    // worth by removing the marker alone; the REFUSAL must not depend
+    // on how far the crash got
+    assert(new java.io.File(idxDir, "_build_complete").delete())
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("re-run build"), ex.getMessage)
+    // rerun-to-heal: deterministic training makes the re-build produce
+    // the identical index, and answers come back
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    assert(topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)) == want)
+  }
+
+  test("null/empty corpus embeddings: indexed and one-shot agree (both drop them)") {
+    // r15 ADVICE boundary: queryTopK/cellsFor always dropped
+    // null/empty corpus embeddings; ivfCosineTopK used to assign an
+    // empty array (cosine 0.0 everywhere → lowest cell) and could
+    // surface it as a 0.0-cosine neighbor when a probed cell held
+    // fewer than k real candidates. Both now share the drop rule.
+    val base = Files.createTempDirectory("vecidx_degen")
+    val idxDir = s"$base/idx"
+    val corpus = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.9f, 0.1f))),
+      (3L, Some(Seq(0.0f, 1.0f))),
+      (4L, Some(Seq.empty[Float])), (5L, None)) // degenerate rows
+      .toDF("vec_id", "embedding")
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 2, maxIter = 5)
+    val queries = Seq((10L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    // k=5 > real candidates in the probed cell: the empty-array row
+    // would have padded the one-shot result before the fix
+    val indexed = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 5, nprobe = 1))
+    val oneShot = topk(Similarity.ivfCosineTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      spark.read.parquet(s"$idxDir/centroids"), k = 5, nprobe = 1))
+    assert(indexed == oneShot && indexed.nonEmpty, s"$indexed != $oneShot")
+    assert(!indexed.exists(r => r._2 == 4L || r._2 == 5L),
+      s"degenerate rows must never be neighbors: $indexed")
   }
 
   test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
