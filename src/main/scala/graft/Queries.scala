@@ -3419,6 +3419,76 @@ object Queries {
       WHERE vec_id % 5 = 0 AND embedding IS NOT NULL AND len(embedding) > 0
       ORDER BY query_id"""))
 
+  private val q111 = Q(
+    "q111_intersect_customers",
+    (s, d) => {
+      // set intersection (SURVEY §2.8 closure, VERDICT r14 item 6):
+      // customers who placed BOTH a big-ticket and a small-ticket order.
+      // Spark's INTERSECT is the distinct-set form (like EXCEPT/q14) —
+      // a hash aggregate on each side then a left-semi hash join, no
+      // sort, both sides shuffle-pruned to the distinct key width.
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 250000).select(col("o_custkey").as("custkey"))
+        .intersect(
+          o.filter(col("o_totalprice") < 50000).select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+      INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+      ORDER BY custkey"""))
+
+  private val q112 = Q(
+    "q112_except_all_multiset",
+    (s, d) => {
+      // multiset difference (EXCEPT ALL — the bag-semantics sibling of
+      // q14's distinct EXCEPT): every order's custkey, minus one
+      // occurrence per big-ticket order, so a customer with 5 orders of
+      // which 2 are big survives with multiplicity 3. Spark plans this
+      // as a single hash aggregate computing per-key count deltas then
+      // replicates rows by the surviving count — no distinct collapse,
+      // no join.
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey").as("custkey"))
+        .exceptAll(
+          o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      ORDER BY custkey"""))
+
+  private val q113 = Q(
+    "q113_sql_front_door",
+    (s, d) => {
+      // the engine reached through SQL TEXT (VERDICT r14 item 8, the
+      // explicit SURVEY §0 descope now smoke-covered): fixture tables
+      // register as temp views and the query is authored as a
+      // spark.sql(...) string — standard SQL (filter, group-by,
+      // aggregates) THROUGH a GraftExtensions-injected native function
+      // (graft_nfc, the codegen NFC normalizer), proving a SQL-string
+      // user can drive the engine with no DataFrame code. The view
+      // registration is per-session metadata only; the plan underneath
+      // is identical to the DataFrame form (same scan, same partial
+      // aggregation).
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT source,
+          count(*) AS n_docs,
+          CAST(sum(length(graft_nfc(text))) AS BIGINT) AS nfc_chars,
+          CAST(sum(CASE WHEN graft_nfc(text) = text THEN 1 ELSE 0 END) AS BIGINT)
+            AS already_nfc
+        FROM documents_v
+        WHERE text IS NOT NULL
+        GROUP BY source
+        ORDER BY source""")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        CAST(sum(length(nfc_normalize(text))) AS BIGINT) AS nfc_chars,
+        CAST(sum(CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END) AS BIGINT)
+          AS already_nfc
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY source ORDER BY source"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3445,5 +3515,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }
