@@ -45,6 +45,8 @@ object Probe {
       case "bpe" => bpeProbe(spark)
       case "tokenindex" => tokenIndexProbe(spark)
       case "vecindex" => vectorIndexProbe(spark)
+      case "vecappend" => vectorAppendBreakdown(spark)
+      case "vecdecade" => vectorDecadeBreakdown(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
@@ -233,10 +235,17 @@ object Probe {
     val n = emb.count()
     val k = math.max(8, (n / 64L).toInt)
     val dir = java.nio.file.Files.createTempDirectory("vecidxprobe").toString
+    // train/append split so layout changes attribute to the right half
+    val tTr = System.nanoTime()
+    val trainOnly = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, 5)
+    val trainSec = (System.nanoTime() - tTr) / 1e9
+    require(trainOnly.length == k)
     val t0 = System.nanoTime()
     VectorIndex.build(emb, "vec_id", "embedding", dir, k = k, maxIter = 5)
     val buildSec = (System.nanoTime() - t0) / 1e9
-    println(f"[probe] {'probe':'vecindex','stage':'build','sf':'$d','k':$k,'build_sec':$buildSec%.2f}")
+    println(f"[probe] {'probe':'vecindex','stage':'build','sf':'$d','k':$k," +
+      f"'build_sec':$buildSec%.2f,'train_sec':$trainSec%.2f," +
+      f"'append_sec':${buildSec - trainSec}%.2f}")
     val cents = spark.read.parquet(s"$dir/centroids")
     for (salt <- Seq(0, 1, 2)) {
       val queries = emb.filter(pmod(col("vec_id"), lit(50)) === salt)
@@ -279,6 +288,108 @@ object Probe {
         f"'n_queries':$nq,'oneshot_sec':$oneShot%.2f,'indexed_sec':$indexed%.2f}")
     }
     rm(new java.io.File(dir))
+  }
+
+  /** Where does [[graft.operators.VectorIndex.append]] spend its time?
+    * Times assignment alone (count, no write), then write variants, so
+    * layout decisions attribute to the right sub-step.
+    */
+  private def vectorAppendBreakdown(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+    val n = emb.count()
+    val k = math.max(8, (n / 64L).toInt)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k, 5)
+    val dir = java.nio.file.Files.createTempDirectory("vecappbr").toString
+    VectorIndex.centroidsDf(spark, cents)
+      .coalesce(1).write.parquet(s"$dir/centroids")
+    // warm JIT once against a scratch index with the same model
+    VectorIndex.centroidsDf(spark, cents)
+      .coalesce(1).write.parquet(s"${dir}_warm/centroids")
+    VectorIndex.append(emb, "vec_id", "embedding", s"${dir}_warm", 0L)
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val parts = emb.rdd.getNumPartitions
+    val tAppend = t(VectorIndex.append(emb, "vec_id", "embedding", dir, 0L))
+    val tAppend2 = t(VectorIndex.append(emb, "vec_id", "embedding", dir, 1L))
+    val spread = emb.repartition(32).localCheckpoint(true)
+    val tSpread = t(VectorIndex.append(spread, "vec_id", "embedding", dir, 2L))
+    println(f"[probe] {'probe':'vecappend','sf':'$d','k':$k,'n':$n,'in_parts':$parts," +
+      f"'append_sec':$tAppend%.2f,'append2_sec':$tAppend2%.2f,'append_spread32_sec':$tSpread%.2f}")
+    rm(new java.io.File(dir))
+  }
+
+  /** Sub-step timings of the q110 probe path over the CACHED q110
+    * index (built if absent, q110's exact sizing), separating query
+    * assignment / postings scan / candidate join / topk so a decade
+    * cpu regression attributes to the right stage.
+    */
+  private def vectorDecadeBreakdown(spark: SparkSession): Unit = {
+    import graft.operators.VectorIndex
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/scale/sf1")
+    val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+    val n = emb.count()
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q110_${Integer.toHexString(d.hashCode)}").toString
+    if (!new java.io.File(dir, "_build_complete").exists()) {
+      rm(new java.io.File(dir))
+      VectorIndex.build(emb, "vec_id", "embedding", dir,
+        k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
+    }
+    val planted = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + lit(10L * n)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .localCheckpoint(true)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def t(label: String)(f: => Long): Unit = {
+      // warm once, then best-of-2 with cpu at best wall
+      f
+      var bw = Double.MaxValue; var bc = 0.0; var rows = 0L
+      for (_ <- 1 to 2) {
+        val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+        rows = f
+        val w = (System.nanoTime() - t0) / 1e9
+        val c = (osBean.getProcessCpuTime - c0) / 1e9
+        if (w < bw) { bw = w; bc = c }
+      }
+      println(f"[probe] {'probe':'vecdecade','sf':'$d','step':'$label'," +
+        f"'wall':$bw%.2f,'cpu':$bc%.2f,'rows':$rows}")
+    }
+    val centArr = VectorIndex.centroidArray(spark, dir)
+    t("assign_queries")(VectorIndex.cellsFor(
+      planted.select(col("vec_id").as("query_id"), col("embedding").as("__qe")),
+      "__qe", centArr, 2).count())
+    val qa = VectorIndex.cellsFor(
+      planted.select(col("vec_id").as("query_id"), col("embedding").as("__qe")),
+      "__qe", centArr, 2).localCheckpoint(true)
+    val cells = qa.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val width = VectorIndex.bucketWidth(VectorIndex.modelK(spark, dir))
+    val buckets = cells.map(_ / width).distinct
+    def postings = spark.read.parquet(VectorIndex.postingsDir(dir))
+      .where(col("cell_bucket").isin(buckets: _*) &&
+        col("centroid_id").isin(cells: _*))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
+    t("postings_scan")(postings.count())
+    t("join_cosine")(postings.join(broadcast(qa), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .count())
+    def candidates = postings.join(broadcast(qa), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    t("plus_dedup")(candidates.dropDuplicates("query_id", "neighbor_id").count())
+    t("plus_rank")(graft.operators.Similarity.rankTopK(
+      candidates.dropDuplicates("query_id", "neighbor_id"), 1).count())
+    t("full_querytopk")(VectorIndex.queryTopK(
+      spark, planted, "vec_id", "embedding", dir, k = 1, nprobe = 2).count())
   }
 
   // ------------------------------------------------- bpe 50k merges

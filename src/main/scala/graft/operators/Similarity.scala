@@ -140,10 +140,16 @@ object Similarity {
     // to everything, so without the filter it ties to the lowest cell
     // and can surface as a 0.0-cosine "neighbor" when a probed cell
     // holds fewer than k real candidates (r15 ADVICE)
-    def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) =
-      df.select(col(id).as(idOut), col(emb).as(embOut))
+    def assign(df: DataFrame, id: String, emb: String, idOut: String, embOut: String, keep: Int) = {
+      val base = df.select(col(id).as(idOut), col(emb).as(embOut))
         .where(col(embOut).isNotNull && size(col(embOut)) > 0)
-        .crossJoin(centArr)
+      // spread single-file inputs before the n·k assignment projection
+      // — same serialized-compute hazard and fix as
+      // VectorIndex.cellsFor (measured 5× on a one-file sf1 corpus)
+      val target = base.sparkSession.sparkContext.defaultParallelism
+      val spread =
+        if (base.rdd.getNumPartitions < target) base.repartition(target) else base
+      spread.crossJoin(centArr)
         .withColumn("__ranked", slice(array_sort(
           transform(col("__cents"), c =>
             struct(
@@ -158,6 +164,7 @@ object Similarity {
         .select(col(idOut), col(embOut),
           explode(col("__ranked")).as("__c"))
         .select(col(idOut), col(embOut), col("__c.centroid_id").as("centroid_id"))
+    }
 
     val ca = assign(corpus, corpusId, corpusEmb, "neighbor_id", "__ce", 1)
     val qa = broadcast(assign(queries, queryId, queryEmb, "query_id", "__qe", nprobe))

@@ -19,11 +19,19 @@ import graft.functions.VectorFunctions
   * On-disk layout under `indexDir` (plain parquet):
   *  - `centroids/`: `(centroid_id int, centroid array<double>)` — the
   *    model, written once by [[build]]. Bounded by k.
-  *  - `postings/`: `(centroid_id, vec_id, emb, run_id)`, PARTITIONED
-  *    by `centroid_id` — each corpus vector in its nearest cell,
-  *    embedding stored alongside, so a probe batch's k-bounded static
-  *    cell filter prunes the scan to the probed cells' FILES: "reads
-  *    only probed cells" holds for bytes off disk, not just join work.
+  *  - `postings/`: `(vec_id, emb, run_id, centroid_id)`, PARTITIONED
+  *    by `cell_bucket = centroid_id / ceil(k / 64)` — cells BIN-PACK
+  *    into at most [[MaxBuckets]] directories instead of one per cell
+  *    (the r14 one-dir-per-cell layout tripled build cost and paid
+  *    tiny-file overhead on every probe at fixture cell sizes:
+  *    BASELINE r14 addendum 4). Two pruning tiers recover the "reads
+  *    only probed cells" contract: the probe's k-bounded bucket filter
+  *    prunes at the PARTITION level (unprobed buckets' files never
+  *    open), and because every append sorts within partitions by
+  *    `centroid_id`, the cell filter itself reaches the scan as a
+  *    pushed data filter that skips non-probed cells' ROW GROUPS via
+  *    parquet min/max stats — so probe bytes stay proportional to the
+  *    probed cells, while files stay at healthy sizes.
   *  - `_build_complete`: completion marker, deleted first and written
   *    last by [[build]]; [[queryTopK]] refuses to answer without it,
   *    so a crashed build is loud, never silently partial (see
@@ -46,8 +54,25 @@ import graft.functions.VectorFunctions
   */
 object VectorIndex {
 
-  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
-  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  private[graft] def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+  private[graft] def postingsDir(indexDir: String) = s"$indexDir/postings"
+
+  /** Partition-directory budget for the postings layout. 64 keeps the
+    * directory/file count flat as k grows with √n (the sizing rule),
+    * while a probe batch that touches c distinct cells opens at most
+    * min(c, 64) directories — and inside them, row-group stats pruning
+    * on the sorted `centroid_id` column does the fine-grained skip. */
+  private[graft] val MaxBuckets = 64
+
+  /** Cells per bucket for a k-cell model (≥ 1). Stable across appends
+    * because k is frozen with the centroids. */
+  private[graft] def bucketWidth(k: Int): Int =
+    math.max(1, math.ceil(k.toDouble / MaxBuckets).toInt)
+
+  /** The model's cell count — one tiny read of the k-row centroid
+    * table (single file, written by coalesce(1)). */
+  private[graft] def modelK(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(centroidsDir(indexDir)).count().toInt
   // SIBLING of centroids/ and postings/ (indexDir itself is never
   // swapped), so neither compact()'s two-rename nor a postings rewrite
   // can destroy it — the KMV __kmv_k sidecar lesson
@@ -143,22 +168,33 @@ object VectorIndex {
       indexDir: String, runId: Long): Unit = {
     val spark = batch.sparkSession
     val centArr = centroidArray(spark, indexDir)
-    // postings are PARTITIONED by cell: the probe path's cell filter
-    // then prunes at the parquet PARTITION level, so a query batch
-    // reads only its probed cells' bytes — "touches only probed cells"
-    // holds for scan I/O, not just join work. Partition count is
-    // k-bounded (√n by the sizing guidance), well inside healthy
-    // partition-table range.
+    val width = bucketWidth(modelK(spark, indexDir))
+    // postings bin-pack into ≤ MaxBuckets directories (see the class
+    // note's two-tier pruning story). The repartition-by-bucket before
+    // the write is what bounds the FILE count: without it every write
+    // task emits one file per bucket it happens to hold (tasks ×
+    // buckets files — the r14 one-dir-per-cell layout produced
+    // thousands of tiny files per build and tripled build cost);
+    // with it, exactly one file per non-empty bucket per append. The
+    // within-partition sort by centroid_id is load-bearing: it is what
+    // makes the probe's cell filter prune ROW GROUPS via parquet
+    // min/max stats.
     cellsFor(batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
         "emb", centArr, nprobe = 1)
-      .select(col("centroid_id"), col("vec_id"), col("emb"),
-        lit(runId).as("run_id"))
-      .write.partitionBy("centroid_id").mode("append")
+      .select(col("vec_id"), col("emb"), lit(runId).as("run_id"),
+        col("centroid_id"),
+        (col("centroid_id") / lit(width)).cast("int").as("cell_bucket"))
+      .repartition(col("cell_bucket"))
+      // bucket-prefixed sort: satisfies FileFormatWriter's required
+      // ordering (the partition column) so the writer inserts no second
+      // sort, while the centroid_id suffix keeps row groups stats-tight
+      .sortWithinPartitions(col("cell_bucket"), col("centroid_id"))
+      .write.partitionBy("cell_bucket").mode("append")
       .parquet(postingsDir(indexDir))
   }
 
   /** One broadcast row holding every (centroid_id, centroid). */
-  private def centroidArray(spark: SparkSession, indexDir: String): DataFrame =
+  private[graft] def centroidArray(spark: SparkSession, indexDir: String): DataFrame =
     broadcast(spark.read.parquet(centroidsDir(indexDir))
       .agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("__cents")))
 
@@ -174,10 +210,20 @@ object VectorIndex {
     * identical tie-breaks. Null/empty embeddings drop (they can never
     * be assigned or be a neighbor).
     */
-  private def cellsFor(df: DataFrame, embCol: String, centArr: DataFrame,
-      nprobe: Int): DataFrame =
-    df.where(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .crossJoin(centArr)
+  private[graft] def cellsFor(df: DataFrame, embCol: String, centArr: DataFrame,
+      nprobe: Int): DataFrame = {
+    val base = df.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+    // the n·k cosine assignment is THE expensive projection on this
+    // path, and a batch arriving as one parquet file (the common
+    // single-file ingest; the sf1 fixture) planned it onto ONE core —
+    // measured 7.0 s vs 1.3 s for the same 20k×312 append (r15
+    // breakdown probe). Spread narrow inputs to the session's
+    // parallelism BEFORE the projection; the shuffle moves only
+    // (id, emb) rows and is noise next to the serialized compute.
+    val target = base.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < target) base.repartition(target) else base
+    spread.crossJoin(centArr)
       .withColumn("__ranked", slice(sort_array(
         transform(col("__cents"), c =>
           struct(
@@ -186,6 +232,7 @@ object VectorIndex {
       .drop("__cents")
       .withColumn("centroid_id", explode(col("__ranked.centroid_id")))
       .drop("__ranked")
+  }
 
   /** Top-k cosine neighbors for each query, FROM the index: queries
     * assign to their `nprobe` best cells (the same slice-sort rule as
@@ -210,15 +257,21 @@ object VectorIndex {
       queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")),
       "__qe", centroidArray(spark, indexDir), nprobe)
       .localCheckpoint(true) // feeds the cell collect AND the pair join
-    // STATIC partition pruning: the probed cell set is k-bounded
+    // STATIC two-tier pruning: the probed cell set is k-bounded
     // (distinct cells ≤ k regardless of batch size), so collect it and
-    // plant it as a literal filter on the partition column — the
-    // partitioned postings scan then reads ONLY the probed cells'
-    // files at planning time, no reliance on runtime DPP firing.
+    // plant literal filters — the bucket filter lands in
+    // PartitionFilters (unprobed buckets' files never open, at
+    // planning time, no reliance on runtime DPP firing) and the cell
+    // filter is PUSHED into the parquet scan, where the append-time
+    // within-partition sort makes it a row-group stats skip of the
+    // probed buckets' unprobed cells.
     val cells = qa.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    val width = bucketWidth(modelK(spark, indexDir))
+    val buckets = cells.map(_ / width).distinct
     val postings = spark.read.parquet(postingsDir(indexDir))
-      .where(col("centroid_id").isin(cells: _*))
+      .where(col("cell_bucket").isin(buckets: _*) &&
+        col("centroid_id").isin(cells: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
     // cosine FIRST (map-side, whole-stage codegen — both embedding
     // arrays die in this projection), THEN the retry-hygiene dedup on
@@ -241,7 +294,7 @@ object VectorIndex {
   /** Fold the postings to the distinct vector set, in place,
     * horizon-tagged (retries and verbatim re-ingests collapse).
     * Hand-rolled rather than `rewriteParquetDir` because the postings
-    * are PARTITIONED by cell and must stay so through the fold —
+    * are PARTITIONED by cell bucket and must stay so through the fold —
     * the generic rewrite's round-robin repartition would flatten the
     * layout and silently kill the probe path's partition pruning (and
     * its non-recursive file listing would no-op on a partitioned dir
@@ -258,16 +311,22 @@ object VectorIndex {
     val input = spark.read.parquet(dir)
     val h = input.agg(max(col("run_id"))).collect().head
     val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
-    val folded = input.select(col("centroid_id"), col("vec_id"), col("emb"))
+    val folded = input.select(col("centroid_id"), col("vec_id"), col("emb"),
+        col("cell_bucket"))
       .distinct()
       .select(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
-        col("centroid_id"))
+        col("centroid_id"), col("cell_bucket"))
       .persist()
     val result =
       try {
         val before = input.count()
         val after = folded.count()
-        folded.write.partitionBy("centroid_id").mode("overwrite")
+        // same layout discipline as append: one file per bucket, rows
+        // sorted by centroid_id so row-group stats pruning survives
+        // compaction
+        folded.repartition(col("cell_bucket"))
+          .sortWithinPartitions(col("cell_bucket"), col("centroid_id"))
+          .write.partitionBy("cell_bucket").mode("overwrite")
           .parquet(dir + "__compact_tmp")
         (before, after)
       } finally folded.unpersist(blocking = false)

@@ -38,16 +38,22 @@ class VectorIndexSpec extends SparkSpec {
     graft.sources.Compaction.deleteLocalDir(new java.io.File(corpusDir))
     assert(topk(VectorIndex.queryTopK(
       spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)) == indexed)
-    // and the postings SCAN is partition-pruned to the probed cells:
-    // the k-bounded static cell filter must land in PartitionFilters,
-    // so unprobed cells' files are never opened
+    // and the postings SCAN is pruned on BOTH tiers: the k-bounded
+    // static bucket filter must land in PartitionFilters (unprobed
+    // buckets' files are never opened) and the cell filter must be
+    // PUSHED into the parquet scan (row-group stats skip of unprobed
+    // cells inside probed buckets — the append-time sort makes the
+    // stats tight)
     val plan = VectorIndex.queryTopK(
       spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") &&
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
-        .contains("centroid_id"),
-      s"probed-cell filter must prune partitions:\n${plan.take(3000)}")
+        .contains("cell_bucket"),
+      s"probed-bucket filter must prune partitions:\n${plan.take(3000)}")
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("In(centroid_id"),
+      s"probed-cell filter must push into the scan:\n${plan.take(3000)}")
   }
 
   test("incremental appends equal a one-shot index; retries, re-ingests and compaction change nothing") {
