@@ -47,6 +47,8 @@ object Probe {
       case "vecindex" => vectorIndexProbe(spark)
       case "vecappend" => vectorAppendBreakdown(spark)
       case "vecdecade" => vectorDecadeBreakdown(spark)
+      case "vecrecall" => vectorRecallProbe(spark)
+      case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
@@ -390,6 +392,102 @@ object Probe {
       candidates.dropDuplicates("query_id", "neighbor_id"), 1).count())
     t("full_querytopk")(VectorIndex.queryTopK(
       spark, planted, "vec_id", "embedding", dir, k = 1, nprobe = 2).count())
+  }
+
+  /** Retrieval QUALITY on naturally clustered embeddings (VERDICT r14
+    * item 1): recall@10 and latency for nprobe ∈ {1,2,4,8,16} vs
+    * brute-force ground truth, on a [[SynthEmbeddings]] clustered +
+    * noise corpus at sf1 scale (20k vectors, 100 clusters, dim 64,
+    * k = √n). The planted-copy oracle (q110) proves plumbing only;
+    * this measures the recall/latency dial the default nprobe must be
+    * justified by.
+    */
+  private def vectorRecallProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val n = sys.env.getOrElse("SPARK_GRAFT_RECALL_N", "20000").toInt
+    val dim = 64; val clusters = 100
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // three cluster tightnesses (see SynthEmbeddings: intra-cos ≈ 0.93
+    // / 0.84 / 0.45) — recall@nprobe depends on how far a query's true
+    // neighbors scatter past its cell boundary, which is exactly this
+    for (noise <- Seq(0.05, 0.10, 0.25)) {
+      val corpus = SynthEmbeddings.clustered(spark, n, dim, clusters, noise,
+        seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+      val queries = SynthEmbeddings.clustered(spark, 500, dim, clusters, noise,
+        seed = 42L, pointSeed = 7042L, idOffset = 10000000L).localCheckpoint(true)
+      val truth = Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nTruth = truth.count().toDouble
+      val dir = s"${java.nio.file.Files.createTempDirectory("vecrecall")}/idx"
+      VectorIndex.build(corpus, "vec_id", "embedding", dir, k, maxIter = 5)
+      val (bruteSec, _) = timeMin(3)(Similarity.bruteForceCosineTopK(
+        corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10).count())
+      println(f"[probe] {'probe':'vecrecall','n':$n,'k':$k,'noise':$noise," +
+        f"'queries':500,'brute_sec':$bruteSec%.3f}")
+      // the final k-probe row is the plumbing sanity: probing EVERY
+      // cell is brute force, recall must print 1.0 exactly
+      for (nprobe <- Seq(1, 2, 4, 8, 16, k)) {
+        val (sec, hits) = timeMin(3)(
+          VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", dir,
+              k = 10, nprobe = nprobe)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count())
+        println(f"[probe] {'probe':'vecrecall','noise':$noise,'nprobe':$nprobe," +
+          f"'recall_at_10':${hits / nTruth}%.4f,'latency_sec':$sec%.3f}")
+      }
+      rm(new java.io.File(dir).getParentFile)
+    }
+  }
+
+  /** Frozen-centroid drift decay (VERDICT r14 item 3): append batches
+    * generated at growing mean shift from the build distribution,
+    * record the per-run drift signal ([[graft.operators.VectorIndex
+    * .assignmentDrift]]) AND the actual recall@10 each batch's queries
+    * achieve against brute-force truth over that batch — the table
+    * that maps rel_drop to recall loss and justifies the documented
+    * re-build trigger.
+    */
+  private def vectorDriftProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val n = 10000; val dim = 64; val clusters = 100; val noise = 0.15
+    val base = SynthEmbeddings.clustered(spark, n, dim, clusters, noise,
+      seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+    val dir = s"${java.nio.file.Files.createTempDirectory("vecdrift")}/idx"
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    VectorIndex.build(base, "vec_id", "embedding", dir, k, maxIter = 5)
+    val shifts = Seq(0.0, 0.2, 0.4, 0.8, 1.6, 3.2)
+    shifts.zipWithIndex.drop(1).foreach { case (shift, run) =>
+      val batch = SynthEmbeddings.clustered(spark, 2000, dim, clusters, noise,
+        seed = 42L, pointSeed = 2042L + run, idOffset = 1000000L * run,
+        shift = shift)
+      VectorIndex.append(batch, "vec_id", "embedding", dir, runId = run.toLong)
+    }
+    val drift = VectorIndex.assignmentDrift(spark, dir)
+      .select(col("run_id"), col("mean_assign_cos"), col("rel_drop"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    shifts.zipWithIndex.foreach { case (shift, run) =>
+      // recall of THIS batch's distribution: fresh queries at the same
+      // shift, truth = brute force over the full appended corpus
+      val queries = SynthEmbeddings.clustered(spark, 300, dim, clusters, noise,
+        seed = 42L, pointSeed = 9042L + run, idOffset = 50000000L + 100000L * run,
+        shift = shift).localCheckpoint(true)
+      val corpusAll = spark.read.parquet(s"$dir/postings")
+        .select(col("vec_id"), col("emb").as("embedding")).localCheckpoint(true)
+      val truth = Similarity.bruteForceCosineTopK(corpusAll, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nTruth = truth.count().toDouble
+      val hits = VectorIndex.queryTopK(spark, queries, "vec_id", "embedding",
+          dir, k = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val (m, d) = drift.getOrElse(run.toLong, (Double.NaN, Double.NaN))
+      println(f"[probe] {'probe':'vecdrift','run':$run,'shift':$shift," +
+        f"'mean_assign_cos':$m%.4f,'rel_drop':$d%.4f," +
+        f"'recall_at_10_nprobe2':${hits / nTruth}%.4f}")
+    }
+    rm(new java.io.File(dir).getParentFile)
   }
 
   // ------------------------------------------------- bpe 50k merges

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic clustered-embedding synthesizer — the fixture for
+  * retrieval-QUALITY measurement (recall@k vs nprobe, drift decay),
+  * which the planted-copy oracles deliberately cannot provide: a
+  * planted exact copy proves plumbing (co-assignment, rank-1
+  * exactness) but says nothing about recall on naturally clustered
+  * data, where true neighbors sit NEAR cell boundaries and nprobe is a
+  * real dial (VERDICT r14 item 1).
+  *
+  * Geometry: `clusters` unit-norm Gaussian centers; each point is its
+  * cluster's center plus per-dimension `noise`-sigma Gaussian jitter,
+  * so the jitter VECTOR's norm is ≈ noise·√dim against a unit center
+  * and the expected intra-cluster cosine is ≈ 1/√(1 + noise²·dim).
+  * At dim 64: noise 0.05 → tight clusters (intra-cos ≈ 0.93, the
+  * well-separated text-embedding shape), 0.10 → medium (≈ 0.84),
+  * 0.25 → diffuse (≈ 0.45, clusters barely separable — the hard
+  * regime). Inter-cluster cosines stay near 0 throughout (random unit
+  * centers at dim 64).
+  *
+  * Everything derives from explicit seeds on the DRIVER (one PRNG for
+  * the centers, one for the points, one for the drift directions), so
+  * a (n, dim, clusters, noise, seed, pointSeed, shift) tuple is fully
+  * reproducible across sessions — the generator is the spec's and the
+  * probe's shared ground.
+  *
+  * `shift` is the drift knob: every center moves by `shift` along a
+  * per-cluster fixed random direction (drawn from `seed`, NOT from
+  * `pointSeed`, so the drift path of a cluster is one straight line as
+  * shift grows). Batches generated at increasing shift model a corpus
+  * drifting away from the distribution an index's centroids froze at.
+  */
+object SynthEmbeddings {
+
+  /** One synthetic batch: (vec_id long, embedding array<float>,
+    * cluster int), `n` points round-robined over the clusters,
+    * repartitioned to the session's parallelism (a LocalRelation would
+    * otherwise plan downstream per-row work single-partition).
+    */
+  def clustered(spark: SparkSession, n: Int, dim: Int, clusters: Int,
+      noise: Double, seed: Long, pointSeed: Long,
+      idOffset: Long = 0L, shift: Double = 0.0): DataFrame = {
+    require(n > 0 && dim > 0 && clusters > 0 && noise >= 0 && shift >= 0)
+    val centerRng = new scala.util.Random(seed)
+    def unitGaussian(rng: scala.util.Random): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+    val centers = Array.fill(clusters)(unitGaussian(centerRng))
+    // drift directions come from the SAME center stream (deterministic
+    // continuation), one per cluster, fixed for every shift value
+    val driftDirs = Array.fill(clusters)(unitGaussian(centerRng))
+    val pointRng = new scala.util.Random(pointSeed)
+    val rows = (0 until n).map { i =>
+      val c = i % clusters
+      val emb = Array.tabulate(dim) { j =>
+        (centers(c)(j) + shift * driftDirs(c)(j) +
+          noise * pointRng.nextGaussian()).toFloat
+      }
+      (idOffset + i, emb.toSeq, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "cluster")
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+}

@@ -191,6 +191,63 @@ object VectorIndex {
       .sortWithinPartitions(col("cell_bucket"), col("centroid_id"))
       .write.partitionBy("cell_bucket").mode("append")
       .parquet(postingsDir(indexDir))
+    // drift accounting (VERDICT r14 item 3): one stats row per run —
+    // mean cosine of the run's vectors to their ASSIGNED (frozen)
+    // centroids. Computed by reading the just-written postings back
+    // (run_id row-group stats prune other runs' files) and paying ONE
+    // cosine per row against the broadcast k-row centroid table —
+    // cheaper than persisting the n·k assignment frame for a second
+    // action. A retried run re-appends identical postings, so its
+    // recomputed mean is identical and [[assignmentDrift]]'s per-run
+    // max() read absorbs the duplicate stats row (n is "rows observed
+    // at stats time", ≥ batch size under redelivery — the mean is the
+    // signal, n is context).
+    val centsB = broadcast(spark.read.parquet(centroidsDir(indexDir)))
+    spark.read.parquet(postingsDir(indexDir))
+      .where(col("run_id") === runId)
+      .join(centsB, "centroid_id")
+      .agg(count(lit(1)).as("n"),
+        avg(VectorFunctions.cosineNative(col("emb"), col("centroid")))
+          .as("mean_assign_cos"))
+      .select(lit(runId).as("run_id"), col("n"), col("mean_assign_cos"))
+      .coalesce(1).write.mode("append").parquet(runStatsDir(indexDir))
+  }
+
+  private[graft] def runStatsDir(indexDir: String) = s"$indexDir/run_stats"
+
+  /** The frozen-centroid drift signal (VERDICT r14 item 3): per run,
+    * the mean assignment cosine vs the BUILD baseline (run 0 — the
+    * batch the centroids were trained on). A corpus drifting away from
+    * the build distribution assigns ever farther from its cells'
+    * centers, so `mean_assign_cos` decays and
+    * `rel_drop = (baseline - mean) / baseline` grows — a scalar per
+    * ingest run, computed from k-bounded state, no corpus rescan.
+    *
+    * Re-build trigger: the measured decay curve (BASELINE.md r15 drift
+    * table, synthetic shifted-mean batches) maps rel_drop to recall
+    * loss — recall@10 at nprobe 2 holds ≈ 0.99 through rel_drop ≈
+    * 0.05, degrades materially past ≈ 0.1 (0.89 at 0.13, 0.66 at
+    * 0.31). The documented re-build point is SUSTAINED rel_drop ≳ 0.1,
+    * not one noisy run. `compact` never touches `run_stats/`, so the
+    * per-run history survives posting folds (which collapse run
+    * PROVENANCE to the horizon but not this table).
+    *
+    * Columns: (run_id, n, mean_assign_cos, baseline_cos, rel_drop),
+    * ordered by run_id.
+    */
+  def assignmentDrift(spark: SparkSession, indexDir: String): DataFrame = {
+    val stats = spark.read.parquet(runStatsDir(indexDir))
+      .groupBy(col("run_id"))
+      // redelivered runs write identical stats rows; max is the
+      // bit-deterministic pick
+      .agg(max(col("n")).as("n"),
+        max(col("mean_assign_cos")).as("mean_assign_cos"))
+    val base = broadcast(stats.where(col("run_id") === 0L)
+      .select(col("mean_assign_cos").as("baseline_cos")))
+    stats.crossJoin(base)
+      .withColumn("rel_drop",
+        (col("baseline_cos") - col("mean_assign_cos")) / col("baseline_cos"))
+      .orderBy(col("run_id"))
   }
 
   /** One broadcast row holding every (centroid_id, centroid). */
@@ -230,8 +287,12 @@ object VectorIndex {
             (-VectorFunctions.cosineNative(col(embCol), c.getField("centroid"))).as("ncd"),
             c.getField("centroid_id").as("centroid_id")))), 1, nprobe))
       .drop("__cents")
-      .withColumn("centroid_id", explode(col("__ranked.centroid_id")))
-      .drop("__ranked")
+      .withColumn("__rc", explode(col("__ranked")))
+      // assign_cos rides along for free (same struct): append's drift
+      // accounting aggregates it, queryTopK ignores it
+      .withColumn("centroid_id", col("__rc.centroid_id"))
+      .withColumn("__assign_cos", -col("__rc.ncd"))
+      .drop("__ranked", "__rc")
   }
 
   /** Top-k cosine neighbors for each query, FROM the index: queries
@@ -256,6 +317,7 @@ object VectorIndex {
     val qa = cellsFor(
       queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe")),
       "__qe", centroidArray(spark, indexDir), nprobe)
+      .drop("__assign_cos") // drift accounting is append's business
       .localCheckpoint(true) // feeds the cell collect AND the pair join
     // STATIC two-tier pruning: the probed cell set is k-bounded
     // (distinct cells ≤ k regardless of batch size), so collect it and

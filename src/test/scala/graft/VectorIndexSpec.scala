@@ -197,6 +197,75 @@ class VectorIndexSpec extends SparkSpec {
       s"degenerate rows must never be neighbors: $indexed")
   }
 
+  test("recall@10 floor on clustered data; probing every cell is exact (r15 item 1)") {
+    // naturally clustered fixture (SynthEmbeddings, medium tightness:
+    // intra-cos ≈ 0.84) — the retrieval-quality claim the planted-copy
+    // oracle cannot make. Floors sit WELL below the measured values
+    // (20k-corpus probe: nprobe=2 → 0.997) to absorb fixture-size
+    // variance; the nprobe=k row is exact by construction (probing
+    // every cell IS brute force) so it pins equality, not a floor.
+    val n = 2000
+    val corpus = SynthEmbeddings.clustered(spark, n, dim = 64, clusters = 20,
+      noise = 0.10, seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+    val queries = SynthEmbeddings.clustered(spark, 200, dim = 64, clusters = 20,
+      noise = 0.10, seed = 42L, pointSeed = 7042L, idOffset = 1000000L)
+      .localCheckpoint(true)
+    val truth = Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = truth.count().toDouble
+    val idxDir = s"${Files.createTempDirectory("vecidx_recall")}/idx"
+    val k = 45 // ceil(sqrt(2000))
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k, maxIter = 5)
+    def recall(nprobe: Int): Double =
+      VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", idxDir,
+          k = 10, nprobe = nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count() / nTruth
+    val (r1, r2, r4, rAll) = (recall(1), recall(2), recall(4), recall(k))
+    assert(r2 >= 0.85, s"recall@10 at the default nprobe=2 must be >= 0.85, got $r2")
+    assert(r1 <= r2 && r2 <= r4, s"recall must grow with nprobe: $r1, $r2, $r4")
+    assert(rAll == 1.0, s"nprobe=k probes every cell = brute force, got $rAll")
+  }
+
+  test("assignmentDrift: in-distribution appends read ~0, shifted appends are flagged, redelivery changes nothing") {
+    // the frozen-centroid drift contract (r15 item 3): per-run mean
+    // assignment cosine vs the build baseline, computed from k-bounded
+    // state at append time — the cheap signal that tells an operator
+    // WHEN the "re-build when drift warrants" clause applies.
+    val idxDir = s"${Files.createTempDirectory("vecidx_drift")}/idx"
+    val mk = (pointSeed: Long, idOff: Long, shift: Double) =>
+      SynthEmbeddings.clustered(spark, 1500, dim = 64, clusters = 20,
+        noise = 0.15, seed = 42L, pointSeed = pointSeed, idOffset = idOff,
+        shift = shift)
+    VectorIndex.build(mk(1042L, 0L, 0.0), "vec_id", "embedding", idxDir,
+      k = 38, maxIter = 5)
+    VectorIndex.append(mk(2042L, 100000L, 0.0), "vec_id", "embedding", idxDir, 1L)
+    VectorIndex.append(mk(3042L, 200000L, 1.6), "vec_id", "embedding", idxDir, 2L)
+    def driftRows = VectorIndex.assignmentDrift(spark, idxDir)
+      .select(col("run_id"), round(col("mean_assign_cos"), 9),
+        round(col("rel_drop"), 9))
+      .as[(Long, Double, Double)].collect().toSeq
+    val rows = driftRows
+    val byRun = rows.map(r => r._1 -> r._3).toMap
+    assert(byRun(0L) == 0.0, "run 0 IS the baseline")
+    // 0.06: above the small-fixture sampling noise (a 1500-point
+    // same-distribution batch reads ~0.035 against a baseline trained
+    // on a different draw), still well under the 0.10 re-build trigger
+    assert(math.abs(byRun(1L)) < 0.06,
+      s"in-distribution append must read near-zero drift: ${byRun(1L)}")
+    assert(byRun(2L) > 0.10,
+      s"shift-1.6 append must be flagged well past the 0.1 trigger: ${byRun(2L)}")
+    // at-least-once redelivery: identical postings, identical stats
+    // row, bit-identical read
+    VectorIndex.append(mk(3042L, 200000L, 1.6), "vec_id", "embedding", idxDir, 2L)
+    assert(driftRows == rows, "redelivered run must not move the drift read")
+    // compaction folds postings but preserves the run history
+    VectorIndex.compact(spark, idxDir)
+    assert(driftRows == rows, "compaction must not touch run_stats")
+  }
+
   test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
     val base = Files.createTempDirectory("vecidx_plant")
     val idxDir = s"$base/idx"
