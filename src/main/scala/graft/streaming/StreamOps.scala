@@ -204,6 +204,83 @@ object StreamOps {
         .kmvSketch(batch, col(valueCol), k)
         .withColumn("run_id", lit(batchId)))
 
+  /** Incremental TOKEN-INDEX ingest as an `AvailableNow` stream
+    * (VERDICT r14 item 5 — the persisted indexes join the state family
+    * the four sketch states already live in): each invocation reads
+    * only corpus files the checkpoint has not seen and appends that
+    * delta into the [[graft.operators.TokenIndex]] at `indexDir`,
+    * filing it under the WAL-pinned micro-batch id as the run id.
+    *
+    * Failure semantics: `foreachBatch` is at-least-once — a batch that
+    * dies after (some of) its index writes re-runs, re-tokenizes the
+    * SAME file set (batch ids are WAL-pinned) and appends bit-identical
+    * rows under the same run id, which is precisely the redelivery
+    * case every TokenIndex read path already absorbs (per-(run, tok)
+    * max df, distinct-intersect verify) and `compact` later folds
+    * away. A crash BETWEEN the index's four table writes is likewise
+    * healed by the re-run: the partial tables gain their missing rows
+    * and the duplicated ones collapse on read.
+    */
+  def tokenIndexAppendStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId + 1: run id 0 belongs to the pre-stream ingest (a
+        // build/bootstrap append), and per-run dedup on the read paths
+        // assumes one run id = one batch CONTENT — a stream's batch 0
+        // colliding with a bootstrap run 0 would break that. The
+        // stream owns ids ≥ 1 within its checkpoint lineage; callers
+        // interleaving MANUAL appends with a live stream must keep
+        // their ids out of the stream's range (use 0 or negatives).
+        graft.operators.TokenIndex.append(batch, idCol, textCol, indexDir, batchId + 1)
+      }
+      .start()
+
+  /** Incremental VECTOR-INDEX ingest as an `AvailableNow` stream — the
+    * [[tokenIndexAppendStream]] contract for the IVF index: each
+    * invocation assigns only the new corpus files against the FROZEN
+    * centroids and appends their postings (plus the per-run drift
+    * stats row) under the WAL-pinned batch id.
+    *
+    * Requires a BUILT index: `VectorIndex.build` once on a
+    * representative sample, then stream appends forever — re-build
+    * when [[graft.operators.VectorIndex.assignmentDrift]] sustains
+    * past the trigger. Redelivery: assignment is a deterministic pure
+    * projection, so a re-run batch appends bit-identical postings and
+    * an identical stats row; the probe-side (query, neighbor) dedup
+    * and the drift read's per-run max absorb both.
+    */
+  def vectorIndexAppendStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      embCol: String,
+      indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId + 1 for the same reason as tokenIndexAppendStream —
+        // and doubly load-bearing here: run 0 is build's training
+        // corpus AND assignmentDrift's baseline row; a stream batch 0
+        // merging into it under the read's per-run max would corrupt
+        // the drift baseline itself.
+        graft.operators.VectorIndex.append(batch, idCol, embCol, indexDir, batchId + 1)
+      }
+      .start()
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

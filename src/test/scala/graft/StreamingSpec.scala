@@ -668,6 +668,109 @@ class StreamingSpec extends SparkSpec {
     assert(UploadRegistry.puts.get() == 3)
     assert(new String(UploadRegistry.blobs.get("docs/3")) == "c")
   }
+
+  test("streaming token-index ingest: delta-only, rerun no-op, probes match one-shot, redelivery-invariant") {
+    import graft.operators.{Similarity, TokenIndex}
+    val base = Files.createTempDirectory("tistream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val idxDir = s"$base/idx"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = StreamOps.tokenIndexAppendStream(
+      spark, inDir, schema, "doc_id", "text", idxDir, ckDir).awaitTermination()
+    val b1 = Seq((1L, "quick brown fox jumps high"), (2L, "lazy dog sleeps all day"),
+      (3L, "quick dog runs far")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "brown dog barks loud"), (5L, "fox and dog play quick games"))
+      .toDF("doc_id", "text")
+    b1.write.mode("append").parquet(inDir)
+    run()
+    val afterRun1 = spark.read.parquet(s"$idxDir/postings").count()
+    assert(afterRun1 > 0)
+    // rerun with nothing new: checkpoint yields no batch, index untouched
+    run()
+    assert(spark.read.parquet(s"$idxDir/postings").count() == afterRun1,
+      "no-op rerun must not append")
+    // second file lands: only the delta is tokenized and appended
+    b2.write.mode("append").parquet(inDir)
+    run()
+    val probes = Seq((100L, "quick dog"), (101L, "brown")).toDF("pid", "ptext")
+    def probe(): Seq[(Long, Long, Double)] =
+      TokenIndex.containmentJoinIndexed(spark, probes, "pid", "ptext", idxDir, 1.0)
+        .select(col("probe_id").cast("long"), col("corpus_id").cast("long"),
+          round(col("containment"), 9))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val want = Similarity.containmentJoin(probes, "pid", "ptext",
+        b1.unionByName(b2), "doc_id", "text", 1.0)
+      .select(col("probe_id").cast("long"), col("corpus_id").cast("long"),
+        round(col("containment"), 9))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(want.nonEmpty && probe() == want,
+      "streamed index must answer exactly like the one-shot over the full corpus")
+    // at-least-once redelivery: a foreachBatch retry re-appends batch 2
+    // verbatim under ITS run id (stream ids are batchId+1 → run 2);
+    // every read path absorbs the duplicate rows
+    TokenIndex.append(b2, "doc_id", "text", idxDir, 2L)
+    assert(probe() == want, "redelivered batch must not change probe answers")
+    // and compaction folds the duplicates without changing answers
+    TokenIndex.compact(spark, idxDir)
+    assert(probe() == want, "compaction must be lossless")
+  }
+
+  test("streaming vector-index ingest: delta-only, rerun no-op, probes exact, drift baseline intact") {
+    import graft.operators.VectorIndex
+    val base = Files.createTempDirectory("vistream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val idxDir = s"$base/idx"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def run(): Unit = StreamOps.vectorIndexAppendStream(
+      spark, inDir, schema, "vec_id", "embedding", idxDir, ckDir).awaitTermination()
+    // build once on a bootstrap sample (run 0 = the drift baseline),
+    // then stream the growing corpus
+    val boot = SynthEmbeddings.clustered(spark, 600, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 15L)
+    VectorIndex.build(boot, "vec_id", "embedding", idxDir, k = 16, maxIter = 5)
+    val b1 = SynthEmbeddings.clustered(spark, 200, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 25L, idOffset = 10000L)
+    val b2 = SynthEmbeddings.clustered(spark, 200, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 35L, idOffset = 20000L)
+    b1.select("vec_id", "embedding").write.mode("append").parquet(inDir)
+    run()
+    val afterRun1 = spark.read.parquet(s"$idxDir/postings").count()
+    assert(afterRun1 == 800, s"bootstrap 600 + streamed delta 200: $afterRun1")
+    run()
+    assert(spark.read.parquet(s"$idxDir/postings").count() == afterRun1,
+      "no-op rerun must not append")
+    b2.select("vec_id", "embedding").write.mode("append").parquet(inDir)
+    run()
+    // probes answer over bootstrap + both streamed batches, exactly as
+    // a batch-appended index would (same frozen centroids, same rule)
+    val queries = SynthEmbeddings.clustered(spark, 50, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 45L, idOffset = 90000L).localCheckpoint(true)
+    def topk(dir: String): Seq[(Long, Long, Double, Int)] =
+      VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", dir, k = 3, nprobe = 2)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          round(col("cosine"), 9), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val batchDir = s"$base/batch_idx"
+    VectorIndex.build(boot, "vec_id", "embedding", batchDir, k = 16, maxIter = 5)
+    VectorIndex.append(b1, "vec_id", "embedding", batchDir, 1L)
+    VectorIndex.append(b2, "vec_id", "embedding", batchDir, 2L)
+    val got = topk(idxDir)
+    assert(got.nonEmpty && got == topk(batchDir),
+      "streamed index must equal the batch-appended index")
+    // run ids: stream batches landed as runs 1 and 2 — run 0 (the
+    // build baseline) is untouched, so the drift read stays anchored
+    val drift = VectorIndex.assignmentDrift(spark, idxDir)
+      .select(col("run_id"), col("rel_drop"))
+      .as[(Long, Double)].collect().toMap
+    assert(drift.keySet == Set(0L, 1L, 2L), s"stream must not collide with run 0: $drift")
+    assert(drift(0L) == 0.0 && math.abs(drift(1L)) < 0.1 && math.abs(drift(2L)) < 0.1,
+      s"in-distribution stream batches read near-zero drift: $drift")
+  }
 }
 
 /** Static registry so the hermetic store is serializable-by-reference in
