@@ -62,6 +62,9 @@ object Bench {
     val sf1Errored = scala.collection.mutable.LinkedHashMap[String, String]()
     var sf1Passes = 0
     var sf1Bailed = false
+    // foto stage results (the reference's literal workload; stage below)
+    var fotoWall = Double.NaN; var fotoCpu = Double.NaN
+    var fotoRows = -1L; var fotoBad = -1L; var fotoN = 0
     def artifactJson(finalLine: Boolean): String = {
       // ms precision everywhere: sub-ms digits are noise and the driver's
       // stdout capture keeps only a bounded TAIL of the line — shorter
@@ -90,6 +93,10 @@ object Bench {
           s""""cpu_sec_queries":${jmap(names.map(n => n -> sf1Cpu(n)))},""" +
           s""""total":${r3(sf1Wall.values.sum)},"errors":${jarr(sf1Errored.keys)}}"""
       }
+      val fotoPart = if (fotoRows < 0) "" else
+        s""","foto":{"corpus_images":$fotoN,"rows_out":$fotoRows,""" +
+          s""""wall_sec":${r3(fotoWall)},"cpu_sec":${r3(fotoCpu)},""" +
+          s""""golden_violations":$fotoBad}"""
       // field order is deliberate: the headline prefix satisfies the
       // "starts with {"metric":"total"" contract, the big per-query maps
       // sit in the middle, and every SUMMARY scalar (totals, reps,
@@ -97,7 +104,7 @@ object Bench {
       // carries the round's comparable numbers; the untruncated line is
       // persisted to BENCH_FULL.json on every full run
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""cpu_sec_queries":$cpus2$sf1Part,""" +
+        s""""cpu_sec_queries":$cpus2$sf1Part$fotoPart,""" +
         s""""cpu_sec_total":${r3(cpuTotal)},"reps":$passesCompleted,""" +
         s""""errors":$errs,""" +
         s""""queries_measured":${measured.size},"queries_declared":${sorted.size}$partial,""" +
@@ -295,6 +302,64 @@ object Bench {
       } catch { case e: Throwable =>
         // the sf1 stage must never take the canonical artifact down
         System.err.println(s"[bench] sf1 stage failed: $e")
+      }
+    }
+    // ---- foto stage: the reference's LITERAL workload, timed ----
+    // test.py's whole dataflow (forms export → unpivot → normalize →
+    // state anti-join → dim lookup → blob join → decode/resize/encode →
+    // partitioned sink + metadata) over a deterministic generated image
+    // corpus (FotoFixture), min-of-3 walls, plus the SURVEY §5.2 golden
+    // contract on the final rep's output (expected dims replayed from
+    // the id with the reference's truncation arithmetic). Runs after
+    // the sweeps; skipped in dev loops unless SPARK_GRAFT_FOTO is set
+    // (decade runs set it with SPARK_GRAFT_FOTO_N=50000).
+    val fotoEnabled = sys.env.get("SPARK_GRAFT_FOTO") match {
+      case Some("0") => false
+      case Some(_) => true // explicit opt-in runs even with SPARK_GRAFT_ONLY
+      case None => only.isEmpty
+    }
+    if (fotoEnabled && elapsed + 90 < maxTotalSec) {
+      try {
+        fotoN = sys.env.getOrElse("SPARK_GRAFT_FOTO_N", "5000").toInt
+        val corpusDir = "target/scale/foto"
+        val marker = java.nio.file.Paths.get(corpusDir, "_FOTO_SRC")
+        val want = s"${graft.pipeline.FotoFixture.Version}|n=$fotoN"
+        val have =
+          if (java.nio.file.Files.exists(marker))
+            java.nio.file.Files.readString(marker).trim
+          else ""
+        if (have != want) {
+          System.err.println(s"[bench] foto: generating $corpusDir n=$fotoN")
+          val g0 = System.nanoTime()
+          graft.pipeline.FotoFixture.generate(spark, corpusDir, fotoN)
+          java.nio.file.Files.writeString(marker, want + "\n")
+          System.err.println(
+            f"[bench] foto: generated in ${(System.nanoTime() - g0) / 1e9}%.1f s")
+        }
+        val fotoReps = sys.env.getOrElse("SPARK_GRAFT_FOTO_REPS", "3").toInt.max(1)
+        for (i <- 1 to fotoReps if elapsed < maxTotalSec || i == 1) {
+          val out = java.nio.file.Files.createTempDirectory("fotobench").toString
+          val c0 = osBean.getProcessCpuTime
+          val t0 = System.nanoTime()
+          val rows = graft.pipeline.FotoFixture.runPipeline(spark, corpusDir, out)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+          if (fotoWall.isNaN || wall < fotoWall) { fotoWall = wall; fotoCpu = cpu }
+          fotoRows = rows
+          if (i == fotoReps) {
+            val (bad, checked) = graft.pipeline.FotoFixture.checkGolden(spark, out)
+            fotoBad = bad
+            if (bad > 0 || checked != rows)
+              System.err.println(
+                s"[bench] foto GOLDEN VIOLATIONS: $bad of $checked (rows $rows)")
+          }
+          graft.sources.Compaction.deleteLocalDir(new java.io.File(out))
+          System.err.println(
+            f"[bench] foto pass $i/$fotoReps: $wall%.1f s wall, $cpu%.1f s cpu, $rows rows")
+          persist()
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] foto stage failed: $e")
       }
     }
     val line = artifactJson(finalLine = true)

