@@ -48,6 +48,7 @@ object Probe {
       case "vecappend" => vectorAppendBreakdown(spark)
       case "vecdecade" => vectorDecadeBreakdown(spark)
       case "vecrecall" => vectorRecallProbe(spark)
+      case "topkmicro" => topkMicro(spark)
       case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -488,6 +489,53 @@ object Probe {
         f"'recall_at_10_nprobe2':${hits / nTruth}%.4f}")
     }
     rm(new java.io.File(dir).getParentFile)
+  }
+
+  /** Micro-benchmark of the per-query top-k tail every ANN query
+    * shares (rankTopK = native TopK + rank window) against its
+    * alternatives, on synthetic (query_id, neighbor_id, cosine) rows —
+    * the vecdecade breakdown attributed ~10 µs/row to this stage,
+    * which is the engine-wide lever if real.
+    */
+  private def topkMicro(spark: SparkSession): Unit = {
+    import graft.operators.{Relational, Similarity}
+    val n = sys.env.getOrElse("SPARK_GRAFT_TOPK_N", "4000000").toLong
+    val q = 4000
+    val df = spark.range(n).repartition(32)
+      .select((col("id") % q).as("query_id"), col("id").as("neighbor_id"),
+        (pmod(col("id") * 2654435761L, lit(1000003L)) / 1000003.0).as("cosine"))
+      .localCheckpoint(true)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def t(label: String)(f: => Long): Unit = {
+      f // warm
+      var bw = Double.MaxValue; var bc = 0.0; var rows = 0L
+      for (_ <- 1 to 3) {
+        val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+        rows = f
+        val w = (System.nanoTime() - t0) / 1e9
+        val c = (osBean.getProcessCpuTime - c0) / 1e9
+        if (w < bw) { bw = w; bc = c }
+      }
+      println(f"[probe] {'probe':'topkmicro','n':$n,'step':'$label'," +
+        f"'wall':$bw%.2f,'cpu':$bc%.2f,'rows':$rows}")
+    }
+    t("baseline_count")(df.count())
+    t("rank_topk_k1")(Similarity.rankTopK(df, 1).count())
+    t("rank_topk_k10")(Similarity.rankTopK(df, 10).count())
+    t("native_only_k1")(Relational.topKPerGroupNative(
+      df, Seq(col("query_id")), Seq(col("cosine").desc, col("neighbor_id").asc), 1).count())
+    t("window_only_k1") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).count()
+    }
+    t("agg_max_struct_k1")(df
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nneg"))).as("m"))
+      .count())
   }
 
   // ------------------------------------------------- bpe 50k merges

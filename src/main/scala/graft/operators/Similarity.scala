@@ -470,6 +470,13 @@ object Similarity {
     val present = df.where(col(embCol).isNotNull && size(col(embCol)) > 0)
     val withHash = present.select(xxhash64(col(idCol)).as("__h"),
       VectorFunctions.l2Normalize(col(embCol)).as("__e"))
+    // NOT spread to the session parallelism (unlike VectorIndex
+    // .cellsFor, r15): an A/B measured the spread making training
+    // SLOWER (6.2 → 9.2 s at 20k×312) — per-iteration cost here is
+    // DRIVER-side planning/codegen of the fresh centroid-literal
+    // assignment expression plus per-job overheads, not executor
+    // compute (the two-level assignment is Θ(n·√k) and tiny), so
+    // extra tasks + a shuffle only add overhead.
     // narrow job: counting `present` needs the null/size predicate but
     // none of the hash/normalize projection work
     val n = present.count()
