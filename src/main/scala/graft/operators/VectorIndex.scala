@@ -210,16 +210,22 @@ object VectorIndex {
         avg(VectorFunctions.cosineNative(col("emb"), col("centroid")))
           .as("mean_assign_cos"))
       .select(lit(runId).as("run_id"), col("n"), col("mean_assign_cos"))
+      // a batch with zero indexable rows must not record a (runId, 0,
+      // null) row — a null mean would poison the drift read's max()
+      .where(col("n") > 0)
       .coalesce(1).write.mode("append").parquet(runStatsDir(indexDir))
   }
 
   private[graft] def runStatsDir(indexDir: String) = s"$indexDir/run_stats"
 
   /** The frozen-centroid drift signal (VERDICT r14 item 3): per run,
-    * the mean assignment cosine vs the BUILD baseline (run 0 — the
-    * batch the centroids were trained on). A corpus drifting away from
-    * the build distribution assigns ever farther from its cells'
-    * centers, so `mean_assign_cos` decays and
+    * the mean assignment cosine vs the baseline run — the LOWEST run
+    * id present, which for a [[build]]-made index is run 0, the batch
+    * the centroids were trained on (min instead of a literal 0 so a
+    * hand-assembled or streamed-only index still anchors to its
+    * earliest ingest instead of silently returning nothing). A corpus
+    * drifting away from the build distribution assigns ever farther
+    * from its cells' centers, so `mean_assign_cos` decays and
     * `rel_drop = (baseline - mean) / baseline` grows — a scalar per
     * ingest run, computed from k-bounded state, no corpus rescan.
     *
@@ -236,14 +242,22 @@ object VectorIndex {
     * ordered by run_id.
     */
   def assignmentDrift(spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(runStatsDir(indexDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      throw new IllegalStateException(
+        s"VectorIndex at $indexDir has no run_stats/ — the index predates " +
+          "drift accounting (layout v5); re-build, or append a batch, to start it")
     val stats = spark.read.parquet(runStatsDir(indexDir))
       .groupBy(col("run_id"))
       // redelivered runs write identical stats rows; max is the
       // bit-deterministic pick
       .agg(max(col("n")).as("n"),
         max(col("mean_assign_cos")).as("mean_assign_cos"))
-    val base = broadcast(stats.where(col("run_id") === 0L)
-      .select(col("mean_assign_cos").as("baseline_cos")))
+    // one (baseline_run, baseline_cos) row — min_by keeps it a single
+    // broadcast aggregate, no second scan
+    val base = broadcast(stats.agg(
+      min_by(col("mean_assign_cos"), col("run_id")).as("baseline_cos")))
     stats.crossJoin(base)
       .withColumn("rel_drop",
         (col("baseline_cos") - col("mean_assign_cos")) / col("baseline_cos"))
