@@ -3461,23 +3461,25 @@ object Queries {
     "q113_sql_front_door",
     (s, d) => {
       // the engine reached through SQL TEXT (VERDICT r14 item 8, the
-      // explicit SURVEY §0 descope now smoke-covered): fixture tables
-      // register as temp views and the query is authored as a
-      // spark.sql(...) string — standard SQL (filter, group-by,
-      // aggregates) THROUGH a GraftExtensions-injected native function
-      // (graft_nfc, the codegen NFC normalizer), proving a SQL-string
-      // user can drive the engine with no DataFrame code. The view
-      // registration is per-session metadata only; the plan underneath
-      // is identical to the DataFrame form (same scan, same partial
-      // aggregation).
-      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      // explicit SURVEY §0 descope now smoke-covered): Views
+      // .registerFixture registers every fixture table as a temp view
+      // and the query is authored as a spark.sql(...) string —
+      // standard SQL (filter, group-by, aggregates) THROUGH a
+      // GraftExtensions-injected native function (graft_nfc, the
+      // codegen NFC normalizer), proving a SQL-string user can drive
+      // the engine with no DataFrame code. The view registration is
+      // per-session metadata only; the plan underneath is identical to
+      // the DataFrame form (same scan, same partial aggregation —
+      // ViewsSpec pins the parity across the op families). Apart from
+      // the function name, Spark text and DuckDB oracle are identical.
+      Views.registerFixture(s, d)
       s.sql("""
         SELECT source,
           count(*) AS n_docs,
           CAST(sum(length(graft_nfc(text))) AS BIGINT) AS nfc_chars,
           CAST(sum(CASE WHEN graft_nfc(text) = text THEN 1 ELSE 0 END) AS BIGINT)
             AS already_nfc
-        FROM documents_v
+        FROM documents
         WHERE text IS NOT NULL
         GROUP BY source
         ORDER BY source""")
