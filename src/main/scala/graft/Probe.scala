@@ -49,6 +49,7 @@ object Probe {
       case "vecdecade" => vectorDecadeBreakdown(spark)
       case "vecrecall" => vectorRecallProbe(spark)
       case "topkmicro" => topkMicro(spark)
+      case "vecsq8" => vectorSq8Probe(spark)
       case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -536,6 +537,49 @@ object Probe {
       .groupBy(col("query_id"))
       .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("nneg"))).as("m"))
       .count())
+  }
+
+  /** IVF-SQ8 vs f32 on the recall fixture: recall@10 against
+    * brute-force truth, postings bytes, probe latency — the numbers
+    * behind the "4× fewer bytes at negligible recall cost" claim.
+    */
+  private def vectorSq8Probe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val n = 20000; val dim = 64; val clusters = 100
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    for (noise <- Seq(0.10, 0.25)) {
+      val corpus = SynthEmbeddings.clustered(spark, n, dim, clusters, noise,
+        seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+      val queries = SynthEmbeddings.clustered(spark, 500, dim, clusters, noise,
+        seed = 42L, pointSeed = 7042L, idOffset = 10000000L).localCheckpoint(true)
+      val truth = Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nTruth = truth.count().toDouble
+      val base = java.nio.file.Files.createTempDirectory("vecsq8").toString
+      def bytesOf(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else f.length()
+        walk(new java.io.File(s"$dir/postings"))
+      }
+      for ((label, sq8) <- Seq(("f32", false), ("sq8", true))) {
+        val dir = s"$base/$label"
+        VectorIndex.build(corpus, "vec_id", "embedding", dir, k, maxIter = 5,
+          sq8 = sq8)
+        for (nprobe <- Seq(2, 8)) {
+          val (sec, hits) = timeMin(3)(
+            VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", dir,
+                k = 10, nprobe = nprobe)
+              .select(col("query_id"), col("neighbor_id"))
+              .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count())
+          println(f"[probe] {'probe':'vecsq8','noise':$noise,'fmt':'$label'," +
+            f"'nprobe':$nprobe,'recall_at_10':${hits / nTruth}%.4f," +
+            f"'latency_sec':$sec%.3f,'postings_bytes':${bytesOf(dir)}}")
+        }
+      }
+      rm(new java.io.File(base))
+    }
   }
 
   // ------------------------------------------------- bpe 50k merges

@@ -77,6 +77,17 @@ object VectorIndex {
   // swapped), so neither compact()'s two-rename nor a postings rewrite
   // can destroy it — the KMV __kmv_k sidecar lesson
   private def builtMarker(indexDir: String) = s"$indexDir/_build_complete"
+  // the IVF-SQ8 format marker: present ⇔ postings store int8 codes
+  // (struct<scale, q>) instead of the raw float embedding. A sibling
+  // for the same swap-safety reason; written/removed by build, read by
+  // append/queryTopK so streamed and manual appends auto-match the
+  // index's format.
+  private def sq8Marker(indexDir: String) = s"$indexDir/_sq8"
+
+  private def isSq8(spark: SparkSession, indexDir: String): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(sq8Marker(indexDir))
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
 
   /** Train the cell model on the corpus and index it as run 0. k-means
     * is [[Similarity.kmeansCentroids]] (deterministic hash-seeded
@@ -94,9 +105,21 @@ object VectorIndex {
     * assigned under the old model filed beneath the new cells.
     * Re-running build is always safe: training is deterministic and
     * every step re-executes idempotently.
+    *
+    * `sq8 = true` builds an IVF-SQ8 index (the Faiss
+    * `IVF…,SQ8` analog): postings store symmetric int8 codes
+    * ([[VectorFunctions.quantizeInt8]]) instead of the raw embedding —
+    * ~4× fewer posting bytes, the storage/shuffle lever that matters
+    * at 10⁹ vectors. Cell ASSIGNMENT still runs on the full-precision
+    * embedding, so the cell structure is bit-identical to the f32
+    * index (spec-pinned); only candidate SCORING uses the codes —
+    * cosine is scale-invariant, so codes rank without dequantization,
+    * at a per-element |x| ≤ absmax/254 rounding error (measured
+    * recall vs full-precision truth in BASELINE.md r15). [[append]]
+    * and [[queryTopK]] auto-match the format via the `_sq8` marker.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-      indexDir: String, k: Int, maxIter: Int = 8): Unit = {
+      indexDir: String, k: Int, maxIter: Int = 8, sq8: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(builtMarker(indexDir))
@@ -114,6 +137,12 @@ object VectorIndex {
     if (fs.exists(p)) fs.delete(p, true)
     centroidsDf(spark, cents)
       .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
+    // the format marker is part of the model and flips with it (a
+    // re-build may switch formats; postings are already gone, so no
+    // mixed-format rows can survive)
+    val m8 = new org.apache.hadoop.fs.Path(sq8Marker(indexDir))
+    if (sq8) { val out = fs.create(m8, true); out.close() }
+    else if (fs.exists(m8)) fs.delete(m8, false)
     append(corpus, idCol, embCol, indexDir, runId = 0L)
     // 3. the index is whole — declare it
     markBuilt(spark, indexDir)
@@ -179,9 +208,15 @@ object VectorIndex {
     // within-partition sort by centroid_id is load-bearing: it is what
     // makes the probe's cell filter prune ROW GROUPS via parquet
     // min/max stats.
+    // sq8 indexes quantize at STORE time: assignment above ran on the
+    // full-precision embedding (cell structure identical to f32), only
+    // the persisted payload is codes
+    val stored =
+      if (isSq8(spark, indexDir)) VectorFunctions.quantizeInt8(col("emb")).as("emb")
+      else col("emb")
     cellsFor(batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
         "emb", centArr, nprobe = 1)
-      .select(col("vec_id"), col("emb"), lit(runId).as("run_id"),
+      .select(col("vec_id"), stored, lit(runId).as("run_id"),
         col("centroid_id"),
         (col("centroid_id") / lit(width)).cast("int").as("cell_bucket"))
       .repartition(col("cell_bucket"))
@@ -203,11 +238,16 @@ object VectorIndex {
     // at stats time", ≥ batch size under redelivery — the mean is the
     // signal, n is context).
     val centsB = broadcast(spark.read.parquet(centroidsDir(indexDir)))
+    // cosine is scale-invariant, so sq8 codes score against the
+    // centroid directly — no dequantization pass
+    val storedEmb =
+      if (isSq8(spark, indexDir)) col("emb").getField("q").cast("array<double>")
+      else col("emb")
     spark.read.parquet(postingsDir(indexDir))
       .where(col("run_id") === runId)
       .join(centsB, "centroid_id")
       .agg(count(lit(1)).as("n"),
-        avg(VectorFunctions.cosineNative(col("emb"), col("centroid")))
+        avg(VectorFunctions.cosineNative(storedEmb, col("centroid")))
           .as("mean_assign_cos"))
       .select(lit(runId).as("run_id"), col("n"), col("mean_assign_cos"))
       // a batch with zero indexable rows must not record a (runId, 0,
@@ -316,6 +356,12 @@ object VectorIndex {
     * on that candidate-sized set through the native TopK. The corpus
     * never re-assigns, never re-trains, never shuffles at full width —
     * the one exchange is the ≤ k·|queries| TopK bound.
+    *
+    * On an sq8 index ([[build]]'s `sq8 = true`) the re-rank scores the
+    * int8 codes (scale-invariant cosine; per-element rounding error ≤
+    * absmax/254), so returned `cosine` values carry quantization noise
+    * — callers needing exact scores re-rank the returned k candidates
+    * against their full-precision source of truth.
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
@@ -345,10 +391,16 @@ object VectorIndex {
       .collect().map(_.getInt(0)).toSeq
     val width = bucketWidth(modelK(spark, indexDir))
     val buckets = cells.map(_ / width).distinct
+    // sq8 indexes score on the codes themselves — cosine is
+    // scale-invariant so the per-vector scale never loads; the cast to
+    // double is a codegen projection fused into the cosine stage
+    val ce =
+      if (isSq8(spark, indexDir)) col("emb").getField("q").cast("array<double>")
+      else col("emb")
     val postings = spark.read.parquet(postingsDir(indexDir))
       .where(col("cell_bucket").isin(buckets: _*) &&
         col("centroid_id").isin(cells: _*))
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("emb").as("__ce"))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), ce.as("__ce"))
     // cosine FIRST (map-side, whole-stage codegen — both embedding
     // arrays die in this projection), THEN the retry-hygiene dedup on
     // the narrow (query, neighbor, cosine) rows: deduping before the

@@ -266,6 +266,67 @@ class VectorIndexSpec extends SparkSpec {
     assert(driftRows == rows, "compaction must not touch run_stats")
   }
 
+  test("IVF-SQ8: identical cell structure, near-identical retrieval, a fraction of the bytes") {
+    // the Faiss IVF…,SQ8 analog (r15): postings store int8 codes, cell
+    // assignment stays full-precision (bit-identical structure to the
+    // f32 index), scoring uses the codes — cosine is scale-invariant.
+    val base = Files.createTempDirectory("vecidx_sq8")
+    val f32 = s"$base/f32"; val sq8 = s"$base/sq8"
+    val corpus = SynthEmbeddings.clustered(spark, 2000, dim = 64, clusters = 20,
+      noise = 0.10, seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+    VectorIndex.build(corpus, "vec_id", "embedding", f32, k = 45, maxIter = 5)
+    VectorIndex.build(corpus, "vec_id", "embedding", sq8, k = 45, maxIter = 5,
+      sq8 = true)
+    def cellsOf(dir: String): Map[Long, Int] =
+      spark.read.parquet(s"$dir/postings")
+        .select(col("vec_id").cast("long"), col("centroid_id"))
+        .as[(Long, Int)].collect().toMap
+    assert(cellsOf(sq8) == cellsOf(f32),
+      "sq8 must not change the cell structure (assignment is full-precision)")
+    def bytesOf(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length()
+      walk(new java.io.File(s"$dir/postings"))
+    }
+    val (b32, b8) = (bytesOf(f32), bytesOf(sq8))
+    assert(b8 < 0.6 * b32, s"sq8 postings must shed most float bytes: $b8 vs $b32")
+    // retrieval: against brute-force truth, the sq8 index must stay
+    // within a whisker of the f32 index's recall (int8 at dim 64 loses
+    // almost nothing); floors are loose for fixture-size variance
+    val queries = SynthEmbeddings.clustered(spark, 200, dim = 64, clusters = 20,
+      noise = 0.10, seed = 42L, pointSeed = 7042L, idOffset = 1000000L)
+      .localCheckpoint(true)
+    val truth = Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = truth.count().toDouble
+    def recall(dir: String): Double =
+      VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", dir,
+          k = 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count() / nTruth
+    val (r32, r8) = (recall(f32), recall(sq8))
+    assert(r8 >= r32 - 0.02 && r8 >= 0.85,
+      s"sq8 recall must track f32: sq8 $r8 vs f32 $r32")
+    // incremental appends auto-match the format via the marker — the
+    // streamed-ingest path needs no format parameter
+    val more = SynthEmbeddings.clustered(spark, 500, dim = 64, clusters = 20,
+      noise = 0.10, seed = 42L, pointSeed = 2042L, idOffset = 500000L)
+    VectorIndex.append(more, "vec_id", "embedding", sq8, runId = 1L)
+    val embType = spark.read.parquet(s"$sq8/postings").schema("emb").dataType
+    assert(embType.isInstanceOf[org.apache.spark.sql.types.StructType],
+      s"appended batch must store codes, got $embType")
+    assert(VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", sq8,
+      k = 3, nprobe = 2).count() > 0)
+    // a re-build WITHOUT sq8 flips the format back, postings and all
+    VectorIndex.build(corpus, "vec_id", "embedding", sq8, k = 45, maxIter = 5)
+    val back = spark.read.parquet(s"$sq8/postings").schema("emb").dataType
+    assert(back.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"re-build must restore the f32 layout, got $back")
+  }
+
   test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
     val base = Files.createTempDirectory("vecidx_plant")
     val idxDir = s"$base/idx"
