@@ -329,6 +329,13 @@ object Probe {
     * index (built if absent, q110's exact sizing), separating query
     * assignment / postings scan / candidate join / topk so a decade
     * cpu regression attributes to the right stage.
+    *
+    * READ THE STEPS AS CUMULATIVE: each step re-executes its lazy
+    * prefix (plus_rank re-runs the scan+join+dedup under it), so a
+    * stage's marginal cost is the DELTA between adjacent steps — the
+    * r15 session initially misread plus_rank's absolute number as the
+    * TopK's own cost and chased a 5× phantom (the topkmicro probe
+    * settled it at 2.1 µs/row).
     */
   private def vectorDecadeBreakdown(spark: SparkSession): Unit = {
     import graft.operators.VectorIndex

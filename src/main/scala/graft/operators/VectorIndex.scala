@@ -419,6 +419,49 @@ object VectorIndex {
       k)
   }
 
+  /** Pick the smallest `nprobe` meeting `targetRecall` on a SAMPLE of
+    * the real query workload — the operational answer to "what nprobe
+    * do I run?", which the r15 recall curves show is REGIME-dependent
+    * (clustered corpora saturate at nprobe 2; diffuse ones need 16+).
+    * Ground truth is the index itself probed exhaustively
+    * (nprobe = k ≡ brute force over the indexed corpus — exact by the
+    * spec-pinned probing-every-cell-equals-brute-force property), so
+    * calibration needs NO external corpus access and works on sq8
+    * indexes too (truth and candidates then share the quantization,
+    * which is what the runtime will actually serve).
+    *
+    * Cost: |sample| · (one exhaustive probe + one probe per candidate
+    * nprobe) — run it on 100-1000 sampled queries, not the full batch.
+    * Returns (chosen nprobe, recall@k per candidate); falls back to
+    * the largest candidate when none meets the target (callers should
+    * treat that as "re-examine k or the clustering", not silently
+    * accept it).
+    */
+  def calibrateNprobe(spark: SparkSession, sampleQueries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      targetRecall: Double = 0.95,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): (Int, Map[Int, Double]) = {
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      "candidates must be ascending")
+    val kModel = modelK(spark, indexDir)
+    val truth = queryTopK(spark, sampleQueries, queryId, queryEmb, indexDir,
+        k, nprobe = kModel)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth = truth.count().toDouble
+    require(nTruth > 0, "calibrateNprobe: sample produced no neighbors")
+    val recalls = candidates.map { np =>
+      val hits = queryTopK(spark, sampleQueries, queryId, queryEmb, indexDir,
+          k, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      np -> hits / nTruth
+    }.toMap
+    val chosen = candidates.find(np => recalls(np) >= targetRecall)
+      .getOrElse(candidates.last)
+    (chosen, recalls)
+  }
+
   /** Fold the postings to the distinct vector set, in place,
     * horizon-tagged (retries and verbatim re-ingests collapse).
     * Hand-rolled rather than `rewriteParquetDir` because the postings

@@ -266,6 +266,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(driftRows == rows, "compaction must not touch run_stats")
   }
 
+  test("calibrateNprobe picks the regime-appropriate dial: small on tight clusters, larger on diffuse") {
+    // the operational companion to the recall curve: same model k,
+    // same target, but the tight corpus saturates at a small nprobe
+    // while the diffuse one must probe much wider
+    def chosenFor(noise: Double): (Int, Map[Int, Double]) = {
+      val idxDir = s"${Files.createTempDirectory("vecidx_cal")}/idx"
+      val corpus = SynthEmbeddings.clustered(spark, 2000, dim = 64, clusters = 20,
+        noise = noise, seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+      VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 45, maxIter = 5)
+      val sample = SynthEmbeddings.clustered(spark, 100, dim = 64, clusters = 20,
+        noise = noise, seed = 42L, pointSeed = 7042L, idOffset = 1000000L)
+      VectorIndex.calibrateNprobe(spark, sample, "vec_id", "embedding", idxDir,
+        k = 10, targetRecall = 0.95, candidates = Seq(1, 2, 4, 8, 16, 32))
+    }
+    val (npTight, recTight) = chosenFor(0.05)
+    val (npDiffuse, recDiffuse) = chosenFor(0.30)
+    assert(npTight <= 4, s"tight clusters must calibrate small: $npTight ($recTight)")
+    assert(npDiffuse > npTight,
+      s"diffuse corpus must need a wider probe: $npDiffuse <= $npTight ($recDiffuse)")
+    // the recall map is monotone in nprobe and the chosen dial meets
+    // the target (or is the ceiling)
+    for ((rs, np) <- Seq((recTight, npTight), (recDiffuse, npDiffuse))) {
+      val sorted = rs.toSeq.sortBy(_._1).map(_._2)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall must not fall as nprobe grows: $rs")
+      assert(rs(np) >= 0.95 || np == 32, s"chosen $np misses target: $rs")
+    }
+  }
+
   test("IVF-SQ8: identical cell structure, near-identical retrieval, a fraction of the bytes") {
     // the Faiss IVF…,SQ8 analog (r15): postings store int8 codes, cell
     // assignment stays full-precision (bit-identical structure to the
