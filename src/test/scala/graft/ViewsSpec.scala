@@ -86,6 +86,40 @@ class ViewsSpec extends SparkSpec {
     assert(sqlCos == dfCos && sqlCos.nonEmpty)
   }
 
+  test("SQL-text top-k-per-group is shuffle-bounded natively (no TopK syntax needed)") {
+    // the SURVEY §0 descope note said the custom TopK operator has no
+    // SQL syntax; this pins why that is FINE: Catalyst's own
+    // InferWindowGroupLimit bounds a row_number() <= k filter to k
+    // rows per group per partition BEFORE the exchange
+    // (WindowGroupLimit Partial/Final) — the same pre-shuffle bound
+    // TopKPerGroupPlan gives the DataFrame API. A SQL-string user
+    // writing the standard idiom gets the scale-correct plan for free.
+    views
+    val df = spark.sql("""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit must bound before the exchange:\n${plan.take(2000)}")
+    assert(plan.indexOf("WindowGroupLimit") < plan.length &&
+      "Partial".r.findFirstIn(plan).isDefined,
+      s"partial (pre-shuffle) bound expected:\n${plan.take(2000)}")
+    // and it computes the same rows as the DataFrame top-k
+    val viaSql = df.select(col("o_custkey"), col("o_orderkey"))
+      .as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaDf = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+
   test("SQL text inherits scan pruning: projection and filter reach the parquet scan") {
     views
     val plan = spark.sql(
