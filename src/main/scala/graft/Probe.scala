@@ -50,6 +50,7 @@ object Probe {
       case "vecrecall" => vectorRecallProbe(spark)
       case "topkmicro" => topkMicro(spark)
       case "vecsq8" => vectorSq8Probe(spark)
+      case "vecpq" => vectorPqProbe(spark)
       case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -584,6 +585,73 @@ object Probe {
             f"'nprobe':$nprobe,'recall_at_10':${hits / nTruth}%.4f," +
             f"'latency_sec':$sec%.3f,'postings_bytes':${bytesOf(dir)}}")
         }
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  /** IVF-PQ vs SQ8 vs f32: recall@10, probe latency and posting bytes
+    * at m ∈ {8, 16} subspaces (dim 64 → 8 resp. 4 dims per codeword) —
+    * the BASELINE.md r15 PQ table. Same fixture and cadence as
+    * [[vectorSq8Probe]] so the columns are directly comparable.
+    */
+  private def vectorPqProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Similarity, VectorIndex}
+    val n = 20000; val dim = 64; val clusters = 100
+    val k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    for (noise <- Seq(0.10, 0.25)) {
+      val corpus = SynthEmbeddings.clustered(spark, n, dim, clusters, noise,
+        seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+      val queries = SynthEmbeddings.clustered(spark, 500, dim, clusters, noise,
+        seed = 42L, pointSeed = 7042L, idOffset = 10000000L).localCheckpoint(true)
+      val truth = Similarity.bruteForceCosineTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nTruth = truth.count().toDouble
+      val base = java.nio.file.Files.createTempDirectory("vecpq").toString
+      def bytesOf(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else f.length()
+        walk(new java.io.File(s"$dir/postings"))
+      }
+      for ((label, sq8, pqM) <- Seq(("f32", false, 0), ("sq8", true, 0),
+          ("pq16", false, 16), ("pq8", false, 8))) {
+        val dir = s"$base/$label"
+        val t0 = System.nanoTime()
+        VectorIndex.build(corpus, "vec_id", "embedding", dir, k, maxIter = 5,
+          sq8 = sq8, pqM = pqM)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        for (nprobe <- Seq(2, 8)) {
+          val (sec, hits) = timeMin(3)(
+            VectorIndex.queryTopK(spark, queries, "vec_id", "embedding", dir,
+                k = 10, nprobe = nprobe)
+              .select(col("query_id"), col("neighbor_id"))
+              .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count())
+          println(f"[probe] {'probe':'vecpq','noise':$noise,'fmt':'$label'," +
+            f"'nprobe':$nprobe,'recall_at_10':${hits / nTruth}%.4f," +
+            f"'latency_sec':$sec%.3f,'build_sec':$buildSec%.2f," +
+            f"'postings_bytes':${bytesOf(dir)}}")
+        }
+        // the shortlist contract: how much of the TRUE top-10 survives
+        // in the index's top-50 — the number that matters for the
+        // documented fetch-k'-then-re-rank-full-precision cadence
+        val slHits = VectorIndex.queryTopK(spark, queries, "vec_id",
+            "embedding", dir, k = 50, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(f"[probe] {'probe':'vecpq','noise':$noise,'fmt':'$label'," +
+          f"'metric':'true10_in_top50_np8','value':${slHits / nTruth}%.4f}")
+        // end-to-end shortlist+rerank: the documented production path
+        val (rrSec, rrHits) = timeMin(3)(
+          VectorIndex.queryTopKRerank(spark, queries, "vec_id", "embedding",
+              dir, corpus, "vec_id", "embedding", k = 10, shortlist = 50,
+              nprobe = 8)
+            .select(col("query_id"), col("neighbor_id"))
+            .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count())
+        println(f"[probe] {'probe':'vecpq','noise':$noise,'fmt':'$label'," +
+          f"'metric':'rerank50_recall_at_10','value':${rrHits / nTruth}%.4f," +
+          f"'latency_sec':$rrSec%.3f}")
       }
       rm(new java.io.File(base))
     }

@@ -161,4 +161,36 @@ object VectorFunctions {
   /** Inverse of [[quantizeInt8]]: `array<double>` reconstruction. */
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), b => b.cast("double") * qs.getField("scale"))
+
+  /** Product-quantization encode: `array<float|double>` of length
+    * m·subdim → `array<short>` of length m via the per-subspace
+    * L2-nearest codeword ([[graft.plans.PqEncode]] — native, codegen).
+    * Codebooks come from [[graft.operators.Similarity.pqCodebooks]];
+    * encode the L2-NORMALIZED vector (the codebooks were trained on
+    * normalized samples) — [[graft.operators.VectorIndex]] does. The
+    * codebook matrix rides the expression as driver state (pinned via
+    * addReferenceObj), so this can't go through the registered-function
+    * path — the bridge constructs it directly. */
+  def pqEncode(v: Column, cbs: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.PqEncode(
+      org.apache.spark.sql.GraftSqlBridge.expression(v), cbs))
+
+  /** cosine(query, reconstruct(codes)) in one fused pass
+    * ([[graft.plans.PqCosine]]) — scores a full-precision query column
+    * against PQ codes without materializing the reconstruction. */
+  def pqCosine(q: Column, codes: Column, cbs: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.PqCosine(
+      org.apache.spark.sql.GraftSqlBridge.expression(q),
+      org.apache.spark.sql.GraftSqlBridge.expression(codes), cbs))
+
+  /** cosine(query, centroid + reconstruct(codes)) — residual-PQ scoring
+    * ([[graft.plans.PqResidualCosine]], the Faiss IVFPQ contract):
+    * codes encode `x̂ − centroid(cell)`, so reconstruction adds the
+    * posting's centroid back per coordinate in the same fused pass. */
+  def pqResidualCosine(q: Column, codes: Column, centroid: Column,
+      cbs: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.PqResidualCosine(
+      org.apache.spark.sql.GraftSqlBridge.expression(q),
+      org.apache.spark.sql.GraftSqlBridge.expression(codes),
+      org.apache.spark.sql.GraftSqlBridge.expression(centroid), cbs))
 }

@@ -573,6 +573,158 @@ object Similarity {
     } finally normed.unpersist()
   }
 
+  /** Product-quantization codebooks: `m` per-subspace L2 k-means models
+    * of `ncodes` codewords each, trained on a bounded hash-deterministic
+    * sample of the corpus's L2-NORMALIZED embeddings (normalization
+    * first makes inner product = cosine, so the dot-product scoring in
+    * [[graft.plans.PqCosine]] ranks by cosine; it also strips magnitude
+    * variance the codebooks would otherwise waste codes on — the
+    * standard IVF-PQ-for-cosine recipe). Returned as `cbs(s)(c)(d)`,
+    * the shape [[graft.plans.PqCodebooks.flatten]] validates.
+    *
+    * `residualOf` (the IVFPQ mode [[VectorIndex]] uses): when given
+    * the frozen coarse centroids, training runs on RESIDUALS
+    * `x̂ − centroid(x̂)` — assignment replicating the index's one
+    * cell-selection rule (max cosine, ties → lower id) — so the codes
+    * describe intra-cell structure instead of re-covering the sphere.
+    * Measured on the clustered fixture this is the difference between
+    * recall@10 ≈ 0.3 and the production numbers in BASELINE.md's r15
+    * PQ table. Null → raw-vector training (standalone PQ compression).
+    *
+    * Training is DRIVER-side by design, like the xlsx writer and the
+    * BPE merge loop: the training set is bounded (`maxTrainRows`,
+    * default 16k — Faiss trains PQ on samples of this order at any
+    * corpus size), each subspace's Lloyd loop is embarrassingly
+    * independent (run on parallel Futures), and a distributed version
+    * would pay m·maxIter job overheads to move less work than one
+    * shuffle. The model is m·ncodes·(dim/m) doubles = ncodes·dim —
+    * identical to the IVF centroid table's footprint, broadcast-sized.
+    *
+    * Determinism: the sample is hash-cut and hash-ORDERED (same
+    * contract as [[kmeansCentroids]]'s pool), seeds are greedy
+    * farthest-point over a 4·ncodes pool, ties and empty clusters keep
+    * previous state — a (corpus, m, ncodes, maxIter) tuple always
+    * yields bit-identical codebooks, so re-building an index never
+    * silently re-codes postings differently.
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      m: Int,
+      ncodes: Int = 256,
+      maxIter: Int = 10,
+      maxTrainRows: Int = 1 << 14,
+      residualOf: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
+    require(m > 0, "m must be positive")
+    require(ncodes > 0 && ncodes <= Short.MaxValue, "ncodes must fit short codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normedSample = trainingSample(df, idCol, embCol, maxTrainRows)
+      .orderBy(col("__h")).select(col("__e")).as[Seq[Double]]
+      .collect().map(_.toArray)
+    require(normedSample.nonEmpty, "pqCodebooks: empty input")
+    val dim = normedSample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    require(normedSample.forall(_.length == dim),
+      "pqCodebooks: embeddings disagree on dimension")
+    // residual mode (the IVFPQ contract): train on x̂ − centroid(x̂),
+    // assignment replicating the index's one cell-selection rule (max
+    // cosine, ties → lower id) — codes then spend their 8 bits on the
+    // intra-cell structure instead of re-describing the sphere the
+    // coarse centroids already locate. Raw-vector training (residualOf
+    // null) remains for standalone PQ compression outside an IVF index.
+    val sample =
+      if (residualOf == null) normedSample
+      else {
+        require(residualOf.forall(_.length == dim),
+          "pqCodebooks: centroid dim mismatch")
+        val cnorm = residualOf.map(c => math.sqrt(c.map(x => x * x).sum))
+        normedSample.map { x =>
+          var best = 0; var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < residualOf.length) {
+            var dot = 0.0; var i = 0
+            while (i < dim) { dot += x(i) * residualOf(c)(i); i += 1 }
+            // sample vectors are unit (trainingSample normalizes); guard
+            // the centroid norm like cosineNative (zero norm → 0.0)
+            val cos = if (cnorm(c) > 0) dot / cnorm(c) else 0.0
+            if (cos > bestCos) { best = c; bestCos = cos }
+            c += 1
+          }
+          x.zip(residualOf(best)).map { case (a, b) => a - b }
+        }
+      }
+    val subdim = dim / m
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val futures = (0 until m).map { sIdx =>
+      Future {
+        val pts = sample.map(_.slice(sIdx * subdim, (sIdx + 1) * subdim))
+        // greedy farthest-point seeds over a bounded hash-ordered pool
+        val pool = pts.take(math.min(pts.length, ncodes * 4))
+        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+        val minD = pool.map(sq(_, pool.head))
+        while (chosen.size < math.min(ncodes, pool.length)) {
+          var best = 0; var i = 1
+          while (i < pool.length) { if (minD(i) > minD(best)) best = i; i += 1 }
+          val next = pool(best)
+          chosen += next
+          i = 0
+          while (i < pool.length) {
+            val d = sq(pool(i), next)
+            if (d < minD(i)) minD(i) = d
+            i += 1
+          }
+        }
+        // tiny corpora: pad by cycling (duplicate codewords never win a
+        // strict-< argmin over their lower twin — encode stays stable)
+        val nDistinct = chosen.size
+        while (chosen.size < ncodes) chosen += chosen(chosen.size % nDistinct)
+        val cents = chosen.toArray.map(_.clone())
+        var iter = 0
+        val assign = new Array[Int](pts.length)
+        while (iter < maxIter) {
+          var i = 0
+          while (i < pts.length) {
+            var best = 0; var bd = sq(pts(i), cents(0)); var c = 1
+            while (c < ncodes) {
+              val d = sq(pts(i), cents(c))
+              if (d < bd) { best = c; bd = d }
+              c += 1
+            }
+            assign(i) = best
+            i += 1
+          }
+          val sums = Array.fill(ncodes)(new Array[Double](subdim))
+          val counts = new Array[Int](ncodes)
+          i = 0
+          while (i < pts.length) {
+            val c = assign(i); counts(c) += 1
+            var d = 0
+            while (d < subdim) { sums(c)(d) += pts(i)(d); d += 1 }
+            i += 1
+          }
+          var c = 0
+          while (c < ncodes) {
+            // empty clusters keep their previous codeword
+            if (counts(c) > 0) cents(c) = sums(c).map(_ / counts(c))
+            c += 1
+          }
+          iter += 1
+        }
+        cents
+      }
+    }
+    futures.map(Await.result(_, Duration.Inf)).toArray
+  }
+
   /** EXACT set-similarity self-join (prefix filtering — the AllPairs /
     * PPJoin family): all pairs of documents whose token-SET Jaccard is
     * ≥ `threshold`, with no probabilistic misses — the exact counterpart

@@ -83,10 +83,45 @@ object VectorIndex {
   // append/queryTopK so streamed and manual appends auto-match the
   // index's format.
   private def sq8Marker(indexDir: String) = s"$indexDir/_sq8"
+  // the IVF-PQ format marker: present ⇔ postings store product-
+  // quantization codes (array<short>, one per subspace) and the model
+  // carries a pq_codebooks/ table beside centroids/. Same sibling
+  // swap-safety contract; mutually exclusive with _sq8 by build().
+  private def pqMarker(indexDir: String) = s"$indexDir/_pq"
+  private[graft] def pqCodebooksDir(indexDir: String) = s"$indexDir/pq_codebooks"
 
-  private def isSq8(spark: SparkSession, indexDir: String): Boolean = {
-    val m = new org.apache.hadoop.fs.Path(sq8Marker(indexDir))
+  /** Posting payload format, decided once at [[build]] and auto-matched
+    * by every append and probe via the sibling markers. */
+  private[graft] sealed trait Format
+  private[graft] case object F32 extends Format
+  private[graft] case object Sq8 extends Format
+  private[graft] case object Pq extends Format
+
+  private def hasMarker(spark: SparkSession, path: String): Boolean = {
+    val m = new org.apache.hadoop.fs.Path(path)
     m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  private[graft] def format(spark: SparkSession, indexDir: String): Format =
+    if (hasMarker(spark, pqMarker(indexDir))) Pq
+    else if (hasMarker(spark, sq8Marker(indexDir))) Sq8
+    else F32
+
+  /** The persisted PQ model, loaded back into the shape the native
+    * expressions pin ([[graft.plans.PqCodebooks.flatten]] re-validates).
+    * Bounded: m·ncodes rows (the centroid table's footprint). */
+  private[graft] def loadCodebooks(spark: SparkSession,
+      indexDir: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(pqCodebooksDir(indexDir))
+      .select(col("sub"), col("code"), col("codeword"))
+      .as[(Int, Int, Seq[Double])].collect()
+    require(rows.nonEmpty, s"VectorIndex at $indexDir: empty pq_codebooks/")
+    val m = rows.iterator.map(_._1).max + 1
+    val ncodes = rows.iterator.map(_._2).max + 1
+    val out = Array.fill(m, ncodes)(Array.empty[Double])
+    rows.foreach { case (s, c, w) => out(s)(c) = w.toArray }
+    out
   }
 
   /** Train the cell model on the corpus and index it as run 0. k-means
@@ -117,9 +152,24 @@ object VectorIndex {
     * at a per-element |x| ≤ absmax/254 rounding error (measured
     * recall vs full-precision truth in BASELINE.md r15). [[append]]
     * and [[queryTopK]] auto-match the format via the `_sq8` marker.
+    *
+    * `pqM > 0` builds an IVF-PQ index (the Faiss `IVF…,PQm` analog;
+    * mutually exclusive with sq8): postings store `pqM` short codes
+    * per vector — one per subspace, against per-subspace k-means
+    * codebooks ([[Similarity.pqCodebooks]], persisted under
+    * `pq_codebooks/` and re-loaded by appends and probes via the
+    * `_pq` marker). At dim 64 / m 8 that is ~16× fewer raw posting
+    * bytes than the f64 payload — the compression tier ABOVE sq8, at
+    * a recall cost measured (not guessed) in BASELINE.md's r15 PQ
+    * table. Same invariants as sq8: full-precision cell assignment
+    * (structure bit-identical to f32, spec-pinned), scoring through
+    * the fused [[graft.plans.PqCosine]] kernel, and exact-score
+    * callers re-rank the returned k against full-precision vectors.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-      indexDir: String, k: Int, maxIter: Int = 8, sq8: Boolean = false): Unit = {
+      indexDir: String, k: Int, maxIter: Int = 8, sq8: Boolean = false,
+      pqM: Int = 0): Unit = {
+    require(!(sq8 && pqM > 0), "sq8 and pq are mutually exclusive formats")
     val spark = corpus.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(builtMarker(indexDir))
@@ -128,6 +178,11 @@ object VectorIndex {
     //    is loudly incomplete
     if (fs.exists(marker)) fs.delete(marker, false)
     val cents = Similarity.kmeansCentroids(corpus, idCol, embCol, k, maxIter)
+    // PQ model trains before anything is deleted (it only reads the
+    // corpus); bounded driver-side Lloyd per subspace over RESIDUALS
+    // from the just-trained centroids — see pqCodebooks
+    val cbs = if (pqM > 0) Similarity.pqCodebooks(corpus, idCol, embCol, pqM,
+      residualOf = cents) else null
     // 2. a RE-build is a new model: postings assigned under the old
     //    centroids die FIRST (before the centroid overwrite) — a crash
     //    in between leaves old centroids with no postings, which the
@@ -137,12 +192,23 @@ object VectorIndex {
     if (fs.exists(p)) fs.delete(p, true)
     centroidsDf(spark, cents)
       .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
-    // the format marker is part of the model and flips with it (a
+    // the format markers are part of the model and flip with it (a
     // re-build may switch formats; postings are already gone, so no
-    // mixed-format rows can survive)
+    // mixed-format rows can survive). The codebook table lands before
+    // its marker so a Pq verdict always finds codebooks to load.
+    if (cbs != null) {
+      import spark.implicits._
+      (for { s <- cbs.indices; c <- cbs(s).indices }
+        yield (s, c, cbs(s)(c).toSeq))
+        .toDF("sub", "code", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(pqCodebooksDir(indexDir))
+    }
     val m8 = new org.apache.hadoop.fs.Path(sq8Marker(indexDir))
     if (sq8) { val out = fs.create(m8, true); out.close() }
     else if (fs.exists(m8)) fs.delete(m8, false)
+    val mpq = new org.apache.hadoop.fs.Path(pqMarker(indexDir))
+    if (cbs != null) { val out = fs.create(mpq, true); out.close() }
+    else if (fs.exists(mpq)) fs.delete(mpq, false)
     append(corpus, idCol, embCol, indexDir, runId = 0L)
     // 3. the index is whole — declare it
     markBuilt(spark, indexDir)
@@ -208,14 +274,31 @@ object VectorIndex {
     // within-partition sort by centroid_id is load-bearing: it is what
     // makes the probe's cell filter prune ROW GROUPS via parquet
     // min/max stats.
-    // sq8 indexes quantize at STORE time: assignment above ran on the
-    // full-precision embedding (cell structure identical to f32), only
-    // the persisted payload is codes
-    val stored =
-      if (isSq8(spark, indexDir)) VectorFunctions.quantizeInt8(col("emb")).as("emb")
-      else col("emb")
-    cellsFor(batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
-        "emb", centArr, nprobe = 1)
+    // sq8/pq indexes quantize at STORE time: assignment above ran on
+    // the full-precision embedding (cell structure identical to f32),
+    // only the persisted payload is codes. PQ encodes the RESIDUAL of
+    // the L2-normalized vector from its assigned centroid (the Faiss
+    // IVFPQ contract — codebooks trained on residuals, so the codes
+    // describe intra-cell structure), which needs the centroid ARRAY:
+    // one broadcast join against the k-row model table.
+    val fmt = format(spark, indexDir)
+    lazy val cbs = loadCodebooks(spark, indexDir)
+    val assigned0 = cellsFor(
+      batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
+      "emb", centArr, nprobe = 1)
+    val assigned = fmt match {
+      case Pq => assigned0.join(
+        broadcast(spark.read.parquet(centroidsDir(indexDir))), "centroid_id")
+      case _ => assigned0
+    }
+    val stored = fmt match {
+      case Sq8 => VectorFunctions.quantizeInt8(col("emb")).as("emb")
+      case Pq => VectorFunctions.pqEncode(
+        zip_with(VectorFunctions.l2Normalize(col("emb")), col("centroid"),
+          (a, b) => a - b), cbs).as("emb")
+      case F32 => col("emb")
+    }
+    assigned
       .select(col("vec_id"), stored, lit(runId).as("run_id"),
         col("centroid_id"),
         (col("centroid_id") / lit(width)).cast("int").as("cell_bucket"))
@@ -239,16 +322,23 @@ object VectorIndex {
     // signal, n is context).
     val centsB = broadcast(spark.read.parquet(centroidsDir(indexDir)))
     // cosine is scale-invariant, so sq8 codes score against the
-    // centroid directly — no dequantization pass
-    val storedEmb =
-      if (isSq8(spark, indexDir)) col("emb").getField("q").cast("array<double>")
-      else col("emb")
+    // centroid directly — no dequantization pass. PQ scores the codes
+    // through PqCosine (centroid as the full-precision side); the
+    // quantization bias it adds to mean_assign_cos is FORMAT-constant —
+    // run 0's baseline carries the same bias, so rel_drop stays a clean
+    // drift signal.
+    val assignCos = fmt match {
+      case Sq8 => VectorFunctions.cosineNative(
+        col("emb").getField("q").cast("array<double>"), col("centroid"))
+      case Pq => VectorFunctions.pqResidualCosine(
+        col("centroid"), col("emb"), col("centroid"), cbs)
+      case F32 => VectorFunctions.cosineNative(col("emb"), col("centroid"))
+    }
     spark.read.parquet(postingsDir(indexDir))
       .where(col("run_id") === runId)
       .join(centsB, "centroid_id")
       .agg(count(lit(1)).as("n"),
-        avg(VectorFunctions.cosineNative(storedEmb, col("centroid")))
-          .as("mean_assign_cos"))
+        avg(assignCos).as("mean_assign_cos"))
       .select(lit(runId).as("run_id"), col("n"), col("mean_assign_cos"))
       // a batch with zero indexable rows must not record a (runId, 0,
       // null) row — a null mean would poison the drift read's max()
@@ -391,16 +481,37 @@ object VectorIndex {
       .collect().map(_.getInt(0)).toSeq
     val width = bucketWidth(modelK(spark, indexDir))
     val buckets = cells.map(_ / width).distinct
-    // sq8 indexes score on the codes themselves — cosine is
-    // scale-invariant so the per-vector scale never loads; the cast to
-    // double is a codegen projection fused into the cosine stage
-    val ce =
-      if (isSq8(spark, indexDir)) col("emb").getField("q").cast("array<double>")
-      else col("emb")
-    val postings = spark.read.parquet(postingsDir(indexDir))
+    // quantized indexes score on the codes themselves — cosine is
+    // scale-invariant so sq8's per-vector scale never loads (the cast
+    // to double is a codegen projection fused into the cosine stage),
+    // and pq codes stream through PqCosine's fused lookup+dot pass
+    val fmt = format(spark, indexDir)
+    val ce = fmt match {
+      case Sq8 => col("emb").getField("q").cast("array<double>")
+      case _ => col("emb")
+    }
+    // residual-PQ scoring reconstructs against the posting's CENTROID
+    // (y = centroid + codeword per coordinate), so pq candidates carry
+    // their centroid array via one broadcast join against the k-row
+    // model table — k-bounded, never a second postings scan
+    val scoreOf: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column = fmt match {
+      case Pq =>
+        val cbs = loadCodebooks(spark, indexDir)
+        (q, c) => VectorFunctions.pqResidualCosine(q, c, col("__cent"), cbs)
+      case _ => (q, c) => VectorFunctions.cosineNative(q, c)
+    }
+    val postings0 = spark.read.parquet(postingsDir(indexDir))
       .where(col("cell_bucket").isin(buckets: _*) &&
         col("centroid_id").isin(cells: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), ce.as("__ce"))
+    val postings = fmt match {
+      case Pq => postings0.join(
+        broadcast(spark.read.parquet(centroidsDir(indexDir))
+          .select(col("centroid_id"), col("centroid").as("__cent"))),
+        "centroid_id")
+      case _ => postings0
+    }
     // cosine FIRST (map-side, whole-stage codegen — both embedding
     // arrays die in this projection), THEN the retry-hygiene dedup on
     // the narrow (query, neighbor, cosine) rows: deduping before the
@@ -413,9 +524,50 @@ object VectorIndex {
     Similarity.rankTopK(
       postings.join(broadcast(qa), "centroid_id")
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cosine", VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+        .withColumn("cosine", scoreOf(col("__qe"), col("__ce")))
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .dropDuplicates("query_id", "neighbor_id"),
+      k)
+  }
+
+  /** The quantized-index production cadence as one call: fetch a
+    * `shortlist`-sized candidate set from the index (quantized scores
+    * — sq8 or residual-pq), then re-rank EXACTLY against the
+    * full-precision `corpus` embeddings and return the true top-k of
+    * the shortlist. This is how PQ recall is recovered in practice
+    * (Faiss's refine step): the r15 probe measures pq16's direct
+    * recall@10 at 0.70 but its top-50 shortlist CONTAINS the true
+    * top-10 at 0.999 — so shortlist+rerank ≈ f32 recall at ~10× fewer
+    * index bytes, with the full-precision vectors touched only for
+    * |queries|·shortlist candidate rows.
+    *
+    * Scale shape: the corpus is NEVER shuffled — candidate ids
+    * broadcast against the corpus scan (one broadcast hash join), the
+    * candidate-sized remainder joins narrowly, and the exact cosine +
+    * TopK run on |queries|·shortlist rows. The broadcast bounds the
+    * contract: probe BATCHES, not full-corpus self-joins (the same
+    * bounded-batch contract queryTopK's k-bounded cell collect rides);
+    * for corpus-scale all-pairs work use the dedup family instead.
+    * Works identically on f32 indexes (then it is just queryTopK with
+    * a wider net — useful when nprobe misses are the concern).
+    */
+  def queryTopKRerank(spark: SparkSession, queries: DataFrame, queryId: String,
+      queryEmb: String, indexDir: String, corpus: DataFrame, corpusId: String,
+      corpusEmb: String, k: Int, shortlist: Int = 0, nprobe: Int = 8): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 5 * k
+    require(sl >= k, s"shortlist $sl must be at least k $k")
+    val cand = queryTopK(spark, queries, queryId, queryEmb, indexDir, sl, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val candEmb = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
+      .join(broadcast(cand.select(col("neighbor_id")).distinct()), "neighbor_id")
+    val qSide = queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
+    Similarity.rankTopK(
+      cand.join(candEmb, "neighbor_id")
+        .join(broadcast(qSide), "query_id")
+        .withColumn("cosine",
+          VectorFunctions.cosineNative(col("__qe"), col("__ce")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine")),
       k)
   }
 

@@ -1,0 +1,379 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels — the compression tier above IVF-SQ8
+  * ([[graft.operators.VectorIndex]]'s `_sq8` format): where SQ8 keeps
+  * one int8 PER DIMENSION (4× under f32... 8x under the f64 the engine
+  * stores), PQ keeps one code PER SUBSPACE — a dim-64 embedding at
+  * m = 8 subspaces stores 8 shorts instead of 64 doubles, ~16× fewer
+  * posting bytes BEFORE parquet encoding, the difference between a
+  * 4 TB and a 0.25 TB index at 10⁹ × dim-64 vectors. The trade is
+  * recall: reconstruction error is the subspace k-means quantization
+  * error, measured (not guessed) in BASELINE.md's r15 PQ table.
+  *
+  * Both kernels follow the repo's native-expression contract: the loop
+  * lives in compiled library code (one static call from the generated
+  * row code — full whole-stage codegen, no interpreted lambdas, no
+  * per-row allocation beyond the output), and the codebook matrix is
+  * flattened row-major once at plan time and pinned in the generated
+  * class via `addReferenceObj`, exactly like [[ArgmaxCosine]]'s
+  * centroid matrix.
+  *
+  * Scoring note (why there is no LUT / ADC table here): classic ADC
+  * precomputes a per-QUERY m×ncodes table and scores candidates by m
+  * lookups. In Spark's expression model the query is a COLUMN, not a
+  * constant, so the table would be a per-row array allocation of
+  * ncodes·m doubles — LARGER than the dim-sized fused loop below for
+  * any candidate set that isn't enormous per query (the IVF probe's
+  * candidate sets are cell-sized). [[PqCosine]] therefore fuses
+  * lookup + dot into one dim-length pass: same flops as a full-
+  * precision cosine, with the savings arriving where they matter at
+  * scale — storage, scan bytes, shuffle width, cache residency.
+  */
+object PqCodebooks {
+
+  /** Validate + flatten `cbs(s)(c)(d)` row-major into (flat, sqn, m,
+    * ncodes, subdim): `flat[(s·ncodes + c)·subdim + d]`, `sqn[s·ncodes
+    * + c]` = ‖codeword‖². Shared by both expressions so a shape bug
+    * fails identically everywhere. */
+  def flatten(cbs: Array[Array[Array[Double]]], who: String)
+      : (Array[Double], Array[Double], Int, Int, Int) = {
+    require(cbs.nonEmpty && cbs.head.nonEmpty && cbs.head.head.nonEmpty,
+      s"$who: empty codebooks")
+    val m = cbs.length
+    val ncodes = cbs.head.length
+    val subdim = cbs.head.head.length
+    require(ncodes <= Short.MaxValue, s"$who: ncodes $ncodes exceeds short codes")
+    require(cbs.forall(_.length == ncodes),
+      s"$who: ragged codebooks (subspaces disagree on ncodes)")
+    require(cbs.forall(_.forall(_.length == subdim)),
+      s"$who: ragged codewords (codewords disagree on subdim)")
+    val flat = new Array[Double](m * ncodes * subdim)
+    val sqn = new Array[Double](m * ncodes)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ncodes) {
+        val w = cbs(s)(c)
+        var n2 = 0.0
+        var d = 0
+        while (d < subdim) {
+          val x = w(d)
+          flat((s * ncodes + c) * subdim + d) = x
+          n2 += x * x
+          d += 1
+        }
+        sqn(s * ncodes + c) = n2
+        c += 1
+      }
+      s += 1
+    }
+    (flat, sqn, m, ncodes, subdim)
+  }
+}
+
+/** `array<float|double>` (length m·subdim) → `array<short>` (length m):
+  * per subspace, the L2-nearest codeword's index. Degenerate inputs are
+  * NULL-loud, never silently mis-encoded: NULL input, a null element,
+  * or a length ≠ m·subdim all return NULL (the caller — VectorIndex's
+  * append — has already dropped unindexable rows; anything else
+  * slipping through must not be filed under an arbitrary code). A
+  * NaN-poisoned subvector deterministically encodes to code 0 (NaN
+  * distances never win the strict-< argmin).
+  *
+  * Ties break to the LOWER code — same direction as the index's one
+  * cell-selection rule (`VectorIndex.cellsFor`), so duplicated
+  * codewords (k-means padding on tiny training sets) encode
+  * identically everywhere.
+  */
+case class PqEncode(child: Expression, cbs: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private lazy val (flat, sqn, m, ncodes, subdim) =
+    PqCodebooks.flatten(cbs, prettyName)
+
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${dt.sql}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], flat, sqn, m, ncodes,
+      subdim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val sqnRef = ctx.addReferenceObj("pqSqn", sqn, "double[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = graft.plans.PqEncode.compute(
+      |  $a, $flatRef, $sqnRef, $m, $ncodes, $subdim, $isFloat);
+      |${ev.isNull} = ${ev.value} == null;
+      """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_pq_encode"
+}
+
+object PqEncode {
+
+  /** Shared by interpreted eval and codegen; null for unencodable
+    * inputs (see the class doc's degenerate-input table). The argmin
+    * uses ‖c‖² − 2·v·c (the ‖v‖² term is constant per subspace and
+    * cannot change the winner), strict < so ties keep the lower code.
+    */
+  def compute(a: ArrayData, flat: Array[Double], sqn: Array[Double],
+      m: Int, ncodes: Int, subdim: Int, isFloat: Boolean): ArrayData = {
+    if (a.numElements() != m * subdim) return null
+    val v = new Array[Double](subdim)
+    val out = new Array[Short](m)
+    var s = 0
+    while (s < m) {
+      var d = 0
+      while (d < subdim) {
+        val i = s * subdim + d
+        if (a.isNullAt(i)) return null
+        v(d) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        d += 1
+      }
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < ncodes) {
+        val base = (s * ncodes + c) * subdim
+        var dot = 0.0
+        d = 0
+        while (d < subdim) { dot += v(d) * flat(base + d); d += 1 }
+        val dist = sqn(s * ncodes + c) - 2.0 * dot
+        if (dist < bestDist) { best = c; bestDist = dist }
+        c += 1
+      }
+      out(s) = best.toShort
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** cosine(q, reconstruct(codes)) in one fused dim-length pass — the
+  * PQ analog of [[CosineSimilarity]], scoring a full-precision query
+  * against a PQ-coded posting without materializing the reconstruction
+  * (the codeword elements stream straight out of the pinned flat
+  * matrix; the reconstructed norm comes from the precomputed per-code
+  * ‖codeword‖² table, exact because subspaces are disjoint
+  * coordinates).
+  *
+  * Degenerate semantics, aligned with [[CosineSimilarity]] where the
+  * cases correspond: NULL on either side → NULL; a null element in q →
+  * 0.0; zero q norm or zero reconstructed norm → 0.0 (NaN-poisoned
+  * norms fail the > 0 gate the same way). PQ-specific corruption is
+  * NULL-loud: codes of length ≠ m, a code outside [0, ncodes), or a
+  * query of length ≠ m·subdim → NULL (foreign or stale codes must
+  * never score as a plausible cosine).
+  */
+case class PqCosine(left: Expression, right: Expression,
+    cbs: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  private lazy val (flat, sqn, m, ncodes, subdim) =
+    PqCodebooks.flatten(cbs, prettyName)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(ShortType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, array<short>), got ${l.sql}, ${r.sql}")
+  }
+
+  private def qIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    PqCosine.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      flat, sqn, m, ncodes, subdim, qIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val sqnRef = ctx.addReferenceObj("pqSqn", sqn, "double[]")
+    val obj = ctx.freshName("pqObj")
+    nullSafeCodeGen(ctx, ev, (q, c) => s"""
+      |Object $obj = graft.plans.PqCosine.compute(
+      |  $q, $c, $flatRef, $sqnRef, $m, $ncodes, $subdim, $qIsFloat);
+      |if ($obj == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((Double) $obj).doubleValue(); }
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_pq_cosine"
+}
+
+/** cosine(q, centroid + reconstruct(codes)) — the RESIDUAL-PQ scoring
+  * kernel, the Faiss IVFPQ contract: postings encode the residual
+  * `x̂ − centroid(cell)` rather than the vector itself, so the 256
+  * codes per subspace spend their precision on the intra-cell
+  * structure (noise-sized) instead of re-describing the whole sphere
+  * the coarse centroids already locate. Measured on the clustered
+  * fixture this is the difference between recall@10 ≈ 0.3 (raw-vector
+  * PQ, the r15 first cut) and production-grade recall — BASELINE.md's
+  * r15 PQ table carries both.
+  *
+  * One fused dim-length pass: y = centroid[i] + codeword-element, dot
+  * and both norms accumulate per coordinate exactly like
+  * [[CosineSimilarity]]'s fast path (the reconstructed norm can't be
+  * precomputed per code here — it depends on the (cell, code) pair —
+  * so it rides the same loop at zero extra passes).
+  *
+  * Degenerate semantics: NULL q / codes / centroid → NULL; null
+  * element in q or centroid → 0.0; zero q norm or zero reconstructed
+  * norm → 0.0; codes length ≠ m, code out of range, or q/centroid
+  * length ≠ m·subdim → NULL (foreign or stale codes must never score
+  * as a plausible cosine).
+  */
+case class PqResidualCosine(first: Expression, second: Expression,
+    third: Expression, cbs: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  private lazy val (flat, _, m, ncodes, subdim) =
+    PqCodebooks.flatten(cbs, prettyName)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def embOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (l, ArrayType(ShortType, _), c) if embOk(l) && embOk(c) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, s, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, array<short>, " +
+          s"array<float|double>), got ${l.sql}, ${s.sql}, ${c.sql}")
+    }
+
+  private def qIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def cIsFloat: Boolean =
+    third.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(q: Any, codes: Any, cent: Any): Any =
+    PqResidualCosine.compute(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], cent.asInstanceOf[ArrayData],
+      flat, m, ncodes, subdim, qIsFloat, cIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val obj = ctx.freshName("pqrObj")
+    nullSafeCodeGen(ctx, ev, (q, c, t) => s"""
+      |Object $obj = graft.plans.PqResidualCosine.compute(
+      |  $q, $c, $t, $flatRef, $m, $ncodes, $subdim, $qIsFloat, $cIsFloat);
+      |if ($obj == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((Double) $obj).doubleValue(); }
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "graft_pq_residual_cosine"
+}
+
+object PqResidualCosine {
+
+  /** Shared by interpreted eval and codegen; boxed Double or null (see
+    * the class doc). y = centroid + codeword element per coordinate;
+    * double accumulation, strictly left-to-right. */
+  def compute(q: ArrayData, codes: ArrayData, cent: ArrayData,
+      flat: Array[Double], m: Int, ncodes: Int, subdim: Int,
+      qIsFloat: Boolean, cIsFloat: Boolean): java.lang.Double = {
+    val dim = m * subdim
+    if (codes.numElements() != m || q.numElements() != dim ||
+      cent.numElements() != dim) return null
+    var dot = 0.0
+    var nq = 0.0
+    var ny = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getShort(s).toInt
+      if (c < 0 || c >= ncodes) return null
+      val base = (s * ncodes + c) * subdim
+      var d = 0
+      while (d < subdim) {
+        val i = s * subdim + d
+        if (q.isNullAt(i) || cent.isNullAt(i)) return java.lang.Double.valueOf(0.0)
+        val x = if (qIsFloat) q.getFloat(i).toDouble else q.getDouble(i)
+        val ce = if (cIsFloat) cent.getFloat(i).toDouble else cent.getDouble(i)
+        val y = ce + flat(base + d)
+        dot += x * y
+        nq += x * x
+        ny += y * y
+        d += 1
+      }
+      s += 1
+    }
+    if (nq > 0 && ny > 0)
+      java.lang.Double.valueOf(dot / (math.sqrt(nq) * math.sqrt(ny)))
+    else java.lang.Double.valueOf(0.0)
+  }
+}
+
+object PqCosine {
+
+  /** Shared by interpreted eval and codegen; boxed Double or null (see
+    * the class doc's degenerate-input table). Accumulation is double,
+    * strictly left-to-right over the query's coordinates — the same
+    * numeric contract as [[CosineSimilarity]], with the codeword in
+    * place of the second array. */
+  def compute(q: ArrayData, codes: ArrayData, flat: Array[Double],
+      sqn: Array[Double], m: Int, ncodes: Int, subdim: Int,
+      qIsFloat: Boolean): java.lang.Double = {
+    if (codes.numElements() != m || q.numElements() != m * subdim) return null
+    var dot = 0.0
+    var nq = 0.0
+    var rn2 = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getShort(s).toInt
+      if (c < 0 || c >= ncodes) return null
+      val base = (s * ncodes + c) * subdim
+      rn2 += sqn(s * ncodes + c)
+      var d = 0
+      while (d < subdim) {
+        val i = s * subdim + d
+        if (q.isNullAt(i)) return java.lang.Double.valueOf(0.0)
+        val x = if (qIsFloat) q.getFloat(i).toDouble else q.getDouble(i)
+        dot += x * flat(base + d)
+        nq += x * x
+        d += 1
+      }
+      s += 1
+    }
+    if (nq > 0 && rn2 > 0)
+      java.lang.Double.valueOf(dot / (math.sqrt(nq) * math.sqrt(rn2)))
+    else java.lang.Double.valueOf(0.0)
+  }
+}

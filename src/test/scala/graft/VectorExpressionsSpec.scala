@@ -328,4 +328,108 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(4).getSeq[Any](0) == Seq.empty)                   // empty → empty
     assert(got(5).getSeq[Any](0) == Seq(0.6, 0.8))               // 3-4-5 triangle
   }
+
+  test("pq encode/cosine: codeword-exact vectors round-trip; argmin ties break low") {
+    // hand-built codebooks: m=2 subspaces, 3 codes each, subdim=2 —
+    // small enough to enumerate every case by hand
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(0.0, 1.0)), // codes 1,2 duplicate
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5), Array(1.0, -1.0)))
+    // vector assembled FROM codewords encodes back to exactly those
+    // codes (distance 0 each subspace), and its pq-cosine against its
+    // own codes is 1.0 up to fp (reconstruction == the vector)
+    val v = Seq(0.0, 1.0, 1.0, -1.0) // sub0 -> codeword 1 (tie with 2 -> LOWER), sub1 -> codeword 2
+    val df = Seq((v, 0)).toDF("v", "i")
+    val codes = df.select(VF.pqEncode(col("v"), cbs).as("c"))
+      .as[Seq[Short]].head()
+    assert(codes == Seq(1.toShort, 2.toShort),
+      s"expected tie to break to the lower duplicate code: $codes")
+    val cos = df.select(VF.pqCosine(col("v"),
+      VF.pqEncode(col("v"), cbs), cbs)).as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12, s"self-cosine via exact codes: $cos")
+    // a vector NEAR a codeword scores against its reconstruction the
+    // same as a hand-computed cosine vs the decoded codewords
+    val w = Seq(0.1, 0.9, 0.6, 0.4)
+    val wCodes = Seq((w, 0)).toDF("v", "i")
+      .select(VF.pqEncode(col("v"), cbs).as("c")).as[Seq[Short]].head()
+    assert(wCodes == Seq(1.toShort, 0.toShort))
+    val recon = Seq(0.0, 1.0, 0.5, 0.5)
+    val expected = {
+      val dot = w.zip(recon).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(w.map(x => x * x).sum) * math.sqrt(recon.map(x => x * x).sum))
+    }
+    val got = Seq((w, 0)).toDF("v", "i")
+      .select(VF.pqCosine(col("v"), VF.pqEncode(col("v"), cbs), cbs))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+  }
+
+  test("pq kernels: degenerate inputs are NULL-loud or 0.0 per the documented table") {
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5)))
+    // encode: NULL input -> NULL; wrong length -> NULL; null element -> NULL
+    val encRows: Seq[(Option[Seq[Option[Double]]], Int)] = Seq(
+      (None, 0),
+      (Some(Seq(Some(1.0), Some(2.0), Some(3.0))), 1),
+      (Some(Seq(Some(1.0), None, Some(3.0), Some(4.0))), 2),
+      (Some(Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0))), 3))
+    val enc = encRows.toDF("v", "i").orderBy("i")
+      .select(VF.pqEncode(col("v"), cbs)).collect()
+    assert(enc(0).isNullAt(0) && enc(1).isNullAt(0) && enc(2).isNullAt(0))
+    assert(!enc(3).isNullAt(0))
+    // cosine: NULL side -> NULL; wrong code count -> NULL; out-of-range
+    // code -> NULL; null q element -> 0.0; zero q -> 0.0
+    val q = Seq(1.0, 2.0, 3.0, 4.0)
+    val cosRows: Seq[(Option[Seq[Option[Double]]], Option[Seq[Short]], Int)] = Seq(
+      (None, Some(Seq(0.toShort, 1.toShort)), 0),
+      (Some(q.map(Option(_))), None, 1),
+      (Some(q.map(Option(_))), Some(Seq(0.toShort)), 2),
+      (Some(q.map(Option(_))), Some(Seq(0.toShort, 5.toShort)), 3),
+      (Some(Seq(Some(1.0), None, Some(3.0), Some(4.0))), Some(Seq(0.toShort, 1.toShort)), 4),
+      (Some(Seq(Some(0.0), Some(0.0), Some(0.0), Some(0.0))), Some(Seq(0.toShort, 1.toShort)), 5),
+      (Some(q.map(Option(_))), Some(Seq(0.toShort, 1.toShort)), 6))
+    val cos = cosRows.toDF("v", "c", "i").orderBy("i")
+      .select(VF.pqCosine(col("v"), col("c"), cbs)).collect()
+    for (i <- Seq(0, 1, 2, 3)) assert(cos(i).isNullAt(0), s"row $i must be NULL")
+    assert(cos(4).getDouble(0) == 0.0 && cos(5).getDouble(0) == 0.0)
+    assert(!cos(6).isNullAt(0) && math.abs(cos(6).getDouble(0)) <= 1.0)
+  }
+
+  test("pq residual cosine: zero centroid degenerates to plain pq cosine; nonzero centroid reconstructs") {
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5)))
+    val q = Seq(0.3, 0.7, -0.2, 0.9)
+    val codes = Seq(1.toShort, 0.toShort)
+    val zero = Seq(0.0, 0.0, 0.0, 0.0)
+    val df = Seq((q, codes, zero)).toDF("q", "c", "cent")
+    val viaResidual = df.select(
+      VF.pqResidualCosine(col("q"), col("c"), col("cent"), cbs)).as[Double].head()
+    val viaPlain = df.select(
+      VF.pqCosine(col("q"), col("c"), cbs)).as[Double].head()
+    assert(math.abs(viaResidual - viaPlain) < 1e-12,
+      s"zero centroid must reduce to plain pq cosine: $viaResidual vs $viaPlain")
+    // nonzero centroid: reconstruction = centroid + codeword, by hand
+    val cent = Seq(0.1, 0.2, 0.3, 0.4)
+    val recon = Seq(0.1 + 0.0, 0.2 + 1.0, 0.3 + 0.5, 0.4 + 0.5)
+    val expected = {
+      val dot = q.zip(recon).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(recon.map(x => x * x).sum))
+    }
+    val got = Seq((q, codes, cent)).toDF("q", "c", "cent")
+      .select(VF.pqResidualCosine(col("q"), col("c"), col("cent"), cbs))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-12, s"got $got expected $expected")
+    // degenerate: NULL centroid -> NULL; out-of-range code -> NULL;
+    // null centroid element -> 0.0
+    val rows: Seq[(Seq[Double], Seq[Short], Option[Seq[Option[Double]]], Int)] = Seq(
+      (q, codes, None, 0),
+      (q, Seq(9.toShort, 0.toShort), Some(cent.map(Option(_))), 1),
+      (q, codes, Some(Seq(Some(0.1), None, Some(0.3), Some(0.4))), 2))
+    val got2 = rows.toDF("q", "c", "cent", "i").orderBy("i")
+      .select(VF.pqResidualCosine(col("q"), col("c"), col("cent"), cbs)).collect()
+    assert(got2(0).isNullAt(0) && got2(1).isNullAt(0))
+    assert(got2(2).getDouble(0) == 0.0)
+  }
 }
