@@ -225,7 +225,12 @@ object Bench {
       // lifecycle (3 ingests + full-index compaction) dominates its
       // wall and would drown the probe-path signal; the probe path is
       // covered by q105 (one-shot twin) + the BASELINE r14 cadence A/B.
-      "q109_bm25_indexed", "q110_ivf_index_planted")
+      "q109_bm25_indexed", "q110_ivf_index_planted",
+      // round 15: the residual-PQ probe + exact rerank — the sentinel
+      // watches that the quantized shortlist stays candidate-bounded
+      // and the rerank's corpus touch stays shortlist-sized as the
+      // corpus grows (the corpus itself must never shuffle)
+      "q115_pq_index_rerank")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
