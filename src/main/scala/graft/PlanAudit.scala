@@ -57,9 +57,13 @@ object PlanAudit {
       case "time" =>
         val reps = if (args.length > 3) args(3).toInt else 3
         for (r <- 1 to reps; n <- names) {
+          val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+            .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          val c0 = osBean.getProcessCpuTime
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-          System.err.println(f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          System.err.println(f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s")
         }
       case "sem" =>
         import org.apache.spark.sql.functions._

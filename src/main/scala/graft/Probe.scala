@@ -51,6 +51,7 @@ object Probe {
       case "topkmicro" => topkMicro(spark)
       case "vecsq8" => vectorSq8Probe(spark)
       case "vecpq" => vectorPqProbe(spark)
+      case "vecpqdecade" => vectorPqDecadeProbe(spark)
       case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -655,6 +656,46 @@ object Probe {
       }
       rm(new java.io.File(base))
     }
+  }
+
+  /** q115's decade cadence, production-shaped: a FIXED 400-query
+    * planted batch probes the (cached) pq16 index with shortlist
+    * re-rank at SPARK_GRAFT_SF_DIR's scale — the fixed-probe number
+    * the decade table needs, because q115's fixture batch grows with
+    * the corpus (n/7 queries) and its PlanAudit row therefore measures
+    * Θ(queries·√n) fixture growth, not the per-batch production cost
+    * (the q105 adjudication, same shape). */
+  private def vectorPqDecadeProbe(spark: SparkSession): Unit = {
+    import graft.operators.VectorIndex
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/scale/sf1")
+    val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+    val n = emb.count()
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vecpqdecade_${Integer.toHexString(d.hashCode)}").toString
+    if (!new java.io.File(dir, "_build_complete").exists()) {
+      rm(new java.io.File(dir))
+      VectorIndex.build(emb, "vec_id", "embedding", dir,
+        k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5,
+        pqM = 16)
+    }
+    val planted = emb.filter(pmod(col("vec_id"), lit(7)) === 0).limit(400)
+      .select((col("vec_id") + lit(10L * n)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .localCheckpoint(true)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    var bw = Double.MaxValue; var bc = 0.0; var rows = 0L
+    VectorIndex.queryTopKRerank(spark, planted, "vec_id", "embedding", dir,
+      emb, "vec_id", "embedding", k = 10, shortlist = 50, nprobe = 2).count()
+    for (_ <- 1 to 3) {
+      val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+      rows = VectorIndex.queryTopKRerank(spark, planted, "vec_id", "embedding",
+        dir, emb, "vec_id", "embedding", k = 10, shortlist = 50, nprobe = 2).count()
+      val w = (System.nanoTime() - t0) / 1e9
+      if (w < bw) { bw = w; bc = (osBean.getProcessCpuTime - c0) / 1e9 }
+    }
+    println(f"[probe] {'probe':'vecpqdecade','dir':'$d','n':$n,'queries':400," +
+      f"'rows':$rows,'wall_sec':$bw%.2f,'cpu_sec':$bc%.1f}")
   }
 
   // ------------------------------------------------- bpe 50k merges

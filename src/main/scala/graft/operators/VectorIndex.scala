@@ -578,9 +578,11 @@ object VectorIndex {
     * Ground truth is the index itself probed exhaustively
     * (nprobe = k ≡ brute force over the indexed corpus — exact by the
     * spec-pinned probing-every-cell-equals-brute-force property), so
-    * calibration needs NO external corpus access and works on sq8
-    * indexes too (truth and candidates then share the quantization,
-    * which is what the runtime will actually serve).
+    * calibration needs NO external corpus access and works on
+    * quantized (sq8/pq) indexes too (truth and candidates then share
+    * the quantization, which is what the runtime will actually serve —
+    * on PQ pair it with [[queryTopKRerank]] when exact-score recall is
+    * the target, since calibration measures the quantized ranking).
     *
     * Cost: |sample| · (one exhaustive probe + one probe per candidate
     * nprobe) — run it on 100-1000 sampled queries, not the full batch.
