@@ -3565,6 +3565,28 @@ object Queries {
       WHERE vec_id % 7 = 0 AND embedding IS NOT NULL AND len(embedding) > 0
       ORDER BY query_id"""))
 
+  private val q116 = Q(
+    "q116_intersect_all_multiset",
+    (s, d) => {
+      // multiset intersection (INTERSECT ALL — closing the set-op
+      // family: q14 EXCEPT, q111 INTERSECT, q112 EXCEPT ALL): each
+      // custkey survives with multiplicity min(#mid-ticket orders,
+      // #recent orders). Spark plans it like exceptAll — ONE hash
+      // aggregate computing per-key min counts then generate-replicate,
+      // no distinct collapse, no join, one exchange.
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+        .intersectAll(
+          o.filter(col("o_orderdate").cast("date") >=
+              lit(java.sql.Date.valueOf("1997-01-01")))
+            .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      ORDER BY custkey"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3591,5 +3613,5 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 }

@@ -556,14 +556,20 @@ object VectorIndex {
       corpusEmb: String, k: Int, shortlist: Int = 0, nprobe: Int = 8): DataFrame = {
     val sl = if (shortlist > 0) shortlist else 5 * k
     require(sl >= k, s"shortlist $sl must be at least k $k")
+    // the shortlist is consumed exactly once (the broadcast below), so
+    // no checkpoint: the quantized probe plans straight into the
+    // broadcast exchange
     val cand = queryTopK(spark, queries, queryId, queryEmb, indexDir, sl, nprobe)
       .select(col("query_id"), col("neighbor_id"))
-    val candEmb = corpus
-      .select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
-      .join(broadcast(cand.select(col("neighbor_id")).distinct()), "neighbor_id")
     val qSide = queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
+    // the corpus SCAN is the streaming side of every join: candidate
+    // (query, neighbor) pairs broadcast onto it (plan-pinned in
+    // VectorIndexSpec — no SortMergeJoin/ShuffledHashJoin anywhere, so
+    // the corpus never shuffles and the first exchange in the plan is
+    // the candidate-sized TopK one)
     Similarity.rankTopK(
-      cand.join(candEmb, "neighbor_id")
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("__ce"))
+        .join(broadcast(cand), "neighbor_id")
         .join(broadcast(qSide), "query_id")
         .withColumn("cosine",
           VectorFunctions.cosineNative(col("__qe"), col("__ce")))

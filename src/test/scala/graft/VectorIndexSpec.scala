@@ -409,6 +409,18 @@ class VectorIndexSpec extends SparkSpec {
       .count() / nTruth
     assert(rerank >= 0.85 && rerank >= r32 - 0.08,
       s"pq shortlist+rerank must track f32: rerank $rerank vs f32 $r32")
+    // plan shape: the rerank must never shuffle the corpus — candidate
+    // ids broadcast against its scan, the query side broadcasts too,
+    // so every join in the plan is a broadcast hash join (the only
+    // exchanges are the candidate-sized dedup/TopK ones)
+    val rrPlan = VectorIndex.queryTopKRerank(spark, queries, "vec_id",
+        "embedding", pq, corpus, "vec_id", "embedding", k = 10,
+        shortlist = 50, nprobe = 8)
+      .queryExecution.executedPlan.toString
+    assert(!rrPlan.contains("SortMergeJoin") && !rrPlan.contains("ShuffledHashJoin"),
+      s"rerank must broadcast-join, never shuffle the corpus:\n${rrPlan.take(3000)}")
+    assert(rrPlan.contains("BroadcastHashJoin"),
+      s"rerank joins must be broadcast hash joins:\n${rrPlan.take(3000)}")
     // appends auto-match the format via the marker; codebooks reload
     val more = SynthEmbeddings.clustered(spark, 500, dim = 64, clusters = 20,
       noise = 0.10, seed = 42L, pointSeed = 2042L, idOffset = 500000L)
