@@ -453,6 +453,35 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("pq codebooks are bit-deterministic; residual mode differs from raw and needs matching dims") {
+    // determinism is what makes a re-built index never silently
+    // re-code postings differently (the scaladoc's claim) — and what
+    // q115's fingerprint-cached index rests on
+    val corpus = SynthEmbeddings.clustered(spark, 1000, dim = 32, clusters = 10,
+      noise = 0.10, seed = 7L, pointSeed = 17L).localCheckpoint(true)
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      k = 8, maxIter = 3)
+    def flat(c: Array[Array[Array[Double]]]): Seq[Double] =
+      c.flatMap(_.flatMap(_.toSeq)).toSeq
+    val a = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4,
+      ncodes = 16, residualOf = cents)
+    val b = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4,
+      ncodes = 16, residualOf = cents)
+    assert(flat(a) == flat(b), "same inputs must yield bit-identical codebooks")
+    // residual training is a genuinely different model than raw
+    val raw = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4,
+      ncodes = 16)
+    assert(flat(raw) != flat(a), "residual codebooks must differ from raw")
+    // dim guards are loud
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 5) // 32 % 5 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4,
+        residualOf = Array(Array.fill(16)(0.1))) // centroid dim mismatch
+    }
+  }
+
   test("planted scaled copies always find their source at rank 1 (co-assignment guarantee)") {
     val base = Files.createTempDirectory("vecidx_plant")
     val idxDir = s"$base/idx"
