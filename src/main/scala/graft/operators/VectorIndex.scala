@@ -190,6 +190,15 @@ object VectorIndex {
     //    mis-filed under new cells (r14 review 2 / r15 ADVICE)
     val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
     if (fs.exists(p)) fs.delete(p, true)
+    // drift history dies with the old model too: run_stats/ anchors
+    // assignmentDrift at the LOWEST run id present, so letting the old
+    // model's rows linger would anchor the NEW model's baseline to the
+    // old run 0 and max-merge the duplicate run-0 stats across models —
+    // a silently corrupt drift signal after every re-build (found by
+    // the r15 rebuildIfDrifted spec; compact() still never touches
+    // run_stats — posting folds keep history, model replacement resets it)
+    val rs = new org.apache.hadoop.fs.Path(runStatsDir(indexDir))
+    if (fs.exists(rs)) fs.delete(rs, true)
     centroidsDf(spark, cents)
       .coalesce(1).write.mode("overwrite").parquet(centroidsDir(indexDir))
     // the format markers are part of the model and flip with it (a
@@ -528,6 +537,47 @@ object VectorIndex {
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
         .dropDuplicates("query_id", "neighbor_id"),
       k)
+  }
+
+  /** Close the drift loop: re-[[build]] when the decay signal is
+    * SUSTAINED — the last `sustain` ingest runs ALL read
+    * `rel_drop >= threshold` (the BASELINE r15 decay curve's documented
+    * trigger: sustained ≳ 0.1, not one noisy run). Returns true when a
+    * re-build ran. The caller supplies the full CURRENT corpus — the
+    * index's folded postings are the old model's assignments, not a
+    * substitute for the raw vectors — and the re-build preserves the
+    * index's format (sq8/pq re-train their quantizers on the new
+    * distribution too, which is the point of re-building). A re-build
+    * RESETS the drift history: the new model's run 0 is the new
+    * baseline ([[build]] clears `run_stats/` with the postings —
+    * mixing models' stats would silently corrupt the signal).
+    *
+    * Cheap when it doesn't fire: one read of the k-bounded run_stats
+    * table. Callers on a schedule (e.g. after each streamed ingest)
+    * pay the full train+index cost only at the measured decay point.
+    */
+  def rebuildIfDrifted(corpus: DataFrame, idCol: String, embCol: String,
+      indexDir: String, k: Int, maxIter: Int = 8,
+      threshold: Double = 0.1, sustain: Int = 2): Boolean = {
+    require(sustain >= 1, "sustain must be at least 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val last = assignmentDrift(spark, indexDir)
+      .orderBy(col("run_id").desc).limit(sustain)
+      .select(col("rel_drop")).as[Double].collect()
+    // fewer post-baseline runs than `sustain` cannot satisfy the
+    // sustained condition (the baseline row itself reads 0.0)
+    val fire = last.length >= sustain && last.forall(_ >= threshold)
+    if (fire) {
+      val fmt = format(spark, indexDir)
+      fmt match {
+        case Pq => build(corpus, idCol, embCol, indexDir, k, maxIter,
+          pqM = loadCodebooks(spark, indexDir).length)
+        case Sq8 => build(corpus, idCol, embCol, indexDir, k, maxIter, sq8 = true)
+        case F32 => build(corpus, idCol, embCol, indexDir, k, maxIter)
+      }
+    }
+    fire
   }
 
   /** The quantized-index production cadence as one call: fetch a
