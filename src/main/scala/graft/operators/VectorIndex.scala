@@ -36,6 +36,13 @@ import graft.functions.VectorFunctions
   *    last by [[build]]; [[queryTopK]] refuses to answer without it,
   *    so a crashed build is loud, never silently partial (see
   *    [[build]]'s crash contract).
+  *  - `run_stats/`: one drift-accounting row per ingest run (see
+  *    [[assignmentDrift]]); reset by [[build]] together with the
+  *    postings — a new model anchors a new baseline — but never
+  *    touched by [[compact]].
+  *  - `_sq8` / `_pq` sibling markers + `pq_codebooks/`: the quantized
+  *    posting formats ([[build]]'s `sq8`/`pqM`); appends and probes,
+  *    manual or streamed, auto-match the format through the markers.
   *
   * Incremental growth ([[append]]): new batches assign against the
   * FROZEN centroids — the standard IVF production contract (Faiss-style:
