@@ -432,4 +432,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got2(0).isNullAt(0) && got2(1).isNullAt(0))
     assert(got2(2).getDouble(0) == 0.0)
   }
+
+  test("pq kernels compile under strict codegen (no silent interpreted fallback)") {
+    // spark silently falls back to interpreted eval when doGenCode
+    // emits uncompilable Java — a batch test can pass with broken
+    // codegen. CODEGEN_ONLY + fallback=false makes that loud.
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(0.5, 0.5), Array(-0.5, 0.5)))
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = (0 until 2000).map { i =>
+        (Seq(i * 0.01, 1.0 - i * 0.01, 0.3, 0.7), Seq(0.1, 0.2, 0.3, 0.4), i)
+      }.toDF("v", "cent", "i")
+      val out = df
+        .withColumn("codes", VF.pqEncode(col("v"), cbs))
+        .withColumn("c1", VF.pqCosine(col("v"), col("codes"), cbs))
+        .withColumn("c2", VF.pqResidualCosine(col("v"), col("codes"), col("cent"), cbs))
+        .agg(count(when(col("c1").between(-1.0001, 1.0001) &&
+          col("c2").between(-1.0001, 1.0001), 1)))
+        .as[Long].head()
+      assert(out == 2000)
+    } finally {
+      def restore(key: String, v: Option[String]): Unit =
+        v match { case Some(x) => spark.conf.set(key, x); case None => spark.conf.unset(key) }
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
 }
