@@ -463,4 +463,60 @@ class VectorExpressionsSpec extends SparkSpec {
       restore("spark.sql.codegen.fallback", prevFb)
     }
   }
+
+  test("every registered native kernel compiles under strict codegen") {
+    // same masking risk as the pq kernels: each family's HOF-equality
+    // specs would still pass if doGenCode broke and spark quietly fell
+    // back to interpreted eval. One pass over the full registered
+    // surface with fallback off makes any such break loud.
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      (0 until 1000).map { i =>
+        (s"kata satu dua tiga empat lima kata$i",
+          Seq(s"tok$i", "a", "b", "c", "d"),
+          Seq(i.toLong, i * 7L, i * 31L, i * 131L),
+          Seq(0.1 * (i % 7), 0.5, -0.25, 1.0),
+          Seq(0, 2), i)
+      }.toDF("text", "toks", "hashes", "vec", "starts", "i")
+        .createOrReplaceTempView("codegen_all")
+      val n = spark.sql("""
+        SELECT count(*) FROM (
+          SELECT
+            graft_cosine(vec, vec) c,
+            graft_rollhash(text, 3) rh,
+            graft_minhash(hashes, 16) mh,
+            graft_winnow(hashes, 2) wn,
+            graft_simhash(hashes) sh,
+            graft_shingles(toks, 3, true) sg,
+            graft_count_all(text, array('kata', 'dua')) ca,
+            graft_hyperplanes(vec, 4, 8, 42L) hp,
+            graft_project(vec, 4, 2, 42L) pj,
+            graft_argmax_cos(vec, array(array(1.0d, 0d, 0d, 0d), array(0d, 1.0d, 0d, 0d))) am,
+            graft_span_mask(toks, starts, 2) sm,
+            graft_nfc(text) nf
+          FROM codegen_all
+        ) WHERE c IS NOT NULL AND rh IS NOT NULL AND mh IS NOT NULL
+          AND wn IS NOT NULL AND sh IS NOT NULL AND sg IS NOT NULL
+          AND ca IS NOT NULL AND hp IS NOT NULL AND pj IS NOT NULL
+          AND am IS NOT NULL AND sm IS NOT NULL AND nf IS NOT NULL
+      """).as[Long].head()
+      assert(n == 1000)
+      // the bridge-constructed (unregistered) kernels ride the same pass
+      val df2 = (0 until 1000).map(i =>
+        (Seq(0.1 * i, 0.5, -0.25, 1.0), i)).toDF("vec", "i")
+      val n2 = df2.select(VF.l2Normalize(col("vec")).as("l2"),
+          Similarity.assignClusterApprox(Some(spark), col("vec"),
+            Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))).as("cl"))
+        .filter(col("l2").isNotNull && col("cl").isNotNull).count()
+      assert(n2 == 1000)
+    } finally {
+      def restore(key: String, v: Option[String]): Unit =
+        v match { case Some(x) => spark.conf.set(key, x); case None => spark.conf.unset(key) }
+      restore("spark.sql.codegen.factoryMode", prevMode)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
 }
