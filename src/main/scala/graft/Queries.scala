@@ -3587,6 +3587,51 @@ object Queries {
       SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
       ORDER BY custkey"""))
 
+  private val q117 = Q(
+    "q117_sq8_index_rerank",
+    (s, d) => {
+      // q115's idiom over the IVF-SQ8 index: int8-coded postings, the
+      // same quantized-shortlist → exact-rerank cadence, the same
+      // determinism argument (nprobe-2 cells hold fewer candidates
+      // than the shortlist at the gate SF, so the co-assigned source
+      // is always shortlisted and the exact rerank pins rank 1 at
+      // cosine 1.0). Every 11th vector keeps the three planted-index
+      // probes (q110 f32 / q115 pq / q117 sq8) on disjoint moduli so
+      // the oracles stay visually distinct in CORRECTNESS rows.
+      val emb = Tables.embeddings(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q117_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val VI = graft.operators.VectorIndex
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
+        "|vecindex-v5|k=sqrt|sq8"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        val n = emb.count()
+        VI.build(emb, "vec_id", "embedding", dir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5,
+          sq8 = true)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val offset = plantedIdOffset(emb, "vec_id")
+      val planted = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(offset))
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      VI.queryTopKRerank(s, planted, "vec_id", "embedding", dir.toString,
+          emb, "vec_id", "embedding", k = 1, shortlist = 50, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS query_id,
+        vec_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM embeddings
+      WHERE vec_id % 11 = 0 AND embedding IS NOT NULL AND len(embedding) > 0
+      ORDER BY query_id"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3613,5 +3658,6 @@ object Queries {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
-    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
+    q117)
 }
