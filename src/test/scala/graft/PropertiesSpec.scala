@@ -79,4 +79,84 @@ object PropertiesSpec extends Properties("graft.kernels") {
         Prop(j >= 0.0 && j <= 1.0 && ((j == 1.0) == (sa == sb)))
       }
     }
+
+  // ---- PQ kernels (r15): the flat row-major indexing in
+  // PqEncode/PqCosine/PqResidualCosine is the likeliest silent-bug spot
+  // (base = (s*ncodes + c)*subdim); these differentials check the
+  // compiled kernels against a naive Scala reference on random shapes.
+
+  private val pqShapeGen = for {
+    m <- Gen.choose(1, 4)
+    ncodes <- Gen.choose(1, 8)
+    subdim <- Gen.choose(1, 5)
+  } yield (m, ncodes, subdim)
+
+  private def dblGen: Gen[Double] = Gen.choose(-1.0, 1.0)
+
+  private def pqFixture(m: Int, ncodes: Int, subdim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val cbs = Array.fill(m, ncodes)(Array.fill(subdim)(rnd.nextDouble() * 2 - 1))
+    val v = Array.fill(m * subdim)(rnd.nextDouble() * 2 - 1)
+    val q = Array.fill(m * subdim)(rnd.nextDouble() * 2 - 1)
+    val cent = Array.fill(m * subdim)(rnd.nextDouble() * 2 - 1)
+    (cbs, v, q, cent)
+  }
+
+  private def refEncode(cbs: Array[Array[Array[Double]]], v: Array[Double]): Array[Short] = {
+    val m = cbs.length; val subdim = cbs.head.head.length
+    Array.tabulate(m) { sIdx =>
+      val sub = v.slice(sIdx * subdim, (sIdx + 1) * subdim)
+      cbs(sIdx).zipWithIndex.map { case (w, c) =>
+        (w.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.minBy { case (d, c) => (d, c) }._2.toShort
+    }
+  }
+
+  private def refCosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+  }
+
+  property("pq encode == naive per-subspace L2 argmin (ties low)") =
+    forAll(pqShapeGen, Gen.choose(0L, Long.MaxValue)) { case ((m, nc, sd), seed) =>
+      val (cbs, v, _, _) = pqFixture(m, nc, sd, seed)
+      val (flat, sqn, _, _, _) = graft.plans.PqCodebooks.flatten(cbs, "prop")
+      val got = graft.plans.PqEncode.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), flat, sqn,
+        m, nc, sd, false).toShortArray().toSeq
+      Prop(got == refEncode(cbs, v).toSeq)
+    }
+
+  property("pq cosine == cosine(q, naive reconstruction) within 1e-12") =
+    forAll(pqShapeGen, Gen.choose(0L, Long.MaxValue)) { case ((m, nc, sd), seed) =>
+      val (cbs, v, q, _) = pqFixture(m, nc, sd, seed)
+      val codes = refEncode(cbs, v)
+      val recon = codes.zipWithIndex.flatMap { case (c, sIdx) => cbs(sIdx)(c.toInt) }
+      val (flat, sqn, _, _, _) = graft.plans.PqCodebooks.flatten(cbs, "prop")
+      val got = graft.plans.PqCosine.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes),
+        flat, sqn, m, nc, sd, false)
+      // tolerance guards the tiny-norm edge: a near-zero norm amplifies
+      // the (association-order) rounding difference between the fused
+      // kernel and the naive reference by 1/(na*nb)
+      Prop(got != null && math.abs(got.doubleValue - refCosine(q, recon)) < 1e-9)
+    }
+
+  property("pq residual cosine == cosine(q, centroid + naive reconstruction) within 1e-12") =
+    forAll(pqShapeGen, Gen.choose(0L, Long.MaxValue)) { case ((m, nc, sd), seed) =>
+      val (cbs, v, q, cent) = pqFixture(m, nc, sd, seed)
+      val codes = refEncode(cbs, v)
+      val recon = codes.zipWithIndex.flatMap { case (c, sIdx) => cbs(sIdx)(c.toInt) }
+      val y = cent.zip(recon).map { case (a, b) => a + b }
+      val (flat, _, _, _, _) = graft.plans.PqCodebooks.flatten(cbs, "prop")
+      val got = graft.plans.PqResidualCosine.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(cent),
+        flat, m, nc, sd, false, false)
+      Prop(got != null && math.abs(got.doubleValue - refCosine(q, y)) < 1e-9)
+    }
 }
