@@ -770,6 +770,48 @@ class StreamingSpec extends SparkSpec {
     assert(drift.keySet == Set(0L, 1L, 2L), s"stream must not collide with run 0: $drift")
     assert(drift(0L) == 0.0 && math.abs(drift(1L)) < 0.1 && math.abs(drift(2L)) < 0.1,
       s"in-distribution stream batches read near-zero drift: $drift")
+    // --- drift-triggered re-build MID-STREAM (r15): two drifted
+    // streamed batches sustain the signal, rebuildIfDrifted re-trains
+    // on the full corpus, and the stream keeps going — its WAL still
+    // knows b1..b4 were processed (no re-append), so the index is
+    // exactly {rebuilt corpus as run 0} + {post-rebuild deltas}.
+    val b3 = SynthEmbeddings.clustered(spark, 200, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 55L, idOffset = 30000L, shift = 1.6)
+    val b4 = SynthEmbeddings.clustered(spark, 200, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 65L, idOffset = 40000L, shift = 1.6)
+    b3.select("vec_id", "embedding").write.mode("append").parquet(inDir)
+    run() // run 3: first drifted batch — flagged but not sustained
+    val corpusAtB3 = boot.unionByName(b1).unionByName(b2).unionByName(b3)
+      .select("vec_id", "embedding")
+    assert(!VectorIndex.rebuildIfDrifted(corpusAtB3, "vec_id", "embedding",
+      idxDir, k = 16, maxIter = 5, threshold = 0.1, sustain = 2))
+    b4.select("vec_id", "embedding").write.mode("append").parquet(inDir)
+    run() // run 4: sustained
+    val corpusAtB4 = corpusAtB3.unionByName(b4.select("vec_id", "embedding"))
+      .localCheckpoint(true)
+    assert(VectorIndex.rebuildIfDrifted(corpusAtB4, "vec_id", "embedding",
+      idxDir, k = 16, maxIter = 5, threshold = 0.1, sustain = 2),
+      "two drifted streamed runs must trigger the re-build")
+    // stream continues after the re-build: only the NEW file appends
+    val b5 = SynthEmbeddings.clustered(spark, 200, dim = 16, clusters = 8,
+      noise = 0.1, seed = 5L, pointSeed = 75L, idOffset = 50000L, shift = 1.6)
+    b5.select("vec_id", "embedding").write.mode("append").parquet(inDir)
+    run() // batchId 4 → run 5
+    val posts = spark.read.parquet(s"$idxDir/postings")
+    assert(posts.count() == 1400 + 200,
+      "rebuilt corpus (1400 as run 0) + one post-rebuild delta (200)")
+    val driftAfter = VectorIndex.assignmentDrift(spark, idxDir)
+      .select(col("run_id"), col("rel_drop")).as[(Long, Double)].collect().toMap
+    assert(driftAfter.keySet == Set(0L, 5L),
+      s"fresh baseline + the post-rebuild streamed run only: $driftAfter")
+    assert(math.abs(driftAfter(5L)) < 0.1,
+      s"the drifted distribution is the new normal after re-build: $driftAfter")
+    // probes equal a batch-built index over the same final corpus
+    val batchDir2 = s"$base/batch_idx2"
+    VectorIndex.build(corpusAtB4, "vec_id", "embedding", batchDir2, k = 16, maxIter = 5)
+    VectorIndex.append(b5, "vec_id", "embedding", batchDir2, 5L)
+    assert(topk(idxDir) == topk(batchDir2),
+      "stream-across-rebuild must equal the batch-built index")
   }
 }
 
