@@ -53,11 +53,16 @@ import graft.functions.VectorFunctions
   * holds for a verbatim re-ingest under a new run id. [[compact]] folds
   * the postings to the distinct vector set, horizon-tagged.
   *
-  * Recall contract: identical to `ivfCosineTopK` with the same
-  * centroids and nprobe (spec-pinned equality) — approximate by cell
-  * blocking, with the guarantee that exact scalar multiples always
-  * co-assign (corpus and queries share ONE cell-selection rule, see
-  * [[append]] — what q110's planted oracle rests on).
+  * Recall contract: an f32 index is identical to `ivfCosineTopK` with
+  * the same centroids and nprobe (spec-pinned equality) — approximate
+  * by cell blocking, with the guarantee that exact scalar multiples
+  * always co-assign (corpus and queries share ONE cell-selection rule,
+  * see [[append]] — what q110's planted oracle rests on). Quantized
+  * formats (sq8/pq) keep the identical CELL structure but rank
+  * candidates on their codes — measured recall in BASELINE.md's r15
+  * tables; exact ranking is recovered via [[queryTopKRerank]]
+  * (quantized shortlist → full-precision re-rank, the production
+  * cadence q115/q117 hash-oracle).
   */
 object VectorIndex {
 
