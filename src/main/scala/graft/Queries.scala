@@ -3632,6 +3632,45 @@ object Queries {
       WHERE vec_id % 11 = 0 AND embedding IS NOT NULL AND len(embedding) > 0
       ORDER BY query_id"""))
 
+  private val q118 = Q(
+    "q118_hash_embed_sha",
+    (s, d) => {
+      // the documents→embeddings bridge (signed feature hashing,
+      // plans/HashEmbed): every token votes ±1 into `(h >>> 1) % dim`,
+      // sign from bit 0, L2-normalized — a model-free, shuffle-free
+      // per-row projection that feeds the whole ANN/near-dup family
+      // from raw text. The q98 sha-twin idiom: tokens hash with sha60
+      // instead of xxhash64 so DuckDB replays every bucket, vote and
+      // normalized value exactly; the native kernel is spec-pinned
+      // bit-identical to the HOF reference on the xxhash64 path.
+      // Same deterministic ¼ doc sample as q98 (per-doc evidence;
+      // sha-256 volume is the expensive replayable ingredient).
+      val Sk = graft.operators.Sketches
+      Tables.documents(s, d)
+        .where(col("text").isNotNull && pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          transform(TF.tokens(col("text")), t => Sk.sha60(t)).as("hs"))
+        .select(col("doc_id"),
+          transform(HF.hashEmbed(col("hs"), 16), x => round(x, 4)).as("emb"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
+      u AS (SELECT doc_id, CAST(('0x' || substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+      s AS (SELECT doc_id, (h // 2) % 16 AS b,
+          sum(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+        FROM u GROUP BY 1, 2),
+      n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1),
+      grid AS (SELECT DISTINCT u.doc_id, r.i FROM u CROSS JOIN range(16) r(i)),
+      e AS (SELECT g.doc_id, g.i,
+          CASE WHEN n.nrm > 0 THEN round(coalesce(s.v, 0.0) / n.nrm, 4)
+               ELSE 0.0 END AS x
+        FROM grid g JOIN n ON g.doc_id = n.doc_id
+        LEFT JOIN s ON s.doc_id = g.doc_id AND s.b = g.i)
+      SELECT doc_id, list(x ORDER BY i) AS emb
+      FROM e GROUP BY 1 ORDER BY 1"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3659,5 +3698,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117)
+    q117, q118)
 }

@@ -164,4 +164,35 @@ object HashFunctions {
     val w = bits / chunks
     shiftright(sig, c * w).bitwiseAND((1L << w) - 1L)
   }
+
+  /** Signed feature-hashing embedding of a pre-hashed token array
+    * (`array<bigint>`, the SimHash/MinHash input convention) — a dense
+    * L2-normalized `array<double>` of length `dim` via the native
+    * one-pass kernel ([[graft.plans.HashEmbed]]): bucket
+    * `(h >>> 1) % dim` accumulates a ±1 vote per token (sign from bit
+    * 0). No model, no vocabulary, no shuffle — the pure-projection
+    * bridge from the `documents` table to everything the embedding
+    * family consumes (VectorIndex, LSH, brute top-k, SemDeDup). The
+    * caller picks the token hasher: `xxhash64` in production
+    * ([[hashShingles]]-style), [[graft.operators.Sketches.sha60]] in
+    * the DuckDB-replayable oracle twin (q118).
+    */
+  def hashEmbed(hashes: Column, dim: Int): Column =
+    call_function("graft_hash_embed", hashes, lit(dim))
+
+  /** The HOF formulation — O(tokens·dim) interpreted lambda steps, the
+    * independent bit-identical reference the equivalence spec checks
+    * the native kernel against (and what the oracle SQL replays). */
+  def hashEmbedHof(hashes: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be positive")
+    val acc = aggregate(hashes, array_repeat(lit(0.0), dim),
+      (v, h) => {
+        val b = pmod(shiftrightunsigned(h, 1), lit(dim.toLong)).cast("int")
+        val sgn = when(h.bitwiseAND(lit(1L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+        // null tokens carry no vote (the SimHash convention)
+        when(h.isNull, v)
+          .otherwise(transform(v, (x, i) => x + when(i === b, sgn).otherwise(lit(0.0))))
+      })
+    graft.functions.VectorFunctions.l2NormalizeHof(acc)
+  }
 }

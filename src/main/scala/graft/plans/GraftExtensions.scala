@@ -161,5 +161,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => NfcNormalize(c)
         case _ => throw new IllegalArgumentException("graft_nfc(text) takes 1 argument")
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(d: Int, IntegerType)) => HashEmbed(c, d)
+        case _ => throw new IllegalArgumentException(
+          "graft_hash_embed(hashes, dim) takes array<bigint> (pre-hashed tokens) and a literal dim")
+      }))
   }
 }

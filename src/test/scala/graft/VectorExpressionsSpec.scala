@@ -496,12 +496,13 @@ class VectorExpressionsSpec extends SparkSpec {
             graft_project(vec, 4, 2, 42L) pj,
             graft_argmax_cos(vec, array(array(1.0d, 0d, 0d, 0d), array(0d, 1.0d, 0d, 0d))) am,
             graft_span_mask(toks, starts, 2) sm,
+            graft_hash_embed(hashes, 8) he,
             graft_nfc(text) nf
           FROM codegen_all
         ) WHERE c IS NOT NULL AND rh IS NOT NULL AND mh IS NOT NULL
           AND wn IS NOT NULL AND sh IS NOT NULL AND sg IS NOT NULL
           AND ca IS NOT NULL AND hp IS NOT NULL AND pj IS NOT NULL
-          AND am IS NOT NULL AND sm IS NOT NULL AND nf IS NOT NULL
+          AND am IS NOT NULL AND sm IS NOT NULL AND nf IS NOT NULL AND he IS NOT NULL
       """).as[Long].head()
       assert(n == 1000)
       // the bridge-constructed (unregistered) kernels ride the same pass
@@ -518,5 +519,62 @@ class VectorExpressionsSpec extends SparkSpec {
       restore("spark.sql.codegen.factoryMode", prevMode)
       restore("spark.sql.codegen.fallback", prevFb)
     }
+  }
+
+  test("native hash-embed == the HOF formulation bit-for-bit; degenerate inputs per table") {
+    // the documents->embeddings bridge (r15): every value must match
+    // the O(tokens*dim) HOF reference exactly, including the
+    // zero-norm (fully cancelled votes) and null-element cases
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        transform(split(trim(col("text")), "\\s+"), t => xxhash64(t)).as("hs"))
+    val diffs = docs.select(
+        HF.hashEmbed(col("hs"), 16).as("nat"),
+        HF.hashEmbedHof(col("hs"), 16).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(diffs == 0)
+    // degenerates: null array -> NULL; empty -> zero vector; null
+    // elements skipped; cancelling votes -> zero vector (never NaN).
+    // 2L and 3L: bucket (h>>>1)%4 = 1 for both, signs +1/-1 -> cancel.
+    val rows: Seq[(Option[Seq[Option[Long]]], Int)] = Seq(
+      (None, 0),
+      (Some(Seq.empty), 1),
+      (Some(Seq(None, Some(2L))), 2),
+      (Some(Seq(Some(2L), Some(3L))), 3))
+    val got = rows.toDF("hs", "i").orderBy("i")
+      .select(HF.hashEmbed(col("hs"), 4).as("nat"),
+        HF.hashEmbedHof(col("hs"), 4).as("hof")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(got(2).getSeq[Double](0) == Seq(0.0, 1.0, 0.0, 0.0),
+      s"null token carries no vote: ${got(2).getSeq[Double](0)}")
+    assert(got(3).getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0),
+      s"cancelled votes -> zero vector, not NaN: ${got(3).getSeq[Double](0)}")
+    for (r <- 1 to 3) assert(got(r).getSeq[Double](0) == got(r).getSeq[Double](1),
+      s"row $r: native and HOF must agree")
+    // end-to-end: the embedder feeds the persisted ANN index directly -
+    // a planted near-copy (one token changed) lands rank 1 by cosine
+    val emb = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        HF.hashEmbed(transform(split(trim(col("text")), "\\s+"),
+          t => xxhash64(t)), 64).as("embedding"))
+      .localCheckpoint(true)
+    val dir = s"${java.nio.file.Files.createTempDirectory("hashembed")}/idx"
+    graft.operators.VectorIndex.build(emb, "doc_id", "embedding", dir,
+      k = 12, maxIter = 5)
+    val probes = Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("text").isNotNull && pmod(col("doc_id"), lit(25)) === 0 &&
+        size(split(trim(col("text")), "\\s+")) > 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        HF.hashEmbed(transform(split(concat(trim(col("text")), lit(" zzextra")),
+          "\\s+"), t => xxhash64(t)), 64).as("embedding"))
+    val top1 = graft.operators.VectorIndex.queryTopK(spark, probes, "doc_id",
+        "embedding", dir, k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    val hits = top1.count { case (q, n) => q - 1000000L == n }
+    assert(top1.nonEmpty && hits >= (top1.length * 0.8).toInt,
+      s"near-copies must mostly find their source at rank 1: $hits/${top1.length}")
   }
 }
