@@ -3645,14 +3645,18 @@ object Queries {
       // bit-identical to the HOF reference on the xxhash64 path.
       // Same deterministic ¼ doc sample as q98 (per-doc evidence;
       // sha-256 volume is the expensive replayable ingredient).
+      // Output is flattened to scalar (doc_id, bucket, value) rows —
+      // the q51 idiom — because the driver's canonicalization cannot
+      // hash array-typed columns (BASELINE.md authoring rules).
       val Sk = graft.operators.Sketches
       Tables.documents(s, d)
         .where(col("text").isNotNull && pmod(col("doc_id"), lit(4)) === 0)
         .select(col("doc_id"),
           transform(TF.tokens(col("text")), t => Sk.sha60(t)).as("hs"))
-        .select(col("doc_id"),
-          transform(HF.hashEmbed(col("hs"), 16), x => round(x, 4)).as("emb"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), posexplode(HF.hashEmbed(col("hs"), 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("bucket"),
+          round(col("col"), 4).as("value"))
+        .orderBy(col("doc_id"), col("bucket"))
     },
     Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
         FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0),
@@ -3662,14 +3666,13 @@ object Queries {
           sum(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
         FROM u GROUP BY 1, 2),
       n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM s GROUP BY 1),
-      grid AS (SELECT DISTINCT u.doc_id, r.i FROM u CROSS JOIN range(16) r(i)),
-      e AS (SELECT g.doc_id, g.i,
-          CASE WHEN n.nrm > 0 THEN round(coalesce(s.v, 0.0) / n.nrm, 4)
-               ELSE 0.0 END AS x
-        FROM grid g JOIN n ON g.doc_id = n.doc_id
-        LEFT JOIN s ON s.doc_id = g.doc_id AND s.b = g.i)
-      SELECT doc_id, list(x ORDER BY i) AS emb
-      FROM e GROUP BY 1 ORDER BY 1"""))
+      grid AS (SELECT DISTINCT u.doc_id, r.i FROM u CROSS JOIN range(16) r(i))
+      SELECT g.doc_id, CAST(g.i AS INT) AS bucket,
+        CASE WHEN n.nrm > 0 THEN round(coalesce(s.v, 0.0) / n.nrm, 4)
+             ELSE 0.0 END AS value
+      FROM grid g JOIN n ON g.doc_id = n.doc_id
+      LEFT JOIN s ON s.doc_id = g.doc_id AND s.b = g.i
+      ORDER BY 1, 2"""))
 
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a

@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Names of output columns whose type the driver's canonicalization
+    * cannot hash (array/struct/map — pandas `sort_values` dies on them),
+    * or None if the schema is all-scalar. Factored out so the rejection
+    * rule itself is unit-testable (VerifySpec). */
+  def complexOutputColumns(schema: org.apache.spark.sql.types.StructType)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[MapType] => f.name
+    }.toSeq
+    if (bad.isEmpty) None else Some(bad)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,8 +40,21 @@ object Verify {
     }
     selected
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        val df = fn(spark, sfDir)
+        // The driver canonicalizes artifacts through a pandas sort that
+        // cannot hash array/struct/map cells (BASELINE.md "Driver-oracle
+        // authoring rules", learned round 6 and re-learned on q118 round
+        // 15). Fail the query HERE, at dump time, so local green implies
+        // driver green — flatten to scalar rows (the q51/q118 idiom).
+        complexOutputColumns(df.schema).foreach { bad =>
+          throw new IllegalStateException(
+            s"output columns $bad are array/struct/map-typed — the driver's " +
+              "pandas canonicalization cannot hash these; flatten to scalar " +
+              "rows (e.g. posexplode to (id, pos, value))")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

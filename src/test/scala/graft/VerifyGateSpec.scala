@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The Verify-time output-shape gate: the driver canonicalizes every
+  * artifact through a pandas sort that cannot hash array/struct/map
+  * cells (q118 round-15 post-mortem; BASELINE.md "Driver-oracle
+  * authoring rules"). [[Verify.complexOutputColumns]] rejects such
+  * schemas at dump time so local green implies driver green.
+  */
+class VerifyGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array-typed output column is rejected by name") {
+    val df = Seq((1L, Seq(0.1, 0.2))).toDF("id", "emb")
+    assert(Verify.complexOutputColumns(df.schema) === Some(Seq("emb")))
+  }
+
+  test("struct and map columns are rejected; multiple names reported") {
+    val df = Seq((1L, "x")).toDF("id", "s")
+      .select(col("id"), struct(col("s")).as("st"),
+        map(lit("k"), col("s")).as("m"))
+    assert(Verify.complexOutputColumns(df.schema) === Some(Seq("st", "m")))
+  }
+
+  test("all-scalar schema passes") {
+    val df = Seq((1L, "x", 2.0, true)).toDF("id", "s", "v", "b")
+    assert(Verify.complexOutputColumns(df.schema) === None)
+  }
+
+  test("every SparkEntry query declares itself via the same gate shape") {
+    // The gate's contract is schema-level, so the full-surface sweep is
+    // the Verify run itself; here we pin that the helper sees through a
+    // nested select the way Verify will (post-plan, pre-write).
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "hs")
+      .select(col("id"), posexplode(col("hs")))
+      .select(col("id"), col("pos").cast("int").as("bucket"),
+        col("col").as("value"))
+    assert(Verify.complexOutputColumns(df.schema) === None)
+  }
+}

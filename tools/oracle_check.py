@@ -17,6 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+class ComplexCellError(Exception):
+    """An array/struct/map-typed cell the driver's pandas canonicalization
+    cannot hash (TypeError: unhashable type) — mirror that as a loud local
+    FAIL so local green implies driver green (the q118 round-15 lesson)."""
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -24,6 +30,11 @@ def canon(rows, cols):
         rr = []
         for i in order:
             v = r[i]
+            if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                raise ComplexCellError(
+                    f"column '{cols[i]}' holds {type(v).__name__} cells — "
+                    "the driver's pandas sort cannot hash these; flatten to "
+                    "scalar rows (BASELINE.md authoring rules)")
             if isinstance(v, float):
                 v = "NaN" if math.isnan(v) else repr(v)
             rr.append(str(v))
@@ -73,8 +84,13 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        mc, mr = canon(my_rows, my_cols)
-        ocn, orr = canon(o_rows, o_cols)
+        try:
+            mc, mr = canon(my_rows, my_cols)
+            ocn, orr = canon(o_rows, o_cols)
+        except ComplexCellError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if mc != ocn:
             print(f"FAIL {name}: columns {mc} != {ocn}")
             n_fail += 1
