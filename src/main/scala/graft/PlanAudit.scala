@@ -56,14 +56,23 @@ object PlanAudit {
           s"(learned ${merges.size}; last=${merges.lastOption})")
       case "time" =>
         val reps = if (args.length > 3) args(3).toInt else 3
+        // fetch the bean ONCE and pattern-match: on JVMs whose platform
+        // bean lacks the com.sun interface the audit degrades to
+        // wall-only instead of dying in a ClassCastException
+        val osBean = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean match {
+          case b: com.sun.management.OperatingSystemMXBean => Some(b)
+          case _ => None
+        }
         for (r <- 1 to reps; n <- names) {
-          val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-            .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-          val c0 = osBean.getProcessCpuTime
+          val c0 = osBean.map(_.getProcessCpuTime)
           val t0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
-          System.err.println(f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-            f"cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.1f s")
+          val cpu = osBean.zip(c0)
+            .map { case (b, c) => f" cpu=${(b.getProcessCpuTime - c) / 1e9}%.1f s" }
+            .getOrElse("")
+          System.err.println(
+            f"[audit] rep $r $n: ${(System.nanoTime() - t0) / 1e9}%.2f s" + cpu)
         }
       case "sem" =>
         import org.apache.spark.sql.functions._

@@ -33,6 +33,31 @@ object Probe {
   private def rm(f: java.io.File): Unit =
     graft.sources.Compaction.deleteLocalDir(f)
 
+  /** Probe-cache discipline (r15 ADVICE): cached indexes key on the
+    * FIXTURE CONTENT (the q115 `_SRC_FP` idiom — names+sizes+mtimes of
+    * `embeddings.parquet`), never just the path — a fixture regenerated
+    * at the same path must invalidate the cache, or the probe reports
+    * wall/cpu/recall for a stale index with no failure signal. The
+    * `fpSuffix` pins the index layout/format so a probe-sizing change
+    * also rebuilds. */
+  private def cachedEmbIndexDir(tag: String, sfDir: String, fpSuffix: String)(
+      build: String => Unit): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${tag}_${Integer.toHexString(sfDir.hashCode)}")
+    val marker = new java.io.File(dir, "_SRC_FP")
+    val srcFp = Queries.fixtureFingerprint(sfDir, "embeddings.parquet") + fpSuffix
+    val fresh = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").trim != srcFp
+    if (fresh) {
+      rm(dir)
+      build(dir.toString)
+      java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+      ()
+    }
+    dir.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("state")
     val spark = Sessions.local(
@@ -344,11 +369,8 @@ object Probe {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/scale/sf1")
     val emb = Tables.embeddings(spark, d).localCheckpoint(true)
     val n = emb.count()
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_q110_${Integer.toHexString(d.hashCode)}").toString
-    if (!new java.io.File(dir, "_build_complete").exists()) {
-      rm(new java.io.File(dir))
-      VectorIndex.build(emb, "vec_id", "embedding", dir,
+    val dir = cachedEmbIndexDir("graft_q110", d, "|vecindex-v5|k=sqrt") {
+      dd => VectorIndex.build(emb, "vec_id", "embedding", dd,
         k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
     }
     val planted = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -670,11 +692,9 @@ object Probe {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/scale/sf1")
     val emb = Tables.embeddings(spark, d).localCheckpoint(true)
     val n = emb.count()
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vecpqdecade_${Integer.toHexString(d.hashCode)}").toString
-    if (!new java.io.File(dir, "_build_complete").exists()) {
-      rm(new java.io.File(dir))
-      VectorIndex.build(emb, "vec_id", "embedding", dir,
+    val dir = cachedEmbIndexDir("graft_vecpqdecade", d,
+        "|vecindex-v5|k=sqrt|pq16") {
+      dd => VectorIndex.build(emb, "vec_id", "embedding", dd,
         k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5,
         pqM = 16)
     }

@@ -3524,10 +3524,10 @@ object Queries {
       // postings store 16 short codes per vector instead of the f64
       // embedding, the probe fetches a quantized top-50 shortlist, and
       // the exact re-rank against the full-precision corpus restores
-      // rank-1 exactness. Determinism argument at the gate SF: the
-      // copy co-assigns with its source (full-precision assignment,
-      // same tie rule), nprobe 2 cells hold ~2n/k < 50 candidates, so
-      // the shortlist contains EVERY candidate — including the source
+      // rank-1 exactness. Determinism argument at ANY SF: the copy
+      // co-assigns with its source (full-precision assignment, same
+      // tie rule), and the shortlist is derived from the measured max
+      // probed-cell occupancy, so it contains EVERY candidate
       // — and the exact re-rank puts it at rank 1, cosine 1.0 (×2 is
       // exact in float). Index + codebooks build once per fixture
       // fingerprint (the q109/q110 idiom).
@@ -3553,8 +3553,15 @@ object Queries {
       val planted = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
         .withColumn("vec_id", col("vec_id") + lit(offset))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      // the rank-1 guarantee needs the SHORTLIST to be exhaustive over
+      // the probed cells (quantized scores promise no rank floor, so a
+      // fixed 50 silently stops being sound once a probed pair of cells
+      // can hold more candidates — r15 ADVICE). Derive it from the
+      // measured bound; k-bounded aggregate, scale-proof oracle.
+      val sl = math.max(50L,
+        VI.maxProbeCandidates(s, dir.toString, nprobe = 2)).toInt
       VI.queryTopKRerank(s, planted, "vec_id", "embedding", dir.toString,
-          emb, "vec_id", "embedding", k = 1, shortlist = 50, nprobe = 2)
+          emb, "vec_id", "embedding", k = 1, shortlist = sl, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
         .orderBy(col("query_id"))
@@ -3592,9 +3599,9 @@ object Queries {
     (s, d) => {
       // q115's idiom over the IVF-SQ8 index: int8-coded postings, the
       // same quantized-shortlist → exact-rerank cadence, the same
-      // determinism argument (nprobe-2 cells hold fewer candidates
-      // than the shortlist at the gate SF, so the co-assigned source
-      // is always shortlisted and the exact rerank pins rank 1 at
+      // determinism argument (the measured-bound shortlist holds every
+      // probed-cell candidate at any SF, so the co-assigned source is
+      // always shortlisted and the exact rerank pins rank 1 at
       // cosine 1.0). Every 11th vector keeps the three planted-index
       // probes (q110 f32 / q115 pq / q117 sq8) on disjoint moduli so
       // the oracles stay visually distinct in CORRECTNESS rows.
@@ -3620,8 +3627,13 @@ object Queries {
       val planted = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
         .withColumn("vec_id", col("vec_id") + lit(offset))
         .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      // measured-bound shortlist, same soundness argument as q115: the
+      // shortlist must be exhaustive over the probed cells for rank-1
+      // exactness to survive any fixture size (r15 ADVICE)
+      val sl = math.max(50L,
+        VI.maxProbeCandidates(s, dir.toString, nprobe = 2)).toInt
       VI.queryTopKRerank(s, planted, "vec_id", "embedding", dir.toString,
-          emb, "vec_id", "embedding", k = 1, shortlist = 50, nprobe = 2)
+          emb, "vec_id", "embedding", k = 1, shortlist = sl, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
         .orderBy(col("query_id"))
@@ -3674,12 +3686,188 @@ object Queries {
       LEFT JOIN s ON s.doc_id = g.doc_id AND s.b = g.i
       ORDER BY 1, 2"""))
 
+  // ------------------------------------------- SQL-text front door (r15 item 6)
+  // q113 proved REACHABILITY (one agg through a native function); these
+  // widen the door across the op families a SQL-arriving user tries
+  // first — a set op, window functions, a rollup, a join chain — each
+  // authored as a spark.sql(...) STRING over Views.registerFixture and
+  // hash-checked against near-identical DuckDB text. The plan under
+  // each is identical to the DataFrame form (ViewsSpec pins that), so
+  // these cost nothing at scale beyond their DataFrame twins.
+
+  private val q119 = Q(
+    "q119_sql_setop",
+    (s, d) => {
+      Views.registerFixture(s, d)
+      s.sql("""
+        SELECT o_custkey AS custkey
+        FROM orders WHERE o_totalprice > 150000
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        ORDER BY custkey""")
+    },
+    Some("""SELECT o_custkey AS custkey
+      FROM orders WHERE o_totalprice > 150000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      ORDER BY custkey"""))
+
+  private val q120 = Q(
+    "q120_sql_window",
+    (s, d) => {
+      // two window shapes in one SQL string: a partitioned row_number
+      // rank and a running-sum frame — the W1/W3 families through the
+      // text door. The deterministic o_orderkey tie-break keeps both
+      // engines' orders identical; the custkey sample keeps the row
+      // count gate-sized.
+      Views.registerFixture(s, d)
+      s.sql("""
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+          CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+          round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend
+        FROM orders
+        WHERE o_custkey % 50 = 0
+        ORDER BY custkey, orderkey""")
+    },
+    Some("""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend
+      FROM orders
+      WHERE o_custkey % 50 = 0
+      ORDER BY custkey, orderkey"""))
+
+  private val q121 = Q(
+    "q121_sql_rollup",
+    (s, d) => {
+      // GROUP BY ROLLUP through the text door (the A5 family);
+      // coalesce names the grand-total row so the total ORDER BY stays
+      // null-proof on both engines.
+      Views.registerFixture(s, d)
+      s.sql("""
+        SELECT coalesce(n_name, '(all)') AS nation,
+          CAST(count(*) AS BIGINT) AS n_cust,
+          round(sum(c_acctbal), 2) AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name)
+        ORDER BY nation""")
+    },
+    Some("""SELECT coalesce(n_name, '(all)') AS nation,
+        CAST(count(*) AS BIGINT) AS n_cust,
+        round(sum(c_acctbal), 2) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name)
+      ORDER BY nation"""))
+
+  private val q122 = Q(
+    "q122_sql_join_chain",
+    (s, d) => {
+      // the J5 FK chain (orders→customer→nation→region) as one SQL
+      // string — four scans, three equi-joins, an agg; Catalyst plans
+      // the dimension sides as broadcasts exactly as the DataFrame
+      // form does.
+      Views.registerFixture(s, d)
+      s.sql("""
+        SELECT r_name AS region,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY region""")
+    },
+    Some("""SELECT r_name AS region,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY region"""))
+
+  private val q123 = Q(
+    "q123_text_ann_bridge",
+    (s, d) => {
+      // the text→embedding→index bridge END-TO-END (r15 item 7; the
+      // composition the spec floor covers, now oracle-checked): raw
+      // documents → signed feature hashing (HashEmbed, the production
+      // xxhash64 path — no sha twin needed because the oracle predicts
+      // RETRIEVAL, not embedding values) → a persisted f32 VectorIndex
+      // → planted verbatim-copy queries must retrieve their source at
+      // rank 1, cosine 1.0.
+      // Determinism: a verbatim copy embeds BIT-IDENTICALLY (hashEmbed
+      // is a pure function of the token multiset), so it co-assigns
+      // with its source and scores exactly 1.0 — the max possible on
+      // unit vectors, unique unless another doc shares the embedding.
+      // Queries are restricted to docs whose sorted token list is
+      // GLOBALLY UNIQUE (kills the dedup-fixture duplicate texts, on
+      // both engines symmetrically) with >= 5 tokens (multi-token vote
+      // vectors; a proportional-multiset collision then needs 64
+      // bucket votes to align — vanishing, and any residual collision
+      // fails LOUDLY as a row mismatch, never silently).
+      val VI = graft.operators.VectorIndex
+      val docs = Tables.documents(s, d)
+      def embed(df: DataFrame) = df
+        .select(col("doc_id"),
+          HF.hashEmbed(transform(TF.tokens(col("text")), t => xxhash64(t)), 64)
+            .as("emb"))
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q123_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") +
+        "|hashembed64|vecindex-v5|k=sqrt"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        val corpus = embed(docs.where(col("text").isNotNull))
+        val n = corpus.count()
+        VI.build(corpus, "doc_id", "emb", dir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val offset = plantedIdOffset(docs, "doc_id")
+      val uniq = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          array_sort(TF.tokens(col("text"))).as("__tl"))
+        .groupBy(col("__tl"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
+          count(lit(1)).as("__c"))
+        .where(col("__c") === 1 && size(col("__tl")) >= 5 &&
+          pmod(col("doc_id"), lit(13)) === 0)
+      val planted = embed(
+        uniq.select((col("doc_id") + lit(offset)).as("doc_id"), col("text")))
+      VI.queryTopK(s, planted, "doc_id", "emb", dir.toString, k = 1, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_sort(string_split_regex(trim(text), '\s+')) AS tl
+        FROM documents WHERE text IS NOT NULL),
+      g AS (SELECT tl, min(doc_id) AS doc_id, count(*) AS c
+        FROM t GROUP BY tl)
+      SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS query_id,
+        doc_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM g WHERE c = 1 AND len(tl) >= 5 AND doc_id % 13 = 0
+      ORDER BY query_id"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
     * path must invalidate the index, silently stale state has no
     * failure signal. */
-  private def fixtureFingerprint(sfDir: String, table: String): String = {
+  private[graft] def fixtureFingerprint(sfDir: String, table: String): String = {
     val src = new java.io.File(sfDir, table)
     val files = Option(if (src.isDirectory) src.listFiles() else Array(src))
       .getOrElse(Array.empty).sortBy(_.getName)
@@ -3701,5 +3889,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118)
+    q117, q118, q119, q120, q121, q122, q123)
 }

@@ -584,9 +584,14 @@ object Similarity {
     *
     * `residualOf` (the IVFPQ mode [[VectorIndex]] uses): when given
     * the frozen coarse centroids, training runs on RESIDUALS
-    * `x̂ − centroid(x̂)` — assignment replicating the index's one
-    * cell-selection rule (max cosine, ties → lower id) — so the codes
-    * describe intra-cell structure instead of re-covering the sphere.
+    * `x̂ − centroid(x̂)` — assignment applies the index's cell-selection
+    * RULE (max cosine, ties → lower id) in local arithmetic, which can
+    * differ from the codegen kernel path by floating-point association
+    * order on boundary-tied samples; that perturbs only which residual
+    * a near-tied TRAINING vector contributes, never index assignment,
+    * probe parity, or determinism (this loop is itself deterministic).
+    * The codes then describe intra-cell structure instead of
+    * re-covering the sphere.
     * Measured on the clustered fixture this is the difference between
     * recall@10 ≈ 0.3 and the production numbers in BASELINE.md's r15
     * PQ table. Null → raw-vector training (standalone PQ compression).
@@ -629,11 +634,13 @@ object Similarity {
     require(normedSample.forall(_.length == dim),
       "pqCodebooks: embeddings disagree on dimension")
     // residual mode (the IVFPQ contract): train on x̂ − centroid(x̂),
-    // assignment replicating the index's one cell-selection rule (max
-    // cosine, ties → lower id) — codes then spend their 8 bits on the
-    // intra-cell structure instead of re-describing the sphere the
-    // coarse centroids already locate. Raw-vector training (residualOf
-    // null) remains for standalone PQ compression outside an IVF index.
+    // assignment applying the index's cell-selection RULE (max cosine,
+    // ties → lower id) in local arithmetic — see the scaladoc for the
+    // float-association caveat on boundary-tied samples — so codes
+    // spend their 8 bits on intra-cell structure instead of
+    // re-describing the sphere the coarse centroids already locate.
+    // Raw-vector training (residualOf null) remains for standalone PQ
+    // compression outside an IVF index.
     val sample =
       if (residualOf == null) normedSample
       else {

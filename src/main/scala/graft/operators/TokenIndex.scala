@@ -70,6 +70,35 @@ object TokenIndex {
   private def arraysDir(indexDir: String) = s"$indexDir/arrays"
   private def dfDir(indexDir: String) = s"$indexDir/df"
   private def statsDir(indexDir: String) = s"$indexDir/stats"
+  private def tombstonesDir(indexDir: String) = s"$indexDir/tombstones"
+
+  /** Takedown contract (VERDICT r15 item 5), the same tombstone ledger
+    * as [[VectorIndex.delete]]: mark corpus ids deleted. Probes
+    * ([[containmentJoinIndexed]], [[flaggedCorpusIds]], [[bm25Indexed]])
+    * anti-join the ledger immediately — a taken-down document can never
+    * again be a containment hit or a retrieval result — and the next
+    * [[compact]] physically drops its postings/arrays rows, RE-DERIVES
+    * df and the BM25 (N, avgdl) stats from the survivors (healing the
+    * collection-level staleness scoring tolerates in between), then
+    * clears the ledger (re-add semantics after that).
+    *
+    * Idempotent under redelivery (appended distinct ids; set-op
+    * consumers). The LIVE ledger is inter-compaction-bounded, so the
+    * probe-side anti-joins broadcast it.
+    */
+  def delete(ids: DataFrame, idCol: String, indexDir: String): Unit =
+    ids.select(col(idCol).as("corpus_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+
+  private def tombstones(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(tombstonesDir(indexDir))
+        .select(col("corpus_id")).distinct())
+    else None
+  }
 
   /** Index one corpus ingest batch: append its postings and df delta
     * under `runId`. Contract: append-only corpus, one batch per run id
@@ -174,8 +203,13 @@ object TokenIndex {
       .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
     val postings = spark.read.parquet(postingsDir(indexDir))
       .select(col("tok"), col("corpus_id"))
-    val cands = broadcast(prefixes).join(postings, "tok")
+    // takedowns anti-join at the candidate (not postings) level: the
+    // candidate set is already the bounded side, so the ledger filter
+    // costs candidate-sized work and the postings scan is untouched
+    val cands0 = broadcast(prefixes).join(postings, "tok")
       .select(col("probe_id"), col("corpus_id")).distinct()
+    val cands = tombstones(spark, indexDir).fold(cands0)(t =>
+      cands0.join(broadcast(t), Seq("corpus_id"), "left_anti"))
       // feeds the semi-filter AND the pair join; without the snapshot
       // the prefix/postings subtree would run twice
       .localCheckpoint(true)
@@ -244,10 +278,16 @@ object TokenIndex {
       .agg(max(col("n_docs")).as("n_docs"), max(col("sum_dl")).as("sum_dl"))
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
-    val p = spark.read.parquet(postingsDir(indexDir))
+    val pLive = spark.read.parquet(postingsDir(indexDir))
       .filter(col("tok").isin(terms: _*))
       .select(col("corpus_id"), col("tok"), col("tf"), col("dl"))
       .distinct() // term-bounded; absorbs retried + re-ingested rows
+    // taken-down docs can never score; df below re-derives from the
+    // surviving matched postings, while the collection stats (N,
+    // avgdl) stay ledger-stale until compact heals them — the same
+    // performance-not-recall staleness class as the df note above
+    val p = tombstones(spark, indexDir).fold(pLive)(t =>
+      pLive.join(broadcast(t), Seq("corpus_id"), "left_anti"))
     val df = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     p.join(broadcast(df), "tok")
       .crossJoin(broadcast(st))
@@ -272,15 +312,22 @@ object TokenIndex {
       val h = df.agg(max(col("run_id"))).collect().head
       if (h.isNullAt(0)) 0L else h.getLong(0)
     }
+    // tombstoned docs drop physically in both folds (probes only mask
+    // them between delete and compact); df/stats re-derive from the
+    // folded survivors below, so the BM25 collection stats heal here
+    val tomb = tombstones(spark, indexDir)
+    def dropTakedowns(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(broadcast(t), Seq("corpus_id"), "left_anti"))
     val p = graft.sources.Compaction.rewriteParquetDir(spark,
         postingsDir(indexDir), targetBytes) { df =>
-      df.select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct()
+      dropTakedowns(
+        df.select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct())
         .withColumn("run_id", lit(horizon(df)))
         .select(col("tok"), col("corpus_id"), col("tf"), col("dl"), col("run_id"))
     }
     val a = graft.sources.Compaction.rewriteParquetDir(spark,
         arraysDir(indexDir), targetBytes) { df =>
-      df.select(col("corpus_id"), col("toks")).distinct()
+      dropTakedowns(df.select(col("corpus_id"), col("toks")).distinct())
         .withColumn("run_id", lit(horizon(df)))
         .select(col("corpus_id"), col("toks"), col("run_id"))
     }
@@ -301,6 +348,12 @@ object TokenIndex {
         .withColumn("run_id", lit(horizon(df)))
         .select(col("n_docs"), col("sum_dl"), col("run_id"))
     }
+    // takedowns are now physical — retire the ledger (re-add semantics
+    // after this; a crash before this line leaves stale tombstones over
+    // already-dropped rows, a harmless anti-join no-op)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
     (p, d, a)
   }
 }

@@ -369,6 +369,40 @@ object VectorIndex {
 
   private[graft] def runStatsDir(indexDir: String) = s"$indexDir/run_stats"
 
+  private[graft] def tombstonesDir(indexDir: String) = s"$indexDir/tombstones"
+
+  /** Takedown contract (VERDICT r15 item 5): mark `idCol` values
+    * deleted. Deletes are TOMBSTONES, not rewrites — one appended
+    * parquet of distinct ids; every probe anti-joins them out
+    * immediately, and the next [[compact]] physically drops the rows
+    * AND clears the tombstone set (after which a re-appended vector
+    * under the same id is live again — re-add semantics, the takedown
+    * ledger does not outlive the data it covered).
+    *
+    * Idempotent under redelivery: a retried delete appends identical
+    * id rows, and both the probe anti-join and the compaction drop are
+    * set operations. Scale contract: the LIVE tombstone set is the
+    * inter-compaction takedown volume — bounded small in practice
+    * (probes broadcast it); a takedown of most of the corpus should be
+    * a re-[[build]] of the survivors instead.
+    */
+  def delete(ids: DataFrame, idCol: String, indexDir: String): Unit =
+    ids.select(col(idCol).as("vec_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+
+  /** The live tombstone id set, or None when no delete was ever issued
+    * (the common case — probes then skip the anti-join entirely, so
+    * the plan pins of the no-takedown path are untouched). */
+  private[graft] def tombstones(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(tombstonesDir(indexDir))
+        .select(col("vec_id")).distinct())
+    else None
+  }
+
   /** The frozen-centroid drift signal (VERDICT r14 item 3): per run,
     * the mean assignment cosine vs the baseline run — the LOWEST run
     * id present, which for a [[build]]-made index is run 0, the batch
@@ -473,6 +507,13 @@ object VectorIndex {
     * absmax/254), so returned `cosine` values carry quantization noise
     * — callers needing exact scores re-rank the returned k candidates
     * against their full-precision source of truth.
+    *
+    * The `nprobe = 2` default suits CLUSTERED corpora (the r15 recall
+    * curves: recall@10 ≥ 0.99 there) and can silently under-recall a
+    * DIFFUSE one (same curves: nprobe 16+ needed). When a recall
+    * target matters, measure instead of guessing — [[calibrateNprobe]]
+    * picks the dial from a query sample, and
+    * [[queryTopKCalibrated]] is that loop packaged as one call.
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
@@ -522,10 +563,17 @@ object VectorIndex {
         (q, c) => VectorFunctions.pqResidualCosine(q, c, col("__cent"), cbs)
       case _ => (q, c) => VectorFunctions.cosineNative(q, c)
     }
-    val postings0 = spark.read.parquet(postingsDir(indexDir))
+    val postingsLive = spark.read.parquet(postingsDir(indexDir))
       .where(col("cell_bucket").isin(buckets: _*) &&
         col("centroid_id").isin(cells: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), ce.as("__ce"))
+    // takedowns anti-join out here — broadcast (the live tombstone set
+    // is inter-compaction-bounded; see delete()), so the postings scan
+    // still never shuffles and the no-takedown plan is bit-unchanged
+    val postings0 = tombstones(spark, indexDir).fold(postingsLive)(t =>
+      postingsLive.join(
+        broadcast(t.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti"))
     val postings = fmt match {
       case Pq => postings0.join(
         broadcast(spark.read.parquet(centroidsDir(indexDir))
@@ -639,6 +687,27 @@ object VectorIndex {
       k)
   }
 
+  /** Upper bound on the candidate-set size ANY single query can see at
+    * `nprobe`: the summed posting counts of the `nprobe` most-populated
+    * cells (distinct vec_ids — retried appends don't inflate it). A
+    * [[queryTopKRerank]] `shortlist >= maxProbeCandidates(nprobe)` makes
+    * the shortlist provably exhaustive — the rerank is then EXACT over
+    * the probed cells at any corpus size, which is the guarantee
+    * planted-retrieval oracles need (quantized scores alone promise no
+    * rank floor; r15 ADVICE). Cost: one column-pruned postings
+    * aggregate, k-bounded output.
+    */
+  def maxProbeCandidates(spark: SparkSession, indexDir: String,
+      nprobe: Int): Long = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    val top = spark.read.parquet(postingsDir(indexDir))
+      .groupBy(col("centroid_id"))
+      .agg(count_distinct(col("vec_id")).as("n"))
+      .orderBy(col("n").desc).limit(nprobe)
+      .agg(sum(col("n"))).collect().head
+    if (top.isNullAt(0)) 0L else top.getLong(0)
+  }
+
   /** Pick the smallest `nprobe` meeting `targetRecall` on a SAMPLE of
     * the real query workload — the operational answer to "what nprobe
     * do I run?", which the r15 recall curves show is REGIME-dependent
@@ -684,6 +753,35 @@ object VectorIndex {
     (chosen, recalls)
   }
 
+  /** [[queryTopK]] with the nprobe dial MEASURED instead of guessed
+    * (r15 item 8): calibrate on a bounded sample of the batch itself
+    * against `targetRecall`, then probe the full batch at the chosen
+    * setting. This is the guard against the regime trap the recall
+    * curves document — nprobe 2 is recall ≥ 0.99 on a clustered corpus
+    * and can be well under target on a diffuse one, and nothing about
+    * a query batch announces which regime it is in.
+    *
+    * Cost: [[calibrateNprobe]] on `sampleRows` queries (exhaustive
+    * ground-truth probe + one probe per candidate) — amortize over a
+    * large batch or a repeated workload; for one-off small batches
+    * call [[queryTopK]] with an explicit nprobe instead. The sample is
+    * the batch HEAD (deterministic, no re-shuffle); callers whose
+    * batch is sorted by anything recall-correlated should pre-mix.
+    * When no candidate meets the target the largest is used (same
+    * fall-back contract as [[calibrateNprobe]] — treat a returned
+    * recall below target as "re-examine k or the clustering").
+    */
+  def queryTopKCalibrated(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      targetRecall: Double = 0.95, sampleRows: Int = 256,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    require(sampleRows >= 1, "sampleRows must be at least 1")
+    val sample = queries.limit(sampleRows).localCheckpoint(true)
+    val (np, _) = calibrateNprobe(spark, sample, queryId, queryEmb, indexDir,
+      k, targetRecall, candidates)
+    queryTopK(spark, queries, queryId, queryEmb, indexDir, k, np)
+  }
+
   /** Fold the postings to the distinct vector set, in place,
     * horizon-tagged (retries and verbatim re-ingests collapse).
     * Hand-rolled rather than `rewriteParquetDir` because the postings
@@ -704,9 +802,16 @@ object VectorIndex {
     val input = spark.read.parquet(dir)
     val h = input.agg(max(col("run_id"))).collect().head
     val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
-    val folded = input.select(col("centroid_id"), col("vec_id"), col("emb"),
-        col("cell_bucket"))
+    // tombstoned rows drop PHYSICALLY here (probes only mask them);
+    // the ledger itself clears after the swap lands — a crash in
+    // between leaves stale tombstones over already-dropped rows, which
+    // the probe anti-join reads as a harmless no-op
+    val distinctRows = input.select(col("centroid_id"), col("vec_id"),
+        col("emb"), col("cell_bucket"))
       .distinct()
+    val survivors = tombstones(spark, indexDir).fold(distinctRows)(t =>
+      distinctRows.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val folded = survivors
       .select(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
         col("centroid_id"), col("cell_bucket"))
       .persist()
@@ -724,6 +829,10 @@ object VectorIndex {
         (before, after)
       } finally folded.unpersist(blocking = false)
     graft.sources.Compaction.swapTmpIntoPlace(spark, dir)
+    // the takedowns are now physical — retire the ledger (re-add
+    // semantics from here; see delete())
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
+    if (fs.exists(tp)) fs.delete(tp, true)
     result
   }
 }

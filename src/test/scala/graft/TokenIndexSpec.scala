@@ -194,4 +194,44 @@ class TokenIndexSpec extends SparkSpec {
     assert(after == before, "compaction must be lossless for every probe")
     assert(before.nonEmpty)
   }
+
+  test("takedowns: delete excludes from containment/flagging/bm25, compact drops + heals stats, reruns no-op") {
+    val base = Files.createTempDirectory("tokidx_del")
+    val idxDir = s"$base/idx"
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"),
+      (3L, "alpha beta gamma zeta"), (4L, "unrelated words entirely here"))
+      .toDF("id", "text")
+    TokenIndex.append(corpus, "id", "text", idxDir, 0L)
+    val probes = Seq((10L, "beta gamma")).toDF("pid", "ptext")
+    def pairs() = sortedPairs(TokenIndex.containmentJoinIndexed(
+      spark, probes, "pid", "ptext", idxDir, 1.0))
+    assert(pairs().map(_._2) == Seq(1L, 2L, 3L))
+    TokenIndex.delete(Seq(2L).toDF("id"), "id", idxDir)
+    assert(pairs().map(_._2) == Seq(1L, 3L),
+      "a taken-down doc must never again be a containment hit")
+    val flagged = TokenIndex.flaggedCorpusIds(spark, probes, "pid", "ptext",
+      idxDir, 1.0).as[Long].collect().sorted.toSeq
+    assert(flagged == Seq(1L, 3L), "flagging inherits the exclusion")
+    val scored = TokenIndex.bm25Indexed(spark, idxDir, Seq("beta", "zeta"))
+      .select(col("corpus_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(scored == Seq(1L, 3L), "bm25 must not score a taken-down doc")
+    // redelivered delete: absorbed
+    TokenIndex.delete(Seq(2L).toDF("id"), "id", idxDir)
+    assert(pairs().map(_._2) == Seq(1L, 3L))
+    // compact: postings/arrays drop doc 2 physically, stats heal to the
+    // surviving 3 docs, the ledger retires
+    val ((pb, pa), _, (ab, aa)) = TokenIndex.compact(spark, idxDir)
+    assert(pb > pa && ab > aa, s"takedown rows must drop: postings $pb->$pa arrays $ab->$aa")
+    assert(aa == 3L, "arrays fold to the surviving docs")
+    val nDocs = spark.read.parquet(s"$idxDir/stats")
+      .agg(max(col("n_docs"))).as[Long].collect().head
+    assert(nDocs == 3L, "BM25 collection stats must heal at compact")
+    assert(!new java.io.File(idxDir, "tombstones").exists(),
+      "the ledger must retire once takedowns are physical")
+    assert(pairs().map(_._2) == Seq(1L, 3L), "physical drop answers like the mask")
+    // rerun: a second compact folds nothing further
+    val ((pb2, pa2), _, (ab2, aa2)) = TokenIndex.compact(spark, idxDir)
+    assert(pb2 == pa2 && ab2 == aa2, "rerun compact must be a no-op")
+    assert(pairs().map(_._2) == Seq(1L, 3L))
+  }
 }

@@ -352,6 +352,39 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("queryTopKCalibrated meets the recall target on a diffuse corpus where the default nprobe under-recalls") {
+    // the packaged calibrate-then-probe loop (r15 item 8): on the
+    // diffuse regime the queryTopK DEFAULT (nprobe 2) measurably
+    // under-recalls, and the calibrated entry point must close the gap
+    // to the target by measuring, not guessing
+    val idxDir = s"${Files.createTempDirectory("vecidx_calq")}/idx"
+    val corpus = SynthEmbeddings.clustered(spark, 2000, dim = 64, clusters = 20,
+      noise = 0.30, seed = 42L, pointSeed = 1042L).localCheckpoint(true)
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 45, maxIter = 5)
+    val queries = SynthEmbeddings.clustered(spark, 200, dim = 64, clusters = 20,
+      noise = 0.30, seed = 42L, pointSeed = 7042L, idOffset = 1000000L)
+      .localCheckpoint(true)
+    // ground truth = probing every cell (spec-pinned exact)
+    val truth = VectorIndex.queryTopK(spark, queries, "vec_id", "embedding",
+        idxDir, k = 10, nprobe = 45)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTruth = truth.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count() / nTruth
+    val rDefault = recallOf(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 10))
+    val rCal = recallOf(VectorIndex.queryTopKCalibrated(
+      spark, queries, "vec_id", "embedding", idxDir, k = 10,
+      targetRecall = 0.95, sampleRows = 100,
+      candidates = Seq(1, 2, 4, 8, 16, 32)))
+    assert(rDefault < 0.95,
+      s"fixture must exhibit the regime trap (default recall $rDefault)")
+    assert(rCal >= 0.93, // sample-vs-batch slack under the 0.95 target
+      s"calibrated probe must close the gap: $rCal (default was $rDefault)")
+  }
+
   test("IVF-SQ8: identical cell structure, near-identical retrieval, a fraction of the bytes") {
     // the Faiss IVF…,SQ8 analog (r15): postings store int8 codes, cell
     // assignment stays full-precision (bit-identical structure to the
@@ -555,5 +588,66 @@ class VectorIndexSpec extends SparkSpec {
       .select(col("vec_id")).as[Long].collect().sorted.toSeq
       .map(v => (v + 10000L, v, 1.0))
     assert(got == want, s"every scaled copy must hit its source even at nprobe=1")
+  }
+
+  test("maxProbeCandidates bounds the probe; an exhaustive shortlist makes the rerank exact") {
+    val base = Files.createTempDirectory("vecidx_bound")
+    val idxDir = s"$base/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val indexed = emb.filter(col("embedding").isNotNull &&
+      size(col("embedding")) > 0).count()
+    // summing every cell recovers the whole indexed corpus; fewer cells
+    // bound strictly below it (k=8 cells are all non-empty here)
+    assert(VectorIndex.maxProbeCandidates(spark, idxDir, 8) == indexed)
+    val bound = VectorIndex.maxProbeCandidates(spark, idxDir, 2)
+    assert(bound > 0 && bound < indexed)
+    // the soundness contract q115/q117 ride: with shortlist >= the
+    // measured bound, the rerank sees EVERY probed-cell candidate, so
+    // on an f32 index it must equal the direct exact probe bit-for-bit
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val direct = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    val reranked = topk(VectorIndex.queryTopKRerank(
+      spark, queries, "vec_id", "embedding", idxDir,
+      emb, "vec_id", "embedding", k = 3, shortlist = bound.toInt, nprobe = 2))
+    assert(reranked == direct && direct.nonEmpty,
+      "exhaustive-shortlist rerank must equal the direct probe")
+  }
+
+  test("takedowns: delete excludes immediately, compact drops physically and retires the ledger, reruns no-op") {
+    val base = Files.createTempDirectory("vecidx_del")
+    val idxDir = s"$base/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def q() = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    val before = q()
+    // take down every query's rank-1 neighbor (its own source vector —
+    // cosine 1.0): the strongest possible match must still vanish
+    val victims = before.filter(_._4 == 1).map(_._2).distinct
+    assert(victims.nonEmpty)
+    VectorIndex.delete(victims.toDF("vec_id"), "vec_id", idxDir)
+    val after = q()
+    assert(after.nonEmpty && after != before)
+    assert(after.forall(r => !victims.contains(r._2)),
+      "a deleted id must never be returned as a neighbor")
+    // redelivered delete: identical ledger rows, identical answers
+    VectorIndex.delete(victims.toDF("vec_id"), "vec_id", idxDir)
+    assert(q() == after, "re-issued delete must be absorbed")
+    // compact drops the rows physically and retires the ledger
+    val (b, a) = VectorIndex.compact(spark, idxDir)
+    assert(b - a == victims.size.toLong,
+      s"compaction must drop exactly the tombstoned rows: $b -> $a")
+    assert(!new java.io.File(idxDir, "tombstones").exists(),
+      "the ledger must retire once takedowns are physical")
+    assert(q() == after, "physical drop must answer identically to the mask")
+    // rerun: nothing left to fold or drop
+    val (b2, a2) = VectorIndex.compact(spark, idxDir)
+    assert(b2 == a2, s"rerun compact must be a no-op: $b2 -> $a2")
+    assert(q() == after)
   }
 }
