@@ -77,6 +77,7 @@ object Probe {
       case "vecsq8" => vectorSq8Probe(spark)
       case "vecpq" => vectorPqProbe(spark)
       case "vecpqdecade" => vectorPqDecadeProbe(spark)
+      case "takedown" => takedownProbe(spark)
       case "vecdrift" => vectorDriftProbe(spark)
       case other => sys.error(s"unknown probe mode: $other")
     }
@@ -319,6 +320,65 @@ object Probe {
         f"'n_queries':$nq,'oneshot_sec':$oneShot%.2f,'indexed_sec':$indexed%.2f}")
     }
     rm(new java.io.File(dir))
+  }
+
+  /** Scale posture of the r16 takedown contract: probe wall at
+    * SPARK_GRAFT_SF_DIR scale under tombstone ledgers of 0 / 1% / 10%
+    * of the corpus, for both persisted indexes, plus the post-compact
+    * (ledger-retired) number — the claim under measurement is that the
+    * broadcast anti-join is NOISE next to the probe itself, because the
+    * live ledger is inter-compaction-bounded by contract.
+    */
+  private def takedownProbe(spark: SparkSession): Unit = {
+    import graft.operators.{TokenIndex, VectorIndex}
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/scale/sf1")
+    val emb = Tables.embeddings(spark, d).localCheckpoint(true)
+    val n = emb.count()
+    val base = java.nio.file.Files.createTempDirectory("graft_takedown")
+    val vdir = s"$base/vec"; val tdir = s"$base/tok"
+    VectorIndex.build(emb, "vec_id", "embedding", vdir,
+      k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
+    val docs = Tables.documents(spark, d).localCheckpoint(true)
+    TokenIndex.append(docs, "doc_id", "text", tdir, 0L)
+    val vq = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select((col("vec_id") + lit(10L * n)).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val tq = docs.filter(pmod(col("doc_id"), lit(100)) === 0 && col("text").isNotNull)
+      .select(col("doc_id").as("pid"),
+        concat_ws(" ", slice(graft.functions.TextFunctions.tokens(col("text")),
+          1, 8)).as("ptext"))
+      .localCheckpoint(true)
+    def clearLedger(dir: String): Unit = rm(new java.io.File(dir, "tombstones"))
+    for (fracPct <- Seq(0, 1, 10)) {
+      clearLedger(vdir); clearLedger(tdir)
+      if (fracPct > 0) {
+        VectorIndex.delete(
+          emb.filter(pmod(col("vec_id"), lit(100 / fracPct)) === 1)
+            .select(col("vec_id")), "vec_id", vdir)
+        TokenIndex.delete(
+          docs.filter(pmod(col("doc_id"), lit(100 / fracPct)) === 1)
+            .select(col("doc_id")), "doc_id", tdir)
+      }
+      val (vSec, vRows) = timeMin(3)(VectorIndex.queryTopK(
+        spark, vq, "vec_id", "embedding", vdir, k = 3, nprobe = 2).count())
+      val (tSec, tRows) = timeMin(3)(TokenIndex.containmentJoinIndexed(
+        spark, tq, "pid", "ptext", tdir, 0.75).count())
+      println(f"[probe] {'probe':'takedown','dir':'$d','n_vec':$n," +
+        f"'tombstone_pct':$fracPct,'vec_sec':$vSec%.2f,'vec_rows':$vRows," +
+        f"'tok_sec':$tSec%.2f,'tok_rows':$tRows}")
+    }
+    // post-compact: rows physically gone, ledger retired — probes pay
+    // nothing and answers match the 10%-masked view
+    val (vb, va) = VectorIndex.compact(spark, vdir)
+    TokenIndex.compact(spark, tdir)
+    val (vSec, vRows) = timeMin(3)(VectorIndex.queryTopK(
+      spark, vq, "vec_id", "embedding", vdir, k = 3, nprobe = 2).count())
+    val (tSec, tRows) = timeMin(3)(TokenIndex.containmentJoinIndexed(
+      spark, tq, "pid", "ptext", tdir, 0.75).count())
+    println(f"[probe] {'probe':'takedown','dir':'$d','stage':'post_compact'," +
+      f"'postings_before':$vb,'postings_after':$va,'vec_sec':$vSec%.2f," +
+      f"'vec_rows':$vRows,'tok_sec':$tSec%.2f,'tok_rows':$tRows}")
+    rm(base.toFile)
   }
 
   /** Where does [[graft.operators.VectorIndex.append]] spend its time?

@@ -90,13 +90,16 @@ object TokenIndex {
     ids.select(col(idCol).as("corpus_id")).distinct()
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
 
+  // not deduplicated — every consumer is anti-join/physical-drop
+  // (multiplicity-blind), and a distinct would buy an exchange for
+  // nothing (the sf1 takedown probe measured it as the ledger's
+  // dominant cost on the VectorIndex side)
   private def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir))
-        .select(col("corpus_id")).distinct())
+      Some(spark.read.parquet(tombstonesDir(indexDir)).select(col("corpus_id")))
     else None
   }
 

@@ -390,16 +390,19 @@ object VectorIndex {
     ids.select(col(idCol).as("vec_id")).distinct()
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
 
-  /** The live tombstone id set, or None when no delete was ever issued
+  /** The live tombstone ids, or None when no delete was ever issued
     * (the common case — probes then skip the anti-join entirely, so
-    * the plan pins of the no-takedown path are untouched). */
+    * the plan pins of the no-takedown path are untouched). NOT
+    * deduplicated: every consumer is a left-anti join or a physical
+    * drop, both multiplicity-blind, and a distinct here would buy an
+    * exchange for nothing (measured as the dominant ledger cost in the
+    * sf1 takedown probe). */
   private[graft] def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir))
-        .select(col("vec_id")).distinct())
+      Some(spark.read.parquet(tombstonesDir(indexDir)).select(col("vec_id")))
     else None
   }
 
