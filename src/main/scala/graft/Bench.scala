@@ -230,7 +230,13 @@ object Bench {
       // watches that the quantized shortlist stays candidate-bounded
       // and the rerank's corpus touch stays shortlist-sized as the
       // corpus grows (the corpus itself must never shuffle)
-      "q115_pq_index_rerank")
+      "q115_pq_index_rerank",
+      // round 16: the composed text→embed→index bridge (the embed must
+      // stay a pure shuffle-free projection and the probe
+      // probed-cells-sized as documents grow) and the KLL float-
+      // quantile state (reads must stay sketch-sized per key however
+      // long the stream)
+      "q123_text_ann_bridge", "q124_kll_quantile_state")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

@@ -3862,6 +3862,54 @@ object Queries {
       FROM g WHERE c = 1 AND len(tl) >= 5 AND doc_id % 13 = 0
       ORDER BY query_id"""))
 
+  private val q124 = Q(
+    "q124_kll_quantile_state",
+    (s, d) => {
+      // the KLL float-quantile state member (round 16 — the metric
+      // class the exact integer-bucket histogram family q106 refuses:
+      // arbitrary doubles), through the q106 in-query cadence: two
+      // parity-split delta sketches + a verbatim run-0 redelivery,
+      // merged at read. The q96 HLL oracle idiom: the EXACT ingredient
+      // (per-key n — KLL's n is a plain counter, deterministic, and a
+      // double-counted redelivery would read 1.5×) hash-checks
+      // directly, the estimates check as booleans against a ±0.05 rank
+      // window of the exact quantiles (≈ 4× the k=200 99% bound —
+      // KLL merge order is not bit-deterministic, so equality is the
+      // wrong contract; the window absorbs the jitter with the same
+      // 30× margin q96 uses).
+      val Sk = graft.operators.Sketches
+      val ev = Tables.events(s, d)
+        .where(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_id"), col("event_type"), col("value"))
+      val d0 = Sk.kllDeltaState(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          Seq("event_type"), col("value"))
+        .withColumn("run_id", lit(0L))
+        .localCheckpoint(true) // redelivery below must be VERBATIM bytes
+      val d1 = Sk.kllDeltaState(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          Seq("event_type"), col("value"))
+        .withColumn("run_id", lit(1L))
+      val states = d0.unionByName(d1).unionByName(d0)
+      val quant = Sk.kllStateQuantiles(states, Seq("event_type"), Seq(0.5, 0.95))
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.90)").as("lo95"),
+        expr("percentile(value, 1.00)").as("hi95"))
+      quant.join(broadcast(bounds), "event_type")
+        .withColumn("within_bound",
+          when(col("q") === 0.5,
+            col("value").between(col("lo50"), col("hi50")))
+            .otherwise(col("value").between(col("lo95"), col("hi95"))))
+        .select(col("event_type"), col("q"), col("n"), col("within_bound"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""WITH e AS (SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)),
+      c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1)
+      SELECT event_type, q, n, true AS within_bound
+      FROM c CROSS JOIN (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q)
+      ORDER BY event_type, q"""))
+
   /** Content fingerprint of one fixture table (names+sizes+mtimes
     * sha-256 — Bench's `_SCALE_SRC` idiom), for queries that persist a
     * derived index across invocations: a rebuilt fixture at the same
@@ -3889,5 +3937,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123)
+    q117, q118, q119, q120, q121, q122, q123, q124)
 }

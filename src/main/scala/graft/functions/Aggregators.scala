@@ -176,4 +176,76 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Set[String]]()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
+
+  /** Mutable KLL-doubles buffer with EXPLICIT wire format: typed
+    * aggregators keep buffers as live objects (TypedImperativeAggregate)
+    * and serialize only at shuffle/spill boundaries, so the per-row
+    * cost is one `update` on the heap sketch — never a
+    * serialize-per-row — while the boundary format is the sketch's own
+    * portable `toByteArray` (not field-reflection over datasketches
+    * internals, which no serializer guarantees).
+    */
+  final class KllBuf(
+      @transient var sk: org.apache.datasketches.kll.KllDoublesSketch)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      val b = sk.toByteArray
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      val n = in.readInt()
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))
+    }
+  }
+
+  /** KLL quantile sketch over a double column (Karnin–Lang–Liberty,
+    * the Datasketches heap implementation Spark already ships): the
+    * mergeable FLOAT-quantile counterpart to the exact integer-bucket
+    * histogram family — bounded ~O(k·log(n/k)) state per group at any
+    * stream length, normalized rank error ≈ 1.33% at the default
+    * k = 200 (99% confidence), quantile answers are actual retained
+    * stream values. Output is the sketch's portable byte image — the
+    * state row [[graft.operators.Sketches]]' KLL family persists.
+    * Null handling is the caller's (filter before aggregating, as
+    * count-distinct-style semantics demand).
+    */
+  final case class KllDoubles(k: Int = 200)
+      extends Aggregator[Double, KllBuf, Array[Byte]] {
+    require(k >= 8, "k must be at least 8")
+    override def zero: KllBuf = new KllBuf(
+      org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+    override def reduce(b: KllBuf, x: Double): KllBuf = { b.sk.update(x); b }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = { a.sk.merge(b.sk); a }
+    override def finish(b: KllBuf): Array[Byte] = b.sk.toByteArray
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization[KllBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Merge of SERIALIZED KLL sketches (state-table rows) into one byte
+    * image — the read/compaction aggregator of the KLL state family.
+    * Per-row cost is one heapify+merge of an already-small sketch;
+    * state rows are sketch-sized, never data-sized.
+    */
+  final case class KllMergeBytes(k: Int = 200)
+      extends Aggregator[Array[Byte], KllBuf, Array[Byte]] {
+    require(k >= 8, "k must be at least 8")
+    override def zero: KllBuf = new KllBuf(
+      org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k))
+    override def reduce(b: KllBuf, bytes: Array[Byte]): KllBuf = {
+      if (bytes != null && bytes.nonEmpty)
+        b.sk.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+      b
+    }
+    override def merge(a: KllBuf, b: KllBuf): KllBuf = { a.sk.merge(b.sk); a }
+    override def finish(b: KllBuf): Array[Byte] = b.sk.toByteArray
+    override def bufferEncoder: Encoder[KllBuf] =
+      Encoders.javaSerialization[KllBuf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
 }

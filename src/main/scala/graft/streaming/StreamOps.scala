@@ -179,6 +179,35 @@ object StreamOps {
         .histDeltaState(batch, keyCols, expr(bucketExpr))
         .withColumn("run_id", lit(batchId)))
 
+  /** Incremental FLOAT-quantile accounting as an `AvailableNow` stream
+    * — the KLL member of the state family, for metrics with no
+    * integer-bucket contract (latencies, scores, losses): each
+    * invocation sketches ONLY its file delta into one serialized KLL
+    * row per key ([[graft.operators.Sketches.kllDeltaState]]), tagged
+    * with the WAL-pinned batch id; "p95 all-time" reads off
+    * [[graft.operators.Sketches.kllStateQuantiles]] with history never
+    * rescanned, and [[graft.operators.Sketches.compactKllState]] folds
+    * the runs. Redelivery is the MG design: retried sketch bytes can
+    * differ (KLL is order-sensitive), so the read keeps one
+    * deterministic representative per (run, keys) — any attempt
+    * summarizes the same batch, so the rank-error bound survives;
+    * reads are error-bounded, never bit-deterministic (the honest
+    * contrast with [[histQuantileStream]]'s exact-integer fold).
+    */
+  def kllQuantileStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String],
+      valueExpr: String,
+      stateDir: String,
+      checkpointDir: String,
+      k: Int = 200): StreamingQuery =
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Sketches
+        .kllDeltaState(batch, keyCols, expr(valueExpr), k)
+        .withColumn("run_id", lit(batchId)))
+
   /** Incremental KMV distinct accounting as an `AvailableNow` stream —
     * the fourth member of the incremental-state family, and the one
     * that answers what HLL state cannot: run-over-run NEWNESS ("how

@@ -244,4 +244,64 @@ class SketchesSpec extends SparkSpec {
       .agg(sum("c")).collect().head.getLong(0)
     assert(n == 3L, s"redelivery dedupe must keep the multiset at 3, got $n")
   }
+
+  test("KLL state: float quantiles within the rank bound, exact n, redelivery dedupe, compaction keeps the bound") {
+    import spark.implicits._
+    // 10k skewed doubles over two keys: key a ~ U(0,1)^2 (dense near
+    // 0), key b ~ U(0,1) — deterministic via hashing, NOT an integer
+    // metric (the histogram family's contract), which is the point
+    val vals = spark.range(10000).select(
+      when(col("id") % 2 === 0, lit("a")).otherwise(lit("b")).as("k"),
+      (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 1e6).as("u"))
+      .withColumn("v", when(col("k") === "a", col("u") * col("u")).otherwise(col("u")))
+      .localCheckpoint(true)
+    // two parity-split delta runs + a verbatim redelivery of run 0
+    val d0 = Sketches.kllDeltaState(vals.filter(col("u") < 0.5), Seq("k"), col("v"))
+      .withColumn("run_id", lit(0L))
+    val d1 = Sketches.kllDeltaState(vals.filter(col("u") >= 0.5), Seq("k"), col("v"))
+      .withColumn("run_id", lit(1L))
+    val states = d0.unionByName(d1).unionByName(d0).localCheckpoint(true)
+    val got = Sketches.kllStateQuantiles(states, Seq("k"), Seq(0.5, 0.95))
+      .select(col("k"), col("q"), col("value"), col("n"))
+      .as[(String, Double, Double, Long)].collect()
+      .map { case (k, q, v, n) => (k, q) -> (v, n) }.toMap
+    // n is exact and deterministic: redelivered run 0 must not inflate it
+    val nByKey = vals.groupBy("k").count().as[(String, Long)].collect().toMap
+    for (k <- Seq("a", "b"); q <- Seq(0.5, 0.95))
+      assert(got((k, q))._2 == nByKey(k), s"n must be exact for $k: $got")
+    // value estimates sit within a generous rank window (±0.05 ≈ 4× the
+    // k=200 99%-confidence bound) of the EXACT quantiles — the
+    // error-bounded read contract (never estimate equality)
+    def exactQ(k: String, q: Double): Double = {
+      val xs = vals.filter(col("k") === k).select(col("v"))
+        .as[Double].collect().sorted
+      xs(math.min(xs.length - 1, math.max(0, math.ceil(q * xs.length).toInt - 1)))
+    }
+    for (k <- Seq("a", "b"); q <- Seq(0.5, 0.95)) {
+      val (lo, hi) = (exactQ(k, math.max(0.001, q - 0.05)),
+        exactQ(k, math.min(1.0, q + 0.05)))
+      val v = got((k, q))._1
+      assert(v >= lo && v <= hi, s"($k, $q): $v outside [$lo, $hi]")
+    }
+    // the skew shows up where it should: key a's median is far below b's
+    assert(got(("a", 0.5))._1 < got(("b", 0.5))._1 - 0.1,
+      s"squared-uniform median must sit well below uniform's: $got")
+    // compaction folds to one row per key and keeps every bound above
+    val dir = java.nio.file.Files.createTempDirectory("kll_state").toString
+    states.write.mode("overwrite").parquet(dir)
+    val (before, after) = Sketches.compactKllState(spark, dir, Seq("k"))
+    assert(before == 6L && after == 2L, s"fold: $before -> $after")
+    val compacted = Sketches.kllStateQuantiles(spark, dir, Seq("k"),
+        Seq(0.5, 0.95), 200)
+      .select(col("k"), col("q"), col("value"), col("n"))
+      .as[(String, Double, Double, Long)].collect()
+      .map { case (k, q, v, n) => (k, q) -> (v, n) }.toMap
+    for (k <- Seq("a", "b"); q <- Seq(0.5, 0.95)) {
+      assert(compacted((k, q))._2 == nByKey(k), "n must survive compaction")
+      val (lo, hi) = (exactQ(k, math.max(0.001, q - 0.05)),
+        exactQ(k, math.min(1.0, q + 0.05)))
+      val v = compacted((k, q))._1
+      assert(v >= lo && v <= hi, s"post-compact ($k, $q): $v outside [$lo, $hi]")
+    }
+  }
 }

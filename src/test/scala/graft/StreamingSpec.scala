@@ -563,6 +563,79 @@ class StreamingSpec extends SparkSpec {
     assert(read() == got, "compaction must preserve quantiles exactly")
   }
 
+  test("streaming KLL state: delta-only float quantiles within bound; exact n; redelivery + compaction hold the bound") {
+    val base = Files.createTempDirectory("kllstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val Sk = graft.operators.Sketches
+    val qs = Seq(0.5, 0.95)
+    def run(): Unit = StreamOps.kllQuantileStream(
+      spark, inDir, schema, Seq("k"), "v", stDir, ckDir).awaitTermination()
+    def read(): Map[(String, Double), (Double, Long)] =
+      Sk.kllStateQuantiles(spark, stDir, Seq("k"), qs, 200)
+        .select("k", "q", "value", "n").as[(String, Double, Double, Long)]
+        .collect().map { case (k, q, v, n) => (k, q) -> (v, n) }.toMap
+    // two delta runs of non-integer values (the metric class the exact
+    // histogram family refuses): key a ~ i/1000 for i in 1..2000 split
+    // across runs, key b a narrow band
+    val batch1 = (1 to 1000).map(i => ("a", i / 1000.0)) ++
+      (1 to 100).map(i => ("b", 5.0 + i / 100.0))
+    val batch2 = (1001 to 2000).map(i => ("a", i / 1000.0)) ++
+      (101 to 200).map(i => ("b", 5.0 + i / 100.0))
+    batch1.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+    batch2.toDF("k", "v").write.mode("append").parquet(inDir)
+    run()
+    val got = read()
+    val all = (batch1 ++ batch2).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    def exactQ(k: String, q: Double): Double = {
+      val xs = all(k)
+      xs(math.min(xs.length - 1, math.max(0, math.ceil(q * xs.length).toInt - 1)))
+    }
+    // n exact per key at every q row; values inside a ±0.05 rank window
+    for (k <- Seq("a", "b"); q <- qs) {
+      val (v, n) = got((k, q))
+      assert(n == all(k).size.toLong, s"($k, $q): n $n != ${all(k).size}")
+      val (lo, hi) = (exactQ(k, math.max(0.001, q - 0.05)),
+        exactQ(k, math.min(1.0, q + 0.05)))
+      assert(v >= lo && v <= hi, s"($k, $q): $v outside [$lo, $hi]")
+    }
+    // redelivery: re-append the last run's state rows verbatim — the
+    // (run, key) max-dedupe must keep n EXACT (a double-counted run
+    // would read n = 2100/3000) and values inside the bound. NOT
+    // bit-equality: KLL merge order varies across reads even on
+    // identical state (the documented error-bounded contract — this
+    // assertion once failed as == when a re-read moved a median by
+    // 0.002 with no redelivery at all).
+    val maxRun = spark.read.parquet(stDir).agg(max(col("run_id"))).collect().head.getLong(0)
+    spark.read.parquet(stDir).where(col("run_id") === maxRun)
+      .write.mode("append").parquet(stDir)
+    val redelivered = read()
+    for (k <- Seq("a", "b"); q <- qs) {
+      val (v, n) = redelivered((k, q))
+      assert(n == all(k).size.toLong,
+        s"redelivered run must not inflate n: ($k, $q) read $n")
+      val (lo, hi) = (exactQ(k, math.max(0.001, q - 0.05)),
+        exactQ(k, math.min(1.0, q + 0.05)))
+      assert(v >= lo && v <= hi, s"redelivered ($k, $q): $v outside [$lo, $hi]")
+    }
+    // compaction folds to one row per key; n stays exact, values stay
+    // inside the same rank window (error-bounded contract, not bit-equal)
+    val (b0, a0) = Sk.compactKllState(spark, stDir, Seq("k"))
+    assert(b0 > a0 && a0 == 2L, s"compaction must fold: $b0 -> $a0")
+    val post = read()
+    for (k <- Seq("a", "b"); q <- qs) {
+      val (v, n) = post((k, q))
+      assert(n == all(k).size.toLong, "n must survive compaction exactly")
+      val (lo, hi) = (exactQ(k, math.max(0.001, q - 0.05)),
+        exactQ(k, math.min(1.0, q + 0.05)))
+      assert(v >= lo && v <= hi, s"post-compact ($k, $q): $v outside [$lo, $hi]")
+    }
+  }
+
   test("streaming KMV state: merged sketch equals batch exactly; provenance reads; compaction lossless") {
     val base = Files.createTempDirectory("kmvstream").toString
     val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
