@@ -142,6 +142,62 @@ object ImageOps {
   val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) => extractFeatures(bytes).orNull)
 
+  /** 64-bit difference hash (dHash, the classic perceptual image
+    * fingerprint): decode → 9×8 mean-luminance grid → bit k set when
+    * grid(y, x) > grid(y, x+1). Two encodings of the SAME picture —
+    * re-compressed, resized, format-shifted — land within a few bits,
+    * while different pictures are ~32 bits apart (each bit is ~fair),
+    * so near-duplicate IMAGES reduce to a small-hamming join on longs:
+    * exactly the SimHash shape, and [[graft.operators
+    * .Dedup.imageNearDuplicates]] reuses that family's pigeonhole
+    * blocking verbatim. Robust to re-encode/resize/quality; NOT to
+    * crops, rotations or flips (the standard dHash contract).
+    *
+    * Grid cells average ALL covered pixels (integer cell mapping
+    * `gy = y·8/h`), so the hash is deterministic for any input size —
+    * including images narrower than the grid, whose empty cells read
+    * luminance 0.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { im =>
+      val gw = 9; val gh = 8
+      val w = im.getWidth; val h = im.getHeight
+      val sums = Array.ofDim[Double](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(gh - 1, y * gh / h)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(gw - 1, x * gw / w)
+          val rgb = im.getRGB(x, y)
+          sums(gy)(gx) += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          cnts(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(gy: Int, gx: Int): Double =
+        if (cnts(gy)(gx) == 0) 0.0 else sums(gy)(gx) / cnts(gy)(gx)
+      var sig = 0L
+      var k = 0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (cell(gy, gx) > cell(gy, gx + 1)) sig |= (1L << k)
+          k += 1; gx += 1
+        }
+        gy += 1
+      }
+      sig
+    }
+
+  /** dHash UDF (long or null on undecodable bytes). */
+  val imageDHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => dHash(bytes).map(java.lang.Long.valueOf).orNull)
+
   /** dims + compressed payload from ONE decode: JPEG decode dominates
     * this pipeline's per-row cost, and separate imageDims/imageCompress
     * projections each ran a full ImageIO.read — doubling the stage's CPU

@@ -258,6 +258,37 @@ object Dedup {
       retain.fold(latest)(latest.filter)
     }
 
+  /** Small-hamming self-join over 64-bit-or-narrower signatures —
+    * the blocking core SHARED (by construction, not copy-paste) by
+    * [[simHashNearDuplicates]] and [[imageNearDuplicates]]: signatures
+    * split into `chunks` bit slices, pairs equal on SOME slice are
+    * candidates (pigeonhole: hamming < chunks ⇒ some chunk equal, so
+    * recall is exact for `maxHamming < chunks`), exact popcount
+    * verifies. Expects ("__id", "__sig" long) rows; emits
+    * (id_a, id_b, hamming).
+    */
+  private def hammingNearDuplicates(
+      sigs: DataFrame,
+      bits: Int,
+      chunks: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    require(bits % chunks == 0, "chunks must divide bits")
+    val chunked = sigs.select(
+      col("__id"), col("__sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"), HashFunctions.simHashChunk(col("__sig"), c, bits, chunks).as("ck"))): _*))
+        .as("cc"))
+      .select(col("__id"), col("__sig"), col("cc.c"), col("cc.ck"))
+    chunked.as("l")
+      .join(chunked.as("r"), col("l.c") === col("r.c") && col("l.ck") === col("r.ck")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        VectorFunctions.hammingDistance(col("l.__sig"), col("r.__sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-duplicates: pairs within `maxHamming` bits. Blocking by
     * signature chunk (pigeonhole: distance < chunks ⇒ some chunk equal)
     * keeps this an equi-join too.
@@ -268,28 +299,37 @@ object Dedup {
       textCol: String,
       bits: Int = 48,
       chunks: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    val sigs = df
-      .select(col(idCol).as("__id"),
-        HashFunctions.hashedTokens(TextFunctions.tokens(col(textCol))).as("__th"))
-      .select(col("__id"), HashFunctions.simHashFromHashes(col("__th"), bits).as("__sig"))
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("__id"),
+          HashFunctions.hashedTokens(TextFunctions.tokens(col(textCol))).as("__th"))
+        .select(col("__id"),
+          HashFunctions.simHashFromHashes(col("__th"), bits).as("__sig")),
+      bits, chunks, maxHamming)
 
-    val chunked = sigs.select(
-      col("__id"), col("__sig"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("c"), HashFunctions.simHashChunk(col("__sig"), c, bits, chunks).as("ck"))): _*))
-        .as("cc"))
-      .select(col("__id"), col("__sig"), col("cc.c"), col("cc.ck"))
-
-    chunked.as("l")
-      .join(chunked.as("r"), col("l.c") === col("r.c") && col("l.ck") === col("r.ck")
-        && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        VectorFunctions.hammingDistance(col("l.__sig"), col("r.__sig")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  /** Perceptual IMAGE near-duplicates: pairs of binary image columns
+    * whose 64-bit dHash ([[graft.multimodal.ImageOps.dHash]]) is within
+    * `maxHamming` bits — re-encoded / resized / format-shifted copies of
+    * the same picture, the multimodal counterpart of
+    * [[simHashNearDuplicates]] and the standard first-pass image dedup
+    * for crawl corpora. The expensive step is the per-row decode (one
+    * pass, executor-local); after it the corpus is (id, long) rows and
+    * the SAME pigeonhole chunk blocking applies — candidates are
+    * equi-joins, never all-pairs, so the shape survives any corpus
+    * size. Undecodable rows drop (they have no perceptual content to
+    * match; count them upstream via the quarantine patterns).
+    */
+  def imageNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      chunks: Int = 4,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("__id"),
+          graft.multimodal.ImageOps.imageDHash(col(bytesCol)).as("__sig"))
+        .filter(col("__sig").isNotNull),
+      bits = 64, chunks = chunks, maxHamming = maxHamming)
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, blocked on
     * `blockCol` (e.g. a cluster/label/LSH-bucket column) so the join is an

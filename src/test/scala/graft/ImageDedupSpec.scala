@@ -1,0 +1,100 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.ImageOps
+import graft.operators.Dedup
+
+/** Perceptual image dedup (round 16): dHash invariance under the
+  * disguises that defeat byte-level dedup (re-encode, resize, format
+  * shift), distance between genuinely different pictures, and the
+  * pigeonhole-blocked join's exactness vs brute force.
+  */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic textured image: seeded rectangles over a gradient —
+    * enough structure that the 9×8 luminance grid carries signal (a
+    * flat fill hashes to all-zero comparisons on ANY image). */
+  private def picture(seed: Long, w: Int = 320, h: Int = 240): BufferedImage = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = im.createGraphics()
+    val rnd = new scala.util.Random(seed)
+    try {
+      var x = 0
+      while (x < w) { // horizontal gradient background
+        g.setColor(new java.awt.Color(x * 255 / w, 128, 255 - x * 255 / w))
+        g.fillRect(x, 0, 1, h)
+        x += 1
+      }
+      for (_ <- 0 until 24) {
+        g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+        g.fillRect(rnd.nextInt(w - 40), rnd.nextInt(h - 40),
+          20 + rnd.nextInt(60), 20 + rnd.nextInt(60))
+      }
+    } finally g.dispose()
+    im
+  }
+
+  private def png(im: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: stable under re-encode/resize/format-shift, far apart across pictures, null on junk") {
+    val seeds = Seq(1L, 2L, 3L, 4L, 5L)
+    val hashes = seeds.map { s =>
+      val im = picture(s)
+      val orig = ImageOps.dHash(png(im)).get
+      // the three disguises byte dedup misses
+      val reenc = ImageOps.dHash(ImageOps.encodeJpeg(im, 0.4f)).get
+      val resized = ImageOps.dHash(
+        ImageOps.encodeJpeg(ImageOps.boundedResize(im, 160), 0.65f)).get
+      val fmt = ImageOps.dHash(ImageOps.encodeJpeg(im, 0.9f)).get
+      assert(hamming(orig, reenc) <= 3, s"seed $s re-encode: ${hamming(orig, reenc)}")
+      assert(hamming(orig, resized) <= 3, s"seed $s resize: ${hamming(orig, resized)}")
+      assert(hamming(orig, fmt) <= 3, s"seed $s format: ${hamming(orig, fmt)}")
+      orig
+    }
+    for (Seq((a, i), (b, j)) <- hashes.zipWithIndex.combinations(2))
+      assert(hamming(a, b) >= 10,
+        s"pictures $i/$j must be far apart: ${hamming(a, b)}")
+    assert(ImageOps.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageNearDuplicates finds the disguised copies, nothing else, and equals brute force") {
+    // corpus: 8 distinct pictures; 1/2/3 also present as jpeg re-encodes
+    // (ids 101/102/103) and picture 1 additionally as a half-resize (201)
+    val rows: Seq[(Long, Array[Byte])] =
+      (1L to 8L).map(s => s -> png(picture(s))) ++
+        Seq(101L -> ImageOps.encodeJpeg(picture(1L), 0.4f),
+          102L -> ImageOps.encodeJpeg(picture(2L), 0.4f),
+          103L -> ImageOps.encodeJpeg(picture(3L), 0.4f),
+          201L -> ImageOps.encodeJpeg(ImageOps.boundedResize(picture(1L), 160), 0.65f),
+          999L -> Array[Byte](0, 1, 2)) // undecodable row must not kill the job
+    val df = rows.toDF("img_id", "content").repartition(4).localCheckpoint(true)
+    val got = Dedup.imageNearDuplicates(df, "img_id", "content",
+        chunks = 8, maxHamming = 4)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 101L), (2L, 102L), (3L, 103L), (1L, 201L), (101L, 201L)),
+      s"planted disguise pairs exactly: $got")
+    // blocking is exact for maxHamming < chunks: equals the brute-force
+    // hamming join over the same hashes
+    val sigs = df.select(col("img_id"),
+        ImageOps.imageDHash(col("content")).as("sig"))
+      .filter(col("sig").isNotNull).localCheckpoint(true)
+    val brute = sigs.as("l").join(sigs.as("r"), col("l.img_id") < col("r.img_id"))
+      .filter(graft.functions.VectorFunctions
+        .hammingDistance(col("l.sig"), col("r.sig")) <= 4)
+      .select(col("l.img_id").cast("long"), col("r.img_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == brute, s"blocked join must equal brute force: $got vs $brute")
+  }
+}
