@@ -310,6 +310,45 @@ object StreamOps {
       }
       .start()
 
+  /** Streamed TAKEDOWNS for the persisted indexes — the ingest side of
+    * the r16 tombstone contract: takedown feeds (DMCA queues, abuse
+    * reports, dataset-fix lists) arrive continuously, so the delete
+    * ledger accepts the same `AvailableNow` checkpointed cadence the
+    * corpus does. Each micro-batch of ids appends to the ledger of
+    * EVERY index in `indexDirs` (one feed usually serves both the
+    * token and vector index over the same corpus); probes exclude the
+    * ids from the moment the batch commits, and the next compact makes
+    * them physical. Redelivery is free: delete() appends distinct-id
+    * rows and every ledger consumer is multiplicity-blind, so a
+    * re-run batch is a no-op by construction — no run-id bookkeeping
+    * needed (the contrast with the counting state families).
+    *
+    * `forToken`/`forVector` pick which delete each dir gets; pass the
+    * same dir list and both flags for co-indexed corpora.
+    */
+  def indexDeleteStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      tokenIndexDirs: Seq[String],
+      vectorIndexDirs: Seq[String],
+      checkpointDir: String): StreamingQuery = {
+    require(tokenIndexDirs.nonEmpty || vectorIndexDirs.nonEmpty,
+      "indexDeleteStream: at least one index dir")
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tokenIndexDirs.foreach(d =>
+          graft.operators.TokenIndex.delete(batch, idCol, d))
+        vectorIndexDirs.foreach(d =>
+          graft.operators.VectorIndex.delete(batch, idCol, d))
+      }
+      .start()
+  }
+
   /** Streaming dedup on a natural key with bounded state — the streaming
     * form of the reference's `(kode, minggu, file)` keyset dedup.
     */

@@ -790,6 +790,62 @@ class StreamingSpec extends SparkSpec {
     assert(probe() == want, "compaction must be lossless")
   }
 
+  test("streaming takedowns: deletes exclude from both indexes, reruns no-op, redelivery free, compact physical") {
+    import graft.operators.{TokenIndex, VectorIndex}
+    val base = Files.createTempDirectory("delstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"
+    val tokDir = s"$base/tok"; val vecDir = s"$base/vec"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // co-indexed corpus: ids 1..4 with text AND an embedding
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", Seq(1.0f, 0.0f)),
+      (2L, "beta gamma epsilon zeta", Seq(0.9f, 0.1f)),
+      (3L, "alpha beta gamma zeta", Seq(0.0f, 1.0f)),
+      (4L, "unrelated words entirely here", Seq(0.1f, 0.9f)))
+      .toDF("id", "text", "emb")
+    TokenIndex.append(corpus, "id", "text", tokDir, 0L)
+    VectorIndex.build(corpus, "id", "emb", vecDir, k = 2, maxIter = 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    def run(): Unit = StreamOps.indexDeleteStream(
+      spark, inDir, schema, "id", Seq(tokDir), Seq(vecDir), ckDir)
+      .awaitTermination()
+    val probes = Seq((10L, "beta gamma")).toDF("pid", "ptext")
+    def tokHits(): Seq[Long] =
+      TokenIndex.containmentJoinIndexed(spark, probes, "pid", "ptext", tokDir, 1.0)
+        .select(col("corpus_id").cast("long")).as[Long].collect().sorted.toSeq
+    val q = Seq((100L, Seq(0.95f, 0.05f))).toDF("id", "emb")
+    def vecHits(): Seq[Long] =
+      VectorIndex.queryTopK(spark, q, "id", "emb", vecDir, k = 4, nprobe = 2)
+        .select(col("neighbor_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(tokHits() == Seq(1L, 2L, 3L) && vecHits() == Seq(1L, 2L, 3L, 4L))
+    // takedown batch 1 streams in: id 2 gone from BOTH indexes
+    Seq(2L).toDF("id").write.mode("append").parquet(inDir)
+    run()
+    assert(tokHits() == Seq(1L, 3L), "streamed takedown must exclude from containment")
+    assert(vecHits() == Seq(1L, 3L, 4L), "streamed takedown must exclude from ANN")
+    // rerun with nothing new: checkpoint yields no batch, ledgers untouched
+    val ledgerRows = spark.read.parquet(s"$vecDir/tombstones").count()
+    run()
+    assert(spark.read.parquet(s"$vecDir/tombstones").count() == ledgerRows,
+      "no-op rerun must not append to the ledger")
+    // at-least-once redelivery: the same batch re-applied manually is
+    // absorbed (multiplicity-blind consumers — no run-id bookkeeping)
+    VectorIndex.delete(Seq(2L).toDF("id"), "id", vecDir)
+    TokenIndex.delete(Seq(2L).toDF("id"), "id", tokDir)
+    assert(tokHits() == Seq(1L, 3L) && vecHits() == Seq(1L, 3L, 4L))
+    // a second takedown batch, then compact: physical on both sides
+    Seq(4L).toDF("id").write.mode("append").parquet(inDir)
+    run()
+    assert(vecHits() == Seq(1L, 3L))
+    val (vb, va) = VectorIndex.compact(spark, vecDir)
+    TokenIndex.compact(spark, tokDir)
+    assert(vb - va == 2L, s"both takedowns must drop physically: $vb -> $va")
+    assert(!new java.io.File(vecDir, "tombstones").exists() &&
+      !new java.io.File(tokDir, "tombstones").exists(), "ledgers retire")
+    assert(tokHits() == Seq(1L, 3L) && vecHits() == Seq(1L, 3L))
+  }
+
   test("streaming vector-index ingest: delta-only, rerun no-op, probes exact, drift baseline intact") {
     import graft.operators.VectorIndex
     val base = Files.createTempDirectory("vistream").toString
