@@ -3838,16 +3838,21 @@ object Queries {
         ()
       }
       val offset = plantedIdOffset(docs, "doc_id")
+      // the uniqueness shuffle moves ONLY (doc_id, sorted tokens) — no
+      // text column rides it, because the planted embedding derives
+      // from the sorted list itself: hashEmbed is a pure function of
+      // the token MULTISET (±1 votes are exact commutative adds, the
+      // norm pass runs in bucket order), so embed(sorted) is
+      // bit-identical to embed(original order) — pinned in
+      // VectorExpressionsSpec's order-invariance property
       val uniq = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), col("text"),
-          array_sort(TF.tokens(col("text"))).as("__tl"))
+        .select(col("doc_id"), array_sort(TF.tokens(col("text"))).as("__tl"))
         .groupBy(col("__tl"))
-        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"),
-          count(lit(1)).as("__c"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__c"))
         .where(col("__c") === 1 && size(col("__tl")) >= 5 &&
           pmod(col("doc_id"), lit(13)) === 0)
-      val planted = embed(
-        uniq.select((col("doc_id") + lit(offset)).as("doc_id"), col("text")))
+      val planted = uniq.select((col("doc_id") + lit(offset)).as("doc_id"),
+        HF.hashEmbed(transform(col("__tl"), t => xxhash64(t)), 64).as("emb"))
       VI.queryTopK(s, planted, "doc_id", "emb", dir.toString, k = 1, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))

@@ -553,6 +553,17 @@ class VectorExpressionsSpec extends SparkSpec {
       s"cancelled votes -> zero vector, not NaN: ${got(3).getSeq[Double](0)}")
     for (r <- 1 to 3) assert(got(r).getSeq[Double](0) == got(r).getSeq[Double](1),
       s"row $r: native and HOF must agree")
+    // TOKEN-ORDER invariance, bit-exact: the embedding is a pure
+    // function of the token MULTISET (±1 votes are exact commutative
+    // adds; the norm pass runs in bucket order, independent of input
+    // order). q123 LEANS on this — it embeds the planted copies from
+    // the SORTED token list while the corpus embeds in document order.
+    val orderDiffs = docs.select(
+        HF.hashEmbed(col("hs"), 16).as("a"),
+        HF.hashEmbed(reverse(array_sort(col("hs"))), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(orderDiffs == 0,
+      "hashEmbed must be bit-identical under any token reordering")
     // end-to-end: the embedder feeds the persisted ANN index directly -
     // a planted near-copy (one token changed) lands rank 1 by cosine
     val emb = Tables.documents(spark, "/root/testdata/sf0.001")
