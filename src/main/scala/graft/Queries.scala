@@ -3808,12 +3808,10 @@ object Queries {
       // is a pure function of the token multiset), so it co-assigns
       // with its source and scores exactly 1.0 — the max possible on
       // unit vectors, unique unless another doc shares the embedding.
-      // Queries are restricted to docs whose sorted token list is
-      // GLOBALLY UNIQUE (kills the dedup-fixture duplicate texts, on
-      // both engines symmetrically) with >= 5 tokens (multi-token vote
-      // vectors; a proportional-multiset collision then needs 64
-      // bucket votes to align — vanishing, and any residual collision
-      // fails LOUDLY as a row mismatch, never silently).
+      // Queries are restricted to docs whose gcd-reduced token
+      // MULTISET is globally unique (kills the dedup-fixture duplicate
+      // texts AND exact-repetition proportional multisets, on both
+      // engines symmetrically; ADVICE r16) with >= 5 tokens.
       val VI = graft.operators.VectorIndex
       val docs = Tables.documents(s, d)
       def embed(df: DataFrame) = df
@@ -3838,34 +3836,69 @@ object Queries {
         ()
       }
       val offset = plantedIdOffset(docs, "doc_id")
-      // the uniqueness shuffle moves ONLY (doc_id, sorted tokens) — no
-      // text column rides it, because the planted embedding derives
-      // from the sorted list itself: hashEmbed is a pure function of
+      // Uniqueness is PROPORTIONAL-multiset, not raw-sorted-list
+      // (ADVICE r16): a doc whose token multiset is an exact scalar
+      // multiple of another's (text repeated k times) embeds onto the
+      // same direction and ties at cosine 1.0, so the grouping key is
+      // the count vector divided by its gcd. Engine-symmetric exact
+      // integer arithmetic: Spark computes the gcd as
+      // max{d ∈ 1..min(count) : d divides every count} via
+      // sequence/filter/forall (no gcd builtin — the candidate range
+      // is bounded by the doc's min per-token count, tiny), DuckDB via
+      // list_reduce(gcd). The shuffle moves (doc_id, token, count)
+      // rows — no text column rides it; the planted embedding derives
+      // from the reconstructed sorted multiset, bit-identical to
+      // embed(original order) because hashEmbed is a pure function of
       // the token MULTISET (±1 votes are exact commutative adds, the
-      // norm pass runs in bucket order), so embed(sorted) is
-      // bit-identical to embed(original order) — pinned in
-      // VectorExpressionsSpec's order-invariance property
-      val uniq = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), array_sort(TF.tokens(col("text"))).as("__tl"))
-        .groupBy(col("__tl"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__c"))
-        .where(col("__c") === 1 && size(col("__tl")) >= 5 &&
+      // norm pass runs in bucket order) — pinned in
+      // VectorExpressionsSpec's order-invariance property. Any
+      // residual collision (two non-proportional multisets, same
+      // 64-bucket embedding) still fails LOUDLY as a row mismatch.
+      val counts = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("__tok"))
+        .groupBy(col("doc_id"), col("__tok"))
+        .agg(count(lit(1)).as("__c"))
+      val canon = counts.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("__tok"), col("__c")))).as("__tc"))
+        .withColumn("__g", array_max(filter(
+          sequence(lit(1L),
+            array_min(transform(col("__tc"), x => x.getField("__c")))),
+          dv => forall(col("__tc"), x => pmod(x.getField("__c"), dv) === 0))))
+        .withColumn("__key", transform(col("__tc"),
+          x => struct(x.getField("__tok").as("t"),
+            (x.getField("__c") / col("__g")).cast("long").as("c"))))
+      val uniq = canon.groupBy(col("__key"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__n"),
+          min_by(col("__tc"), col("doc_id")).as("__tc"))
+        .where(col("__n") === 1 &&
+          aggregate(col("__tc"), lit(0L), (a, x) => a + x.getField("__c")) >= 5 &&
           pmod(col("doc_id"), lit(13)) === 0)
       val planted = uniq.select((col("doc_id") + lit(offset)).as("doc_id"),
-        HF.hashEmbed(transform(col("__tl"), t => xxhash64(t)), 64).as("emb"))
+        HF.hashEmbed(transform(flatten(transform(col("__tc"),
+            x => array_repeat(x.getField("__tok"), x.getField("__c").cast("int")))),
+          t => xxhash64(t)), 64).as("emb"))
       VI.queryTopK(s, planted, "doc_id", "emb", dir.toString, k = 1, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
         .orderBy(col("query_id"))
     },
-    Some("""WITH t AS (SELECT doc_id,
-          list_sort(string_split_regex(trim(text), '\s+')) AS tl
+    Some("""WITH u AS (SELECT doc_id,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok
         FROM documents WHERE text IS NOT NULL),
-      g AS (SELECT tl, min(doc_id) AS doc_id, count(*) AS c
-        FROM t GROUP BY tl)
+      c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM u GROUP BY 1, 2),
+      g AS (SELECT doc_id, list_reduce(list(cnt), (a, b) -> gcd(a, b)) AS g,
+          CAST(sum(cnt) AS BIGINT) AS ntok
+        FROM c GROUP BY 1),
+      k AS (SELECT c.doc_id, g.ntok,
+          list_sort(list(tok || chr(1) || CAST(cnt // g.g AS VARCHAR))) AS key
+        FROM c JOIN g USING (doc_id) GROUP BY c.doc_id, g.ntok),
+      s AS (SELECT key, min(doc_id) AS doc_id, count(*) AS n,
+          min_by(ntok, doc_id) AS ntok
+        FROM k GROUP BY key)
       SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS query_id,
         doc_id AS neighbor_id, CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
-      FROM g WHERE c = 1 AND len(tl) >= 5 AND doc_id % 13 = 0
+      FROM s WHERE n = 1 AND ntok >= 5 AND doc_id % 13 = 0
       ORDER BY query_id"""))
 
   private val q124 = Q(
@@ -3901,10 +3934,23 @@ object Queries {
         expr("percentile(value, 0.55)").as("hi50"),
         expr("percentile(value, 0.90)").as("lo95"),
         expr("percentile(value, 1.00)").as("hi95"))
+      // Small-group guard (ADVICE r16): for tiny groups the INCLUSIVE
+      // KLL quantile is a raw order statistic and can sit strictly
+      // below Spark's interpolated percentile(q-0.05) — e.g. n=10
+      // distinct values: the KLL median is rank 5, percentile(0.45)
+      // interpolates at rank 5.05. The ±0.05 rank window only covers
+      // interpolation gaps once 0.05·(n-1) ≥ 1, so groups under 100
+      // rows pass trivially instead of gating on a vacuous window (the
+      // fixture's smallest group is ~1900 at the sf0.01 gate, so the
+      // bound IS exercised there). Residual character stays
+      // probabilistic, not strict: the k=200 rank-error bound is a
+      // 99%-confidence statement — the ~4× window margin makes a miss
+      // vanishing, not impossible.
       quant.join(broadcast(bounds), "event_type")
         .withColumn("within_bound",
-          when(col("q") === 0.5,
-            col("value").between(col("lo50"), col("hi50")))
+          when(col("n") < 100, lit(true))
+            .when(col("q") === 0.5,
+              col("value").between(col("lo50"), col("hi50")))
             .otherwise(col("value").between(col("lo95"), col("hi95"))))
         .select(col("event_type"), col("q"), col("n"), col("within_bound"))
         .orderBy(col("event_type"), col("q"))

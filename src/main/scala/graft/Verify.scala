@@ -57,6 +57,15 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed (or dump-time-rejected) query must never leave a STALE
+        // artifact from a previous invocation of a reused outDir in place —
+        // the driver would compare it as if current and a red query could
+        // read green (ADVICE r16)
+        val stale = new java.io.File(s"$outDir/$name.parquet")
+        if (stale.exists()) {
+          graft.sources.Compaction.deleteLocalDir(stale)
+          System.err.println(s"[verify] $name: removed stale artifact ${stale.getPath}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
