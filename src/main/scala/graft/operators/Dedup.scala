@@ -264,17 +264,68 @@ object Dedup {
     * split into `chunks` bit slices, pairs equal on SOME slice are
     * candidates (pigeonhole: hamming < chunks ⇒ some chunk equal, so
     * recall is exact for `maxHamming < chunks`), exact popcount
-    * verifies. Expects ("__id", "__sig" long) rows; emits
+    * verifies. EXACT-equal signatures collapse to one representative
+    * BEFORE the blocked join ([[hammingRepPairs]]) and expand back to
+    * member pairs afterwards, so an identical-signature hot group — the
+    * single most common duplicate class in real crawls — costs the
+    * candidate stage one row instead of m² pairs in one skewed block
+    * (VERDICT r16). Expects ("__id", "__sig" long) rows; emits
     * (id_a, id_b, hamming).
     */
-  private def hammingNearDuplicates(
+  private[graft] def hammingNearDuplicates(
       sigs: DataFrame,
+      bits: Int,
+      chunks: Int,
+      maxHamming: Int): DataFrame = {
+    val members = sigs.select(col("__id"), col("__sig"))
+    // intra-group pairs: identical signatures are trivially within any
+    // threshold — their pair OUTPUT is inherently quadratic in the
+    // group size, but it is produced by one equi-join on the signature
+    // (build side hashed per key, every emitted row is an output row),
+    // never by the chunk-blocked candidate join below
+    val intra = members.as("l")
+      .join(members.as("r"),
+        col("l.__sig") === col("r.__sig") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        lit(0).as("hamming"))
+    // cross-group pairs: blocked join on one REPRESENTATIVE per
+    // distinct signature, then membership expansion — each (sig_a,
+    // sig_b) pair appears once, so each member pair appears once, and
+    // the expansion joins emit output rows only
+    val repPairs = hammingRepPairs(members, bits, chunks, maxHamming)
+    val cross = repPairs
+      .join(members.select(col("__id").as("__ia"), col("__sig").as("__sig_a")),
+        "__sig_a")
+      .join(members.select(col("__id").as("__ib"), col("__sig").as("__sig_b")),
+        "__sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    intra.unionByName(cross)
+  }
+
+  /** The pigeonhole-blocked candidate join of [[hammingNearDuplicates]],
+    * run on one representative (min id) per DISTINCT signature — the
+    * round-16 verdict's skew fix: a group of m rows with identical
+    * signatures (crawl placeholder images, boilerplate pages — the most
+    * common duplicate class) collides on every chunk slice, and blocking
+    * the raw rows would generate m² candidate pairs inside one skewed
+    * block before the popcount filter. Collapsing to representatives
+    * first makes the blocked join's input the DISTINCT-signature set, so
+    * candidate volume depends on signature diversity, never on duplicate
+    * multiplicity. Emits one (__sig_a, __sig_b, hamming) row per
+    * signature pair within `maxHamming` (0 < hamming by construction —
+    * equal signatures collapse to one representative and never pair).
+    * Package-visible so DedupSpec can pin the candidate bound directly.
+    */
+  private[graft] def hammingRepPairs(
+      members: DataFrame,
       bits: Int,
       chunks: Int,
       maxHamming: Int): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
-    val chunked = sigs.select(
+    val reps = members.groupBy(col("__sig")).agg(min(col("__id")).as("__id"))
+    val chunked = reps.select(
       col("__id"), col("__sig"),
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("c"), HashFunctions.simHashChunk(col("__sig"), c, bits, chunks).as("ck"))): _*))
@@ -283,7 +334,7 @@ object Dedup {
     chunked.as("l")
       .join(chunked.as("r"), col("l.c") === col("r.c") && col("l.ck") === col("r.ck")
         && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+      .select(col("l.__sig").as("__sig_a"), col("r.__sig").as("__sig_b"),
         VectorFunctions.hammingDistance(col("l.__sig"), col("r.__sig")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

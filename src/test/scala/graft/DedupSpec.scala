@@ -341,4 +341,57 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(hits(1L) >= 1L, s"overlap via the prompt column must flag: $hits")
   }
+
+  test("hamming blocking: a 10k-row identical-signature group stays O(1) in the candidate join") {
+    // the r16 verdict's crawl-placeholder scenario: one hot group of
+    // 10 000 rows sharing ONE signature (every chunk slice collides),
+    // plus a 2-member signature at hamming 2 and 60 far-away distincts.
+    // Without the exact-equal collapse the blocked join would build m²
+    // = 10^8 candidate pairs inside one block; with it the candidate
+    // stage sees ONE representative for the hot group.
+    val rnd = new scala.util.Random(7)
+    val far = (0 until 60).map(i => (20000L + i, rnd.nextLong()))
+    val hot = (0L until 10000L).map(i => (i, 0x0123456789abcdefL))
+    val near = Seq((15000L, 0x0123456789abcdccL), // hamming 3 from hot sig
+      (15001L, 0x0123456789abcdccL))
+    val members = (hot ++ near ++ far).toDF("__id", "__sig")
+    // candidate volume is the DISTINCT-signature blocked join: exactly
+    // one surviving pair (hot-sig, near-sig) — not 10^8
+    val repPairs = Dedup.hammingRepPairs(members, bits = 64, chunks = 8, maxHamming = 4)
+      .collect()
+    assert(repPairs.length == 1, s"rep candidates must collapse: ${repPairs.length}")
+    assert(repPairs.head.getAs[Int]("hamming") == 3)
+    // full output: C(10000,2) intra-hot + 1 intra-near + 10000*2 cross,
+    // all hamming-correct (intra 0, cross 3)
+    val out = Dedup.hammingNearDuplicates(members, bits = 64, chunks = 8, maxHamming = 4)
+    val byH = out.groupBy(col("hamming")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(byH(0) == 10000L * 9999L / 2 + 1, s"intra pairs: $byH")
+    assert(byH(3) == 20000L, s"cross pairs: $byH")
+    assert(byH.keySet == Set(0, 3), s"no other distances: $byH")
+  }
+
+  test("hamming blocking with collapse equals brute force on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    // cluster structure: 40 anchor signatures, each with a few 0-3-bit
+    // perturbations and some exact duplicates — covers intra, cross,
+    // and unpaired rows in one corpus
+    val rows = (0 until 40).flatMap { a =>
+      val anchor = rnd.nextLong()
+      (0 until 1 + rnd.nextInt(4)).map { j =>
+        val flips = rnd.nextInt(4)
+        val sig = (0 until flips).foldLeft(anchor)((s, _) => s ^ (1L << rnd.nextInt(64)))
+        (a * 100L + j, sig)
+      }
+    }
+    val members = rows.toDF("__id", "__sig").repartition(5).localCheckpoint(true)
+    val got = Dedup.hammingNearDuplicates(members, bits = 64, chunks = 8, maxHamming = 4)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      Seq((ia, sa), (ib, sb)) <- rows.combinations(2)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 4
+    } yield (math.min(ia, ib), math.max(ia, ib), h)).toSet
+    assert(got == brute, s"collapse+expand must equal brute force: " +
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
 }
