@@ -3962,6 +3962,53 @@ object Queries {
       FROM c CROSS JOIN (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS q)
       ORDER BY event_type, q"""))
 
+  private val q125 = Q(
+    "q125_image_neardup_planted",
+    (s, d) => {
+      // Perceptual image near-dup, driver-checked (VERDICT r16 item 1
+      // — the one operator family with no CORRECTNESS row): a corpus
+      // of deterministic synthetic images (ImageFixtures — flat blocks
+      // tiling dHash's exact 9×8 grid, ≥24-level walk steps, so every
+      // hash bit is noise-proof) planted from documents ids. Every
+      // 10th doc seeds a base PNG (img_id = doc_id) plus a low-quality
+      // JPEG re-encode (+off); every 20th additionally a half-resize
+      // (+2·off). ImageDedupSpec pins the generator floors on this
+      // exact seed population (variants ≤ 2 bits from their base,
+      // different seeds ≥ 12 apart), so at maxHamming = 5 the pair
+      // list is EXACTLY the planted family pairs — predictable from id
+      // arithmetic alone, no pixel ever touched by the oracle.
+      // Distances themselves are codec jitter (0..2) and stay out of
+      // the output; the PAIR SET is the contract.
+      val IF = graft.multimodal.ImageFixtures
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+      val plan = base
+        .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+          lit(0).as("__v"))
+        .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
+          col("doc_id").as("__seed"), lit(1).as("__v")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + lit(2 * off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(2).as("__v")))
+      val imgs = plan.repartition(s.sparkContext.defaultParallelism)
+        .select(col("img_id"),
+          IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+      Dedup.imageNearDuplicates(imgs, "img_id", "content",
+          chunks = 8, maxHamming = 5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS id_a, doc_id + off AS id_b FROM b, o
+      UNION ALL
+      SELECT doc_id, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + off, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
+      ORDER BY id_a, id_b"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4007,5 +4054,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Deterministic synthetic images for the PLANTED image-near-dup oracle
+  * (q125, VERDICT r16 item 1) — the image-side sibling of the
+  * FotoFixture generator idiom: content derives purely from a numeric
+  * seed, so a DuckDB oracle can predict the exact near-duplicate pair
+  * list from id arithmetic alone, without ever decoding a pixel.
+  *
+  * Construction: the picture tiles the EXACT 9×8 grid
+  * [[ImageOps.dHash]] averages over, one flat gray block per cell, with
+  * per-row luminance following a seeded random walk whose steps are
+  * ≥ 24 gray levels. Every horizontal neighbor-cell comparison (= every
+  * dHash bit) therefore has a ≥ 24-level margin — far above JPEG
+  * quantization noise (~2 levels on flat blocks) and resize edge-bleed
+  * (~4 levels) — so a re-encoded or resized copy hashes within a couple
+  * of bits of its source, while two different seeds draw independent
+  * step signs and land ~32 bits apart (the binomial(64, ½) regime:
+  * P(distance ≤ 5) ≈ 1e-10 per pair). ImageDedupSpec pins both floors
+  * empirically; the q125 query banks on them with maxHamming = 5.
+  */
+object ImageFixtures {
+
+  /** splitmix64 — the standard 64-bit finalizer; deterministic across
+    * JVMs and platforms (pure integer arithmetic). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The 9×8 block luminance grid for `seed`: per row a reflected
+    * random walk in [16, 239] with steps of 24..59 levels — adjacent
+    * horizontal cells ALWAYS differ by ≥ 24, so every dHash bit is
+    * noise-proof. */
+  private[graft] def grid(seed: Long): Array[Array[Int]] =
+    Array.tabulate(8) { gy =>
+      val row = new Array[Int](9)
+      var v = 16 + (math.floorMod(mix(seed ^ (gy.toLong << 32)), 224L)).toInt
+      row(0) = v
+      var gx = 1
+      while (gx < 9) {
+        val h = mix(seed ^ (gy.toLong << 32) ^ gx.toLong)
+        val step = 24 + math.floorMod(h, 36L).toInt
+        val up = (h >>> 8 & 1L) == 1L
+        var next = if (up) v + step else v - step
+        if (next > 239) next = v - step // reflect: the opposite direction
+        if (next < 16) next = v + step  // always lands in range (range 224 > 2*59)
+        v = next
+        row(gx) = v
+        gx += 1
+      }
+      row
+    }
+
+  /** The base picture: 288×192 (exact 32×24-px tiles of the 9×8 grid). */
+  def blockImage(seed: Long): BufferedImage = {
+    val g = grid(seed)
+    val im = new BufferedImage(288, 192, BufferedImage.TYPE_INT_RGB)
+    val gfx = im.createGraphics()
+    try {
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val v = g(gy)(gx)
+          gfx.setColor(new java.awt.Color(v, v, v))
+          gfx.fillRect(gx * 32, gy * 24, 32, 24)
+          gx += 1
+        }
+        gy += 1
+      }
+    } finally gfx.dispose()
+    im
+  }
+
+  /** Encoded fixture bytes: variant 0 = lossless PNG of the base,
+    * 1 = low-quality JPEG re-encode, 2 = half-resize + mid-quality JPEG
+    * — the three disguises byte-level dedup misses, matching
+    * ImageDedupSpec's invariance classes. */
+  def fixtureBytes(seed: Long, variant: Int): Array[Byte] = {
+    val im = blockImage(seed)
+    variant match {
+      case 0 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        bos.toByteArray
+      case 1 => ImageOps.encodeJpeg(im, 0.4f)
+      case 2 => ImageOps.encodeJpeg(ImageOps.boundedResize(im, 160), 0.65f)
+      case other => throw new IllegalArgumentException(s"variant $other")
+    }
+  }
+
+  /** Executor-side generation (one UDF call per planted row — a codec
+    * boundary, like every image kernel here). */
+  val fixtureImage: UserDefinedFunction =
+    udf((seed: Long, variant: Int) => fixtureBytes(seed, variant))
+}

@@ -97,4 +97,32 @@ class ImageDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == brute, s"blocked join must equal brute force: $got vs $brute")
   }
+
+  test("ImageFixtures: intra-family dHash ≤ 2, cross-seed ≥ 12 — the q125 floors") {
+    // q125's oracle predicts the exact pair list from id arithmetic;
+    // that is sound only if the generator keeps disguised variants of a
+    // seed within the query's maxHamming = 5 and different seeds far
+    // outside it. Pin both floors with margin on a seed population the
+    // size of the sf0.1 fixture selection.
+    import graft.multimodal.ImageFixtures
+    val seeds = (0L until 5000L by 10L).toSeq // the q125 selection shape
+    val hashes = seeds.map { s =>
+      val v0 = ImageOps.dHash(ImageFixtures.fixtureBytes(s, 0)).get
+      val v1 = ImageOps.dHash(ImageFixtures.fixtureBytes(s, 1)).get
+      val v2 = ImageOps.dHash(ImageFixtures.fixtureBytes(s, 2)).get
+      assert(hamming(v0, v1) <= 2, s"seed $s re-encode drift: ${hamming(v0, v1)}")
+      assert(hamming(v0, v2) <= 2, s"seed $s resize drift: ${hamming(v0, v2)}")
+      assert(hamming(v1, v2) <= 2, s"seed $s variant spread: ${hamming(v1, v2)}")
+      v0
+    }
+    // cross-seed: every pair far outside the threshold (variants can
+    // only bridge 2+2 bits, so ≥ 12 base distance keeps pairs ≥ 8 > 5)
+    var minD = 64
+    for (i <- hashes.indices; j <- (i + 1) until hashes.size) {
+      val d = hamming(hashes(i), hashes(j))
+      if (d < minD) minD = d
+      assert(d >= 12, s"seeds ${seeds(i)}/${seeds(j)} too close: $d")
+    }
+    info(s"cross-seed min distance over ${seeds.size} seeds: $minD")
+  }
 }
