@@ -4009,6 +4009,144 @@ object Queries {
       SELECT doc_id + off, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
       ORDER BY id_a, id_b"""))
 
+  private val q126 = Q(
+    "q126_vector_takedown_lifecycle",
+    (s, d) => {
+      // The r16 takedown contract as a DRIVER-CHECKED oracle (VERDICT
+      // r16 item 3; was spec-only): delete → probe (excludes) →
+      // compact (drops physically, retires the ledger) → probe
+      // (identical rows). Construction: the cached base index holds
+      // the fixture embeddings PLUS a ×2 planted copy (+off) of every
+      // 10th vector; each invocation clones the index into a scratch
+      // dir (the build stays cached — the lifecycle is the thing being
+      // measured, not k-means), deletes the ORIGINALS of every 10th
+      // vector, and probes with ×4 copies (+2·off) of every 5th. A
+      // query whose source was taken down must come back with the
+      // PLANTED copy at cosine 1.0 (the mask removed the only other
+      // 1.0 candidate); an untouched query returns its source — both
+      // phases bit-identically, with `ledger_live` pinning the
+      // retirement. Power-of-two scaling keeps every planted cosine
+      // bit-identical to 1.0 (the q110 argmax co-assignment idiom).
+      val VI = graft.operators.VectorIndex
+      val emb = Tables.embeddings(s, d)
+        .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      val baseDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q126_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(baseDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
+        "|vecindex-v5|k=sqrt|plant10"
+      val off = Tables.embeddings(s, d)
+        .agg(coalesce(max(col("vec_id")), lit(0L)) + 1L).head().getLong(0)
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (baseDir.exists()) graft.sources.Compaction.deleteLocalDir(baseDir)
+        val copies = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select((col("vec_id") + lit(off)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val corpus = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(copies)
+        val n = corpus.count()
+        VI.build(corpus, "vec_id", "embedding", baseDir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt), maxIter = 5)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val work = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q126_work_${Integer.toHexString(d.hashCode)}")
+      if (work.exists()) graft.sources.Compaction.deleteLocalDir(work)
+      graft.sources.Compaction.copyLocalDir(baseDir, work)
+      VI.delete(emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id")), "vec_id", work.toString)
+      val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+      def probe(phase: Int) = VI.queryTopK(s, queries, "vec_id", "embedding",
+          work.toString, k = 1, nprobe = 2)
+        .select(lit(phase).as("phase"), col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"),
+          lit(VI.tombstones(s, work.toString).isDefined).as("ledger_live"))
+      val p0 = probe(0).localCheckpoint(true) // materialize BEFORE compact
+      VI.compact(s, work.toString)
+      val p1 = probe(1)
+      p0.unionByName(p1).orderBy(col("phase"), col("query_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id FROM embeddings
+          WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+            AND len(embedding) > 0),
+        o AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
+        r AS (SELECT vec_id + 2 * off AS query_id,
+            CASE WHEN vec_id % 10 = 0 THEN vec_id + off ELSE vec_id END
+              AS neighbor_id
+          FROM e, o)
+      SELECT p.phase, r.query_id, r.neighbor_id,
+        CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk,
+        p.phase = 0 AS ledger_live
+      FROM r CROSS JOIN (SELECT CAST(unnest([0, 1]) AS INT) AS phase) p
+      ORDER BY phase, query_id"""))
+
+  private val q127 = Q(
+    "q127_token_takedown_lifecycle",
+    (s, d) => {
+      // The token-index takedown lifecycle, oracled (the TokenIndex
+      // half of VERDICT r16 item 3): q108's ingest cadence (two
+      // parity runs + a verbatim redelivery) over the EVEN documents,
+      // then delete every 10th doc, probe the containment join in the
+      // masked window, compact (physical drop + ledger retirement +
+      // df/stats re-derivation), probe again — both phases must equal
+      // the containment join over the surviving corpus exactly.
+      val TI = graft.operators.TokenIndex
+      val docs = Tables.documents(s, d)
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q127_${Integer.toHexString(d.hashCode)}")
+      // fresh state per invocation: the lifecycle IS the measurement
+      if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+      TI.append(even.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", dir.toString, 0L)
+      TI.append(even.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "doc_id", "text", dir.toString, 1L)
+      TI.append(even.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "doc_id", "text", dir.toString, 1L) // at-least-once retry
+      TI.delete(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id")), "doc_id", dir.toString)
+      val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .where(col("text").isNotNull)
+        .select(col("doc_id").as("snip_id"),
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 12)).as("snip_text"))
+        .localCheckpoint(true)
+      def probe(phase: Int) = TI.containmentJoinIndexed(s, probes,
+          "snip_id", "snip_text", dir.toString, threshold = 1.0)
+        .select(lit(phase).as("phase"), col("probe_id"), col("corpus_id"),
+          round(col("containment"), 4).as("containment"),
+          lit(new java.io.File(dir, "tombstones").exists()).as("ledger_live"))
+      val p0 = probe(0).localCheckpoint(true) // materialize BEFORE compact
+      TI.compact(s, dir.toString)
+      val p1 = probe(1)
+      p0.unionByName(p1)
+        .orderBy(col("phase"), col("probe_id"), col("corpus_id"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id % 2 = 0 AND doc_id % 10 <> 0),
+      r AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS raw
+        FROM documents WHERE text IS NOT NULL),
+      s AS (
+        SELECT doc_id AS probe_id, list_distinct(raw[1:12]) AS ptoks
+        FROM r WHERE doc_id % 100 = 0)
+      SELECT p.phase, s.probe_id, t.doc_id AS corpus_id,
+        round(CAST(len(list_intersect(s.ptoks, t.toks)) AS DOUBLE)
+              / len(s.ptoks), 4) AS containment,
+        p.phase = 0 AS ledger_live
+      FROM s, t
+      CROSS JOIN (SELECT CAST(unnest([0, 1]) AS INT) AS phase) p
+      WHERE len(s.ptoks) > 0
+        AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
+      ORDER BY 1, 2, 3"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4054,5 +4192,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 }

@@ -373,36 +373,75 @@ object VectorIndex {
 
   /** Takedown contract (VERDICT r15 item 5): mark `idCol` values
     * deleted. Deletes are TOMBSTONES, not rewrites — one appended
-    * parquet of distinct ids; every probe anti-joins them out
-    * immediately, and the next [[compact]] physically drops the rows
-    * AND clears the tombstone set (after which a re-appended vector
-    * under the same id is live again — re-add semantics, the takedown
-    * ledger does not outlive the data it covered).
+    * parquet of distinct (vec_id, asof_run) rows; every probe
+    * anti-joins out postings AT OR BELOW the recorded run horizon
+    * immediately, and the next [[compact]] physically drops those rows
+    * AND clears the tombstone set.
     *
+    * HORIZON-AWARE since round 17 (VERDICT r16 item 8): `asof_run`
+    * defaults to the index's current max run id (one column-pruned
+    * postings aggregate — deletes are rare, probes pay nothing new),
+    * so a delete covers exactly the ingests that preceded it. That
+    * makes delete-then-[[append]]-under-a-higher-run the documented
+    * UPSERT path: the stale posting is masked from the very next probe
+    * while the re-embedded one is live, compact drops only the stale
+    * rows, and the doc never has a window where both embeddings (or
+    * neither) answer. Pass `asofRun` explicitly when the caller owns
+    * run bookkeeping (e.g. a delete stream that must stay idempotent
+    * under redelivery even if an upsert append lands in between — a
+    * REDELIVERED derive-at-delete-time delete would re-derive a higher
+    * horizon and swallow the new posting).
+    *
+    * A delete against an index with no postings records horizon -1
+    * (nothing to cover — the takedown of never-ingested data is a
+    * no-op, matching the ledger-never-outlives-its-data rule).
     * Idempotent under redelivery: a retried delete appends identical
-    * id rows, and both the probe anti-join and the compaction drop are
+    * rows, and both the probe anti-join and the compaction drop are
     * set operations. Scale contract: the LIVE tombstone set is the
     * inter-compaction takedown volume — bounded small in practice
     * (probes broadcast it); a takedown of most of the corpus should be
     * a re-[[build]] of the survivors instead.
     */
-  def delete(ids: DataFrame, idCol: String, indexDir: String): Unit =
+  def delete(ids: DataFrame, idCol: String, indexDir: String,
+      asofRun: Long = DeriveAsof): Unit = {
+    val spark = ids.sparkSession
+    val asof =
+      if (asofRun != DeriveAsof) asofRun
+      else {
+        val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) -1L
+        else {
+          val h = spark.read.parquet(postingsDir(indexDir))
+            .agg(max(col("run_id"))).collect().head
+          if (h.isNullAt(0)) -1L else h.getLong(0)
+        }
+      }
     ids.select(col(idCol).as("vec_id")).distinct()
+      .withColumn("asof_run", lit(asof))
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+  }
 
-  /** The live tombstone ids, or None when no delete was ever issued
-    * (the common case — probes then skip the anti-join entirely, so
-    * the plan pins of the no-takedown path are untouched). NOT
-    * deduplicated: every consumer is a left-anti join or a physical
+  /** Sentinel for [[delete]]'s `asofRun`: derive the horizon from the
+    * index's current postings. */
+  val DeriveAsof: Long = Long.MinValue
+
+  /** The live (vec_id, asof_run) tombstone rows, or None when no delete
+    * was ever issued (the common case — probes then skip the anti-join
+    * entirely, so the plan pins of the no-takedown path are untouched).
+    * NOT deduplicated: every consumer is a left-anti join or a physical
     * drop, both multiplicity-blind, and a distinct here would buy an
     * exchange for nothing (measured as the dominant ledger cost in the
-    * sf1 takedown probe). */
+    * sf1 takedown probe). A vec_id deleted twice with different
+    * horizons carries both rows; the anti-joins' effective horizon is
+    * their max, which is the union-of-coverage semantics wanted. */
   private[graft] def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir)).select(col("vec_id")))
+      Some(spark.read.parquet(tombstonesDir(indexDir))
+        .select(col("vec_id"), col("asof_run")))
     else None
   }
 
@@ -569,14 +608,22 @@ object VectorIndex {
     val postingsLive = spark.read.parquet(postingsDir(indexDir))
       .where(col("cell_bucket").isin(buckets: _*) &&
         col("centroid_id").isin(cells: _*))
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), ce.as("__ce"))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("run_id").as("__run"), ce.as("__ce"))
     // takedowns anti-join out here — broadcast (the live tombstone set
     // is inter-compaction-bounded; see delete()), so the postings scan
-    // still never shuffles and the no-takedown plan is bit-unchanged
+    // still never shuffles and the no-takedown plan is bit-unchanged.
+    // The mask is HORIZON-AWARE: only postings at or below the delete's
+    // asof_run drop, so an upsert's re-appended (higher-run) posting
+    // answers immediately (still a broadcast HASH join — equi on the
+    // id, the run bound rides as an extra join predicate)
     val postings0 = tombstones(spark, indexDir).fold(postingsLive)(t =>
       postingsLive.join(
-        broadcast(t.select(col("vec_id").as("neighbor_id"))),
-        Seq("neighbor_id"), "left_anti"))
+        broadcast(t.select(col("vec_id").as("__t_id"),
+          col("asof_run").as("__t_asof"))),
+        postingsLive("neighbor_id") === col("__t_id") &&
+          postingsLive("__run") <= col("__t_asof"),
+        "left_anti")).drop("__run")
     val postings = fmt match {
       case Pq => postings0.join(
         broadcast(spark.read.parquet(centroidsDir(indexDir))
@@ -808,12 +855,19 @@ object VectorIndex {
     // tombstoned rows drop PHYSICALLY here (probes only mask them);
     // the ledger itself clears after the swap lands — a crash in
     // between leaves stale tombstones over already-dropped rows, which
-    // the probe anti-join reads as a harmless no-op
-    val distinctRows = input.select(col("centroid_id"), col("vec_id"),
+    // the probe anti-join reads as a harmless no-op. The drop is
+    // horizon-aware like the probe mask (delete()): it runs BEFORE the
+    // distinct (which erases run provenance), so an upsert's
+    // re-appended higher-run posting survives while the stale one goes
+    val live = tombstones(spark, indexDir).fold(input)(t =>
+      input.join(broadcast(t.select(col("vec_id").as("__t_id"),
+          col("asof_run").as("__t_asof"))),
+        input("vec_id") === col("__t_id") &&
+          input("run_id") <= col("__t_asof"),
+        "left_anti"))
+    val survivors = live.select(col("centroid_id"), col("vec_id"),
         col("emb"), col("cell_bucket"))
       .distinct()
-    val survivors = tombstones(spark, indexDir).fold(distinctRows)(t =>
-      distinctRows.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val folded = survivors
       .select(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
         col("centroid_id"), col("cell_bucket"))

@@ -36,6 +36,20 @@ object Compaction {
     f.delete(): Unit
   }
 
+  /** Recursive local copy — scratch clones of a cached index dir, so a
+    * LIFECYCLE query (delete → probe → compact) can mutate a private
+    * copy per invocation while the expensive build stays cached behind
+    * its fixture-fingerprint marker (q126's cadence). */
+  def copyLocalDir(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyLocalDir(f, new java.io.File(dst, f.getName)))
+    } else
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   /** Parquet data files under `dir` (non-recursive), with sizes. */
   def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)

@@ -321,7 +321,14 @@ object StreamOps {
     * them physical. Redelivery is free: delete() appends distinct-id
     * rows and every ledger consumer is multiplicity-blind, so a
     * re-run batch is a no-op by construction — no run-id bookkeeping
-    * needed (the contrast with the counting state families).
+    * needed (the contrast with the counting state families). One
+    * caveat since the vector ledger became horizon-aware (r17): this
+    * stream lets delete() DERIVE each batch's asof_run from the index,
+    * which is exact for pure takedown feeds; if the same corpus also
+    * takes UPSERT appends, a crash-replayed delete batch could
+    * re-derive a horizon above an interleaved re-append — sequence
+    * upserts through one pipeline (delete with an explicit `asofRun`,
+    * then append) instead of racing the two streams.
     *
     * `forToken`/`forVector` pick which delete each dir gets; pass the
     * same dir list and both flags for co-indexed corpora.

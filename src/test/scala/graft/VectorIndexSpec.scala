@@ -650,4 +650,52 @@ class VectorIndexSpec extends SparkSpec {
     assert(b2 == a2, s"rerun compact must be a no-op: $b2 -> $a2")
     assert(q() == after)
   }
+
+  test("upsert = delete + re-append under a higher run: only the latest embedding answers, in every window") {
+    // the r17 horizon-aware ledger contract (VERDICT r16 item 8): a
+    // re-embedded document must be returned at its NEW embedding and
+    // never its stale one — including the window between the upsert and
+    // the next compact, where the old ledger semantics either surfaced
+    // the stale posting (no delete) or swallowed the new one too
+    // (delete masked the id across ALL runs).
+    val base = Files.createTempDirectory("vecidx_upsert")
+    val idxDir = s"$base/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val x = 7L
+    val vOld = emb.filter(col("vec_id") === x)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // the re-embedding: the antipode — unambiguous (cosine -1 to the
+    // stale vector), and its cell assignment genuinely moves
+    val reEmbedded = Seq((x, vOld.map(v => -v))).toDF("vec_id", "embedding")
+    VectorIndex.delete(Seq(x).toDF("vec_id"), "vec_id", idxDir) // derives asof_run = 0
+    VectorIndex.append(reEmbedded, "vec_id", "embedding", idxDir, runId = 1L)
+    val qOld = Seq((10001L, vOld)).toDF("vec_id", "embedding")
+    val qNew = Seq((10002L, vOld.map(v => -v))).toDF("vec_id", "embedding")
+    def probe(qs: org.apache.spark.sql.DataFrame) = topk(VectorIndex.queryTopK(
+      spark, qs, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    def checkBoth(): Unit = {
+      val atOld = probe(qOld)
+      assert(atOld.nonEmpty && atOld.forall(r => !(r._2 == x && r._3 > 0.99)),
+        s"stale embedding must never answer: $atOld")
+      val atNew = probe(qNew)
+      val xRows = atNew.filter(_._2 == x)
+      assert(xRows.map(r => (r._3, r._4)) == Seq((1.0, 1)),
+        s"re-embedded doc must answer EXACTLY ONCE, at the new embedding, rank 1: $atNew")
+    }
+    checkBoth() // the mask window: ledger live, both postings on disk
+    val (b, a) = VectorIndex.compact(spark, idxDir)
+    assert(b - a == 1, s"compact must drop exactly the stale posting: $b -> $a")
+    assert(!new java.io.File(idxDir, "tombstones").exists())
+    checkBoth() // physical window: stale posting gone, ledger retired
+    // the surviving posting for x is the run-1 embedding
+    val kept = spark.read.parquet(s"$idxDir/postings")
+      .filter(col("vec_id") === x).select(col("emb")).collect()
+    assert(kept.length == 1 &&
+      kept.head.getSeq[Float](0) == vOld.map(v => -v).toSeq)
+    // an explicit-horizon delete redelivered AFTER the upsert must not
+    // swallow the new posting (the stream-redelivery race delete()'s
+    // asofRun parameter exists for)
+    VectorIndex.delete(Seq(x).toDF("vec_id"), "vec_id", idxDir, asofRun = 0L)
+    checkBoth()
+  }
 }
