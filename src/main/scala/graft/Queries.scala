@@ -4147,6 +4147,75 @@ object Queries {
         AND len(list_intersect(s.ptoks, t.toks)) = len(s.ptoks)
       ORDER BY 1, 2, 3"""))
 
+  private val q128 = Q(
+    "q128_filtered_ann",
+    (s, d) => {
+      // FILTERED ANN, driver-checked (VERDICT r16 item 4): the
+      // metadata predicate rides INSIDE the shortlist probe
+      // (queryTopKRerankFiltered), composed over the quantized
+      // production cadence — an SQ8 index probed with the q115
+      // shortlist-soundness guard, exact rerank against the
+      // full-precision corpus. Construction: the cached index holds
+      // the fixture embeddings plus a ×2 planted copy (+off) of every
+      // 5th vector; queries are ×4 copies (+2·off) of the same
+      // vectors; the predicate allows ONLY the planted region
+      // (vec_id ≥ off). Unfiltered, every query ties at 1.0 between
+      // its source and its copy; under the filter the copy is the
+      // unique 1.0 candidate, so rank 1 is deterministic — the oracle
+      // is the filtered exact top-1 from id arithmetic. A shortlist ≥
+      // maxProbeCandidates makes the FILTERED shortlist exhaustive
+      // over the probed cells (filtered candidates are a subset of the
+      // probed postings), so the rank-1 guarantee needs no recall
+      // luck; VectorIndexSpec pins that post-filtering the unfiltered
+      // top-k is NOT equivalent.
+      val VI = graft.operators.VectorIndex
+      val emb = Tables.embeddings(s, d)
+        .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q128_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
+        "|vecindex-v5|sq8|k=sqrt|plant5"
+      val off = Tables.embeddings(s, d)
+        .agg(coalesce(max(col("vec_id")), lit(0L)) + 1L).head().getLong(0)
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + lit(off)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(copies)
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        val n = corpus.count()
+        VI.build(corpus, "vec_id", "embedding", dir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
+          maxIter = 5, sq8 = true)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+      val allowed = copies.select(col("vec_id"))
+      val sl = cachedShortlistBound(s, dir, nprobe = 2)
+      VI.queryTopKRerankFiltered(s, queries, "vec_id", "embedding",
+          dir.toString, corpus, "vec_id", "embedding", k = 1,
+          allowed, "vec_id", shortlist = sl, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id FROM embeddings
+          WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+            AND len(embedding) > 0),
+        o AS (SELECT max(vec_id) + 1 AS off FROM embeddings)
+      SELECT vec_id + 2 * off AS query_id, vec_id + off AS neighbor_id,
+        CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM e, o
+      ORDER BY query_id"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4192,5 +4261,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }

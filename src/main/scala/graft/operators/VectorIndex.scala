@@ -558,7 +558,39 @@ object VectorIndex {
     * [[queryTopKCalibrated]] is that loop packaged as one call.
     */
   def queryTopK(spark: SparkSession, queries: DataFrame, queryId: String,
-      queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame = {
+      queryEmb: String, indexDir: String, k: Int, nprobe: Int = 2): DataFrame =
+    queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, k, nprobe,
+      allowed = None)
+
+  /** FILTERED ANN (VERDICT r16 item 4): [[queryTopK]] restricted to
+    * neighbors whose id appears in `allowed` — the metadata-predicate
+    * retrieval production actually runs (language, license, date
+    * window, …). Pass `metadata.where(predicate).select(idCol)`; the
+    * restriction applies to the CANDIDATE SET, before top-k selection,
+    * so k survivors come back whenever the probed cells hold k allowed
+    * vectors. Post-filtering an unfiltered top-k is NOT equivalent and
+    * is the bug users write themselves — a disallowed strong neighbor
+    * evicts allowed ones from the k list before the filter runs, and
+    * rows silently go missing (VectorIndexSpec pins the difference).
+    *
+    * Scale shape: the allowed-id side joins the ALREADY cell-pruned
+    * postings (a left-semi equi-join — Catalyst broadcasts a selective
+    * predicate's id set, and a huge one shuffles only the probed-cell
+    * candidates, never the corpus). Recall contract is unchanged from
+    * queryTopK: exact over the probed cells — a highly selective
+    * predicate thins candidates, so raise `nprobe` (or calibrate)
+    * when the filter keeps ≪ 1/nprobe of the corpus.
+    */
+  def queryTopKFiltered(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      allowed: DataFrame, allowedIdCol: String,
+      nprobe: Int = 2): DataFrame =
+    queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, k, nprobe,
+      allowed = Some(allowed.select(col(allowedIdCol).as("neighbor_id"))))
+
+  private def queryTopKImpl(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     // refuse an index whose build never completed: a crash mid-build
     // (after the centroid overwrite, during the initial corpus append)
     // would otherwise answer from a silently partial index
@@ -624,12 +656,18 @@ object VectorIndex {
         postingsLive("neighbor_id") === col("__t_id") &&
           postingsLive("__run") <= col("__t_asof"),
         "left_anti")).drop("__run")
+    // the metadata predicate lands HERE — on the cell-pruned candidate
+    // postings, before scoring and before the top-k, so the k list is
+    // selected among allowed vectors only (queryTopKFiltered); the
+    // unfiltered path is bit-unchanged (None folds straight through)
+    val postingsAllowed = allowed.fold(postings0)(a =>
+      postings0.join(a, Seq("neighbor_id"), "left_semi"))
     val postings = fmt match {
-      case Pq => postings0.join(
+      case Pq => postingsAllowed.join(
         broadcast(spark.read.parquet(centroidsDir(indexDir))
           .select(col("centroid_id"), col("centroid").as("__cent"))),
         "centroid_id")
-      case _ => postings0
+      case _ => postingsAllowed
     }
     // cosine FIRST (map-side, whole-stage codegen — both embedding
     // arrays die in this projection), THEN the retry-hygiene dedup on
@@ -713,14 +751,45 @@ object VectorIndex {
     */
   def queryTopKRerank(spark: SparkSession, queries: DataFrame, queryId: String,
       queryEmb: String, indexDir: String, corpus: DataFrame, corpusId: String,
-      corpusEmb: String, k: Int, shortlist: Int = 0, nprobe: Int = 8): DataFrame = {
+      corpusEmb: String, k: Int, shortlist: Int = 0, nprobe: Int = 8): DataFrame =
+    rerankImpl(queries, queryId, queryEmb, corpus, corpusId, corpusEmb, k,
+      shortlistOf(spark, queries, queryId, queryEmb, indexDir, k, shortlist,
+        nprobe, allowed = None))
+
+  /** [[queryTopKRerank]] under a metadata predicate (the quantized-index
+    * sibling of [[queryTopKFiltered]]): the restriction applies INSIDE
+    * the shortlist probe, not after it — post-filtering a shortlist
+    * forfeits the exhaustiveness guarantee ([[maxProbeCandidates]]
+    * bounds the probed candidate set, and the FILTERED candidates are a
+    * subset of it, so a `shortlist >= maxProbeCandidates(nprobe)` keeps
+    * the filtered rerank provably exact over the probed cells). The
+    * exact re-rank then scores already-allowed candidates only.
+    */
+  def queryTopKRerankFiltered(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, corpus: DataFrame,
+      corpusId: String, corpusEmb: String, k: Int, allowed: DataFrame,
+      allowedIdCol: String, shortlist: Int = 0, nprobe: Int = 8): DataFrame =
+    rerankImpl(queries, queryId, queryEmb, corpus, corpusId, corpusEmb, k,
+      shortlistOf(spark, queries, queryId, queryEmb, indexDir, k, shortlist,
+        nprobe,
+        allowed = Some(allowed.select(col(allowedIdCol).as("neighbor_id")))))
+
+  private def shortlistOf(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      shortlist: Int, nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
     val sl = if (shortlist > 0) shortlist else 5 * k
     require(sl >= k, s"shortlist $sl must be at least k $k")
     // the shortlist is consumed exactly once (the broadcast below), so
     // no checkpoint: the quantized probe plans straight into the
     // broadcast exchange
-    val cand = queryTopK(spark, queries, queryId, queryEmb, indexDir, sl, nprobe)
+    queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, sl, nprobe,
+        allowed)
       .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private def rerankImpl(queries: DataFrame, queryId: String, queryEmb: String,
+      corpus: DataFrame, corpusId: String, corpusEmb: String, k: Int,
+      cand: DataFrame): DataFrame = {
     val qSide = queries.select(col(queryId).as("query_id"), col(queryEmb).as("__qe"))
     // the corpus SCAN is the streaming side of every join: candidate
     // (query, neighbor) pairs broadcast onto it (plan-pinned in

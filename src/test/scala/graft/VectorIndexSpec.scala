@@ -698,4 +698,59 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.delete(Seq(x).toDF("vec_id"), "vec_id", idxDir, asofRun = 0L)
     checkBoth()
   }
+
+  test("filtered ANN: predicate applies BEFORE top-k; post-filtering the unfiltered top-k loses rows") {
+    // the bug queryTopKFiltered exists to prevent (r16 item 4): a
+    // disallowed strong neighbor evicts allowed vectors from the
+    // unfiltered k list, so filtering afterwards silently returns < k
+    // rows and the wrong set. Constructed corpus: near the query
+    // direction sit one DISALLOWED vector (cosine .99) and three
+    // allowed ones (.9/.8/.7); a far-away clump gives k-means real
+    // structure. nprobe = k(model), so probe recall is out of the
+    // picture and only the filter placement differs.
+    val base = Files.createTempDirectory("vecidx_filtered")
+    val idxDir = s"$base/idx"
+    def v(c: Double, rot: Int): Seq[Float] = {
+      val s = math.sqrt(1 - c * c)
+      val out = Array.fill(4)(0.0)
+      out(0) = c; out(1 + rot % 3) = s
+      out.map(_.toFloat).toSeq
+    }
+    val corpus = Seq(
+      1L -> v(0.99, 0), 2L -> v(0.90, 1), 4L -> v(0.80, 2), 6L -> v(0.70, 0),
+      // the far clump (negative first axis, spread)
+      3L -> v(-0.95, 0), 5L -> v(-0.9, 1), 7L -> v(-0.85, 2), 8L -> v(-0.8, 0)
+    ).toDF("vec_id", "embedding")
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 2, maxIter = 8)
+    val queries = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val allowed = corpus.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"))
+    val filtered = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      allowed, "vec_id", nprobe = 2))
+    assert(filtered.map(r => (r._2, r._4)) == Seq((2L, 1), (4L, 2)),
+      s"filtered top-2 must be the two best ALLOWED vectors: $filtered")
+    // the naive post-filter: unfiltered top-2 is {1 (disallowed), 2} —
+    // filtering it yields ONE row and loses vec 4 entirely
+    val naive = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2, nprobe = 2))
+      .filter(r => r._2 % 2 == 0)
+    assert(naive.map(_._2) == Seq(2L),
+      s"post-filtering must demonstrably lose rows: $naive")
+    assert(filtered.size == 2 && naive.size == 1)
+    // an all-permissive filter degenerates to the unfiltered answer
+    val all = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      corpus.select(col("vec_id")), "vec_id", nprobe = 2))
+    assert(all == topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2, nprobe = 2)))
+    // the rerank sibling: filter inside the shortlist probe, exact
+    // re-rank on allowed candidates only — equals the filtered probe on
+    // an f32 index
+    val rerank = topk(VectorIndex.queryTopKRerankFiltered(
+      spark, queries, "vec_id", "embedding", idxDir,
+      corpus, "vec_id", "embedding", k = 2,
+      allowed, "vec_id", shortlist = 8, nprobe = 2))
+    assert(rerank == filtered, s"filtered rerank must agree: $rerank vs $filtered")
+  }
 }
