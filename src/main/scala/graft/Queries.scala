@@ -4216,6 +4216,86 @@ object Queries {
       FROM e, o
       ORDER BY query_id"""))
 
+  private val q129 = Q(
+    "q129_warc_pipeline",
+    (s, d) => {
+      // The WARC crawl-archive source end-to-end (VERDICT r16 item 5):
+      // a conformant generated archive set (one gzip member per
+      // record, the Common Crawl layout; cached per fixture
+      // fingerprint, written DISTRIBUTED — one file per partition,
+      // the non-splittable-container contract the reader itself has)
+      // is read back through Warc.responses and fed to the q69
+      // markup-strip curation stage. The oracle never touches a WARC
+      // byte: it reconstructs each record's html from the documents
+      // table and strips it with the same chain — so the hash check
+      // pins the whole path: writer conformance, gzip-member walk,
+      // header parse, HTTP split, UTF-8 body round-trip, strip parity.
+      val W = graft.sources.Warc
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q129_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|warc-v1"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        dir.mkdirs()
+        val dirPath = dir.toString
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            // module-static access only — a captured `W` val would drag
+            // the module instance into the task closure (not serializable)
+            val recs = it.map { r =>
+              val id = r.getLong(0)
+              val html = "<html><head><title>Doc " + id +
+                "</title></head><body><h1>Header &amp; Title</h1><p>" +
+                r.getString(1) + "</p><!-- c --></body></html>"
+              ("response", s"http://example.org/doc/$id",
+                "2026-08-16T00:00:00Z",
+                graft.sources.Warc.httpResponse(html))
+            }.toSeq
+            if (recs.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dirPath, f"part-$pid%04d.warc.gz"),
+                graft.sources.Warc.writeGz(recs))
+              ()
+            }
+          }
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      W.responses(s, dir.toString)
+        .select(regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("http_status").cast("int").as("http_status"),
+          TF.stripMarkup(col("html")).as("clean_text"))
+        .withColumn("clean_len", length(col("clean_text")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title></head><body><h1>Header &amp; Title</h1><p>' || text ||
+        '</p><!-- c --></body></html>' AS html
+        FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT doc_id, trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '(?s)<[^>]+>', ' ', 'g'),
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&nbsp;', ' '), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS clean_text FROM h)
+      SELECT doc_id, CAST(200 AS INT) AS http_status, clean_text,
+        length(clean_text) AS clean_len
+      FROM s ORDER BY doc_id"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4261,5 +4341,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

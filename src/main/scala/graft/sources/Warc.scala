@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, DataInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) source — the wire format web corpora
+  * actually arrive in (Common Crawl et al.; VERDICT r16 item 5 — the
+  * missing crawl-archive source beside JSONL/CSV/xlsx/parquet/binary).
+  *
+  * A `.warc` file is a sequence of records, each a header block
+  * (`WARC/1.0`, named fields, `Content-Length`) followed by exactly
+  * that many payload bytes and two CRLFs; a `.warc.gz` is the same with
+  * every record its own gzip MEMBER, concatenated —
+  * `java.util.zip.GZIPInputStream` walks concatenated members natively,
+  * so one sequential pass decodes the whole file.
+  *
+  * Parallelism is the FILE (the [[Xlsx]] pattern: `binaryFile` fans a
+  * glob out one task per file): per-record gzip members are not
+  * seekable without an external index, and crawl archives ship as many
+  * ~1 GiB files precisely so the file is the distribution unit. Size
+  * executor memory for the largest single archive (binaryFile
+  * materializes one file per task) — the standard WARC processing
+  * contract, shared with every Hadoop WARC reader.
+  *
+  * `response` records carrying `application/http` payloads are split
+  * into status + headers + body here (one pass, no second scan), since
+  * the body is what every downstream curation stage
+  * (strip → quality → dedup) actually wants; non-HTTP records surface
+  * their raw payload with a null status.
+  */
+object Warc {
+
+  /** One parsed record, pre-Row. */
+  private[graft] final case class Rec(
+      warcType: String,
+      recordId: String,
+      date: String,
+      url: String,
+      contentType: String,
+      httpStatus: Option[Int],
+      body: Array[Byte])
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("body", BinaryType, nullable = true)))
+
+  /** Distributed read of one archive, or of every `*.warc` /
+    * `*.warc.gz` under a directory: one task per file, records streamed off the
+    * (decompressed) byte stream in one pass. Malformed mid-file data
+    * fails the task LOUDLY with the path — a silently truncated crawl
+    * read corrupts every downstream dedup/decontamination statistic.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+    val rdd = bin.rdd.flatMap { r =>
+      val p = r.getString(0)
+      val recs =
+        try parseAll(r.getAs[Array[Byte]](1))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(s"Warc: failed to parse $p: ${e.getMessage}", e)
+        }
+      recs.map(rec => Row(p, rec.warcType, rec.recordId, rec.date, rec.url,
+        rec.contentType, rec.httpStatus.map(Integer.valueOf).orNull, rec.body))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The curation-facing projection: live `response` records as
+    * (url, warc_date, http_status, html string) — the input shape of
+    * the strip→quality→dedup pipeline (q129 runs it end-to-end). */
+  def responses(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .where(col("warc_type") === "response" && col("body").isNotNull)
+      .select(col("url"), col("warc_date"), col("http_status"),
+        col("body").cast("string").as("html"))
+
+  // ---------------------------------------------------------------- parse
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Every record of one archive (gzip-member or plain), in order. */
+  private[graft] def parseAll(bytes: Array[Byte]): Seq[Rec] = {
+    val in = new DataInputStream(
+      if (isGzip(bytes)) new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+      else new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[Rec]
+    var rec = parseRecord(in)
+    while (rec.isDefined) {
+      out += rec.get
+      rec = parseRecord(in)
+    }
+    out.result()
+  }
+
+  /** One header line, ISO-8859-1, CRLF- (or bare-LF-) terminated; None
+    * at clean EOF before any byte. */
+  private def readLine(in: InputStream): Option[String] = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    Some(sb.toString)
+  }
+
+  private def parseRecord(in: DataInputStream): Option[Rec] = {
+    // skip inter-record blank lines, stop cleanly at EOF
+    var first = readLine(in)
+    while (first.exists(_.isEmpty)) first = readLine(in)
+    first match {
+      case None => None
+      case Some(version) if version.startsWith("WARC/") =>
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var line = readLine(in).getOrElse(
+          throw new EOFException("EOF inside WARC header block"))
+        while (line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i > 0)
+            headers(line.substring(0, i).trim.toLowerCase) =
+              line.substring(i + 1).trim
+          line = readLine(in).getOrElse(
+            throw new EOFException("EOF inside WARC header block"))
+        }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException("WARC record without Content-Length"))
+          .toInt
+        val block = new Array[Byte](len)
+        in.readFully(block)
+        val contentType = headers.getOrElse("content-type", "")
+        val (status, body) =
+          if (contentType.startsWith("application/http")) splitHttp(block)
+          else (None, block)
+        Some(Rec(
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-record-id", ""),
+          headers.getOrElse("warc-date", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          contentType,
+          status, body))
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"expected WARC/ version line, got '${other.take(40)}'")
+    }
+  }
+
+  /** Split an HTTP message block into (status, body) at the first blank
+    * line; a block with no header terminator surfaces whole as body
+    * with no status (truncation must not hide bytes). */
+  private[graft] def splitHttp(block: Array[Byte]): (Option[Int], Array[Byte]) = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+        block(i + 2) == '\r' && block(i + 3) == '\n') split = i + 4
+      i += 1
+    }
+    if (split < 0) return (None, block)
+    val statusLine = new String(block, 0, math.min(64, split), "ISO-8859-1")
+      .takeWhile(_ != '\r')
+    val status = statusLine.split(' ') match {
+      case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") =>
+        parts(1).toIntOption
+      case _ => None
+    }
+    (status, java.util.Arrays.copyOfRange(block, split, block.length))
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Serialize records into one `.warc.gz` byte stream — every record
+    * its own gzip member (the standard layout, so record-level tools
+    * interoperate). Fixture/writer side of the round-trip (WarcSpec,
+    * q129's generated corpus); crawl ARCHIVING at scale is the
+    * fetcher's job, not this engine's. */
+  private[graft] def writeGz(records: Seq[(String, String, String, Array[Byte])])
+      : Array[Byte] = {
+    // records: (warcType, url, date, httpPayload)
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    records.zipWithIndex.foreach { case ((wtype, url, date, payload), i) =>
+      val header = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $wtype\r\n")
+        .append(s"WARC-Record-ID: <urn:graft:$i>\r\n")
+        .append(s"WARC-Date: $date\r\n")
+        .append(s"WARC-Target-URI: $url\r\n")
+        .append("Content-Type: application/http;msgtype=response\r\n")
+        .append(s"Content-Length: ${payload.length}\r\n\r\n")
+        .toString.getBytes("ISO-8859-1")
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(header); gz.write(payload); gz.write("\r\n\r\n".getBytes("ISO-8859-1"))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** An HTTP 200 text/html response block around `html`. */
+  private[graft] def httpResponse(html: String): Array[Byte] = {
+    val body = html.getBytes("UTF-8")
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1")
+    head ++ body
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+/** WARC source (round 17): conformant-fixture round-trip, gzip-member
+  * and plain layouts, HTTP splitting, loud failure on malformed bytes.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def record(i: Long, text: String): (String, String, String, Array[Byte]) =
+    ("response", s"http://example.org/doc/$i", "2026-08-16T00:00:00Z",
+      Warc.httpResponse(s"<html><body><p>$text</p></body></html>"))
+
+  test("round-trip: gz members and plain files read identically, HTTP split, non-HTTP raw") {
+    val dir = Files.createTempDirectory("warc").toString
+    val recs = Seq(
+      record(1L, "hello world"),
+      record(2L, "ünïcødé — em—dash"), // UTF-8 body survives byte-exactly
+      record(3L, "third page"))
+    // a warcinfo record (non-HTTP content type): payload must surface
+    // raw, status null
+    val info = ("warcinfo", "", "2026-08-16T00:00:00Z",
+      "software: graft-fixture\r\n".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(dir, "a.warc.gz"),
+      Warc.writeGz(Seq(info, recs(0), recs(1))))
+    // plain (uncompressed) file: same parser, no gzip layer
+    val plainRecs = Warc.writeGz(Seq(recs(2)))
+    val plain = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(plainRecs)).readAllBytes()
+    Files.write(java.nio.file.Paths.get(dir, "b.warc"), plain)
+
+    val df = Warc.read(spark, dir).localCheckpoint(true)
+    assert(df.count() == 4)
+    val responses = df.filter(col("warc_type") === "response")
+      .select(col("url"), col("http_status"), col("body").cast("string"))
+      .as[(String, Int, String)].collect().sortBy(_._1).toSeq
+    assert(responses.map(_._1) == Seq(
+      "http://example.org/doc/1", "http://example.org/doc/2", "http://example.org/doc/3"))
+    assert(responses.forall(_._2 == 200))
+    assert(responses(1)._3 == "<html><body><p>ünïcødé — em—dash</p></body></html>",
+      s"body must round-trip byte-exactly: ${responses(1)._3}")
+    val infoRow = df.filter(col("warc_type") === "warcinfo")
+      .select(col("http_status").isNull, col("body").cast("string")).head()
+    assert(infoRow.getBoolean(0), "non-HTTP record must carry null status")
+    assert(infoRow.getString(1) == "software: graft-fixture\r\n")
+    // responses() is the curation projection
+    val hs = Warc.responses(spark, dir).select(col("html")).as[String]
+      .collect()
+    assert(hs.length == 3 && hs.forall(_.startsWith("<html>")))
+  }
+
+  test("malformed mid-file bytes fail LOUDLY with the path, never truncate silently") {
+    val dir = Files.createTempDirectory("warc_bad").toString
+    val good = Warc.writeGz(Seq(record(1L, "fine")))
+    val junk = Warc.writeGz(Seq(("response", "http://x", "2026-01-01T00:00:00Z",
+      Warc.httpResponse("<p>x</p>")))).clone()
+    // corrupt the version line inside the member: re-gzip garbage that
+    // decompresses but is not a WARC record
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("NOT-A-WARC line\r\n\r\n".getBytes("ISO-8859-1")); gz.finish()
+    Files.write(java.nio.file.Paths.get(dir, "c.warc.gz"), good ++ bos.toByteArray)
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, dir).count()
+    }
+    assert(e.getMessage != null)
+    assert(junk.nonEmpty) // (clone used only to keep the fixture expression honest)
+  }
+
+  test("splitHttp: header-less block surfaces whole, truncated header never hides bytes") {
+    val (s1, b1) = Warc.splitHttp("no http header here".getBytes("UTF-8"))
+    assert(s1.isEmpty && new String(b1, "UTF-8") == "no http header here")
+    val (s2, b2) = Warc.splitHttp(
+      "HTTP/1.1 404 Not Found\r\nX: y\r\n\r\nbody bytes".getBytes("ISO-8859-1"))
+    assert(s2.contains(404) && new String(b2, "ISO-8859-1") == "body bytes")
+  }
+}
