@@ -4296,6 +4296,53 @@ object Queries {
         length(clean_text) AS clean_len
       FROM s ORDER BY doc_id"""))
 
+  private val q130 = Q(
+    "q130_image_state_oracle",
+    (s, d) => {
+      // q101's incremental-state oracle shape for the IMAGE family
+      // (VERDICT r16 item 7 stretch): the FULL
+      // imageNearDuplicatesVsState machinery — batch decode, distinct-
+      // signature collapse on both sides, chunk blocking, popcount,
+      // argmin join-back — with the oracle over the deterministic
+      // answer. State holds the base images of every 10th doc; the
+      // batch re-encodes them (low-quality JPEG, ≤ 2 bits drift —
+      // ImageDedupSpec's floor) and adds FRESH images of every
+      // 10th+5 doc (≥ 12 bits from every state seed, same floor). At
+      // maxHamming 5 each copy's ONLY candidate is its source (unlike
+      // q101's minhash luck, dup_of is deterministic here: the floor
+      // kills every other candidate before the argmin), and fresh
+      // images never match — -1 sentinel instead of NULL so the hash
+      // compare stays order-total.
+      val IF = graft.multimodal.ImageFixtures
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val par = s.sparkContext.defaultParallelism
+      val baseIds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+      val state = Dedup.imageSignatures(
+        baseIds.repartition(par).select(col("doc_id").as("img_id"),
+          IF.fixtureImage(col("doc_id"), lit(0)).as("content")),
+        "img_id", "content")
+      val copies = baseIds.select((col("doc_id") + lit(off)).as("img_id"),
+        col("doc_id").as("__seed"), lit(1).as("__v"))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select((col("doc_id") + lit(off)).as("img_id"),
+          col("doc_id").as("__seed"), lit(0).as("__v"))
+      val batch = copies.unionByName(fresh).repartition(par)
+        .select(col("img_id"),
+          IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+      Dedup.imageNearDuplicatesVsState(batch, "img_id", "content", state)
+        .select(col("img_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .orderBy(col("img_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id + off AS img_id, doc_id AS dup_of
+      FROM documents, o WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + off, CAST(-1 AS BIGINT)
+      FROM documents, o WHERE doc_id % 10 = 5
+      ORDER BY img_id"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4341,5 +4388,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

@@ -382,6 +382,76 @@ object Dedup {
         .filter(col("__sig").isNotNull),
       bits = 64, chunks = chunks, maxHamming = maxHamming)
 
+  /** Per-image dHash signatures — the state rows of the INCREMENTAL
+    * image-dedup cadence (the multimodal sibling of
+    * [[minHashSignatures]]): (idCol, sig) with undecodable rows dropped
+    * (no perceptual content to match; count them upstream via the
+    * quarantine patterns). 8 bytes per kept image is the ONLY thing
+    * incremental image dedup ever reads back — at a 100 TB crawl the
+    * state table is GB-scale. Append each run's survivors with a
+    * version column and maintain with [[compactSignatureState]]
+    * (keep-latest + retention work unchanged on a long signature).
+    */
+  def imageSignatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.multimodal.ImageOps.imageDHash(col(bytesCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Incremental image near-dup: flag each image of a NEW batch whose
+    * dHash sits within `maxHamming` bits of any previously-KEPT image's
+    * stored signature — the production shape where "dedup the new
+    * crawl" must never re-decode the corpus. Blocking is the pigeonhole
+    * chunk join run on DISTINCT signatures on BOTH sides (the r16/r17
+    * identical-signature skew rule: a crawl's placeholder-image batch
+    * collapses to one blocked row, and so does the state's), expanded
+    * back through the batch afterwards. Returns the batch keyed rows
+    * annotated with (dup_of, hamming) — `dup_of` NULL for survivors
+    * (and for undecodable rows); the match is deterministic: smallest
+    * hamming, ties to the smallest state id. Append the survivors'
+    * [[imageSignatures]] to state after each run.
+    */
+  def imageNearDuplicatesVsState(
+      batch: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      stateSigs: DataFrame, // (idCol, sig) from imageSignatures
+      chunks: Int = 8,
+      maxHamming: Int = 5): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    require(64 % chunks == 0, "chunks must divide 64")
+    // ONE decode per batch image: the signature frame feeds both the
+    // distinct-sig blocking and the final member expansion
+    val bs = imageSignatures(batch, idCol, bytesCol)
+      .select(col(idCol).as("__bid"), col("sig").as("__bsig"))
+      .localCheckpoint(true)
+    val sReps = stateSigs
+      .select(col(idCol).as("__sid"), col("sig").as("__ssig"))
+      .groupBy(col("__ssig")).agg(min(col("__sid")).as("__sid"))
+    def chunked(sigs: DataFrame, sigCol: String, extra: Seq[String]) = sigs.select(
+      (col(sigCol) +: extra.map(col) :+
+        explode(array((0 until chunks).map(c =>
+          struct(lit(c).as("c"),
+            HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
+          .as("cc")): _*)
+      .select((col(sigCol) +: extra.map(col) :+ col("cc.c") :+ col("cc.ck")): _*)
+    val bChunk = chunked(bs.select(col("__bsig")).distinct(), "__bsig", Nil)
+    val sChunk = chunked(sReps, "__ssig", Seq("__sid"))
+    val best = bChunk.join(sChunk, Seq("c", "ck"))
+      .select(col("__bsig"), col("__ssig"), col("__sid"))
+      .distinct()
+      .withColumn("hamming",
+        VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("__bsig"))
+      .agg(min(struct(col("hamming"), col("__sid"))).as("m"))
+      .select(col("__bsig"), col("m.__sid").as("dup_of"),
+        col("m.hamming").as("hamming"))
+    batch.join(
+      bs.join(best, Seq("__bsig"), "left")
+        .select(col("__bid"), col("dup_of"), col("hamming")),
+      batch(idCol) === col("__bid"), "left").drop("__bid")
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, blocked on
     * `blockCol` (e.g. a cluster/label/LSH-bucket column) so the join is an
     * equi-join on the block key rather than a cross join.

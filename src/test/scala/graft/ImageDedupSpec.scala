@@ -105,7 +105,7 @@ class ImageDedupSpec extends SparkSpec {
     // outside it. Pin both floors with margin on a seed population the
     // size of the sf0.1 fixture selection.
     import graft.multimodal.ImageFixtures
-    val seeds = (0L until 5000L by 10L).toSeq // the q125 selection shape
+    val seeds = (0L until 5000L by 5L).toSeq // q125's bases ∪ q130's fresh seeds
     val hashes = seeds.map { s =>
       val v0 = ImageOps.dHash(ImageFixtures.fixtureBytes(s, 0)).get
       val v1 = ImageOps.dHash(ImageFixtures.fixtureBytes(s, 1)).get
@@ -124,5 +124,56 @@ class ImageDedupSpec extends SparkSpec {
       assert(d >= 12, s"seeds ${seeds(i)}/${seeds(j)} too close: $d")
     }
     info(s"cross-seed min distance over ${seeds.size} seeds: $minD")
+  }
+
+  test("incremental image dedup: two-run state ≡ one-shot, rerun no-op, retention drop") {
+    import graft.multimodal.ImageFixtures
+    val dir = java.nio.file.Files.createTempDirectory("imgstate").toString + "/state"
+    def imgs(seeds: Seq[Long], variant: Int, idOff: Long = 0L) =
+      seeds.map(s => (s + idOff, ImageFixtures.fixtureBytes(s, variant)))
+        .toDF("img_id", "content")
+    // the accumulated-state cadence: run 1 appends seeds 0/10/20, run 2
+    // appends 30/40, run 1 is REDELIVERED verbatim (at-least-once)
+    def sigs(df: org.apache.spark.sql.DataFrame, batchId: Long) =
+      Dedup.imageSignatures(df, "img_id", "content")
+        .withColumn("batch_id", lit(batchId))
+    sigs(imgs(Seq(0L, 10L, 20L), 0), 1L).write.mode("append").parquet(dir)
+    sigs(imgs(Seq(30L, 40L), 0), 2L).write.mode("append").parquet(dir)
+    sigs(imgs(Seq(0L, 10L, 20L), 0), 1L).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 8)
+    // batch: disguised copies of 10 and 40 (re-encode / resize), one
+    // fresh seed, one undecodable row
+    val batch = imgs(Seq(10L), 1, 1000L)
+      .unionByName(imgs(Seq(40L), 2, 1000L))
+      .unionByName(imgs(Seq(55L), 0, 1000L))
+      .unionByName(Seq((2000L, Array[Byte](9, 9))).toDF("img_id", "content"))
+    def verdicts(state: org.apache.spark.sql.DataFrame) =
+      Dedup.imageNearDuplicatesVsState(batch, "img_id", "content", state)
+        .select(col("img_id"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        .as[(Long, Long)].collect().toMap
+    val persisted = verdicts(spark.read.parquet(dir))
+    assert(persisted == Map(1010L -> 10L, 1040L -> 40L, 1055L -> -1L, 2000L -> -1L),
+      s"copies flag to their source, fresh+undecodable survive: $persisted")
+    // one-shot state (no runs, no duplicates) gives identical verdicts
+    val oneShot = verdicts(Dedup.imageSignatures(
+      imgs(Seq(0L, 10L, 20L, 30L, 40L), 0), "img_id", "content"))
+    assert(oneShot == persisted, "incremental state must equal one-shot")
+    // compaction: keep-latest collapses the redelivered rows, verdicts hold
+    val (b1, a1) = Dedup.compactSignatureState(spark, dir, "img_id",
+      versionCol = Some("batch_id"))
+    assert(b1 == 8 && a1 == 5, s"keep-latest must leave one row per image: $b1 -> $a1")
+    assert(verdicts(spark.read.parquet(dir)) == persisted)
+    // rerun no-op
+    val (b2, a2) = Dedup.compactSignatureState(spark, dir, "img_id",
+      versionCol = Some("batch_id"))
+    assert(b2 == 5 && a2 == 5, s"rerun must keep every row: $b2 -> $a2")
+    // retention: dropping the old batch un-flags its copies
+    val (_, a3) = Dedup.compactSignatureState(spark, dir, "img_id",
+      versionCol = Some("batch_id"), retain = Some(col("batch_id") >= 2L))
+    assert(a3 == 2, s"retention must keep only run 2: $a3")
+    val retained = verdicts(spark.read.parquet(dir))
+    assert(retained == Map(1010L -> -1L, 1040L -> 40L, 1055L -> -1L, 2000L -> -1L),
+      s"after retention only run-2 sources still match: $retained")
   }
 }
