@@ -65,6 +65,47 @@ object Bench {
     // foto stage results (the reference's literal workload; stage below)
     var fotoWall = Double.NaN; var fotoCpu = Double.NaN
     var fotoRows = -1L; var fotoBad = -1L; var fotoN = 0
+    // ---- round-over-round self-adjudication (r16 verdict item 6) ----
+    // Same-code sweeps of this suite have spanned 97.5–106.3 s WALL
+    // under host window drift while cpu stayed flat, so the artifact
+    // carries (a) a run_id tying it to the BASELINE.md narrative that
+    // discusses it and (b) a CPU-based common-subset ratio vs the
+    // PRIOR ROUND's frozen artifact (BENCH_PREV.json — refreshed from
+    // BENCH_FULL.json at each round START, see BASELINE.md), cpu being
+    // the long-standing r6 adjudication rule. A ratio ≈ 1 on the
+    // common subset means the tree moved nothing; readers never again
+    // have to reconcile four wall numbers by hand.
+    val runId = java.lang.Long.toHexString(System.currentTimeMillis()) + "-" +
+      java.lang.Integer.toHexString(scala.util.Random.nextInt())
+    val (prevCpu, prevRunId): (Map[String, Double], String) =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_PREV.json")
+        if (!java.nio.file.Files.exists(p)) (Map.empty, "")
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          val m = java.util.regex.Pattern
+            .compile("\"cpu_sec_queries\":\\{([^}]*)\\}").matcher(txt)
+          val cpuMap =
+            if (!m.find() || m.group(1).isEmpty) Map.empty[String, Double]
+            else m.group(1).split(",").iterator.map { kv =>
+              val i = kv.lastIndexOf(':')
+              kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") ->
+                kv.drop(i + 1).toDouble
+            }.toMap
+          val rid = java.util.regex.Pattern
+            .compile("\"run_id\":\"([^\"]*)\"").matcher(txt)
+          // the ratio is only meaningful like-for-like: a dev loop at
+          // another SF must not emit a nonsense cross-scale number
+          val sfM = java.util.regex.Pattern
+            .compile("\"sf\":\"([^\"]*)\"").matcher(txt)
+          val sameSf = sfM.find() && sfM.group(1) == sfDir
+          (if (sameSf) cpuMap else Map.empty,
+            if (rid.find()) rid.group(1) else "")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_PREV.json unreadable: $e")
+        (Map.empty, "")
+      }
     def artifactJson(finalLine: Boolean): String = {
       // ms precision everywhere: sub-ms digits are noise and the driver's
       // stdout capture keeps only a bounded TAIL of the line — shorter
@@ -103,11 +144,21 @@ object Bench {
       // errors, counts, sf) comes LAST so a tail-truncated capture still
       // carries the round's comparable numbers; the untruncated line is
       // persisted to BENCH_FULL.json on every full run
+      val commonSubset = measured.filter(prevCpu.contains)
+      val ratioPart =
+        if (commonSubset.isEmpty) ""
+        else {
+          val prevSum = commonSubset.map(prevCpu).sum
+          if (prevSum <= 0) "" else
+            s""","common_subset_cpu_ratio":${r3(commonSubset.map(cpuAtBest).sum / prevSum)},""" +
+              s""""common_subset_n":${commonSubset.size},"prev_run_id":"$prevRunId""""
+        }
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
         s""""cpu_sec_queries":$cpus2$sf1Part$fotoPart,""" +
         s""""cpu_sec_total":${r3(cpuTotal)},"reps":$passesCompleted,""" +
         s""""errors":$errs,""" +
         s""""queries_measured":${measured.size},"queries_declared":${sorted.size}$partial,""" +
+        s""""run_id":"$runId"$ratioPart,""" +
         s""""note":"cpu_sec is whole-process CPU of the best wall rep; full artifact in BENCH_FULL.json","sf":"$sfDir"}"""
     }
     def persist(): Unit =
