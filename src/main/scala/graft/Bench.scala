@@ -287,7 +287,15 @@ object Bench {
       // probed-cells-sized as documents grow) and the KLL float-
       // quantile state (reads must stay sketch-sized per key however
       // long the stream)
-      "q123_text_ann_bridge", "q124_kll_quantile_state")
+      "q123_text_ann_bridge", "q124_kll_quantile_state",
+      // round 17: the image near-dup family (blocked hamming join with
+      // the exact-signature collapse — pair-explosion-shaped by
+      // construction, and the decode is the linear cost the sentinel
+      // baselines) and the filtered ANN probe (the candidate semi-join
+      // must stay probed-cells-sized as the corpus grows). q126/q127
+      // are deliberately lifecycle-heavy like q108 and stay out.
+      "q125_image_neardup_planted", "q128_filtered_ann",
+      "q130_image_state_oracle")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
