@@ -3854,12 +3854,26 @@ object Queries {
       // VectorExpressionsSpec's order-invariance property. Any
       // residual collision (two non-proportional multisets, same
       // 64-bucket embedding) still fails LOUDLY as a row mismatch.
-      val counts = docs.where(col("text").isNotNull)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("__tok"))
-        .groupBy(col("doc_id"), col("__tok"))
-        .agg(count(lit(1)).as("__c"))
-      val canon = counts.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("__tok"), col("__c")))).as("__tc"))
+      // (token, count) pairs by RUN-LENGTH-ENCODING the sorted token
+      // array per row — boundaries are the positions where the sorted
+      // array changes value, counts the gaps between boundaries. Pure
+      // projections: no explode, no per-token shuffle; the only
+      // exchange this construction pays is the final uniqueness
+      // groupBy, same as the pre-r17 sorted-list form.
+      val canon = docs.where(col("text").isNotNull)
+        .select(col("doc_id"), array_sort(TF.tokens(col("text"))).as("__ts"))
+        .where(size(col("__ts")) > 0)
+        .withColumn("__b", filter(
+          sequence(lit(0), size(col("__ts")) - 1),
+          i => i === 0 ||
+            element_at(col("__ts"), i + 1) =!= element_at(col("__ts"), i)))
+        .withColumn("__tc", transform(col("__b"), (b, j) => struct(
+          element_at(col("__ts"), b + 1).as("__tok"),
+          // `get` (0-based) returns null past the last boundary — the
+          // ANSI-safe lookahead; element_at would throw out-of-bounds
+          (coalesce(get(col("__b"), j + 1), size(col("__ts"))) - b)
+            .cast("long").as("__c"))))
+        .drop("__ts", "__b")
         .withColumn("__g", array_max(filter(
           sequence(lit(1L),
             array_min(transform(col("__tc"), x => x.getField("__c")))),
@@ -3982,21 +3996,38 @@ object Queries {
       val IF = graft.multimodal.ImageFixtures
       val docs = Tables.documents(s, d)
       val off = plantedIdOffset(docs, "doc_id")
-      val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"))
-      val plan = base
-        .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
-          lit(0).as("__v"))
-        .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
-          col("doc_id").as("__seed"), lit(1).as("__v")))
-        .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
-          .select((col("doc_id") + lit(2 * off)).as("img_id"),
-            col("doc_id").as("__seed"), lit(2).as("__v")))
-      val imgs = plan.repartition(s.sparkContext.defaultParallelism)
-        .select(col("img_id"),
-          IF.fixtureImage(col("__seed"), col("__v")).as("content"))
-      Dedup.imageNearDuplicates(imgs, "img_id", "content",
-          chunks = 8, maxHamming = 5)
+      // the corpus GENERATION (render + 3 encodes per seed) is fixture
+      // construction, not the operator — cache it per fixture
+      // fingerprint (the q109/q110 idiom) so every invocation measures
+      // what production pays: decode + dHash + the blocked join
+      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q125_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(imgDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val plan = base
+          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+            lit(0).as("__v"))
+          .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(1).as("__v")))
+          .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
+            .select((col("doc_id") + lit(2 * off)).as("img_id"),
+              col("doc_id").as("__seed"), lit(2).as("__v")))
+        plan.repartition(s.sparkContext.defaultParallelism)
+          .select(col("img_id"),
+            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+          .write.mode("overwrite").parquet(s"$imgDir/images")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      Dedup.imageNearDuplicates(s.read.parquet(s"$imgDir/images"),
+          "img_id", "content", chunks = 8, maxHamming = 5)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -4317,21 +4348,42 @@ object Queries {
       val docs = Tables.documents(s, d)
       val off = plantedIdOffset(docs, "doc_id")
       val par = s.sparkContext.defaultParallelism
-      val baseIds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"))
+      // generation cached per fixture fingerprint (q125's reasoning):
+      // the operator under measurement is decode + state probe, not
+      // the fixture render/encode
+      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q130_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(imgDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1"
+      val freshGen = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (freshGen) {
+        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
+        val baseIds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val stateImgs = baseIds
+          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+            lit(0).as("__v"), lit("state").as("role"))
+        val copies = baseIds.select((col("doc_id") + lit(off)).as("img_id"),
+          col("doc_id").as("__seed"), lit(1).as("__v"), lit("batch").as("role"))
+        val freshImgs = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select((col("doc_id") + lit(off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(0).as("__v"),
+            lit("batch").as("role"))
+        stateImgs.unionByName(copies).unionByName(freshImgs)
+          .repartition(par)
+          .select(col("img_id"), col("role"),
+            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+          .write.mode("overwrite").parquet(s"$imgDir/images")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val imgs = s.read.parquet(s"$imgDir/images")
       val state = Dedup.imageSignatures(
-        baseIds.repartition(par).select(col("doc_id").as("img_id"),
-          IF.fixtureImage(col("doc_id"), lit(0)).as("content")),
-        "img_id", "content")
-      val copies = baseIds.select((col("doc_id") + lit(off)).as("img_id"),
-        col("doc_id").as("__seed"), lit(1).as("__v"))
-      val fresh = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-        .select((col("doc_id") + lit(off)).as("img_id"),
-          col("doc_id").as("__seed"), lit(0).as("__v"))
-      val batch = copies.unionByName(fresh).repartition(par)
-        .select(col("img_id"),
-          IF.fixtureImage(col("__seed"), col("__v")).as("content"))
-      Dedup.imageNearDuplicatesVsState(batch, "img_id", "content", state)
+        imgs.filter(col("role") === "state"), "img_id", "content")
+      Dedup.imageNearDuplicatesVsState(
+          imgs.filter(col("role") === "batch"), "img_id", "content", state)
         .select(col("img_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
         .orderBy(col("img_id"))
     },
