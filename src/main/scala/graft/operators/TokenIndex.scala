@@ -82,26 +82,75 @@ object TokenIndex {
     * collection-level staleness scoring tolerates in between), then
     * clears the ledger (re-add semantics after that).
     *
+    * HORIZON-AWARE like the vector ledger (round 17): the tombstone
+    * records `asof_run` (derived from the current postings, or
+    * caller-supplied — see [[VectorIndex.delete]] for the redelivery
+    * race the parameter exists for), and every consumer masks/drops
+    * only rows at or below it. That makes
+    * delete-then-[[append]]-under-a-higher-run the documented UPSERT
+    * path for a CHANGED document: probes answer by the new token set
+    * from the very next read, never the stale one, never both. The one
+    * residual staleness is BM25's collection stats — (N, sum_dl) count
+    * both ingests of an upserted doc until [[compact]] re-derives them
+    * (the same documented class as a verbatim re-ingest under a new
+    * run id).
+    *
     * Idempotent under redelivery (appended distinct ids; set-op
     * consumers). The LIVE ledger is inter-compaction-bounded, so the
     * probe-side anti-joins broadcast it.
     */
-  def delete(ids: DataFrame, idCol: String, indexDir: String): Unit =
+  def delete(ids: DataFrame, idCol: String, indexDir: String,
+      asofRun: Long = DeriveAsof): Unit = {
+    val spark = ids.sparkSession
+    val asof =
+      if (asofRun != DeriveAsof) asofRun
+      else {
+        val p = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) -1L
+        else {
+          val h = spark.read.parquet(postingsDir(indexDir))
+            .agg(max(col("run_id"))).collect().head
+          if (h.isNullAt(0)) -1L else h.getLong(0)
+        }
+      }
     ids.select(col(idCol).as("corpus_id")).distinct()
+      .withColumn("asof_run", lit(asof))
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+  }
+
+  /** Sentinel for [[delete]]'s `asofRun`: derive the horizon from the
+    * index's current postings (mirrors [[VectorIndex.DeriveAsof]]). */
+  val DeriveAsof: Long = Long.MinValue
 
   // not deduplicated — every consumer is anti-join/physical-drop
   // (multiplicity-blind), and a distinct would buy an exchange for
   // nothing (the sf1 takedown probe measured it as the ledger's
-  // dominant cost on the VectorIndex side)
+  // dominant cost on the VectorIndex side). A doc deleted twice with
+  // different horizons carries both rows; the anti-joins' effective
+  // horizon is their max — union-of-coverage semantics.
   private def tombstones(spark: SparkSession,
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir)).select(col("corpus_id")))
+      Some(spark.read.parquet(tombstonesDir(indexDir))
+        .select(col("corpus_id"), col("asof_run")))
     else None
   }
+
+  /** Drop rows covered by the ledger: `corpus_id` matches AND the row's
+    * `run_id` is at or below the delete-time horizon — so an upsert's
+    * re-appended (higher-run) postings/arrays survive the mask. Always
+    * a broadcast hash anti-join (equi on the id, the run bound rides as
+    * an extra predicate); `df` must carry corpus_id + run_id.
+    */
+  private def dropMasked(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t =>
+      df.join(broadcast(t.select(col("corpus_id").as("__t_id"),
+          col("asof_run").as("__t_asof"))),
+        df("corpus_id") === col("__t_id") && df("run_id") <= col("__t_asof"),
+        "left_anti"))
 
   /** Index one corpus ingest batch: append its postings and df delta
     * under `runId`. Contract: append-only corpus, one batch per run id
@@ -205,28 +254,33 @@ object TokenIndex {
           .cast("int")).as("pre"))
       .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
     val postings = spark.read.parquet(postingsDir(indexDir))
-      .select(col("tok"), col("corpus_id"))
+      .select(col("tok"), col("corpus_id"), col("run_id"))
+    val tomb = tombstones(spark, indexDir)
     // takedowns anti-join at the candidate (not postings) level: the
     // candidate set is already the bounded side, so the ledger filter
-    // costs candidate-sized work and the postings scan is untouched
-    val cands0 = broadcast(prefixes).join(postings, "tok")
+    // costs candidate-sized work and the postings scan is untouched.
+    // run_id rides to here so the mask is horizon-aware (an upserted
+    // doc's higher-run postings survive), then drops in the distinct
+    val cands = dropMasked(broadcast(prefixes).join(postings, "tok"), tomb)
       .select(col("probe_id"), col("corpus_id")).distinct()
-    val cands = tombstones(spark, indexDir).fold(cands0)(t =>
-      cands0.join(broadcast(t), Seq("corpus_id"), "left_anti"))
       // feeds the semi-filter AND the pair join; without the snapshot
       // the prefix/postings subtree would run twice
       .localCheckpoint(true)
     val arrays = spark.read.parquet(arraysDir(indexDir))
-      .select(col("corpus_id"), col("toks"))
+      .select(col("corpus_id"), col("toks"), col("run_id"))
     // candidate-doc semi-filter, broadcast so the corpus-sized arrays
     // scan never shuffles: only matched documents' arrays (candidate-
-    // sized) enter the pair equi-join. The distinct() dedups duplicate
-    // ARRAY rows (retried appends, verbatim re-ingests) on the
-    // candidate-sized matched subset — never via a corpus shuffle, and
-    // never on the output (which would change pair multiplicity vs the
-    // one-shot operator; r14 review)
-    val matched = arrays.join(
-        broadcast(cands.select(col("corpus_id")).distinct()), "corpus_id")
+    // sized) enter the pair equi-join, and the ledger mask applies on
+    // that candidate-sized subset too (an upserted doc's STALE token
+    // array must not verify — only its live one). The distinct()
+    // dedups duplicate ARRAY rows (retried appends, verbatim
+    // re-ingests) on the matched subset — never via a corpus shuffle,
+    // and never on the output (which would change pair multiplicity vs
+    // the one-shot operator; r14 review)
+    val matched = dropMasked(arrays.join(
+        broadcast(cands.select(col("corpus_id")).distinct()), "corpus_id"),
+        tomb)
+      .select(col("corpus_id"), col("toks"))
       .distinct()
     cands.join(broadcast(pa), "probe_id")
       .join(matched, "corpus_id")
@@ -281,16 +335,20 @@ object TokenIndex {
       .agg(max(col("n_docs")).as("n_docs"), max(col("sum_dl")).as("sum_dl"))
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
-    val pLive = spark.read.parquet(postingsDir(indexDir))
-      .filter(col("tok").isin(terms: _*))
+    // taken-down docs can never score; the mask is horizon-aware (an
+    // upserted doc scores by its NEW postings only). df below
+    // re-derives from the surviving matched postings, while the
+    // collection stats (N, avgdl) stay ledger-stale until compact
+    // heals them — the same performance-not-recall staleness class as
+    // the df note above
+    val p = dropMasked(
+        spark.read.parquet(postingsDir(indexDir))
+          .filter(col("tok").isin(terms: _*))
+          .select(col("corpus_id"), col("tok"), col("tf"), col("dl"),
+            col("run_id")),
+        tombstones(spark, indexDir))
       .select(col("corpus_id"), col("tok"), col("tf"), col("dl"))
       .distinct() // term-bounded; absorbs retried + re-ingested rows
-    // taken-down docs can never score; df below re-derives from the
-    // surviving matched postings, while the collection stats (N,
-    // avgdl) stay ledger-stale until compact heals them — the same
-    // performance-not-recall staleness class as the df note above
-    val p = tombstones(spark, indexDir).fold(pLive)(t =>
-      pLive.join(broadcast(t), Seq("corpus_id"), "left_anti"))
     val df = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     p.join(broadcast(df), "tok")
       .crossJoin(broadcast(st))
@@ -316,21 +374,23 @@ object TokenIndex {
       if (h.isNullAt(0)) 0L else h.getLong(0)
     }
     // tombstoned docs drop physically in both folds (probes only mask
-    // them between delete and compact); df/stats re-derive from the
-    // folded survivors below, so the BM25 collection stats heal here
+    // them between delete and compact); the drop is horizon-aware and
+    // runs BEFORE the distinct (which erases run provenance), so an
+    // upserted doc's higher-run rows survive while the stale ones go.
+    // df/stats re-derive from the folded survivors below, so the BM25
+    // collection stats heal here
     val tomb = tombstones(spark, indexDir)
-    def dropTakedowns(df: DataFrame): DataFrame =
-      tomb.fold(df)(t => df.join(broadcast(t), Seq("corpus_id"), "left_anti"))
     val p = graft.sources.Compaction.rewriteParquetDir(spark,
         postingsDir(indexDir), targetBytes) { df =>
-      dropTakedowns(
-        df.select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct())
+      dropMasked(df, tomb)
+        .select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct()
         .withColumn("run_id", lit(horizon(df)))
         .select(col("tok"), col("corpus_id"), col("tf"), col("dl"), col("run_id"))
     }
     val a = graft.sources.Compaction.rewriteParquetDir(spark,
         arraysDir(indexDir), targetBytes) { df =>
-      dropTakedowns(df.select(col("corpus_id"), col("toks")).distinct())
+      dropMasked(df, tomb)
+        .select(col("corpus_id"), col("toks")).distinct()
         .withColumn("run_id", lit(horizon(df)))
         .select(col("corpus_id"), col("toks"), col("run_id"))
     }

@@ -234,4 +234,49 @@ class TokenIndexSpec extends SparkSpec {
     assert(pb2 == pa2 && ab2 == aa2, "rerun compact must be a no-op")
     assert(pairs().map(_._2) == Seq(1L, 3L))
   }
+
+  test("upsert = delete + re-append under a higher run: probes answer by the NEW text only, in every window") {
+    // the r17 horizon-aware token ledger: a CHANGED document re-ingested
+    // after its takedown must be a containment hit for its new tokens,
+    // never its stale ones, never both — including the masked window
+    // before compact, where the old postings/arrays rows still sit on
+    // disk under lower run ids.
+    val dir = Files.createTempDirectory("tokidx_upsert").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    TokenIndex.append(corpus, "doc_id", "text", dir, 0L)
+    // doc 1's text CHANGES: delete (derives asof_run = 0), re-append
+    TokenIndex.delete(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    TokenIndex.append(Seq((1L, "nu xi omicron pi")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    val probes = Seq((10L, "alpha beta"), (11L, "nu xi"))
+      .toDF("pid", "ptext")
+    def hits() = TokenIndex.containmentJoinIndexed(spark, probes,
+        "pid", "ptext", dir, threshold = 1.0)
+      .select(col("probe_id").cast("long"), col("corpus_id").cast("long"),
+        col("containment"))
+      .as[(Long, Long, Double)].collect().toSet
+    def check(): Unit = {
+      val got = hits()
+      assert(got == Set((11L, 1L, 1.0)),
+        s"stale tokens must not hit, new tokens must, exactly once: $got")
+      val scored = TokenIndex.bm25Indexed(spark, dir, Seq("alpha", "nu"))
+        .select(col("corpus_id").cast("long"), col("n_terms"))
+        .as[(Long, Long)].collect().toSet
+      assert(scored == Set((1L, 1L)),
+        s"bm25 must score doc 1 by the new posting only: $scored")
+    }
+    check() // masked window: both ingests on disk, ledger live
+    val ((pb, pa), _, (ab, aa)) = TokenIndex.compact(spark, dir)
+    assert(pb - pa == 4, s"compact must drop exactly the 4 stale postings: $pb -> $pa")
+    assert(ab - aa == 1, s"and the stale token array: $ab -> $aa")
+    assert(!new java.io.File(dir, "tombstones").exists())
+    check() // physical window: stale rows gone, ledger retired
+    // stats healed: N counts doc 1 once after compact
+    val n = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(n == 3, s"collection stats must heal to one row per live doc: $n")
+  }
 }
