@@ -3326,24 +3326,9 @@ object Queries {
       // the sf1 sentinel then measure the PROBE path, which is this
       // operator's production cadence, not the one-time ingest (q108
       // deliberately measures the lifecycle instead; r14 review).
-      val docs = Tables.documents(s, d)
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q109_${Integer.toHexString(d.hashCode)}")
-      val marker = new java.io.File(dir, "_SRC_FP")
-      // the marker carries an index-format version beside the fixture
-      // fingerprint: a TokenIndex schema change must invalidate a
-      // cached index just like a rebuilt fixture does
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|tokenindex-v2"
-      val TI = graft.operators.TokenIndex
-      val fresh = !marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim != srcFp
-      if (fresh) {
-        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
-        TI.append(docs, "doc_id", "text", dir.toString, 0L)
-        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
-        ()
-      }
-      TI.bm25Indexed(s, dir.toString, Seq("dup", "join", "scan"))
+      val dir = cachedTokenIndex(s, d)
+      graft.operators.TokenIndex
+        .bm25Indexed(s, dir, Seq("dup", "join", "scan"))
         .select(col("corpus_id").as("doc_id"),
           round(col("bm25"), 4).as("bm25"), col("n_terms"))
         .orderBy(col("doc_id"))
@@ -4395,6 +4380,68 @@ object Queries {
       FROM documents, o WHERE doc_id % 10 = 5
       ORDER BY img_id"""))
 
+  /** The full-corpus TokenIndex cached per fixture fingerprint —
+    * SHARED by q109 and q131 (same dir, same marker: whichever runs
+    * first builds it, the probe queries then measure the probe path
+    * only). The marker carries an index-format version beside the
+    * fixture fingerprint: a TokenIndex schema change must invalidate a
+    * cached index just like a rebuilt fixture does. */
+  private def cachedTokenIndex(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q109_${Integer.toHexString(d.hashCode)}")
+    val marker = new java.io.File(dir, "_SRC_FP")
+    val srcFp = fixtureFingerprint(d, "documents.parquet") + "|tokenindex-v2"
+    val fresh = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .trim != srcFp
+    if (fresh) {
+      if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+      graft.operators.TokenIndex.append(
+        Tables.documents(s, d), "doc_id", "text", dir.toString, 0L)
+      java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+      ()
+    }
+    dir.toString
+  }
+
+  private val q131 = Q(
+    "q131_bm25_filtered",
+    (s, d) => {
+      // FILTERED BM25 retrieval (the token sibling of q128's filtered
+      // ANN): the metadata predicate — doc_id parity here — restricts
+      // the term-bounded matched postings BEFORE scoring, so df
+      // reflects the allowed slice (the effective-df rule the takedown
+      // mask already applies) and every allowed match comes back.
+      // Same cached index, terms, rounding as q109; the oracle mirrors
+      // q109's formula with the matched set and df computed over even
+      // docs while (N, avgdl) stay collection-global.
+      val docs = Tables.documents(s, d)
+      val dir = cachedTokenIndex(s, d)
+      graft.operators.TokenIndex.bm25IndexedFiltered(s, dir,
+          Seq("dup", "join", "scan"),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id")),
+          "doc_id")
+        .select(col("corpus_id").as("doc_id"),
+          round(col("bm25"), 4).as("bm25"), col("n_terms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
+        FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      p AS (SELECT doc_id, tok, count(*) AS tf FROM u
+        WHERE tok IN ('dup', 'join', 'scan') AND doc_id % 2 = 0
+        GROUP BY 1, 2),
+      f AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+      c AS (SELECT p.doc_id,
+          ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) * (p.tf * 2.2) /
+            (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS contrib
+        FROM p JOIN f ON p.tok = f.tok JOIN d ON p.doc_id = d.doc_id CROSS JOIN st)
+      SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   /** [[graft.operators.VectorIndex.maxProbeCandidates]] memoized in a
     * `_SHORTLIST` file inside the query's fixture-cache dir: valid for
     * exactly as long as the index itself (the fresh path deletes the
@@ -4440,5 +4487,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }

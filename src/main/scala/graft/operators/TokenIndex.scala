@@ -123,6 +123,19 @@ object TokenIndex {
     * index's current postings (mirrors [[VectorIndex.DeriveAsof]]). */
   val DeriveAsof: Long = Long.MinValue
 
+  /** The changed-document upsert as ONE call (mirrors
+    * [[VectorIndex.upsert]]): re-ingest `batch` under `runId`, masking
+    * every posting/array row its ids had in runs BELOW it — horizon
+    * `runId - 1`, explicit, so redelivery is idempotent even across
+    * interleaved appends, and a crash between the steps leaves only
+    * the benign delete-applied/append-missing state a rerun completes.
+    */
+  def upsert(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, runId: Long): Unit = {
+    delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
+    append(batch, idCol, textCol, indexDir, runId)
+  }
+
   // not deduplicated — every consumer is anti-join/physical-drop
   // (multiplicity-blind), and a distinct would buy an exchange for
   // nothing (the sf1 takedown probe measured it as the ledger's
@@ -328,7 +341,30 @@ object TokenIndex {
     * identical (parity spec-pinned).
     */
   def bm25Indexed(spark: SparkSession, indexDir: String, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(spark, indexDir, terms, k1, b, allowed = None)
+
+  /** [[bm25Indexed]] under a metadata predicate — the token-retrieval
+    * sibling of [[VectorIndex.queryTopKFiltered]]: only documents whose
+    * id appears in `allowed` (pass `metadata.where(pred).select(id)`)
+    * can score, and the restriction applies to the matched postings
+    * BEFORE scoring, so `df` reflects the allowed slice — the same
+    * effective-df rule the takedown mask already applies (a doc that
+    * cannot be returned does not shape the idf either). Collection
+    * stats (N, avgdl) stay index-global, like the one-shot operator's.
+    * Post-filtering unfiltered results would instead keep disallowed
+    * docs' df contributions and silently return fewer rows than the
+    * allowed matches — the same bug class the filtered ANN pin covers.
+    */
+  def bm25IndexedFiltered(spark: SparkSession, indexDir: String,
+      terms: Seq[String], allowed: DataFrame, allowedIdCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(spark, indexDir, terms, k1, b,
+      allowed = Some(allowed.select(col(allowedIdCol).as("corpus_id"))))
+
+  private def bm25Impl(spark: SparkSession, indexDir: String,
+      terms: Seq[String], k1: Double, b: Double,
+      allowed: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     val st = spark.read.parquet(statsDir(indexDir))
       .groupBy(col("run_id"))
@@ -341,7 +377,7 @@ object TokenIndex {
     // collection stats (N, avgdl) stay ledger-stale until compact
     // heals them — the same performance-not-recall staleness class as
     // the df note above
-    val p = dropMasked(
+    val p0 = dropMasked(
         spark.read.parquet(postingsDir(indexDir))
           .filter(col("tok").isin(terms: _*))
           .select(col("corpus_id"), col("tok"), col("tf"), col("dl"),
@@ -349,6 +385,9 @@ object TokenIndex {
         tombstones(spark, indexDir))
       .select(col("corpus_id"), col("tok"), col("tf"), col("dl"))
       .distinct() // term-bounded; absorbs retried + re-ingested rows
+    // the metadata predicate restricts the term-bounded matched set —
+    // candidate-sized work, the postings scan is untouched
+    val p = allowed.fold(p0)(a => p0.join(a, Seq("corpus_id"), "left_semi"))
     val df = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     p.join(broadcast(df), "tok")
       .crossJoin(broadcast(st))

@@ -426,6 +426,21 @@ object VectorIndex {
     * index's current postings. */
   val DeriveAsof: Long = Long.MinValue
 
+  /** The upsert contract as ONE call: re-embed `batch`'s ids under
+    * `runId`, masking every posting they had in runs BELOW it. The
+    * horizon is `runId - 1` — explicit, not derived — so the call is
+    * idempotent under redelivery even when other appends interleave
+    * (the race [[delete]]'s `asofRun` parameter exists for), and a
+    * crash between the two steps leaves only the benign
+    * delete-applied/append-missing state a rerun completes. Callers
+    * own run monotonicity, same as [[append]].
+    */
+  def upsert(batch: DataFrame, idCol: String, embCol: String,
+      indexDir: String, runId: Long): Unit = {
+    delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
+    append(batch, idCol, embCol, indexDir, runId)
+  }
+
   /** The live (vec_id, asof_run) tombstone rows, or None when no delete
     * was ever issued (the common case — probes then skip the anti-join
     * entirely, so the plan pins of the no-takedown path are untouched).

@@ -697,6 +697,13 @@ class VectorIndexSpec extends SparkSpec {
     // asofRun parameter exists for)
     VectorIndex.delete(Seq(x).toDF("vec_id"), "vec_id", idxDir, asofRun = 0L)
     checkBoth()
+    // the one-call helper: same contract, idempotent under redelivery
+    // (horizon = runId - 1 is explicit, so a replay can never swallow
+    // its own append)
+    VectorIndex.upsert(reEmbedded, "vec_id", "embedding", idxDir, runId = 2L)
+    checkBoth()
+    VectorIndex.upsert(reEmbedded, "vec_id", "embedding", idxDir, runId = 2L)
+    checkBoth()
   }
 
   test("filtered ANN: predicate applies BEFORE top-k; post-filtering the unfiltered top-k loses rows") {
