@@ -274,6 +274,41 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental IMAGE-SIGNATURE state ingest as an `AvailableNow`
+    * stream — the [[tokenIndexAppendStream]] cadence for the
+    * perceptual-dedup state (round 17): each invocation decodes ONLY
+    * the new image files, appends their 8-byte dHash rows
+    * (`Dedup.imageSignatures`) under the WAL-pinned batch id, and
+    * terminates; probes run [[graft.operators.Dedup.imageNearDuplicatesVsState]]
+    * against the accumulated state and never re-decode the corpus.
+    *
+    * Redelivery: a replayed batch appends bit-identical (id, sig,
+    * batch_id) rows — the vs-state verdict is multiplicity-blind
+    * (distinct-signature collapse + min-id argmin), and
+    * `compactSignatureState(versionCol = "batch_id")` folds the
+    * duplicates at maintenance time. `batchId + 1` for the same
+    * bootstrap-run-0 reason as [[tokenIndexAppendStream]].
+    */
+  def imageSignatureStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.imageSignatures(batch, idCol, bytesCol)
+          .withColumn("batch_id", lit(batchId + 1))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+
   /** Incremental VECTOR-INDEX ingest as an `AvailableNow` stream — the
     * [[tokenIndexAppendStream]] contract for the IVF index: each
     * invocation assigns only the new corpus files against the FROZEN

@@ -942,6 +942,49 @@ class StreamingSpec extends SparkSpec {
     assert(topk(idxDir) == topk(batchDir2),
       "stream-across-rebuild must equal the batch-built index")
   }
+
+  test("streaming image-signature ingest: delta-only decode, rerun no-op, verdicts match one-shot, compactable") {
+    import graft.multimodal.ImageFixtures
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("imgstream").toString
+    val inDir = s"$base/in"; val ckDir = s"$base/ck"; val stDir = s"$base/state"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    def imgs(seeds: Seq[Long], variant: Int, idOff: Long = 0L) =
+      seeds.map(s => (s + idOff, ImageFixtures.fixtureBytes(s, variant)))
+        .toDF("img_id", "content")
+    def run(): Unit = StreamOps.imageSignatureStream(
+      spark, inDir, schema, "img_id", "content", stDir, ckDir)
+      .awaitTermination()
+    imgs(Seq(0L, 10L, 20L), 0).write.mode("append").parquet(inDir)
+    run()
+    val after1 = spark.read.parquet(stDir).count()
+    assert(after1 == 3)
+    run() // nothing new: checkpoint yields no batch
+    assert(spark.read.parquet(stDir).count() == after1, "rerun must be a no-op")
+    imgs(Seq(30L, 40L), 0).write.mode("append").parquet(inDir)
+    run()
+    assert(spark.read.parquet(stDir).count() == 5)
+    // probe: a disguised copy flags to its source, a fresh seed survives
+    val batch = imgs(Seq(10L), 1, 1000L).unionByName(imgs(Seq(55L), 0, 1000L))
+    def verdicts() = Dedup.imageNearDuplicatesVsState(
+        batch, "img_id", "content", spark.read.parquet(stDir))
+      .select(col("img_id"), coalesce(col("dup_of"), lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    val streamed = verdicts()
+    assert(streamed == Map(1010L -> 10L, 1055L -> -1L), s"$streamed")
+    // batch ids are WAL-pinned (+1 for the bootstrap-run-0 rule) and
+    // the state compacts with the generic maintenance
+    assert(spark.read.parquet(stDir).select(min(col("batch_id"))).head().getLong(0) == 1L)
+    val (b, a) = Dedup.compactSignatureState(spark, stDir, "img_id",
+      versionCol = Some("batch_id"))
+    assert(b == 5 && a == 5, s"nothing redundant to fold yet: $b -> $a")
+    assert(verdicts() == streamed, "compaction must not change verdicts")
+  }
 }
 
 /** Static registry so the hermetic store is serializable-by-reference in

@@ -759,5 +759,20 @@ class VectorIndexSpec extends SparkSpec {
       corpus, "vec_id", "embedding", k = 2,
       allowed, "vec_id", shortlist = 8, nprobe = 2))
     assert(rerank == filtered, s"filtered rerank must agree: $rerank vs $filtered")
+    // the allowed-id semi-join must not cost the probe its two-tier
+    // scan pruning: the probed-bucket filter stays in PartitionFilters
+    // and the probed-cell filter stays pushed into the postings scan
+    val plan = VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      allowed, "vec_id", nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell_bucket"),
+      s"filtered probe must keep partition pruning:\n${plan.take(3000)}")
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("In(centroid_id"),
+      s"filtered probe must keep the pushed cell filter:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the allowed semi-join must stay a broadcast on this scale:\n${plan.take(3000)}")
   }
 }
