@@ -295,7 +295,7 @@ object Bench {
       // must stay probed-cells-sized as the corpus grows). q126/q127
       // are deliberately lifecycle-heavy like q108 and stay out.
       "q125_image_neardup_planted", "q128_filtered_ann",
-      "q130_image_state_oracle")
+      "q130_image_state_oracle", "q131_bm25_filtered")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {
