@@ -3978,40 +3978,7 @@ object Queries {
       // arithmetic alone, no pixel ever touched by the oracle.
       // Distances themselves are codec jitter (0..2) and stay out of
       // the output; the PAIR SET is the contract.
-      val IF = graft.multimodal.ImageFixtures
-      val docs = Tables.documents(s, d)
-      val off = plantedIdOffset(docs, "doc_id")
-      // the corpus GENERATION (render + 3 encodes per seed) is fixture
-      // construction, not the operator — cache it per fixture
-      // fingerprint (the q109/q110 idiom) so every invocation measures
-      // what production pays: decode + dHash + the blocked join
-      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q125_${Integer.toHexString(d.hashCode)}")
-      val marker = new java.io.File(imgDir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1"
-      val fresh = !marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          .trim != srcFp
-      if (fresh) {
-        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
-        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("doc_id"))
-        val plan = base
-          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
-            lit(0).as("__v"))
-          .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
-            col("doc_id").as("__seed"), lit(1).as("__v")))
-          .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
-            .select((col("doc_id") + lit(2 * off)).as("img_id"),
-              col("doc_id").as("__seed"), lit(2).as("__v")))
-        plan.repartition(s.sparkContext.defaultParallelism)
-          .select(col("img_id"),
-            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
-          .write.mode("overwrite").parquet(s"$imgDir/images")
-        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
-        ()
-      }
-      Dedup.imageNearDuplicates(s.read.parquet(s"$imgDir/images"),
+      Dedup.imageNearDuplicates(s.read.parquet(cachedImageCorpus(s, d)),
           "img_id", "content", chunks = 8, maxHamming = 5)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
@@ -4380,6 +4347,69 @@ object Queries {
       FROM documents, o WHERE doc_id % 10 = 5
       ORDER BY img_id"""))
 
+  /** The planted image corpus cached per fixture fingerprint — SHARED
+    * by q125 and q132 (same dir, same marker). The corpus GENERATION
+    * (render + 3 encodes per seed) is fixture construction, not the
+    * operator — caching it means every invocation measures what
+    * production pays: decode + dHash + the blocked join. Layout: every
+    * 10th doc seeds a base PNG (img_id = doc_id) plus a low-quality
+    * JPEG re-encode (+off); every 20th additionally a half-resize
+    * (+2·off). */
+  private def cachedImageCorpus(s: SparkSession, d: String): String = {
+    val IF = graft.multimodal.ImageFixtures
+    val docs = Tables.documents(s, d)
+    val off = plantedIdOffset(docs, "doc_id")
+    val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q125_${Integer.toHexString(d.hashCode)}")
+    val marker = new java.io.File(imgDir, "_SRC_FP")
+    val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1"
+    val fresh = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .trim != srcFp
+    if (fresh) {
+      if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+      val plan = base
+        .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+          lit(0).as("__v"))
+        .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
+          col("doc_id").as("__seed"), lit(1).as("__v")))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select((col("doc_id") + lit(2 * off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(2).as("__v")))
+      plan.repartition(s.sparkContext.defaultParallelism)
+        .select(col("img_id"),
+          IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+        .write.mode("overwrite").parquet(s"$imgDir/images")
+      java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+      ()
+    }
+    s"$imgDir/images"
+  }
+
+  private val q132 = Q(
+    "q132_image_keep_one",
+    (s, d) => {
+      // The image family composed INTO curation (the q82/q93 slot for
+      // pictures): near-dup pairs → transitive clusters (connected
+      // components, min-label canonical) → keep one survivor per
+      // cluster, unclustered rows pass through. Over the planted
+      // corpus every disguise family collapses to its base PNG
+      // (cluster_id = min id = the base doc_id), so the oracle is the
+      // base id set — but the hash check pins the whole composition:
+      // a missed pair leaks a disguised copy into the survivors, a
+      // mislabeled component drops or swaps a base.
+      val imgs = s.read.parquet(cachedImageCorpus(s, d))
+      val pairs = Dedup.imageNearDuplicates(imgs, "img_id", "content",
+        chunks = 8, maxHamming = 5)
+      Dedup.keepOnePerCluster(imgs, "img_id", pairs)
+        .select(col("img_id"))
+        .orderBy(col("img_id"))
+    },
+    Some("""SELECT doc_id AS img_id FROM documents
+      WHERE doc_id % 10 = 0 ORDER BY img_id"""))
+
   /** The full-corpus TokenIndex cached per fixture fingerprint —
     * SHARED by q109 and q131 (same dir, same marker: whichever runs
     * first builds it, the probe queries then measure the probe path
@@ -4487,5 +4517,5 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }
