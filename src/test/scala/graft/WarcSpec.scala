@@ -72,6 +72,82 @@ class WarcSpec extends SparkSpec {
     assert(junk.nonEmpty) // (clone used only to keep the fixture expression honest)
   }
 
+  test("record order is pinned: rows surface in archive order, multi-record members decode") {
+    val recs = (1L to 5L).map(i => record(i, s"page $i"))
+    // members 1..3 record-per-member, then ONE member holding records 4+5
+    // (records and gzip members are decoupled; both layouts must decode)
+    val perMember = Warc.writeGz(recs.take(3))
+    val twoInOne = {
+      val plain = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Warc.writeGz(recs.drop(3)))).readAllBytes()
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(plain); gz.close()
+      bos.toByteArray
+    }
+    val got = Warc.parseAll(perMember ++ twoInOne).map(_.url).toList
+    assert(got == (1L to 5L).map(i => s"http://example.org/doc/$i").toList,
+      s"records must surface in archive order: $got")
+  }
+
+  test("parse is LAZY: take(1) never touches later members") {
+    val good = Warc.writeGz(Seq(record(1L, "fine")))
+    val bad = Warc.writeGz(Seq(record(2L, "doomed"))).clone()
+    bad(0) = 0x00 // flipped magic byte in the SECOND member's header
+    val bytes = good ++ bad
+    // lazy: the first record parses without reaching the corrupt member
+    val first = Warc.parseAll(bytes).take(1).toList
+    assert(first.map(_.url) == List("http://example.org/doc/1"))
+    // full consumption must hit it loudly
+    val e = intercept[java.util.zip.ZipException] { Warc.parseAll(bytes).toList }
+    assert(e.getMessage.contains("bad gzip member magic"), e.getMessage)
+  }
+
+  test("flipped member-header byte and truncated tail fail LOUDLY (no silent member drop)") {
+    // the GZIPInputStream trap this source explicitly avoids: its
+    // concatenation support swallows a malformed next-member header and
+    // reports EOF, silently dropping every later record
+    val good = Warc.writeGz(Seq(record(1L, "fine")))
+    val second = Warc.writeGz(Seq(record(2L, "dropped?")))
+    val flipped = second.clone(); flipped(1) = 0x00
+    intercept[java.util.zip.ZipException] { Warc.parseAll(good ++ flipped).toList }
+    // truncated tail: only the first 12 bytes of the second member
+    val e2 = intercept[Exception] {
+      Warc.parseAll(good ++ second.take(12)).toList
+    }
+    assert(e2.getMessage != null)
+    // corrupted deflate payload mid-member: CRC/inflate must object
+    val mangled = second.clone(); mangled(second.length / 2) = (mangled(second.length / 2) ^ 0x55).toByte
+    intercept[Exception] { Warc.parseAll(good ++ mangled).toList }
+    // and through the DataFrame API the task fails with the PATH
+    val dir = Files.createTempDirectory("warc_flip").toString
+    Files.write(java.nio.file.Paths.get(dir, "d.warc.gz"), good ++ flipped)
+    val e3 = intercept[org.apache.spark.SparkException] { Warc.read(spark, dir).count() }
+    assert(e3.getMessage.contains("d.warc.gz") ||
+      Option(e3.getCause).exists(_.getMessage.contains("d.warc.gz")))
+  }
+
+  test("readWithCorrupt quarantines: good prefix kept, one _corrupt row per broken file") {
+    val dir = Files.createTempDirectory("warc_quar").toString
+    val good2 = Warc.writeGz(Seq(record(1L, "kept one"), record(2L, "kept two")))
+    val truncated = Warc.writeGz(Seq(record(3L, "lost"))).take(12)
+    Files.write(java.nio.file.Paths.get(dir, "broken.warc.gz"), good2 ++ truncated)
+    Files.write(java.nio.file.Paths.get(dir, "clean.warc.gz"),
+      Warc.writeGz(Seq(record(9L, "clean"))))
+    // default read is still loud
+    intercept[org.apache.spark.SparkException] { Warc.read(spark, dir).count() }
+    val df = Warc.readWithCorrupt(spark, dir).localCheckpoint(true)
+    val goodRows = df.filter(col("_corrupt").isNull)
+    assert(goodRows.count() == 3, "both good records of the broken file + the clean file survive")
+    assert(goodRows.select(col("url")).as[String].collect().sorted.toSeq ==
+      Seq("http://example.org/doc/1", "http://example.org/doc/2", "http://example.org/doc/9"))
+    val quar = df.filter(col("_corrupt").isNotNull)
+      .select(col("path"), col("_corrupt"), col("warc_type").isNull).collect()
+    assert(quar.length == 1 && quar(0).getString(0).contains("broken.warc.gz") &&
+      quar(0).getBoolean(2), quar.mkString("; "))
+    assert(quar(0).getString(1).nonEmpty)
+  }
+
   test("splitHttp: header-less block surfaces whole, truncated header never hides bytes") {
     val (s1, b1) = Warc.splitHttp("no http header here".getBytes("UTF-8"))
     assert(s1.isEmpty && new String(b1, "UTF-8") == "no http header here")
