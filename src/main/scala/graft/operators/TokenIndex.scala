@@ -146,10 +146,17 @@ object TokenIndex {
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir))
-        .select(col("corpus_id"), col("asof_run")))
-    else None
+    if (fs.exists(p)) {
+      val raw = spark.read.parquet(tombstonesDir(indexDir))
+      // legacy (pre-horizon) ledger rows default to asof_run =
+      // Long.MaxValue (mask all runs — their original semantics), same
+      // fallback as VectorIndex.tombstones, so old indexes stay
+      // probe-able and compact-able after the schema gained the column.
+      val withHorizon =
+        if (raw.columns.contains("asof_run")) raw
+        else raw.withColumn("asof_run", lit(Long.MaxValue))
+      Some(withHorizon.select(col("corpus_id"), col("asof_run")))
+    } else None
   }
 
   /** Drop rows covered by the ledger: `corpus_id` matches AND the row's

@@ -454,10 +454,18 @@ object VectorIndex {
       indexDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(tombstonesDir(indexDir))
-        .select(col("vec_id"), col("asof_run")))
-    else None
+    if (fs.exists(p)) {
+      val raw = spark.read.parquet(tombstonesDir(indexDir))
+      // legacy (pre-horizon) ledgers carry no asof_run; default those
+      // rows to Long.MaxValue — "mask every run", the exact semantics
+      // they were written under — so an old index with pending
+      // takedowns keeps probing (and compacting, the healing path)
+      // instead of dying on a missing column.
+      val withHorizon =
+        if (raw.columns.contains("asof_run")) raw
+        else raw.withColumn("asof_run", lit(Long.MaxValue))
+      Some(withHorizon.select(col("vec_id"), col("asof_run")))
+    } else None
   }
 
   /** The frozen-centroid drift signal (VERDICT r14 item 3): per run,

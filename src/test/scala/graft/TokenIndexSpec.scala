@@ -319,4 +319,30 @@ class TokenIndexSpec extends SparkSpec {
       spark, dir, Seq("koala"), corpus.select(col("doc_id")), "doc_id"))
     assert(all == scores(TokenIndex.bm25Indexed(spark, dir, Seq("koala"))))
   }
+  test("legacy (pre-horizon) tombstone ledger: containment/bm25 keep masking, compact heals") {
+    // same upgrade contract as the vector side: a pre-r17 ledger
+    // (corpus_id only, no asof_run) masks across all runs and compacts.
+    val base = Files.createTempDirectory("tokidx_legacy")
+    val idxDir = s"$base/idx"
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon zeta"),
+      (3L, "alpha beta gamma zeta")).toDF("id", "text")
+    TokenIndex.append(corpus, "id", "text", idxDir, 0L)
+    val probes = Seq((10L, "beta gamma")).toDF("pid", "ptext")
+    def pairs() = sortedPairs(TokenIndex.containmentJoinIndexed(
+      spark, probes, "pid", "ptext", idxDir, 1.0))
+    TokenIndex.delete(Seq(2L).toDF("id"), "id", idxDir)
+    val tombDir = s"$idxDir/tombstones"
+    val legacy = spark.read.parquet(tombDir).select("corpus_id").localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(tombDir)
+    assert(!spark.read.parquet(tombDir).columns.contains("asof_run"))
+    assert(pairs().map(_._2) == Seq(1L, 3L),
+      "a legacy ledger must keep excluding the taken-down doc")
+    val scored = TokenIndex.bm25Indexed(spark, idxDir, Seq("beta"))
+      .select(col("corpus_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(scored == Seq(1L, 3L))
+    val ((pb, pa), _, (ab, aa)) = TokenIndex.compact(spark, idxDir)
+    assert(pb > pa && aa == 2L, s"legacy takedown must drop physically: $pb->$pa arrays $ab->$aa")
+    assert(!new java.io.File(idxDir, "tombstones").exists())
+    assert(pairs().map(_._2) == Seq(1L, 3L))
+  }
 }

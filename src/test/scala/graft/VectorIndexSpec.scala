@@ -775,4 +775,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the allowed semi-join must stay a broadcast on this scale:\n${plan.take(3000)}")
   }
+  test("legacy (pre-horizon) tombstone ledger: probes keep masking, compact heals (no AnalysisException)") {
+    // an index persisted before the ledger gained asof_run must not
+    // brick: legacy rows default to the all-runs horizon they were
+    // written under, and compact (the healing path) retires them.
+    val base = Files.createTempDirectory("vecidx_legacy")
+    val idxDir = s"$base/idx"
+    VectorIndex.build(emb, "vec_id", "embedding", idxDir, k = 8, maxIter = 5)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    def q() = topk(VectorIndex.queryTopK(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, nprobe = 2))
+    val victims = q().filter(_._4 == 1).map(_._2).distinct
+    assert(victims.nonEmpty)
+    VectorIndex.delete(victims.toDF("vec_id"), "vec_id", idxDir)
+    val masked = q()
+    // rewrite the ledger in the PRE-r17 shape: vec_id only
+    val tombDir = s"$idxDir/tombstones"
+    val legacy = spark.read.parquet(tombDir).select("vec_id").localCheckpoint(true)
+    legacy.write.mode("overwrite").parquet(tombDir)
+    assert(!spark.read.parquet(tombDir).columns.contains("asof_run"))
+    assert(q() == masked,
+      "a legacy ledger must keep masking every victim across all runs")
+    val (b, a) = VectorIndex.compact(spark, idxDir)
+    assert(b - a == victims.size.toLong,
+      s"compact must still drop exactly the legacy-tombstoned rows: $b -> $a")
+    assert(!new java.io.File(idxDir, "tombstones").exists(),
+      "the legacy ledger must retire at compact")
+    assert(q() == masked)
+  }
 }
