@@ -102,6 +102,7 @@ object TokenIndex {
   def delete(ids: DataFrame, idCol: String, indexDir: String,
       asofRun: Long = DeriveAsof): Unit = {
     val spark = ids.sparkSession
+    graft.sources.Lease.withLease(spark, indexDir) {
     val asof =
       if (asofRun != DeriveAsof) asofRun
       else {
@@ -117,6 +118,7 @@ object TokenIndex {
     ids.select(col(idCol).as("corpus_id")).distinct()
       .withColumn("asof_run", lit(asof))
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+    }
   }
 
   /** Sentinel for [[delete]]'s `asofRun`: derive the horizon from the
@@ -131,10 +133,13 @@ object TokenIndex {
     * the benign delete-applied/append-missing state a rerun completes.
     */
   def upsert(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, runId: Long): Unit = {
-    delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
-    append(batch, idCol, textCol, indexDir, runId)
-  }
+      indexDir: String, runId: Long): Unit =
+    // ONE lease across both steps (withLease is reentrant), so no other
+    // writer can interleave between the delete and the append
+    graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
+      delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
+      append(batch, idCol, textCol, indexDir, runId)
+    }
 
   // not deduplicated — every consumer is anti-join/physical-drop
   // (multiplicity-blind), and a distinct would buy an exchange for
@@ -180,7 +185,8 @@ object TokenIndex {
     * [[Similarity.containmentJoin]]'s tokenizer on the corpus side).
     */
   def append(corpusBatch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, runId: Long): Unit = {
+      indexDir: String, runId: Long): Unit =
+      graft.sources.Lease.withLease(corpusBatch.sparkSession, indexDir) {
     // one snapshot feeds all four writes: arrays land first, postings /
     // df / stats derive from the same materialized frame (never a
     // second tokenize pass over the corpus). Only docs with a non-empty
@@ -414,7 +420,8 @@ object TokenIndex {
     * ((postingsBefore, after), (dfBefore, after), (arraysBefore,
     * after)). */
   def compact(spark: SparkSession, indexDir: String,
-      targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long), (Long, Long)) = {
+      targetBytes: Long = 128L << 20): ((Long, Long), (Long, Long), (Long, Long)) =
+      graft.sources.Lease.withLease(spark, indexDir) {
     def horizon(df: DataFrame): Long = {
       val h = df.agg(max(col("run_id"))).collect().head
       if (h.isNullAt(0)) 0L else h.getLong(0)

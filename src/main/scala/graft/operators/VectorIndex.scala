@@ -180,7 +180,8 @@ object VectorIndex {
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
       indexDir: String, k: Int, maxIter: Int = 8, sq8: Boolean = false,
-      pqM: Int = 0): Unit = {
+      pqM: Int = 0): Unit =
+      graft.sources.Lease.withLease(corpus.sparkSession, indexDir) {
     require(!(sq8 && pqM > 0), "sq8 and pq are mutually exclusive formats")
     val spark = corpus.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -281,7 +282,8 @@ object VectorIndex {
     * [[Similarity.assignClusterApprox]] at that documented recall cost.
     */
   def append(batch: DataFrame, idCol: String, embCol: String,
-      indexDir: String, runId: Long): Unit = {
+      indexDir: String, runId: Long): Unit =
+      graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
     val spark = batch.sparkSession
     val centArr = centroidArray(spark, indexDir)
     val width = bucketWidth(modelK(spark, indexDir))
@@ -405,6 +407,7 @@ object VectorIndex {
   def delete(ids: DataFrame, idCol: String, indexDir: String,
       asofRun: Long = DeriveAsof): Unit = {
     val spark = ids.sparkSession
+    graft.sources.Lease.withLease(spark, indexDir) {
     val asof =
       if (asofRun != DeriveAsof) asofRun
       else {
@@ -420,6 +423,7 @@ object VectorIndex {
     ids.select(col(idCol).as("vec_id")).distinct()
       .withColumn("asof_run", lit(asof))
       .coalesce(1).write.mode("append").parquet(tombstonesDir(indexDir))
+    }
   }
 
   /** Sentinel for [[delete]]'s `asofRun`: derive the horizon from the
@@ -436,10 +440,13 @@ object VectorIndex {
     * own run monotonicity, same as [[append]].
     */
   def upsert(batch: DataFrame, idCol: String, embCol: String,
-      indexDir: String, runId: Long): Unit = {
-    delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
-    append(batch, idCol, embCol, indexDir, runId)
-  }
+      indexDir: String, runId: Long): Unit =
+    // ONE lease across both steps (withLease is reentrant), so no other
+    // writer can interleave between the delete and the append
+    graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
+      delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
+      append(batch, idCol, embCol, indexDir, runId)
+    }
 
   /** The live (vec_id, asof_run) tombstone rows, or None when no delete
     * was ever issued (the common case — probes then skip the anti-join
@@ -935,7 +942,8 @@ object VectorIndex {
     * same quiesced single-writer contract. Returns
     * (rowsBefore, rowsAfter); `(0, 0)` when the directory is absent.
     */
-  def compact(spark: SparkSession, indexDir: String): (Long, Long) = {
+  def compact(spark: SparkSession, indexDir: String): (Long, Long) =
+      graft.sources.Lease.withLease(spark, indexDir) {
     val dir = postingsDir(indexDir)
     graft.sources.Compaction.recoverCrashedSwap(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -131,12 +131,15 @@ object Compaction {
     * (rowsBefore, rowsAfter); `(0, 0)` without a write when the
     * directory is absent or empty.
     *
-    * Same single-writer contract as compactParquetDir: run inside the
-    * ingest's existing single-writer window.
+    * Single-writer contract ENFORCED via [[Lease]] (fail-fast on a
+    * concurrent writer, stale-takeover on a crashed one); reentrant, so
+    * an index compact already holding its state dir's lease pays only
+    * this dir's own marker.
     */
   def rewriteParquetDir(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20)(transform: org.apache.spark.sql.DataFrame
-        => org.apache.spark.sql.DataFrame): (Long, Long) = {
+        => org.apache.spark.sql.DataFrame): (Long, Long) =
+      Lease.withLease(spark, dir) {
     recoverCrashedSwap(spark, dir)
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return (0L, 0L)

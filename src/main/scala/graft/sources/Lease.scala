@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Single-writer LEASE for persisted state directories (VERDICT r17
+  * item 4). Every mutating entry point of the persisted indexes
+  * ([[graft.operators.TokenIndex]], [[graft.operators.VectorIndex]]),
+  * the signature states, and [[Compaction.rewriteParquetDir]] documents
+  * a single-writer contract; until now nothing ENFORCED it — two
+  * concurrent ingests interleave their parquet appends and corrupt the
+  * state silently. This makes the contract fail-fast:
+  *
+  *   - acquisition creates the sibling `<dir>__lease` file exclusively
+  *     (`FileSystem.create`
+  *     with overwrite=false — atomic on HDFS-like stores, exists-then-
+  *     create on the local FS, backstopped by a token read-back);
+  *   - while the writer works, a daemon HEARTBEAT re-touches the lease
+  *     mtime every `staleMs / 4`, so a live writer of ANY duration
+  *     never looks dead;
+  *   - a second writer finding a lease with a fresh heartbeat throws
+  *     [[Lease.LeaseHeldException]] immediately — fail-fast, never
+  *     queue (the caller decides whether to retry);
+  *   - a CRASHED writer stops heartbeating, and once the mtime is older
+  *     than `staleMs` the next writer takes the lease over (delete +
+  *     re-create + token read-back, so two simultaneous takers cannot
+  *     both win);
+  *   - release deletes the lease only if the token still matches — a
+  *     writer that lost its lease to a (mis-tuned) takeover surfaces
+  *     that loudly rather than deleting the new owner's lease.
+  *
+  * Reentrant per thread and state dir: `upsert` (= delete + append) or
+  * a compact that rewrites a nested dir holds ONE lease across its
+  * steps, so composed operations are protected end-to-end, not
+  * step-by-step. Readers never touch the lease — probes stay lock-free
+  * (snapshot isolation comes from parquet immutability + the swap
+  * protocol in [[Compaction]]).
+  */
+object Lease {
+
+  /** Suffix appended to the state dir's own path: the lease is a
+    * SIBLING file, never inside the dir, because compaction swaps the
+    * whole dir out from under a live writer (rename → tmp-into-place →
+    * delete) and must not carry the lease away with it. */
+  val Suffix = "__lease"
+
+  final class LeaseHeldException(msg: String) extends IllegalStateException(msg)
+
+  /** Heartbeats every staleMs/4; 10 min of silence means dead. Long
+    * enough that a GC pause or driver hiccup cannot cause a spurious
+    * takeover, short enough that a crashed ingest does not block the
+    * next one for hours. */
+  val DefaultStaleMs: Long = 10L * 60 * 1000
+
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
+  /** Run `body` holding the state dir's writer lease. */
+  def withLease[T](spark: SparkSession, stateDir: String,
+      staleMs: Long = DefaultStaleMs)(body: => T): T = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(p).toString
+    if (held.get.contains(key)) return body // reentrant: outermost owns it
+    val lease = new Path(key + Suffix)
+    val token = s"${java.util.UUID.randomUUID()} ${ownerInfo()}"
+    acquire(fs, lease, staleMs, token)
+    held.get += key
+    val hb = startHeartbeat(fs, lease, staleMs)
+    try body
+    finally {
+      hb.shutdown()
+      held.get -= key
+      release(fs, lease, token)
+    }
+  }
+
+  private def ownerInfo(): String =
+    s"${ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}"
+
+  private def acquire(fs: FileSystem, lease: Path, staleMs: Long,
+      token: String): Unit = {
+    fs.mkdirs(lease.getParent)
+    if (!tryCreate(fs, lease, token)) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lease).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age <= staleMs)
+        throw new LeaseHeldException(
+          s"$lease is held by ${readToken(fs, lease)} (heartbeat ${age} ms ago; " +
+            s"stale after $staleMs ms) — a concurrent writer on this state dir")
+      // stale: the owner stopped heartbeating — take over
+      fs.delete(lease, false)
+      if (!tryCreate(fs, lease, token))
+        throw new LeaseHeldException(
+          s"$lease: lost the stale-takeover race to ${readToken(fs, lease)}")
+    }
+    // read-back closes the local-FS exists/create window: whoever's
+    // token is on disk owns the lease
+    val back = readToken(fs, lease)
+    if (back != token)
+      throw new LeaseHeldException(s"$lease: acquisition race lost to $back")
+  }
+
+  private def tryCreate(fs: FileSystem, lease: Path, token: String): Boolean =
+    try {
+      val out = fs.create(lease, false)
+      out.write(token.getBytes("UTF-8")); out.close()
+      true
+    } catch {
+      case e: IOException => if (fs.exists(lease)) false else throw e
+    }
+
+  private def readToken(fs: FileSystem, lease: Path): String =
+    try {
+      val in = fs.open(lease)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: IOException => "<unreadable lease>" }
+
+  private def release(fs: FileSystem, lease: Path, token: String): Unit = {
+    val back = readToken(fs, lease)
+    if (back == token) fs.delete(lease, false)
+    else throw new LeaseHeldException(
+      s"$lease: lease was taken over by $back while this writer ran — " +
+        "the state dir may hold interleaved writes; raise staleMs or fix the clock")
+  }
+
+  private final class Heartbeat(fs: FileSystem, lease: Path, staleMs: Long)
+      extends Thread {
+    setDaemon(true)
+    setName(s"graft-lease-heartbeat-$lease")
+    @volatile private var stopped = false
+    def shutdown(): Unit = { stopped = true; interrupt() }
+    override def run(): Unit =
+      try {
+        while (!stopped) {
+          Thread.sleep(math.max(1000L, staleMs / 4))
+          if (!stopped)
+            fs.setTimes(lease, System.currentTimeMillis(), -1)
+        }
+      } catch {
+        case _: InterruptedException => // shutdown
+        case _: IOException => // lease gone mid-op: release() reports it
+      }
+  }
+
+  private def startHeartbeat(fs: FileSystem, lease: Path,
+      staleMs: Long): Heartbeat = {
+    val hb = new Heartbeat(fs, lease, staleMs)
+    hb.start()
+    hb
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lease
+import graft.operators.{TokenIndex, VectorIndex}
+
+/** Concurrent-writer lease (round 18, VERDICT r17 item 4): the
+  * single-writer contract on persisted state dirs is enforced, not just
+  * documented — a second live writer fails FAST, a crashed writer's
+  * stale lease is taken over, and composed operations hold one lease
+  * end-to-end. */
+class LeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leaseFile(dir: String) = new java.io.File(dir + Lease.Suffix)
+
+  test("a second concurrent writer fails fast; the lease releases on exit AND on failure") {
+    val dir = s"${Files.createTempDirectory("lease")}/state"
+    Lease.withLease(spark, dir) {
+      assert(leaseFile(dir).exists(), "lease marker must exist while held")
+      // a DIFFERENT thread is a different writer (reentrancy is
+      // per-thread): it must be refused immediately
+      @volatile var got: Throwable = null
+      val t = new Thread(() =>
+        try Lease.withLease(spark, dir) { fail("second writer must not enter") }
+        catch { case e: Throwable => got = e })
+      t.start(); t.join(30000)
+      assert(got != null && got.isInstanceOf[Lease.LeaseHeldException],
+        s"expected LeaseHeldException, got $got")
+    }
+    assert(!leaseFile(dir).exists(), "lease must release on clean exit")
+    // release on failure too
+    intercept[RuntimeException] {
+      Lease.withLease(spark, dir) { throw new RuntimeException("writer died") }
+    }
+    assert(!leaseFile(dir).exists(), "lease must release when the body throws")
+    // and the dir is writable again
+    Lease.withLease(spark, dir) { assert(leaseFile(dir).exists()) }
+  }
+
+  test("a crashed writer's stale lease is taken over; a FRESH foreign lease is not") {
+    val dir = s"${Files.createTempDirectory("lease_stale")}/state"
+    new java.io.File(dir).mkdirs()
+    val f = leaseFile(dir)
+    // a foreign lease with a live heartbeat: refused
+    java.nio.file.Files.write(f.toPath, "someone-else".getBytes("UTF-8"))
+    val e = intercept[Lease.LeaseHeldException] {
+      Lease.withLease(spark, dir) { fail("must not enter over a live lease") }
+    }
+    assert(e.getMessage.contains("someone-else"), e.getMessage)
+    // the same lease gone silent past the staleness horizon: taken over
+    assert(f.setLastModified(System.currentTimeMillis() - 60L * 60 * 1000))
+    var entered = false
+    Lease.withLease(spark, dir) { entered = true }
+    assert(entered, "stale lease must be taken over")
+    assert(!f.exists(), "the takeover's own lease must release on exit")
+  }
+
+  test("index mutators are guarded end-to-end; probes stay lock-free under a foreign lease") {
+    val base = Files.createTempDirectory("lease_idx")
+    val idxDir = s"$base/idx"
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("id", "text")
+    TokenIndex.append(corpus, "id", "text", idxDir, 0L)
+    assert(!leaseFile(idxDir).exists(), "append must release its lease")
+    // a concurrent writer (simulated by a fresh foreign lease) blocks
+    // every mutator fast...
+    java.nio.file.Files.write(leaseFile(idxDir).toPath, "other-ingest".getBytes("UTF-8"))
+    intercept[Lease.LeaseHeldException] {
+      TokenIndex.append(corpus, "id", "text", idxDir, 1L)
+    }
+    intercept[Lease.LeaseHeldException] {
+      TokenIndex.delete(Seq(1L).toDF("id"), "id", idxDir)
+    }
+    intercept[Lease.LeaseHeldException] { TokenIndex.compact(spark, idxDir) }
+    // ...but READS never touch the lease
+    val pairs = TokenIndex.containmentJoinIndexed(spark,
+      Seq((10L, "beta gamma")).toDF("pid", "ptext"), "pid", "ptext", idxDir, 1.0)
+      .select(col("corpus_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(pairs == Seq(1L, 2L), "probes must stay lock-free")
+    assert(leaseFile(idxDir).delete())
+    // upsert = delete + append under ONE lease (reentrant), and the
+    // vector mutators share the same guard
+    TokenIndex.upsert(corpus, "id", "text", idxDir, 2L)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val vecDir = s"$base/vec"
+    VectorIndex.build(emb, "vec_id", "embedding", vecDir, k = 4, maxIter = 3)
+    java.nio.file.Files.write(leaseFile(vecDir).toPath, "other-ingest".getBytes("UTF-8"))
+    intercept[Lease.LeaseHeldException] {
+      VectorIndex.delete(Seq(1L).toDF("vec_id"), "vec_id", vecDir)
+    }
+    intercept[Lease.LeaseHeldException] { VectorIndex.compact(spark, vecDir) }
+    assert(leaseFile(vecDir).delete())
+    VectorIndex.compact(spark, vecDir) // and compacts again once free
+  }
+
+  test("rewriteParquetDir leases its dir; the swap never carries the lease away") {
+    val dir = s"${Files.createTempDirectory("lease_rw")}/tbl"
+    Seq((1L, "a"), (2L, "b"), (1L, "a")).toDF("k", "v")
+      .repartition(3).write.parquet(dir)
+    val (b, a) = graft.sources.Compaction.rewriteParquetDir(spark, dir)(_.distinct())
+    assert(b == 3L && a == 2L)
+    assert(!leaseFile(dir).exists(), "lease must release after the swap")
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
+}
