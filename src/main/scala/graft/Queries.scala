@@ -4410,6 +4410,70 @@ object Queries {
     Some("""SELECT doc_id AS img_id FROM documents
       WHERE doc_id % 10 = 0 ORDER BY img_id"""))
 
+  private val q133 = Q(
+    "q133_metadata_filtered_ann",
+    (s, d) => {
+      // Filtered ANN over STORED metadata (VERDICT r17 item 3): q128's
+      // planted construction, but the predicate is a plain Column over
+      // a metadata column the index carries IN its postings
+      // (append/build metaCols), so it lands in the parquet scan as
+      // PushedFilters — no allowed-id set is ever materialized, no
+      // semi-join runs (VectorIndexSpec pins the plan). Construction:
+      // an f32 index holds the fixture embeddings (region = 'base')
+      // plus a ×2 planted copy (+off) of every 5th vector
+      // (region = 'planted'); queries are ×4 copies (+2·off) of the
+      // same vectors; the probe allows ONLY region = 'planted'.
+      // Power-of-2 scalings keep the float cosine exactly 1.0 and the
+      // co-assignment guarantee puts query, source, and copy in the
+      // same cell, so under the filter the copy is the unique 1.0
+      // candidate — rank 1 deterministic, oracle from id arithmetic.
+      val VI = graft.operators.VectorIndex
+      val emb = Tables.embeddings(s, d)
+        .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q133_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "embeddings.parquet") +
+        "|vecindex-meta-v1|f32|k=sqrt|plant5|region"
+      val off = Tables.embeddings(s, d)
+        .agg(coalesce(max(col("vec_id")), lit(0L)) + 1L).head().getLong(0)
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + lit(off)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          lit("planted").as("region"))
+      val corpus = emb
+        .select(col("vec_id"), col("embedding"), lit("base").as("region"))
+        .unionByName(copies)
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        val n = corpus.count()
+        VI.build(corpus, "vec_id", "embedding", dir.toString,
+          k = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
+          maxIter = 5, metaCols = Seq("region"))
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val queries = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + lit(2 * off)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+      VI.queryTopKFiltered(s, queries, "vec_id", "embedding", dir.toString,
+          k = 1, predicate = col("region") === "planted", nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("sim"), col("rank").as("rnk"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id FROM embeddings
+          WHERE vec_id % 5 = 0 AND embedding IS NOT NULL
+            AND len(embedding) > 0),
+        o AS (SELECT max(vec_id) + 1 AS off FROM embeddings)
+      SELECT vec_id + 2 * off AS query_id, vec_id + off AS neighbor_id,
+        CAST(1.0 AS DOUBLE) AS sim, CAST(1 AS INT) AS rnk
+      FROM e, o
+      ORDER BY query_id"""))
+
   /** The full-corpus TokenIndex cached per fixture fingerprint —
     * SHARED by q109 and q131 (same dir, same marker: whichever runs
     * first builds it, the probe queries then measure the probe path
@@ -4517,5 +4581,6 @@ object Queries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
-    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q133)
 }

@@ -180,7 +180,7 @@ object VectorIndex {
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
       indexDir: String, k: Int, maxIter: Int = 8, sq8: Boolean = false,
-      pqM: Int = 0): Unit =
+      pqM: Int = 0, metaCols: Seq[String] = Nil): Unit =
       graft.sources.Lease.withLease(corpus.sparkSession, indexDir) {
     require(!(sq8 && pqM > 0), "sq8 and pq are mutually exclusive formats")
     val spark = corpus.sparkSession
@@ -231,7 +231,7 @@ object VectorIndex {
     val mpq = new org.apache.hadoop.fs.Path(pqMarker(indexDir))
     if (cbs != null) { val out = fs.create(mpq, true); out.close() }
     else if (fs.exists(mpq)) fs.delete(mpq, false)
-    append(corpus, idCol, embCol, indexDir, runId = 0L)
+    append(corpus, idCol, embCol, indexDir, runId = 0L, metaCols = metaCols)
     // 3. the index is whole — declare it
     markBuilt(spark, indexDir)
   }
@@ -282,9 +282,20 @@ object VectorIndex {
     * [[Similarity.assignClusterApprox]] at that documented recall cost.
     */
   def append(batch: DataFrame, idCol: String, embCol: String,
-      indexDir: String, runId: Long): Unit =
+      indexDir: String, runId: Long, metaCols: Seq[String] = Nil): Unit =
       graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
     val spark = batch.sparkSession
+    // metadata-in-postings (VERDICT r17 item 3): caller-chosen scalar
+    // metadata columns (language, license, date, …) are DENORMALIZED
+    // into every posting row, so a filtered probe's predicate reaches
+    // the parquet scan as PushedFilters instead of semi-joining a
+    // caller-materialized id set. Names are stored verbatim; the
+    // internal posting columns are reserved.
+    metaCols.foreach { m =>
+      require(!ReservedPostingCols(m),
+        s"metaCols name '$m' collides with a reserved posting column")
+      require(batch.columns.contains(m), s"metaCols column '$m' not in batch")
+    }
     val centArr = centroidArray(spark, indexDir)
     val width = bucketWidth(modelK(spark, indexDir))
     // postings bin-pack into ≤ MaxBuckets directories (see the class
@@ -307,7 +318,8 @@ object VectorIndex {
     val fmt = format(spark, indexDir)
     lazy val cbs = loadCodebooks(spark, indexDir)
     val assigned0 = cellsFor(
-      batch.select(col(idCol).as("vec_id"), col(embCol).as("emb")),
+      batch.select(col(idCol).as("vec_id") +: col(embCol).as("emb") +:
+        metaCols.map(col): _*),
       "emb", centArr, nprobe = 1)
     val assigned = fmt match {
       case Pq => assigned0.join(
@@ -322,9 +334,10 @@ object VectorIndex {
       case F32 => col("emb")
     }
     assigned
-      .select(col("vec_id"), stored, lit(runId).as("run_id"),
+      .select(Seq(col("vec_id"), stored, lit(runId).as("run_id"),
         col("centroid_id"),
-        (col("centroid_id") / lit(width)).cast("int").as("cell_bucket"))
+        (col("centroid_id") / lit(width)).cast("int").as("cell_bucket")) ++
+        metaCols.map(col): _*)
       .repartition(col("cell_bucket"))
       // bucket-prefixed sort: satisfies FileFormatWriter's required
       // ordering (the partition column) so the writer inserts no second
@@ -368,6 +381,10 @@ object VectorIndex {
       .where(col("n") > 0)
       .coalesce(1).write.mode("append").parquet(runStatsDir(indexDir))
   }
+
+  /** Internal posting columns [[append]]'s `metaCols` may not shadow. */
+  private[graft] val ReservedPostingCols: Set[String] =
+    Set("vec_id", "emb", "run_id", "centroid_id", "cell_bucket")
 
   private[graft] def runStatsDir(indexDir: String) = s"$indexDir/run_stats"
 
@@ -618,9 +635,31 @@ object VectorIndex {
     queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, k, nprobe,
       allowed = Some(allowed.select(col(allowedIdCol).as("neighbor_id"))))
 
+  /** Filtered ANN over STORED metadata (VERDICT r17 item 3): same
+    * candidate-set-before-top-k semantics as the allowed-DF overload,
+    * but the predicate is a plain `Column` over metadata columns the
+    * index carries in its postings ([[append]]'s `metaCols`), so it
+    * lands in the parquet scan as `PushedFilters` — the `bm25Indexed`
+    * `In(tok, …)` discipline — and disallowed postings never leave the
+    * scan. No id set is materialized, no semi-join runs: at a 100 TB
+    * corpus a "language = 'en' AND license = 'cc'" probe costs the
+    * same scan it would unfiltered, minus the rows the row-group stats
+    * and predicate drop. Keep the allowed-DF overload for JOIN-shaped
+    * predicates (the filter lives in another table keyed by id).
+    * Same recall note as the allowed-DF form: a highly selective
+    * predicate thins the probed cells — calibrate with
+    * [[calibrateNprobeFiltered]] when recall matters.
+    */
+  def queryTopKFiltered(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      predicate: org.apache.spark.sql.Column, nprobe: Int): DataFrame =
+    queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, k, nprobe,
+      allowed = None, metaPredicate = Some(predicate))
+
   private def queryTopKImpl(spark: SparkSession, queries: DataFrame,
       queryId: String, queryEmb: String, indexDir: String, k: Int,
-      nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
+      nprobe: Int, allowed: Option[DataFrame],
+      metaPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // refuse an index whose build never completed: a crash mid-build
     // (after the centroid overwrite, during the initial corpus append)
     // would otherwise answer from a silently partial index
@@ -667,7 +706,13 @@ object VectorIndex {
         (q, c) => VectorFunctions.pqResidualCosine(q, c, col("__cent"), cbs)
       case _ => (q, c) => VectorFunctions.cosineNative(q, c)
     }
-    val postingsLive = spark.read.parquet(postingsDir(indexDir))
+    // the metadata predicate (queryTopKFiltered's Column form) applies
+    // directly on the scan, BEFORE the projection drops the metadata
+    // columns, so simple comparisons reach parquet as PushedFilters and
+    // compound ones still run scan-side; the unfiltered plan is
+    // bit-unchanged (None folds through)
+    val scan = spark.read.parquet(postingsDir(indexDir))
+    val postingsLive = metaPredicate.fold(scan)(p => scan.where(p))
       .where(col("cell_bucket").isin(buckets: _*) &&
         col("centroid_id").isin(cells: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
@@ -880,19 +925,57 @@ object VectorIndex {
   def calibrateNprobe(spark: SparkSession, sampleQueries: DataFrame,
       queryId: String, queryEmb: String, indexDir: String, k: Int,
       targetRecall: Double = 0.95,
-      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): (Int, Map[Int, Double]) = {
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): (Int, Map[Int, Double]) =
+    calibrateNprobeImpl(spark, indexDir, targetRecall, candidates,
+      (q, np) => queryTopK(spark, q, queryId, queryEmb, indexDir, k, np),
+      sampleQueries)
+
+  /** [[calibrateNprobe]] for FILTERED probes (VERDICT r17 item 5): the
+    * unfiltered calibration is structurally wrong for a filtered
+    * workload — a selective predicate thins every probed cell, so the
+    * nprobe that hits the recall target unfiltered can silently
+    * under-recall filtered (the documented caveat on
+    * [[queryTopKFiltered]], now measured instead of advisory). Ground
+    * truth is the FILTERED probe at nprobe = k-model (exhaustive ≡
+    * brute force over the allowed vectors), so the recall contract is
+    * against exactly the answer set the runtime serves. Allowed-DF
+    * form; the Column-predicate twin below shares everything but the
+    * probe. */
+  def calibrateNprobeFiltered(spark: SparkSession, sampleQueries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      allowed: DataFrame, allowedIdCol: String,
+      targetRecall: Double = 0.95,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): (Int, Map[Int, Double]) =
+    calibrateNprobeImpl(spark, indexDir, targetRecall, candidates,
+      (q, np) => queryTopKFiltered(spark, q, queryId, queryEmb, indexDir, k,
+        allowed, allowedIdCol, np),
+      sampleQueries)
+
+  /** Column-predicate twin of [[calibrateNprobeFiltered]] (postings
+    * must carry the metadata — [[append]]'s `metaCols`). */
+  def calibrateNprobeFiltered(spark: SparkSession, sampleQueries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      predicate: org.apache.spark.sql.Column, targetRecall: Double,
+      candidates: Seq[Int]): (Int, Map[Int, Double]) =
+    calibrateNprobeImpl(spark, indexDir, targetRecall, candidates,
+      (q, np) => queryTopKFiltered(spark, q, queryId, queryEmb, indexDir, k,
+        predicate, np),
+      sampleQueries)
+
+  private def calibrateNprobeImpl(spark: SparkSession, indexDir: String,
+      targetRecall: Double, candidates: Seq[Int],
+      probe: (DataFrame, Int) => DataFrame,
+      sampleQueries: DataFrame): (Int, Map[Int, Double]) = {
     require(candidates.nonEmpty && candidates == candidates.sorted,
       "candidates must be ascending")
     val kModel = modelK(spark, indexDir)
-    val truth = queryTopK(spark, sampleQueries, queryId, queryEmb, indexDir,
-        k, nprobe = kModel)
+    val truth = probe(sampleQueries, kModel)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     val nTruth = truth.count().toDouble
     require(nTruth > 0, "calibrateNprobe: sample produced no neighbors")
     val recalls = candidates.map { np =>
-      val hits = queryTopK(spark, sampleQueries, queryId, queryEmb, indexDir,
-          k, nprobe = np)
+      val hits = probe(sampleQueries, np)
         .select(col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
       np -> hits / nTruth
@@ -931,6 +1014,37 @@ object VectorIndex {
     queryTopK(spark, queries, queryId, queryEmb, indexDir, k, np)
   }
 
+  /** [[queryTopKFiltered]] with the nprobe dial calibrated against the
+    * SAME filter (VERDICT r17 item 5's packaged form): a selective
+    * predicate that would silently thin the default-nprobe candidate
+    * set instead raises the dial until the measured filtered recall
+    * meets `targetRecall`. Allowed-DF form. */
+  def queryTopKFilteredCalibrated(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      allowed: DataFrame, allowedIdCol: String,
+      targetRecall: Double = 0.95, sampleRows: Int = 256,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)): DataFrame = {
+    require(sampleRows >= 1, "sampleRows must be at least 1")
+    val sample = queries.limit(sampleRows).localCheckpoint(true)
+    val (np, _) = calibrateNprobeFiltered(spark, sample, queryId, queryEmb,
+      indexDir, k, allowed, allowedIdCol, targetRecall, candidates)
+    queryTopKFiltered(spark, queries, queryId, queryEmb, indexDir, k,
+      allowed, allowedIdCol, np)
+  }
+
+  /** Column-predicate twin of [[queryTopKFilteredCalibrated]]. */
+  def queryTopKFilteredCalibrated(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, k: Int,
+      predicate: org.apache.spark.sql.Column, targetRecall: Double,
+      sampleRows: Int, candidates: Seq[Int]): DataFrame = {
+    require(sampleRows >= 1, "sampleRows must be at least 1")
+    val sample = queries.limit(sampleRows).localCheckpoint(true)
+    val (np, _) = calibrateNprobeFiltered(spark, sample, queryId, queryEmb,
+      indexDir, k, predicate, targetRecall, candidates)
+    queryTopKFiltered(spark, queries, queryId, queryEmb, indexDir, k,
+      predicate, np)
+  }
+
   /** Fold the postings to the distinct vector set, in place,
     * horizon-tagged (retries and verbatim re-ingests collapse).
     * Hand-rolled rather than `rewriteParquetDir` because the postings
@@ -965,12 +1079,15 @@ object VectorIndex {
         input("vec_id") === col("__t_id") &&
           input("run_id") <= col("__t_asof"),
         "left_anti"))
-    val survivors = live.select(col("centroid_id"), col("vec_id"),
-        col("emb"), col("cell_bucket"))
+    // metadata columns (append's metaCols — anything non-reserved)
+    // survive the fold verbatim: they are part of the posting row
+    val metaCols = input.columns.filterNot(ReservedPostingCols).toSeq
+    val survivors = live.select((Seq("centroid_id", "vec_id",
+        "emb", "cell_bucket") ++ metaCols).map(col): _*)
       .distinct()
     val folded = survivors
-      .select(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
-        col("centroid_id"), col("cell_bucket"))
+      .select(Seq(col("vec_id"), col("emb"), lit(horizon).as("run_id"),
+        col("centroid_id"), col("cell_bucket")) ++ metaCols.map(col): _*)
       .persist()
     val result =
       try {

@@ -805,4 +805,135 @@ class VectorIndexSpec extends SparkSpec {
       "the legacy ledger must retire at compact")
     assert(q() == masked)
   }
+
+  test("metadata-in-postings: Column-predicate probe = allowed-DF probe, predicate PUSHED to the scan, survives compact") {
+    // VERDICT r17 item 3: production metadata (language, license, …)
+    // stored AS posting columns at append time, so the filter reaches
+    // parquet as PushedFilters — no caller-materialized id set, no
+    // semi-join. Same fixture shape as the filtered-ANN spec: even ids
+    // are "en" (allowed), odd are "de".
+    val base = Files.createTempDirectory("vecidx_meta")
+    val idxDir = s"$base/idx"
+    def v(c: Double, rot: Int): Seq[Float] = {
+      val s = math.sqrt(1 - c * c)
+      val out = Array.fill(4)(0.0)
+      out(0) = c; out(1 + rot % 3) = s
+      out.map(_.toFloat).toSeq
+    }
+    val corpus = Seq(
+      1L -> v(0.99, 0), 2L -> v(0.90, 1), 4L -> v(0.80, 2), 6L -> v(0.70, 0),
+      3L -> v(-0.95, 0), 5L -> v(-0.9, 1), 7L -> v(-0.85, 2), 8L -> v(-0.8, 0))
+      .toDF("vec_id", "embedding")
+      .withColumn("lang", when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 2, maxIter = 8,
+      metaCols = Seq("lang"))
+    val queries = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    def byPred() = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      predicate = col("lang") === "en", nprobe = 2))
+    val byAllowed = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      corpus.filter(col("lang") === "en").select(col("vec_id")), "vec_id",
+      nprobe = 2))
+    assert(byPred() == byAllowed && byPred().map(_._2) == Seq(2L, 4L),
+      s"predicate and allowed-DF filtering must agree: ${byPred()} vs $byAllowed")
+    // plan: the metadata predicate reaches the scan as a pushed filter,
+    // the two-tier cell/bucket pruning is intact, and NO join was added
+    val plan = VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      predicate = col("lang") === "en", nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+    assert(pushed.contains("EqualTo(lang,en)"),
+      s"metadata predicate must reach the postings scan:\n${plan.take(3000)}")
+    assert(pushed.contains("In(centroid_id"),
+      s"cell pruning must survive the predicate:\n${plan.take(3000)}")
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell_bucket"), s"bucket pruning must survive:\n${plan.take(3000)}")
+    assert(!plan.contains("LeftSemi"),
+      s"the predicate form must add NO semi-join:\n${plan.take(3000)}")
+    // metadata survives takedown + compact (the fold carries it), and
+    // an appended batch keeps carrying it
+    VectorIndex.delete(Seq(2L).toDF("vec_id"), "vec_id", idxDir)
+    val (b, a) = VectorIndex.compact(spark, idxDir)
+    assert(b - a == 1)
+    assert(spark.read.parquet(s"$idxDir/postings").columns.contains("lang"),
+      "compact must preserve metadata columns")
+    assert(byPred().map(_._2) == Seq(4L, 6L),
+      s"post-compact predicate probe must re-rank the remaining allowed: ${byPred()}")
+    VectorIndex.append(Seq(10L -> v(0.95, 1)).toDF("vec_id", "embedding")
+      .withColumn("lang", lit("en")), "vec_id", "embedding", idxDir, 1L,
+      metaCols = Seq("lang"))
+    assert(byPred().sortBy(_._4).map(_._2) == Seq(10L, 4L),
+      s"appended metadata rows must answer, new vector at rank 1: ${byPred()}")
+    // reserved / missing names are refused loudly
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 2L,
+        metaCols = Seq("run_id"))
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 2L,
+        metaCols = Seq("nope"))
+    }
+  }
+
+  test("filtered calibration: a selective predicate under-recalls at default nprobe; the calibrated call recovers rank-1") {
+    // VERDICT r17 item 5: calibrateNprobe was unfiltered-only, so the
+    // recall contract on filtered probes was advisory. Constructed
+    // regime: 8 well-separated direction clusters; ONLY the cluster
+    // FARTHEST from the query is allowed (~4% selectivity), so the
+    // default nprobe = 2 probes two allowed-empty cells and returns
+    // NOTHING, while the filter-aware calibration measures that and
+    // raises the dial until the planted allowed neighbor answers.
+    val base = Files.createTempDirectory("vecidx_fcal")
+    val idxDir = s"$base/idx"
+    val nClusters = 8
+    def dir(deg: Double): Array[Double] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r), math.sin(r), 0.0)
+    }
+    val cents = (0 until nClusters).map(i => dir(i * 10.0)).toArray
+    VectorIndex.centroidsDf(spark, cents).write.parquet(s"$idxDir/centroids")
+    // 10 disallowed rows per near cluster; 3 allowed rows in the far
+    // one, the planted neighbor EXACTLY on its centroid direction
+    val rows = (for {
+      i <- 0 until (nClusters - 1); j <- 0 until 10
+    } yield (i * 100L + j, dir(i * 10.0 + (j % 3) * 0.5).map(_.toFloat).toSeq, "de")) ++
+      Seq(
+        (9000L, dir(70.0).map(_.toFloat).toSeq, "en"), // the planted neighbor
+        (9001L, dir(72.0).map(_.toFloat).toSeq, "en"),
+        (9002L, dir(73.0).map(_.toFloat).toSeq, "en"))
+    val corpus = rows.toDF("vec_id", "embedding", "lang")
+    VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 0L,
+      metaCols = Seq("lang"))
+    VectorIndex.markBuilt(spark, idxDir)
+    val queries = Seq((99999L, dir(0.0).map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val en = col("lang") === "en"
+    // the documented trap, now demonstrated: default nprobe = 2 probes
+    // cells 0 and 1, which hold no allowed vectors — the planted
+    // neighbor is MISSED entirely
+    val naive = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, en, nprobe = 2))
+    assert(naive.isEmpty,
+      s"fixture must reproduce the under-recall (got $naive)")
+    // the calibrated call measures filtered recall and raises nprobe
+    val (np, recalls) = VectorIndex.calibrateNprobeFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, en,
+      targetRecall = 0.95, candidates = Seq(1, 2, 4, 8))
+    assert(np == 8 && recalls(2) == 0.0,
+      s"calibration must measure the miss and raise the dial: $np $recalls")
+    val got = topk(VectorIndex.queryTopKFilteredCalibrated(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3, en,
+      targetRecall = 0.95, sampleRows = 4, candidates = Seq(1, 2, 4, 8)))
+    assert(got.map(r => (r._2, r._4)).take(1) == Seq((9000L, 1)),
+      s"the calibrated call must recover the planted neighbor at rank 1: $got")
+    assert(got.map(_._2) == Seq(9000L, 9001L, 9002L))
+    // the allowed-DF twin calibrates identically
+    val (np2, _) = VectorIndex.calibrateNprobeFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 3,
+      corpus.filter(en).select(col("vec_id")), "vec_id",
+      targetRecall = 0.95, candidates = Seq(1, 2, 4, 8))
+    assert(np2 == 8)
+  }
 }
