@@ -4410,6 +4410,65 @@ object Queries {
     Some("""SELECT doc_id AS img_id FROM documents
       WHERE doc_id % 10 = 0 ORDER BY img_id"""))
 
+  private val q134 = Q(
+    "q134_image_neardup_oriented",
+    (s, d) => {
+      // Orientation-robust image near-dup (VERDICT r17 item 6): q125's
+      // planted idiom with the LOSSLESS orientation disguises plain
+      // dHash cannot see — every 10th doc seeds a base PNG
+      // (img_id = doc_id) plus a MIRRORED PNG (+off); every 20th
+      // additionally a rot90 PNG (+2·off). The dihedral-canonical
+      // signature (min over the 8 dihedral grids, one decode) makes a
+      // lossless re-orientation hash BIT-EQUAL to its base — exact,
+      // not thresholded — and ImageDedupSpec pins the cross-seed
+      // canonical floor > 5 on this exact seed population, so at
+      // maxHamming = 5 the pair list is exactly the planted families,
+      // predictable from id arithmetic (same oracle as q125). The spec
+      // also pins that the plain path finds NONE of these pairs.
+      val IF = graft.multimodal.ImageFixtures
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q134_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(imgDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1|oriented"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val plan = base
+          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+            lit(0).as("__v"))
+          .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(3).as("__v"))) // mirror
+          .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 0)
+            .select((col("doc_id") + lit(2 * off)).as("img_id"),
+              col("doc_id").as("__seed"), lit(4).as("__v"))) // rot90
+        plan.repartition(s.sparkContext.defaultParallelism)
+          .select(col("img_id"),
+            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+          .write.mode("overwrite").parquet(s"$imgDir/images")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      Dedup.imageNearDuplicates(s.read.parquet(s"$imgDir/images"),
+          "img_id", "content", chunks = 8, maxHamming = 5,
+          orientationRobust = true)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS id_a, doc_id + off AS id_b FROM b, o
+      UNION ALL
+      SELECT doc_id, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + off, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
+      ORDER BY id_a, id_b"""))
+
   private val q133 = Q(
     "q133_metadata_filtered_ann",
     (s, d) => {
@@ -4582,5 +4641,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133)
+    q133, q134)
 }

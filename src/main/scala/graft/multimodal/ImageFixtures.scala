@@ -82,16 +82,24 @@ object ImageFixtures {
   /** Encoded fixture bytes: variant 0 = lossless PNG of the base,
     * 1 = low-quality JPEG re-encode, 2 = half-resize + mid-quality JPEG
     * — the three disguises byte-level dedup misses, matching
-    * ImageDedupSpec's invariance classes. */
+    * ImageDedupSpec's invariance classes. Round 18 adds the
+    * ORIENTATION disguises (lossless, so the dihedral-canonical hash
+    * matches bit-exactly): 3 = mirrored PNG, 4 = rot90 PNG — used only
+    * by the oriented corpus (q134) and specs; the q125/q130/q132
+    * populations and their pinned floors are untouched. */
   def fixtureBytes(seed: Long, variant: Int): Array[Byte] = {
     val im = blockImage(seed)
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos)
+      bos.toByteArray
+    }
     variant match {
-      case 0 =>
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(im, "png", bos)
-        bos.toByteArray
+      case 0 => png(im)
       case 1 => ImageOps.encodeJpeg(im, 0.4f)
       case 2 => ImageOps.encodeJpeg(ImageOps.boundedResize(im, 160), 0.65f)
+      case 3 => png(ImageOps.dihedral(im, 4)) // mirror
+      case 4 => png(ImageOps.dihedral(im, 1)) // rot90
       case other => throw new IllegalArgumentException(s"variant $other")
     }
   }

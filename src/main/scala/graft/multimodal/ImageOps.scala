@@ -198,6 +198,143 @@ object ImageOps {
   val imageDHash: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) => dHash(bytes).map(java.lang.Long.valueOf).orNull)
 
+  /** Dihedral-robust dHash (VERDICT r17 item 6): [[dHash]] catches
+    * re-encode/resize/quality disguises but not MIRRORED or ROTATED
+    * copies — the other cheap disguise a crawl meets. This variant
+    * computes, in the SAME single decode and pixel pass, the 9×8
+    * mean-luminance grid of every one of the image's 8 dihedral
+    * transforms (identity, 3 rotations, 4 reflections — each pixel's
+    * coordinates under a transform are exact integer maps, so the
+    * accumulation costs arithmetic only, no second decode or resize),
+    * takes each grid's 64-bit difference signature exactly as dHash
+    * does, and returns the UNSIGNED-MIN of the 8 — a canonical
+    * orientation. Any lossless dihedral transform of an image yields
+    * the same 8-grid SET (D4 is closed under composition), hence
+    * BIT-IDENTICAL canonical signatures — an exact guarantee, which is
+    * what the planted oracle (q134) banks on. Re-encode noise behaves
+    * like dHash's (a couple of boundary bits) as long as the same
+    * transform stays the unsigned-min — which it almost always does,
+    * the 8 sigs being ~32 bits apart and the min decided high-bit
+    * first — but a flip CAN switch the canonical orientation and then
+    * the distance jumps; treat canonical-hash recall on re-encoded AND
+    * re-oriented copies as high-but-not-certain (the exact guarantee
+    * is per disguise class, not their composition). Slot it
+    * anywhere a dHash goes (same 64-bit hamming-join shape):
+    * [[graft.operators.Dedup.imageNearDuplicates]] and friends take an
+    * `orientationRobust` flag. The trade: orientation no longer
+    * distinguishes — a genuinely different picture that happens to be
+    * a mirror of another collapses with it, which for dedup is the
+    * point.
+    */
+  def dHashCanonical(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { im =>
+      val gw = 9; val gh = 8
+      val w = im.getWidth; val h = im.getHeight
+      // EXACT integer luminance (×1000), summed in longs: the same
+      // cell's pixel set is traversed in a different order for each
+      // source orientation, and double accumulation is order-DEPENDENT
+      // — a near-tie neighbor comparison then flips between
+      // orientations and the invariance guarantee dies (found by the
+      // ImageDedupSpec invariance class). Long sums of exact integers
+      // are order-free; the mean is ONE deterministic double per
+      // (sum, count). No overflow: ≤ 255000 per pixel × < 2^31 pixels.
+      val sums = Array.ofDim[Long](8, gh, gw)
+      val cnts = Array.ofDim[Long](8, gh, gw)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          var t = 0
+          while (t < 8) {
+            // this pixel's coordinates (xt, yt) and the image dims
+            // (wt, ht) under transform t — exact integer maps
+            var xt = 0; var yt = 0; var wt = w; var ht = h
+            (t: @annotation.switch) match {
+              case 0 => xt = x; yt = y                               // identity
+              case 1 => xt = h - 1 - y; yt = x; wt = h; ht = w       // rot90 cw
+              case 2 => xt = w - 1 - x; yt = h - 1 - y               // rot180
+              case 3 => xt = y; yt = w - 1 - x; wt = h; ht = w       // rot270 cw
+              case 4 => xt = w - 1 - x; yt = y                       // mirror (flip x)
+              case 5 => xt = y; yt = x; wt = h; ht = w               // transpose
+              case 6 => xt = x; yt = h - 1 - y                       // flip y
+              case 7 => xt = h - 1 - y; yt = w - 1 - x; wt = h; ht = w // anti-transpose
+            }
+            val gy = math.min(gh - 1, yt * gh / ht)
+            val gx = math.min(gw - 1, xt * gw / wt)
+            sums(t)(gy)(gx) += lum
+            cnts(t)(gy)(gx) += 1
+            t += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      var best = -1L // unsigned max
+      var t = 0
+      while (t < 8) {
+        def cell(gy: Int, gx: Int): Double =
+          if (cnts(t)(gy)(gx) == 0) 0.0
+          else sums(t)(gy)(gx).toDouble / cnts(t)(gy)(gx)
+        var sig = 0L
+        var k = 0
+        var gy = 0
+        while (gy < gh) {
+          var gx = 0
+          while (gx < gw - 1) {
+            if (cell(gy, gx) > cell(gy, gx + 1)) sig |= (1L << k)
+            k += 1; gx += 1
+          }
+          gy += 1
+        }
+        if (java.lang.Long.compareUnsigned(sig, best) < 0) best = sig
+        t += 1
+      }
+      best
+    }
+
+  /** [[dHashCanonical]] UDF (long or null on undecodable bytes). */
+  val imageDHashCanonical: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => dHashCanonical(bytes).map(java.lang.Long.valueOf).orNull)
+
+  /** Pixel-exact dihedral transform `t` (0..7, [[dHashCanonical]]'s
+    * numbering: 0 identity, 1 rot90 cw, 2 rot180, 3 rot270, 4 mirror,
+    * 5 transpose, 6 flip-y, 7 anti-transpose) — the lossless disguises
+    * the canonical hash collapses; also the fixture/writer side of its
+    * invariance proof (ImageDedupSpec, the q134 corpus). */
+  private[graft] def dihedral(im: java.awt.image.BufferedImage, t: Int)
+      : java.awt.image.BufferedImage = {
+    require(t >= 0 && t < 8, s"dihedral transform $t")
+    val w = im.getWidth; val h = im.getHeight
+    val swap = (t & 1) == 1
+    val out = new java.awt.image.BufferedImage(
+      if (swap) h else w, if (swap) w else h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var xt = 0; var yt = 0
+        (t: @annotation.switch) match {
+          case 0 => xt = x; yt = y
+          case 1 => xt = h - 1 - y; yt = x
+          case 2 => xt = w - 1 - x; yt = h - 1 - y
+          case 3 => xt = y; yt = w - 1 - x
+          case 4 => xt = w - 1 - x; yt = y
+          case 5 => xt = y; yt = x
+          case 6 => xt = x; yt = h - 1 - y
+          case 7 => xt = h - 1 - y; yt = w - 1 - x
+        }
+        out.setRGB(xt, yt, im.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** dims + compressed payload from ONE decode: JPEG decode dominates
     * this pipeline's per-row cost, and separate imageDims/imageCompress
     * projections each ran a full ImageIO.read — doubling the stage's CPU

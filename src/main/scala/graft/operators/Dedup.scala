@@ -375,12 +375,25 @@ object Dedup {
       idCol: String,
       bytesCol: String,
       chunks: Int = 4,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      orientationRobust: Boolean = false): DataFrame =
     hammingNearDuplicates(
       df.select(col(idCol).as("__id"),
-          graft.multimodal.ImageOps.imageDHash(col(bytesCol)).as("__sig"))
+          imageSig(col(bytesCol), orientationRobust).as("__sig"))
         .filter(col("__sig").isNotNull),
       bits = 64, chunks = chunks, maxHamming = maxHamming)
+
+  /** The image-signature dial shared by the whole family:
+    * [[graft.multimodal.ImageOps.dHash]] by default;
+    * `orientationRobust = true` swaps in the dihedral-canonical
+    * [[graft.multimodal.ImageOps.dHashCanonical]] so mirrored/rotated
+    * copies also collapse (round 18 — VERDICT r17 item 6). Both are
+    * 64-bit longs, so blocking, state shape and compaction are
+    * signature-agnostic; just never MIX the two in one state table. */
+  private def imageSig(bytes: org.apache.spark.sql.Column,
+      orientationRobust: Boolean): org.apache.spark.sql.Column =
+    if (orientationRobust) graft.multimodal.ImageOps.imageDHashCanonical(bytes)
+    else graft.multimodal.ImageOps.imageDHash(bytes)
 
   /** Per-image dHash signatures — the state rows of the INCREMENTAL
     * image-dedup cadence (the multimodal sibling of
@@ -392,9 +405,10 @@ object Dedup {
     * version column and maintain with [[compactSignatureState]]
     * (keep-latest + retention work unchanged on a long signature).
     */
-  def imageSignatures(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+  def imageSignatures(df: DataFrame, idCol: String, bytesCol: String,
+      orientationRobust: Boolean = false): DataFrame =
     df.select(col(idCol),
-        graft.multimodal.ImageOps.imageDHash(col(bytesCol)).as("sig"))
+        imageSig(col(bytesCol), orientationRobust).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** Incremental image near-dup: flag each image of a NEW batch whose
@@ -416,12 +430,15 @@ object Dedup {
       bytesCol: String,
       stateSigs: DataFrame, // (idCol, sig) from imageSignatures
       chunks: Int = 8,
-      maxHamming: Int = 5): DataFrame = {
+      maxHamming: Int = 5,
+      orientationRobust: Boolean = false): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     require(64 % chunks == 0, "chunks must divide 64")
     // ONE decode per batch image: the signature frame feeds both the
-    // distinct-sig blocking and the final member expansion
-    val bs = imageSignatures(batch, idCol, bytesCol)
+    // distinct-sig blocking and the final member expansion. The flag
+    // must match the one the STATE was built with (dHash and canonical
+    // signatures never mix in one table).
+    val bs = imageSignatures(batch, idCol, bytesCol, orientationRobust)
       .select(col(idCol).as("__bid"), col("sig").as("__bsig"))
       .localCheckpoint(true)
     val sReps = stateSigs

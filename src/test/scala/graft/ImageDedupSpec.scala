@@ -176,4 +176,81 @@ class ImageDedupSpec extends SparkSpec {
     assert(retained == Map(1010L -> -1L, 1040L -> 40L, 1055L -> -1L, 2000L -> -1L),
       s"after retention only run-2 sources still match: $retained")
   }
+
+  test("dHashCanonical: bit-identical across ALL 8 dihedral transforms; plain dHash provably is not") {
+    // the exact invariance the canonical form promises (r17 item 6):
+    // a lossless rotation/mirror yields the same 8-grid set, so the
+    // unsigned-min signature is equal BIT-FOR-BIT — no threshold needed
+    for (seed <- Seq(3L, 41L, 977L)) {
+      val base = picture(seed)
+      val sigs = (0 until 8).map(t =>
+        ImageOps.dHashCanonical(png(ImageOps.dihedral(base, t))).get)
+      assert(sigs.distinct.size == 1,
+        s"seed $seed: canonical sig must be invariant, got ${sigs.distinct}")
+      // identity transform is the image itself
+      assert(sigs.head == ImageOps.dHashCanonical(png(base)).get)
+      // the gap being closed: plain dHash puts the mirror far away
+      val plain = ImageOps.dHash(png(base)).get
+      val mirrored = ImageOps.dHash(png(ImageOps.dihedral(base, 4))).get
+      assert(hamming(plain, mirrored) > 5,
+        s"seed $seed: plain dHash should miss the mirror (d=${hamming(plain, mirrored)})")
+    }
+    // junk bytes still read null
+    assert(ImageOps.dHashCanonical("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("oriented fixtures: lossless variants bit-equal, cross-seed canonical floor > 5 — the q134 floors") {
+    // q134's oracle predicts the exact pair list from id arithmetic;
+    // sound iff (a) the mirrored/rotated variants hash EXACTLY to their
+    // base's canonical sig (lossless ⇒ guaranteed, pinned here) and
+    // (b) different seeds stay outside maxHamming = 5 under the
+    // canonical min (min-of-8 shrinks distances vs plain dHash, so the
+    // q125 ≥ 12 floor does NOT transfer — measure it on the same
+    // pinned population).
+    import graft.multimodal.ImageFixtures
+    val seeds = (0L until 5000L by 5L).toSeq
+    val canon = seeds.map { s =>
+      val c0 = ImageOps.dHashCanonical(ImageFixtures.fixtureBytes(s, 0)).get
+      val c3 = ImageOps.dHashCanonical(ImageFixtures.fixtureBytes(s, 3)).get
+      val c4 = ImageOps.dHashCanonical(ImageFixtures.fixtureBytes(s, 4)).get
+      assert(c0 == c3 && c0 == c4,
+        s"seed $s: lossless orientation variants must hash bit-equal")
+      c0
+    }
+    var minD = 64
+    for (i <- canon.indices; j <- (i + 1) until canon.size) {
+      val d = hamming(canon(i), canon(j))
+      if (d < minD) minD = d
+      assert(d > 5, s"seeds ${seeds(i)}/${seeds(j)} canonically too close: $d")
+    }
+    info(s"cross-seed canonical min distance over ${seeds.size} seeds: $minD")
+  }
+
+  test("imageNearDuplicates(orientationRobust): finds mirrored/rotated copies the plain path misses") {
+    val rows = Seq(
+      1L -> png(picture(11L)),
+      2L -> png(ImageOps.dihedral(picture(11L), 4)), // mirror of 1
+      3L -> png(ImageOps.dihedral(picture(11L), 3)), // rot270 of 1
+      4L -> png(picture(99L))                        // unrelated
+    ).toDF("img_id", "content")
+    val oriented = Dedup.imageNearDuplicates(rows, "img_id", "content",
+        chunks = 8, maxHamming = 5, orientationRobust = true)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(oriented == Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"the orientation family must collapse: $oriented")
+    val plain = Dedup.imageNearDuplicates(rows, "img_id", "content",
+        chunks = 8, maxHamming = 5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(plain.isEmpty, s"plain dHash must miss the re-oriented copies: $plain")
+    // the incremental path honors the same dial: state = image 1, batch
+    // = its mirror → flagged as dup_of 1
+    val state = Dedup.imageSignatures(
+      rows.filter(col("img_id") === 1L), "img_id", "content",
+      orientationRobust = true)
+    val flagged = Dedup.imageNearDuplicatesVsState(
+        rows.filter(col("img_id") === 2L), "img_id", "content", state,
+        chunks = 8, maxHamming = 5, orientationRobust = true)
+      .select(col("img_id"), col("dup_of")).as[(Long, Long)].collect().toSeq
+    assert(flagged == Seq((2L, 1L)), s"incremental oriented dedup: $flagged")
+  }
 }
