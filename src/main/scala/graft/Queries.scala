@@ -4469,6 +4469,58 @@ object Queries {
       SELECT doc_id + off, doc_id + 2 * off FROM b, o WHERE doc_id % 20 = 0
       ORDER BY id_a, id_b"""))
 
+  private val q135 = Q(
+    "q135_bm25_metadata_filtered",
+    (s, d) => {
+      // Metadata-filtered BM25 via a STORED posting column (round 18 —
+      // the token sibling of q133): the corpus ingests with
+      // metaCols = lang (doc parity), and the probe's predicate lands
+      // in the postings scan as PushedFilters BESIDE the In(tok, …)
+      // term filter — no allowed-id set, no semi-join
+      // (TokenIndexSpec pins the plan and the parity with the
+      // allowed-DF form). Same terms/rounding as q109/q131; the
+      // oracle is q131's verbatim — effective df over the even slice,
+      // (N, avgdl) collection-global — because the predicate selects
+      // exactly the ids q131's allowed-DF did.
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q135_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|tokenindex-v2|meta-lang"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        graft.operators.TokenIndex.append(
+          Tables.documents(s, d).withColumn("lang",
+            when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("de")),
+          "doc_id", "text", dir.toString, 0L, metaCols = Seq("lang"))
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      graft.operators.TokenIndex.bm25IndexedFiltered(s, dir.toString,
+          Seq("dup", "join", "scan"), col("lang") === "en", 1.2, 0.75)
+        .select(col("corpus_id").as("doc_id"),
+          round(col("bm25"), 4).as("bm25"), col("n_terms"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text),'\s+') AS w
+        FROM documents WHERE text IS NOT NULL),
+      d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+      u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+      p AS (SELECT doc_id, tok, count(*) AS tf FROM u
+        WHERE tok IN ('dup', 'join', 'scan') AND doc_id % 2 = 0
+        GROUP BY 1, 2),
+      f AS (SELECT tok, count(*) AS df FROM p GROUP BY 1),
+      c AS (SELECT p.doc_id,
+          ln(1.0 + (st.n_docs - f.df + 0.5) / (f.df + 0.5)) * (p.tf * 2.2) /
+            (p.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS contrib
+        FROM p JOIN f ON p.tok = f.tok JOIN d ON p.doc_id = d.doc_id CROSS JOIN st)
+      SELECT doc_id, round(sum(contrib), 4) AS bm25,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   private val q133 = Q(
     "q133_metadata_filtered_ann",
     (s, d) => {
@@ -4641,5 +4693,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134)
+    q133, q134, q135)
 }

@@ -125,6 +125,10 @@ object TokenIndex {
     * index's current postings (mirrors [[VectorIndex.DeriveAsof]]). */
   val DeriveAsof: Long = Long.MinValue
 
+  /** Internal posting columns [[append]]'s `metaCols` may not shadow. */
+  private[graft] val ReservedPostingCols: Set[String] =
+    Set("tok", "corpus_id", "tf", "dl", "run_id")
+
   /** The changed-document upsert as ONE call (mirrors
     * [[VectorIndex.upsert]]): re-ingest `batch` under `runId`, masking
     * every posting/array row its ids had in runs BELOW it — horizon
@@ -185,8 +189,21 @@ object TokenIndex {
     * [[Similarity.containmentJoin]]'s tokenizer on the corpus side).
     */
   def append(corpusBatch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, runId: Long): Unit =
+      indexDir: String, runId: Long, metaCols: Seq[String] = Nil): Unit =
       graft.sources.Lease.withLease(corpusBatch.sparkSession, indexDir) {
+    // metadata-in-postings (the token sibling of VectorIndex's
+    // metaCols, round 18): scalar metadata columns denormalize into
+    // every POSTING row so a filtered probe's predicate reaches the
+    // parquet scan as PushedFilters. The denormalization here costs
+    // more than the vector side's (one row per (doc, term), not per
+    // doc) — that is the price of scan-level pushdown; callers with
+    // wide metadata or huge vocabularies keep using the allowed-DF
+    // overloads instead.
+    metaCols.foreach { m =>
+      require(!ReservedPostingCols(m),
+        s"metaCols name '$m' collides with a reserved posting column")
+      require(corpusBatch.columns.contains(m), s"metaCols column '$m' not in batch")
+    }
     // one snapshot feeds all four writes: arrays land first, postings /
     // df / stats derive from the same materialized frame (never a
     // second tokenize pass over the corpus). Only docs with a non-empty
@@ -196,7 +213,8 @@ object TokenIndex {
     // where Retrieval.bm25 would count it — callers treating empty
     // docs as corpus members should filter them symmetrically).
     val toked = corpusBatch
-      .select(col(idCol).as("corpus_id"), TF.tokens(col(textCol)).as("__raw"))
+      .select(col(idCol).as("corpus_id") +: TF.tokens(col(textCol)).as("__raw") +:
+        metaCols.map(col): _*)
       .filter(size(col("__raw")) > 0)
       .localCheckpoint(true) // the ONE tokenize pass; feeds all four writes
     toked.select(col("corpus_id"), array_distinct(col("__raw")).as("toks"),
@@ -205,13 +223,15 @@ object TokenIndex {
     // postings carry per-doc term frequency and (denormalized) doc
     // length, so BM25 probes need NO join back to the corpus at all
     val postsTf = toked
-      .select(col("corpus_id"), size(col("__raw")).cast("long").as("dl"),
-        explode(col("__raw")).as("tok"))
+      .select(col("corpus_id") +: size(col("__raw")).cast("long").as("dl") +:
+        explode(col("__raw")).as("tok") +: metaCols.map(col): _*)
       .groupBy(col("corpus_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl")) // dl constant per doc
+      // dl and metadata are constant per doc, first() is exact
+      .agg(count(lit(1)).as("tf"),
+        first(col("dl")).as("dl") +: metaCols.map(m => first(col(m)).as(m)): _*)
       .localCheckpoint(true) // feeds postings AND df
-    postsTf.select(col("tok"), col("corpus_id"), col("tf"), col("dl"),
-        lit(runId).as("run_id"))
+    postsTf.select(Seq(col("tok"), col("corpus_id"), col("tf"), col("dl"),
+        lit(runId).as("run_id")) ++ metaCols.map(col): _*)
       .write.mode("append").parquet(postingsDir(indexDir))
     postsTf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .select(col("tok"), col("df"), lit(runId).as("run_id"))
@@ -375,9 +395,25 @@ object TokenIndex {
     bm25Impl(spark, indexDir, terms, k1, b,
       allowed = Some(allowed.select(col(allowedIdCol).as("corpus_id"))))
 
+  /** Column-predicate twin of [[bm25IndexedFiltered]] (round 18 — the
+    * token sibling of [[VectorIndex.queryTopKFiltered]]'s predicate
+    * form): the predicate runs over metadata columns STORED in the
+    * postings ([[append]]'s `metaCols`) and applies on the scan beside
+    * the term filter, so both land as `PushedFilters` — no id set is
+    * materialized, no semi-join runs. Same effective-df rule: `df`
+    * derives from the (term- and predicate-) filtered matched set, so
+    * a doc the filter excludes shapes neither the results nor the idf.
+    */
+  def bm25IndexedFiltered(spark: SparkSession, indexDir: String,
+      terms: Seq[String], predicate: org.apache.spark.sql.Column,
+      k1: Double, b: Double): DataFrame =
+    bm25Impl(spark, indexDir, terms, k1, b, allowed = None,
+      metaPredicate = Some(predicate))
+
   private def bm25Impl(spark: SparkSession, indexDir: String,
       terms: Seq[String], k1: Double, b: Double,
-      allowed: Option[DataFrame]): DataFrame = {
+      allowed: Option[DataFrame],
+      metaPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     val st = spark.read.parquet(statsDir(indexDir))
       .groupBy(col("run_id"))
@@ -390,8 +426,13 @@ object TokenIndex {
     // collection stats (N, avgdl) stay ledger-stale until compact
     // heals them — the same performance-not-recall staleness class as
     // the df note above
+    // the metadata predicate (predicate overload) applies ON the scan
+    // beside the term filter — before the projection drops the metadata
+    // columns — so both reach parquet as PushedFilters; None folds
+    // through and the allowed-DF/unfiltered plans are bit-unchanged
+    val scan0 = spark.read.parquet(postingsDir(indexDir))
     val p0 = dropMasked(
-        spark.read.parquet(postingsDir(indexDir))
+        metaPredicate.fold(scan0)(mp => scan0.where(mp))
           .filter(col("tok").isin(terms: _*))
           .select(col("corpus_id"), col("tok"), col("tf"), col("dl"),
             col("run_id")),
@@ -435,10 +476,15 @@ object TokenIndex {
     val tomb = tombstones(spark, indexDir)
     val p = graft.sources.Compaction.rewriteParquetDir(spark,
         postingsDir(indexDir), targetBytes) { df =>
+      // metadata columns (append's metaCols — anything non-reserved)
+      // survive the fold verbatim: they are part of the posting row
+      val metaCols = df.columns.filterNot(ReservedPostingCols).toSeq
       dropMasked(df, tomb)
-        .select(col("tok"), col("corpus_id"), col("tf"), col("dl")).distinct()
+        .select((Seq("tok", "corpus_id", "tf", "dl") ++ metaCols).map(col): _*)
+        .distinct()
         .withColumn("run_id", lit(horizon(df)))
-        .select(col("tok"), col("corpus_id"), col("tf"), col("dl"), col("run_id"))
+        .select((Seq("tok", "corpus_id", "tf", "dl", "run_id") ++
+          metaCols).map(col): _*)
     }
     val a = graft.sources.Compaction.rewriteParquetDir(spark,
         arraysDir(indexDir), targetBytes) { df =>

@@ -849,16 +849,33 @@ object VectorIndex {
         nprobe,
         allowed = Some(allowed.select(col(allowedIdCol).as("neighbor_id")))))
 
+  /** Column-predicate twin of [[queryTopKRerankFiltered]]: the stored-
+    * metadata predicate ([[append]]'s `metaCols`) rides INSIDE the
+    * shortlist probe as a pushed scan filter — same exhaustiveness
+    * story (filtered candidates ⊆ probed postings, so a
+    * `shortlist >= maxProbeCandidates(nprobe)` keeps the filtered
+    * rerank exact over the probed cells), zero id-set materialization.
+    */
+  def queryTopKRerankFiltered(spark: SparkSession, queries: DataFrame,
+      queryId: String, queryEmb: String, indexDir: String, corpus: DataFrame,
+      corpusId: String, corpusEmb: String, k: Int,
+      predicate: org.apache.spark.sql.Column, shortlist: Int,
+      nprobe: Int): DataFrame =
+    rerankImpl(queries, queryId, queryEmb, corpus, corpusId, corpusEmb, k,
+      shortlistOf(spark, queries, queryId, queryEmb, indexDir, k, shortlist,
+        nprobe, allowed = None, metaPredicate = Some(predicate)))
+
   private def shortlistOf(spark: SparkSession, queries: DataFrame,
       queryId: String, queryEmb: String, indexDir: String, k: Int,
-      shortlist: Int, nprobe: Int, allowed: Option[DataFrame]): DataFrame = {
+      shortlist: Int, nprobe: Int, allowed: Option[DataFrame],
+      metaPredicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val sl = if (shortlist > 0) shortlist else 5 * k
     require(sl >= k, s"shortlist $sl must be at least k $k")
     // the shortlist is consumed exactly once (the broadcast below), so
     // no checkpoint: the quantized probe plans straight into the
     // broadcast exchange
     queryTopKImpl(spark, queries, queryId, queryEmb, indexDir, sl, nprobe,
-        allowed)
+        allowed, metaPredicate)
       .select(col("query_id"), col("neighbor_id"))
   }
 

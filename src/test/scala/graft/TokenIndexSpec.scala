@@ -345,4 +345,58 @@ class TokenIndexSpec extends SparkSpec {
     assert(!new java.io.File(idxDir, "tombstones").exists())
     assert(pairs().map(_._2) == Seq(1L, 3L))
   }
+
+  test("metadata-in-postings: predicate BM25 = allowed-DF BM25, term AND metadata filters PUSHED, survives compact") {
+    // round 18 (the token sibling of VectorIndex's metaCols): metadata
+    // stored per posting row, so the predicate lands in the parquet
+    // scan beside the In(tok, ...) term filter — no id-set semi-join.
+    val dir = Files.createTempDirectory("tokidx_meta").toString
+    val tagged = docs.withColumn("lang",
+      when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("de"))
+    TokenIndex.append(tagged, "doc_id", "text", dir, 0L, metaCols = Seq("lang"))
+    val terms = Seq("dup", "join", "scan")
+    def scores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      df.select(col("corpus_id").cast("long"), round(col("bm25"), 9),
+        col("n_terms")).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val byPred = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms, col("lang") === "en", 1.2, 0.75))
+    val byAllowed = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id")),
+      "doc_id"))
+    assert(byPred.nonEmpty && byPred == byAllowed,
+      s"predicate and allowed-DF filtering must agree (${byPred.take(3)} vs ${byAllowed.take(3)})")
+    val plan = TokenIndex.bm25IndexedFiltered(
+        spark, dir, terms, col("lang") === "en", 1.2, 0.75)
+      .queryExecution.executedPlan.toString
+    // pushed-filter syntax (EqualTo/In) appears ONLY inside a scan's
+    // PushedFilters list — a Filter node would spell them `(lang#n = en)`
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"metadata predicate must reach the postings scan:\n${plan.take(3000)}")
+    assert(plan.contains("In(tok"),
+      s"the term filter must survive beside it:\n${plan.take(3000)}")
+    assert(!plan.contains("LeftSemi"),
+      s"the predicate form must add NO semi-join:\n${plan.take(3000)}")
+    // metadata survives takedown + compact, and the filtered scores
+    // keep agreeing on the surviving slice
+    val victim = byPred.head._1
+    TokenIndex.delete(Seq(victim).toDF("id"), "id", dir)
+    TokenIndex.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings").columns.contains("lang"),
+      "compact must preserve metadata columns")
+    val predAfter = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms, col("lang") === "en", 1.2, 0.75))
+    val allowedAfter = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id")),
+      "doc_id"))
+    assert(predAfter == allowedAfter && !predAfter.exists(_._1 == victim))
+    // reserved / missing names refused loudly
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged, "doc_id", "text", dir, 1L, metaCols = Seq("tf"))
+    }
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged, "doc_id", "text", dir, 1L, metaCols = Seq("nope"))
+    }
+  }
 }

@@ -936,4 +936,27 @@ class VectorIndexSpec extends SparkSpec {
       targetRecall = 0.95, candidates = Seq(1, 2, 4, 8))
     assert(np2 == 8)
   }
+
+  test("rerank predicate twin: stored-metadata predicate inside the shortlist probe = allowed-DF rerank") {
+    val base = Files.createTempDirectory("vecidx_meta_rr")
+    val idxDir = s"$base/idx"
+    val tagged = emb.withColumn("lang",
+      when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
+    VectorIndex.build(tagged, "vec_id", "embedding", idxDir, k = 8,
+      maxIter = 5, metaCols = Seq("lang"))
+    val queries = emb.filter(col("vec_id") < 16)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val sl = math.max(50L, VectorIndex.maxProbeCandidates(spark, idxDir, 2)).toInt
+    val byPred = topk(VectorIndex.queryTopKRerankFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, emb, "vec_id", "embedding",
+      k = 3, predicate = col("lang") === "en", shortlist = sl, nprobe = 2))
+    val byAllowed = topk(VectorIndex.queryTopKRerankFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, emb, "vec_id", "embedding",
+      k = 3, emb.filter(pmod(col("vec_id"), lit(2)) === 0).select(col("vec_id")),
+      "vec_id", shortlist = sl, nprobe = 2))
+    assert(byPred.nonEmpty && byPred == byAllowed,
+      s"rerank predicate and allowed-DF forms must agree: ${byPred.take(4)} vs ${byAllowed.take(4)}")
+    assert(byPred.forall(_._2 % 2 == 0), "only allowed neighbors may answer")
+  }
 }
