@@ -4279,6 +4279,74 @@ object Queries {
         length(clean_text) AS clean_len
       FROM s ORDER BY doc_id"""))
 
+  private val q136 = Q(
+    "q136_warc_quarantine",
+    (s, d) => {
+      // The WARC QUARANTINE path driver-checked (round 18; item 2 of
+      // the r17 verdict landed the mode, WarcSpec pins its semantics —
+      // this pins it over a real corpus): q129's generated archive set
+      // with ONE file deliberately damaged — the first 12 bytes of a
+      // valid gzip member appended after its last record, i.e. a
+      // truncated-member tail, the crawl-transfer failure mode.
+      // readWithCorrupt must keep EVERY good record (including all of
+      // the damaged file's own — the damage is after them) and surface
+      // exactly ONE quarantine row; the loud default read of the same
+      // dir fails (WarcSpec). Output: (doc_id, is_corrupt) — good rows
+      // by id, the quarantine row as (-1, true) — so a dropped record
+      // anywhere or a missing/extra quarantine row breaks the hash.
+      val W = graft.sources.Warc
+      val docs = Tables.documents(s, d)
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q136_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(dir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|warc-v1|quarantine"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+        dir.mkdirs()
+        val dirPath = dir.toString
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+          .repartition(4, pmod(col("doc_id"), lit(4)))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val recs = it.map { r =>
+              val id = r.getLong(0)
+              ("response", s"http://example.org/doc/$id",
+                "2026-08-16T00:00:00Z",
+                graft.sources.Warc.httpResponse(
+                  s"<html><body><p>doc $id</p></body></html>"))
+            }.toSeq
+            if (recs.nonEmpty) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dirPath, f"part-$pid%04d.warc.gz"),
+                graft.sources.Warc.writeGz(recs))
+              ()
+            }
+          }
+        // damage exactly one file: a truncated next-member tail
+        val victim = new java.io.File(dir, "part-0000.warc.gz")
+        val tail = W.writeGz(Seq(("response", "http://x", "2026-01-01T00:00:00Z",
+          W.httpResponse("<p>lost</p>")))).take(12)
+        java.nio.file.Files.write(victim.toPath, tail,
+          java.nio.file.StandardOpenOption.APPEND)
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      W.readWithCorrupt(s, dir.toString)
+        .select(
+          coalesce(regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long"),
+            lit(-1L)).as("doc_id"),
+          col("_corrupt").isNotNull.as("is_corrupt"))
+        .orderBy(col("is_corrupt"), col("doc_id"))
+    },
+    Some("""SELECT doc_id, FALSE AS is_corrupt FROM documents
+        WHERE text IS NOT NULL
+      UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
+      ORDER BY is_corrupt, doc_id"""))
+
   private val q130 = Q(
     "q130_image_state_oracle",
     (s, d) => {
@@ -4693,5 +4761,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135)
+    q133, q134, q135, q136)
 }

@@ -296,13 +296,18 @@ object StreamOps {
       idCol: String,
       bytesCol: String,
       stateDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      orientationRobust: Boolean = false): StreamingQuery =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.imageSignatures(batch, idCol, bytesCol)
+        // the signature dial must match the one every later probe of
+        // this state uses (Dedup.imageSignatures — dHash vs the
+        // dihedral-canonical form; the two never mix in one table)
+        graft.operators.Dedup.imageSignatures(batch, idCol, bytesCol,
+            orientationRobust)
           .withColumn("batch_id", lit(batchId + 1))
           .write.mode("append").parquet(stateDir)
         ()
