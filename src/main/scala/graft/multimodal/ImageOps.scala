@@ -238,46 +238,67 @@ object ImageOps {
       // ImageDedupSpec invariance class). Long sums of exact integers
       // are order-free; the mean is ONE deterministic double per
       // (sum, count). No overflow: ≤ 255000 per pixel × < 2^31 pixels.
-      val sums = Array.ofDim[Long](8, gh, gw)
-      val cnts = Array.ofDim[Long](8, gh, gw)
+      //
+      // Hot-loop shape (this is the image family's per-row kernel —
+      // q134 pays it once per image): every transform's (row, col) bin
+      // is a PURE per-axis function of x or y, so the 16 integer
+      // divides per pixel precompute into eight axis lookup tables,
+      // pixels stream through bulk row reads instead of per-pixel
+      // getRGB, and the counts never accumulate at all — they are
+      // separable (cnt_t(gy,gx) = |rows mapping to gy| × |cols mapping
+      // to gx|) and derive from the tables' histograms exactly.
+      def tab(n: Int, g: Int, f: Int => Int) =
+        Array.tabulate(n)(i => math.min(g - 1, f(i)))
+      val x9 = tab(w, gw, x => x * gw / w)            // t0/t6 col
+      val rx9 = tab(w, gw, x => (w - 1 - x) * gw / w) // t2/t4 col
+      val x8 = tab(w, gh, x => x * gh / w)            // t1/t5 row
+      val rx8 = tab(w, gh, x => (w - 1 - x) * gh / w) // t3/t7 row
+      val y9 = tab(h, gw, y => y * gw / h)            // t3/t5 col
+      val ry9 = tab(h, gw, y => (h - 1 - y) * gw / h) // t1/t7 col
+      val y8 = tab(h, gh, y => y * gh / h)            // t0/t4 row
+      val ry8 = tab(h, gh, y => (h - 1 - y) * gh / h) // t2/t6 row
+      val sums = new Array[Long](8 * gh * gw)
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        val r0 = y8(y) * gw; val r2 = ry8(y) * gw
+        val c1 = ry9(y); val c3 = y9(y)
         var x = 0
         while (x < w) {
-          val rgb = im.getRGB(x, y)
+          val rgb = row(x)
           val lum = 299L * ((rgb >> 16) & 0xff) +
             587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-          var t = 0
-          while (t < 8) {
-            // this pixel's coordinates (xt, yt) and the image dims
-            // (wt, ht) under transform t — exact integer maps
-            var xt = 0; var yt = 0; var wt = w; var ht = h
-            (t: @annotation.switch) match {
-              case 0 => xt = x; yt = y                               // identity
-              case 1 => xt = h - 1 - y; yt = x; wt = h; ht = w       // rot90 cw
-              case 2 => xt = w - 1 - x; yt = h - 1 - y               // rot180
-              case 3 => xt = y; yt = w - 1 - x; wt = h; ht = w       // rot270 cw
-              case 4 => xt = w - 1 - x; yt = y                       // mirror (flip x)
-              case 5 => xt = y; yt = x; wt = h; ht = w               // transpose
-              case 6 => xt = x; yt = h - 1 - y                       // flip y
-              case 7 => xt = h - 1 - y; yt = w - 1 - x; wt = h; ht = w // anti-transpose
-            }
-            val gy = math.min(gh - 1, yt * gh / ht)
-            val gx = math.min(gw - 1, xt * gw / wt)
-            sums(t)(gy)(gx) += lum
-            cnts(t)(gy)(gx) += 1
-            t += 1
-          }
+          val r1 = x8(x) * gw; val r3 = rx8(x) * gw
+          sums(r0 + x9(x)) += lum                  // t0 identity
+          sums(72 + r1 + c1) += lum                // t1 rot90 cw
+          sums(144 + r2 + rx9(x)) += lum           // t2 rot180
+          sums(216 + r3 + c3) += lum               // t3 rot270 cw
+          sums(288 + r0 + rx9(x)) += lum           // t4 mirror
+          sums(360 + r1 + c3) += lum               // t5 transpose
+          sums(432 + r2 + x9(x)) += lum            // t6 flip y
+          sums(504 + r3 + c1) += lum               // t7 anti-transpose
           x += 1
         }
         y += 1
       }
+      def hist(a: Array[Int], g: Int): Array[Long] = {
+        val out = new Array[Long](g)
+        var i = 0
+        while (i < a.length) { out(a(i)) += 1; i += 1 }
+        out
+      }
+      val rowCnt = Array(hist(y8, gh), hist(x8, gh), hist(ry8, gh),
+        hist(rx8, gh), hist(y8, gh), hist(x8, gh), hist(ry8, gh), hist(rx8, gh))
+      val colCnt = Array(hist(x9, gw), hist(ry9, gw), hist(rx9, gw),
+        hist(y9, gw), hist(rx9, gw), hist(y9, gw), hist(x9, gw), hist(ry9, gw))
       var best = -1L // unsigned max
       var t = 0
       while (t < 8) {
-        def cell(gy: Int, gx: Int): Double =
-          if (cnts(t)(gy)(gx) == 0) 0.0
-          else sums(t)(gy)(gx).toDouble / cnts(t)(gy)(gx)
+        def cell(gy: Int, gx: Int): Double = {
+          val cnt = rowCnt(t)(gy) * colCnt(t)(gx)
+          if (cnt == 0) 0.0 else sums(t * 72 + gy * gw + gx).toDouble / cnt
+        }
         var sig = 0L
         var k = 0
         var gy = 0
