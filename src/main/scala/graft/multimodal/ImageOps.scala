@@ -164,13 +164,20 @@ object ImageOps {
       val w = im.getWidth; val h = im.getHeight
       val sums = Array.ofDim[Double](gh, gw)
       val cnts = Array.ofDim[Long](gh, gw)
+      // bulk row reads + a precomputed column-bin table: same bins,
+      // same double additions in the same raster order — bit-identical
+      // signatures, minus the per-pixel getRGB call overhead (this is
+      // the decode-adjacent hot loop of the whole image-dedup family)
+      val xbin = Array.tabulate(w)(x => math.min(gw - 1, x * gw / w))
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
         val gy = math.min(gh - 1, y * gh / h)
+        im.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val gx = math.min(gw - 1, x * gw / w)
-          val rgb = im.getRGB(x, y)
+          val gx = xbin(x)
+          val rgb = row(x)
           sums(gy)(gx) += 0.299 * ((rgb >> 16) & 0xff) +
             0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
           cnts(gy)(gx) += 1
