@@ -275,7 +275,35 @@ object TokenIndex {
     */
   def containmentJoinIndexed(spark: SparkSession, probes: DataFrame,
       probeIdCol: String, probeTextCol: String, indexDir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    containmentImpl(spark, probes, probeIdCol, probeTextCol, indexDir,
+      threshold, metaPredicate = None)
+
+  /** [[containmentJoinIndexed]] restricted to corpus documents whose
+    * STORED metadata ([[append]]'s `metaCols`) satisfies `predicate` —
+    * "decontaminate only the `lang = 'en'` slice". Unlike the top-k /
+    * BM25 filtered forms, filtering containment IS semantically
+    * equivalent to post-filtering the pair set (pairs are independent;
+    * no doc competes with another) — what this buys is the SCAN: the
+    * predicate lands in the postings parquet scan as `PushedFilters`,
+    * so disallowed docs never become candidates and never pull their
+    * token arrays. Exactness is unchanged: the prefix bound is sound
+    * for ANY corpus subset (a qualifying pair always shares a prefix
+    * token whatever other docs exist; the GLOBAL df ordering only
+    * shapes efficiency), spec-pinned against the post-filtered
+    * one-shot operator.
+    */
+  def containmentJoinIndexedFiltered(spark: SparkSession, probes: DataFrame,
+      probeIdCol: String, probeTextCol: String, indexDir: String,
+      threshold: Double,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    containmentImpl(spark, probes, probeIdCol, probeTextCol, indexDir,
+      threshold, metaPredicate = Some(predicate))
+
+  private def containmentImpl(spark: SparkSession, probes: DataFrame,
+      probeIdCol: String, probeTextCol: String, indexDir: String,
+      threshold: Double,
+      metaPredicate: Option[org.apache.spark.sql.Column]): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
     val pa = probes.select(col(probeIdCol).as("probe_id"),
         array_distinct(TF.tokens(col(probeTextCol))).as("__pa"))
@@ -299,7 +327,10 @@ object TokenIndex {
           graft.functions.Guards.guardedCeil(col("n") * threshold) + 1)
           .cast("int")).as("pre"))
       .select(col("probe_id"), explode(col("pre.tok")).as("tok"))
-    val postings = spark.read.parquet(postingsDir(indexDir))
+    // the metadata predicate applies ON the scan before the projection
+    // drops its columns (PushedFilters); None folds through unchanged
+    val pScan = spark.read.parquet(postingsDir(indexDir))
+    val postings = metaPredicate.fold(pScan)(mp => pScan.where(mp))
       .select(col("tok"), col("corpus_id"), col("run_id"))
     val tomb = tombstones(spark, indexDir)
     // takedowns anti-join at the candidate (not postings) level: the

@@ -399,4 +399,35 @@ class TokenIndexSpec extends SparkSpec {
       TokenIndex.append(tagged, "doc_id", "text", dir, 1L, metaCols = Seq("nope"))
     }
   }
+
+  test("filtered containment: equals the post-filtered one-shot, predicate PUSHED (scan-level pruning)") {
+    // containment pairs are independent, so semantic equivalence with
+    // post-filtering is the SPEC here (unlike top-k/BM25); the filtered
+    // form's value is that disallowed docs never leave the postings scan
+    val dir = Files.createTempDirectory("tokidx_fcontain").toString
+    val tagged = docs.withColumn("lang",
+      when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("de"))
+    TokenIndex.append(tagged, "doc_id", "text", dir, 0L, metaCols = Seq("lang"))
+    val probes = probesOf(25, 8)
+    for (t <- Seq(1.0, 0.6)) {
+      val filtered = sortedPairs(TokenIndex.containmentJoinIndexedFiltered(
+        spark, probes, "pid", "ptext", dir, t, col("lang") === "en"))
+      val postFiltered = sortedPairs(Similarity.containmentJoin(
+          probes, "pid", "ptext", docs, "doc_id", "text", t))
+        .filter(_._2 % 2 == 0)
+      assert(filtered == postFiltered && filtered.nonEmpty,
+        s"threshold $t: filtered(${filtered.size}) != post-filtered one-shot(${postFiltered.size})")
+    }
+    // the candidate stage is localCheckpoint'ed (its scan never appears
+    // in the returned frame's plan), so pin the pushdown on the layout:
+    // the stored metadata column on THIS index's postings supports a
+    // pushed EqualTo under exactly the scan shape the impl builds
+    // (predicate before the (tok, corpus_id, run_id) projection)
+    val scanPlan = spark.read.parquet(s"$dir/postings")
+      .where(col("lang") === "en")
+      .select(col("tok"), col("corpus_id"), col("run_id"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("EqualTo(lang,en)"),
+      s"stored metadata must push into the postings scan:\n${scanPlan.take(2000)}")
+  }
 }
