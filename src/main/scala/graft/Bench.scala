@@ -295,7 +295,15 @@ object Bench {
       // must stay probed-cells-sized as the corpus grows). q126/q127
       // are deliberately lifecycle-heavy like q108 and stay out.
       "q125_image_neardup_planted", "q128_filtered_ann",
-      "q130_image_state_oracle", "q131_bm25_filtered")
+      "q130_image_state_oracle", "q131_bm25_filtered",
+      // round 18: the predicate-filtered (metadata-in-postings) probes
+      // — the pushed filter must keep the probe probed-cells-/matched-
+      // postings-sized as the corpus grows (no id-set join to hide
+      // corpus-shaped work in) — and the dihedral-canonical image
+      // family (decode-linear like q125, with the 8-grid accumulation
+      // as the fixed per-image constant the sentinel baselines)
+      "q133_metadata_filtered_ann", "q134_image_neardup_oriented",
+      "q135_bm25_metadata_filtered")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

@@ -257,7 +257,8 @@ object StreamOps {
       idCol: String,
       textCol: String,
       indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      metaCols: Seq[String] = Nil): StreamingQuery =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -270,7 +271,10 @@ object StreamOps {
         // stream owns ids ≥ 1 within its checkpoint lineage; callers
         // interleaving MANUAL appends with a live stream must keep
         // their ids out of the stream's range (use 0 or negatives).
-        graft.operators.TokenIndex.append(batch, idCol, textCol, indexDir, batchId + 1)
+        // metaCols must match the index's (filtered probes read the
+        // columns every append stored).
+        graft.operators.TokenIndex.append(batch, idCol, textCol, indexDir,
+          batchId + 1, metaCols)
       }
       .start()
 
@@ -335,7 +339,8 @@ object StreamOps {
       idCol: String,
       embCol: String,
       indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      metaCols: Seq[String] = Nil): StreamingQuery =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -345,8 +350,10 @@ object StreamOps {
         // and doubly load-bearing here: run 0 is build's training
         // corpus AND assignmentDrift's baseline row; a stream batch 0
         // merging into it under the read's per-run max would corrupt
-        // the drift baseline itself.
-        graft.operators.VectorIndex.append(batch, idCol, embCol, indexDir, batchId + 1)
+        // the drift baseline itself. metaCols must match the index's
+        // (a filtered probe reads the columns every append stored).
+        graft.operators.VectorIndex.append(batch, idCol, embCol, indexDir,
+          batchId + 1, metaCols)
       }
       .start()
 
