@@ -146,6 +146,14 @@ class WarcSpec extends SparkSpec {
     assert(quar.length == 1 && quar(0).getString(0).contains("broken.warc.gz") &&
       quar(0).getBoolean(2), quar.mkString("; "))
     assert(quar(0).getString(1).nonEmpty)
+    // the curation projection over the same read: 3 clean html rows +
+    // exactly the one incident row (null html, error carried)
+    val resp = Warc.responsesWithCorrupt(spark, dir).localCheckpoint(true)
+    assert(resp.filter(col("_corrupt").isNull).count() == 3)
+    val bad = resp.filter(col("_corrupt").isNotNull)
+      .select(col("html").isNull, col("_corrupt")).collect()
+    assert(bad.length == 1 && bad(0).getBoolean(0) &&
+      bad(0).getString(1).nonEmpty)
   }
 
   test("splitHttp: header-less block surfaces whole, truncated header never hides bytes") {
