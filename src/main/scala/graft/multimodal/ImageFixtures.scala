@@ -100,6 +100,9 @@ object ImageFixtures {
       case 2 => ImageOps.encodeJpeg(ImageOps.boundedResize(im, 160), 0.65f)
       case 3 => png(ImageOps.dihedral(im, 4)) // mirror
       case 4 => png(ImageOps.dihedral(im, 1)) // rot90
+      // COMPOSED disguise (round 18): mirrored AND re-encoded lossily —
+      // the class the strict orientation matcher exists for
+      case 5 => ImageOps.encodeJpeg(ImageOps.dihedral(im, 4), 0.4f)
       case other => throw new IllegalArgumentException(s"variant $other")
     }
   }

@@ -235,6 +235,32 @@ object ImageOps {
     */
   def dHashCanonical(bytes: Array[Byte]): Option[Long] =
     decode(bytes).map { im =>
+      val sigs = transformSigs(im)
+      var best = -1L // unsigned max
+      var t = 0
+      while (t < 8) {
+        if (java.lang.Long.compareUnsigned(sigs(t), best) < 0) best = sigs(t)
+        t += 1
+      }
+      best
+    }
+
+  /** All 8 per-transform dHash signatures (index = [[dihedral]]'s
+    * numbering; index 0 = plain [[dHash]] semantics on the same exact
+    * integer-luminance grid). The STRICT orientation matcher
+    * ([[graft.operators.Dedup.imageNearDuplicatesOrientedStrict]])
+    * stores/joins all 8 so a COMPOSED disguise (re-encode + re-orient)
+    * matches by the min cross-orientation distance — the recall gap
+    * [[dHashCanonical]]'s min-switch caveat documents. 64 bytes per
+    * image instead of 8: the strict form's price. */
+  def dHashOrientations(bytes: Array[Byte]): Option[Array[Long]] =
+    decode(bytes).map(transformSigs)
+
+  /** [[dHashOrientations]] UDF (array<bigint> or null). */
+  val imageDHashOrientations: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => dHashOrientations(bytes).orNull)
+
+  private def transformSigs(im: java.awt.image.BufferedImage): Array[Long] = {
       val gw = 9; val gh = 8
       val w = im.getWidth; val h = im.getHeight
       // EXACT integer luminance (×1000), summed in longs: the same
@@ -299,7 +325,7 @@ object ImageOps {
         hist(rx8, gh), hist(y8, gh), hist(x8, gh), hist(ry8, gh), hist(rx8, gh))
       val colCnt = Array(hist(x9, gw), hist(ry9, gw), hist(rx9, gw),
         hist(y9, gw), hist(rx9, gw), hist(y9, gw), hist(x9, gw), hist(ry9, gw))
-      var best = -1L // unsigned max
+      val out = new Array[Long](8)
       var t = 0
       while (t < 8) {
         def cell(gy: Int, gx: Int): Double = {
@@ -317,10 +343,10 @@ object ImageOps {
           }
           gy += 1
         }
-        if (java.lang.Long.compareUnsigned(sig, best) < 0) best = sig
+        out(t) = sig
         t += 1
       }
-      best
+      out
     }
 
   /** [[dHashCanonical]] UDF (long or null on undecodable bytes). */

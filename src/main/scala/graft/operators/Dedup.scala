@@ -383,6 +383,46 @@ object Dedup {
         .filter(col("__sig").isNotNull),
       bits = 64, chunks = chunks, maxHamming = maxHamming)
 
+  /** STRICT orientation-robust image near-dup: matches when ANY of the
+    * two images' 8 per-transform dHash signatures sit within
+    * `maxHamming` bits — min cross-orientation distance, so a COMPOSED
+    * disguise (re-encode AND re-orient) matches even when re-encode
+    * noise flips which transform wins [[graft.multimodal.ImageOps
+    * .dHashCanonical]]'s unsigned-min (the canonical form's documented
+    * min-switch caveat; on lossless re-orientations both forms agree).
+    * Price vs the canonical flag: 8 signature rows per image through
+    * the SAME distinct-signature blocked join (candidate volume still
+    * bounded by signature diversity; duplicate groups still collapse),
+    * and 64 state bytes per image if persisted.
+    *
+    * THRESHOLD CONTRACT — read before raising it: the min runs over 64
+    * signature pairs per image pair, so the cross-image distance floor
+    * erodes 64× faster with corpus size than the single-signature
+    * operators' (measured: the fixture population's floor is 12 for
+    * plain dHash, 3 for this min — ImageDedupSpec pins both). Default
+    * `maxHamming = 2` covers the composed-disguise class (≤ 2 bits,
+    * pinned) while clearing that floor; at web scale treat this as a
+    * high-recall CANDIDATE GENERATOR feeding a verification stage
+    * (byte/pixel compare of the pair), not a standalone pair oracle.
+    */
+  def imageNearDuplicatesOrientedStrict(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      chunks: Int = 8,
+      maxHamming: Int = 2): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("__id"),
+          explode(graft.multimodal.ImageOps.imageDHashOrientations(
+            col(bytesCol))).as("__sig")),
+      bits = 64, chunks = chunks, maxHamming = maxHamming)
+      // the exploded rows make self-pairs (two orientations of ONE
+      // image are often within threshold) and duplicate pair emissions
+      // (several (t, u) combos can match) — fold to one row per pair
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+
   /** The image-signature dial shared by the whole family:
     * [[graft.multimodal.ImageOps.dHash]] by default;
     * `orientationRobust = true` swaps in the dihedral-canonical

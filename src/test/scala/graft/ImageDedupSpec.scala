@@ -253,4 +253,46 @@ class ImageDedupSpec extends SparkSpec {
       .select(col("img_id"), col("dup_of")).as[(Long, Long)].collect().toSeq
     assert(flagged == Seq((2L, 1L)), s"incremental oriented dedup: $flagged")
   }
+
+  test("strict oriented near-dup: composed (mirror+JPEG) disguises match; strict floors re-pinned") {
+    import graft.multimodal.ImageFixtures
+    // intra-family: the composed disguise sits within a couple of bits
+    // of its base under the min cross-orientation distance (the tiny
+    // textured corpus runs at a loose threshold — no false-pair risk
+    // at 3 images; production corpora use the tight default, see the
+    // floor measurement below)
+    val rows = Seq(
+      1L -> png(picture(11L)),
+      2L -> ImageOps.encodeJpeg(ImageOps.dihedral(picture(11L), 4), 0.4f), // mirror+JPEG of 1
+      3L -> png(picture(99L))
+    ).toDF("img_id", "content")
+    val strict = Dedup.imageNearDuplicatesOrientedStrict(rows, "img_id", "content",
+        chunks = 8, maxHamming = 5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(strict == Seq((1L, 2L)),
+      s"composed disguise must match its base, nothing else: $strict")
+    // strict floors on the pinned fixture population: min over the 64
+    // cross-orientation signature pairs ERODES distances vs the plain
+    // dHash >= 12 floor (measured: 3 over the full population) — the
+    // reason the operator's default threshold is 2 and its scaladoc
+    // frames web-scale use as candidate-generation. Pinned so a
+    // generator or signature change that tightens/loosens it is caught
+    val seeds = (0L until 5000L by 5L).toSeq // the FULL pinned population
+    val sigSets = seeds.map(sd =>
+      ImageOps.dHashOrientations(ImageFixtures.fixtureBytes(sd, 0)).get)
+    // composed-variant closeness on the same population
+    for (sd <- seeds.take(20)) {
+      val composed = ImageOps.dHashOrientations(ImageFixtures.fixtureBytes(sd, 5)).get
+      val base = ImageOps.dHashOrientations(ImageFixtures.fixtureBytes(sd, 0)).get
+      val d = (for (a <- composed; b <- base) yield hamming(a, b)).min
+      assert(d <= 2, s"seed $sd: composed disguise must match at the default threshold: $d")
+    }
+    var minD = 64
+    for (i <- sigSets.indices; j <- (i + 1) until sigSets.size) {
+      val d = (for (a <- sigSets(i); b <- sigSets(j)) yield hamming(a, b)).min
+      if (d < minD) minD = d
+    }
+    info(s"strict cross-seed min distance over ${seeds.size} seeds: $minD")
+    assert(minD > 2, s"strict cross-seed floor must clear the default threshold 2: $minD")
+  }
 }
