@@ -137,12 +137,12 @@ object TokenIndex {
     * the benign delete-applied/append-missing state a rerun completes.
     */
   def upsert(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, runId: Long): Unit =
+      indexDir: String, runId: Long, metaCols: Seq[String] = Nil): Unit =
     // ONE lease across both steps (withLease is reentrant), so no other
     // writer can interleave between the delete and the append
     graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
       delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
-      append(batch, idCol, textCol, indexDir, runId)
+      append(batch, idCol, textCol, indexDir, runId, metaCols)
     }
 
   // not deduplicated — every consumer is anti-join/physical-drop
@@ -156,13 +156,20 @@ object TokenIndex {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val raw = spark.read.parquet(tombstonesDir(indexDir))
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(tombstonesDir(indexDir))
       // legacy (pre-horizon) ledger rows default to asof_run =
       // Long.MaxValue (mask all runs — their original semantics), same
       // fallback as VectorIndex.tombstones, so old indexes stay
-      // probe-able and compact-able after the schema gained the column.
+      // probe-able and compact-able after the schema gained the
+      // column. Per-ROW coalesce + mergeSchema, not a schema-level
+      // branch: a MIXED ledger (legacy files beside post-upgrade
+      // deletes) reads legacy rows as NULL, and `run_id <= NULL` would
+      // silently unmask the takedown.
       val withHorizon =
-        if (raw.columns.contains("asof_run")) raw
+        if (raw.columns.contains("asof_run"))
+          raw.withColumn("asof_run",
+            coalesce(col("asof_run"), lit(Long.MaxValue)))
         else raw.withColumn("asof_run", lit(Long.MaxValue))
       Some(withHorizon.select(col("corpus_id"), col("asof_run")))
     } else None
@@ -202,7 +209,22 @@ object TokenIndex {
     metaCols.foreach { m =>
       require(!ReservedPostingCols(m),
         s"metaCols name '$m' collides with a reserved posting column")
+      require(!m.startsWith("__"),
+        s"metaCols name '$m' uses the internal working-column prefix __" +
+          " (the tokenize pipeline would shadow or drop it)")
       require(corpusBatch.columns.contains(m), s"metaCols column '$m' not in batch")
+    }
+    // index-level invariant, same reasoning as VectorIndex.append: a
+    // batch with a different metadata set writes rows filtered probes
+    // silently exclude (NULL predicate) — refuse loudly
+    val spark0 = corpusBatch.sparkSession
+    val pExist = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+    if (pExist.getFileSystem(spark0.sparkContext.hadoopConfiguration).exists(pExist)) {
+      val stored = spark0.read.parquet(postingsDir(indexDir)).columns
+        .filterNot(ReservedPostingCols).toSet
+      require(stored == metaCols.toSet,
+        s"metaCols ${metaCols.toSet} must match the index's stored metadata " +
+          s"columns $stored — every append carries the same metadata set")
     }
     // one snapshot feeds all four writes: arrays land first, postings /
     // df / stats derive from the same materialized frame (never a

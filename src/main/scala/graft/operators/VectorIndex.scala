@@ -294,7 +294,22 @@ object VectorIndex {
     metaCols.foreach { m =>
       require(!ReservedPostingCols(m),
         s"metaCols name '$m' collides with a reserved posting column")
+      require(!m.startsWith("__"),
+        s"metaCols name '$m' uses the internal working-column prefix __" +
+          " (the assignment pipeline would shadow or drop it)")
       require(batch.columns.contains(m), s"metaCols column '$m' not in batch")
+    }
+    // the metadata SET is an index-level invariant, not a per-batch
+    // choice: a batch appended without (or with different) metaCols
+    // writes posting rows a filtered probe silently excludes forever
+    // (the predicate reads NULL for the missing column) — refuse loudly
+    val pExist = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+    if (pExist.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pExist)) {
+      val stored = spark.read.parquet(postingsDir(indexDir)).columns
+        .filterNot(ReservedPostingCols).toSet
+      require(stored == metaCols.toSet,
+        s"metaCols ${metaCols.toSet} must match the index's stored metadata " +
+          s"columns $stored — every append carries the same metadata set")
     }
     val centArr = centroidArray(spark, indexDir)
     val width = bucketWidth(modelK(spark, indexDir))
@@ -457,12 +472,12 @@ object VectorIndex {
     * own run monotonicity, same as [[append]].
     */
   def upsert(batch: DataFrame, idCol: String, embCol: String,
-      indexDir: String, runId: Long): Unit =
+      indexDir: String, runId: Long, metaCols: Seq[String] = Nil): Unit =
     // ONE lease across both steps (withLease is reentrant), so no other
     // writer can interleave between the delete and the append
     graft.sources.Lease.withLease(batch.sparkSession, indexDir) {
       delete(batch.select(col(idCol)), idCol, indexDir, asofRun = runId - 1)
-      append(batch, idCol, embCol, indexDir, runId)
+      append(batch, idCol, embCol, indexDir, runId, metaCols)
     }
 
   /** The live (vec_id, asof_run) tombstone rows, or None when no delete
@@ -479,14 +494,24 @@ object VectorIndex {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(indexDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val raw = spark.read.parquet(tombstonesDir(indexDir))
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(tombstonesDir(indexDir))
       // legacy (pre-horizon) ledgers carry no asof_run; default those
       // rows to Long.MaxValue — "mask every run", the exact semantics
       // they were written under — so an old index with pending
       // takedowns keeps probing (and compacting, the healing path)
-      // instead of dying on a missing column.
+      // instead of dying on a missing column. A MIXED ledger (legacy
+      // files beside post-upgrade deletes) resolves the column with
+      // the legacy rows reading NULL — which `run_id <= asof_run`
+      // would silently treat as "mask nothing" — so the fallback is a
+      // per-ROW coalesce, never a schema-level branch; mergeSchema
+      // pins the resolution (without it, which file's schema wins is
+      // arbitrary and a legacy pick would coerce NEW horizons to the
+      // mask-all default, swallowing upserts).
       val withHorizon =
-        if (raw.columns.contains("asof_run")) raw
+        if (raw.columns.contains("asof_run"))
+          raw.withColumn("asof_run",
+            coalesce(col("asof_run"), lit(Long.MaxValue)))
         else raw.withColumn("asof_run", lit(Long.MaxValue))
       Some(withHorizon.select(col("vec_id"), col("asof_run")))
     } else None

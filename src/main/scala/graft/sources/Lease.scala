@@ -24,9 +24,13 @@ import org.apache.spark.sql.SparkSession
   *     [[Lease.LeaseHeldException]] immediately — fail-fast, never
   *     queue (the caller decides whether to retry);
   *   - a CRASHED writer stops heartbeating, and once the mtime is older
-  *     than `staleMs` the next writer takes the lease over (delete +
-  *     re-create + token read-back, so two simultaneous takers cannot
-  *     both win);
+  *     than `staleMs` the next writer takes the lease over (ATOMIC
+  *     rename-away + re-create + token read-back — rename wins exactly
+  *     once, so two simultaneous takers cannot both win, and a taker
+  *     can never delete a rival's fresh lease);
+  *   - stores whose `setTimes` is a no-op cannot heartbeat: there every
+  *     writer longer than `staleMs` looks stale — raise `staleMs` past
+  *     the longest expected operation on such stores;
   *   - release deletes the lease only if the token still matches — a
   *     writer that lost its lease to a (mis-tuned) takeover surfaces
   *     that loudly rather than deleting the new owner's lease.
@@ -93,8 +97,16 @@ object Lease {
         throw new LeaseHeldException(
           s"$lease is held by ${readToken(fs, lease)} (heartbeat ${age} ms ago; " +
             s"stale after $staleMs ms) — a concurrent writer on this state dir")
-      // stale: the owner stopped heartbeating — take over
-      fs.delete(lease, false)
+      // stale: the owner stopped heartbeating — take over via an
+      // ATOMIC rename, never a delete: two simultaneous takers would
+      // both see the lease stale, and the loser's delete would remove
+      // the WINNER's freshly created lease (both then write — the
+      // corruption this module exists to prevent). rename succeeds for
+      // exactly one taker; the loser (and any rival who got in
+      // between) falls through to tryCreate and fails fast there.
+      val grave = new Path(s"$lease.stale-${java.util.UUID.randomUUID()}")
+      val renamed = try fs.rename(lease, grave) catch { case _: IOException => false }
+      if (renamed) fs.delete(grave, false)
       if (!tryCreate(fs, lease, token))
         throw new LeaseHeldException(
           s"$lease: lost the stale-takeover race to ${readToken(fs, lease)}")
@@ -136,15 +148,19 @@ object Lease {
     @volatile private var stopped = false
     def shutdown(): Unit = { stopped = true; interrupt() }
     override def run(): Unit =
-      try {
-        while (!stopped) {
+      while (!stopped) {
+        // a TRANSIENT touch failure must not kill the heartbeat — a
+        // dead heartbeat turns a live multi-hour writer into a
+        // stale-takeover victim; retry every beat, and if the lease is
+        // truly gone (taken over), release() reports it loudly
+        try {
           Thread.sleep(math.max(1000L, staleMs / 4))
           if (!stopped)
             fs.setTimes(lease, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => // shutdown (stopped re-checked)
+          case _: IOException => // transient or lease gone: keep beating
         }
-      } catch {
-        case _: InterruptedException => // shutdown
-        case _: IOException => // lease gone mid-op: release() reports it
       }
   }
 

@@ -278,11 +278,13 @@ object Warc {
     private var inf: Inflater = null
     private var crc: CRC32 = null
     private var cur: InputStream = null
+    // header parsing reads byte-at-a-time (readLine); a per-call
+    // allocation here would cost one garbage array per header byte of
+    // a million-record archive. Single-threaded by construction.
+    private val one = new Array[Byte](1)
 
-    override def read(): Int = {
-      val one = new Array[Byte](1)
+    override def read(): Int =
       if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
-    }
 
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (len == 0) return 0

@@ -337,13 +337,19 @@ class TokenIndexSpec extends SparkSpec {
     assert(!spark.read.parquet(tombDir).columns.contains("asof_run"))
     assert(pairs().map(_._2) == Seq(1L, 3L),
       "a legacy ledger must keep excluding the taken-down doc")
+    // MIXED ledger: a post-upgrade delete beside the legacy file — the
+    // legacy victim must STAY excluded (per-row coalesce, not a
+    // schema-level branch; NULL asof_run would silently unmask it)
+    TokenIndex.delete(Seq(3L).toDF("id"), "id", idxDir)
+    assert(pairs().map(_._2) == Seq(1L),
+      "both ledger generations must mask beside each other")
     val scored = TokenIndex.bm25Indexed(spark, idxDir, Seq("beta"))
       .select(col("corpus_id").cast("long")).as[Long].collect().sorted.toSeq
-    assert(scored == Seq(1L, 3L))
+    assert(scored == Seq(1L))
     val ((pb, pa), _, (ab, aa)) = TokenIndex.compact(spark, idxDir)
-    assert(pb > pa && aa == 2L, s"legacy takedown must drop physically: $pb->$pa arrays $ab->$aa")
+    assert(pb > pa && aa == 1L, s"legacy takedown must drop physically: $pb->$pa arrays $ab->$aa")
     assert(!new java.io.File(idxDir, "tombstones").exists())
-    assert(pairs().map(_._2) == Seq(1L, 3L))
+    assert(pairs().map(_._2) == Seq(1L))
   }
 
   test("metadata-in-postings: predicate BM25 = allowed-DF BM25, term AND metadata filters PUSHED, survives compact") {
@@ -397,6 +403,20 @@ class TokenIndexSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       TokenIndex.append(tagged, "doc_id", "text", dir, 1L, metaCols = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] { // internal working-column prefix
+      TokenIndex.append(tagged.withColumn("__raw2", lit("x")),
+        "doc_id", "text", dir, 1L, metaCols = Seq("__raw2"))
+    }
+    // the metadata set is an INDEX invariant: a batch appended without
+    // it (or with a different set) would write rows filtered probes
+    // silently exclude — refused loudly instead
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged, "doc_id", "text", dir, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged.withColumn("src", lit("a")),
+        "doc_id", "text", dir, 1L, metaCols = Seq("lang", "src"))
     }
   }
 

@@ -798,12 +798,24 @@ class VectorIndexSpec extends SparkSpec {
     assert(!spark.read.parquet(tombDir).columns.contains("asof_run"))
     assert(q() == masked,
       "a legacy ledger must keep masking every victim across all runs")
+    // MIXED ledger — the upgrade's real shape: a post-upgrade delete
+    // appends an (id, asof_run) file BESIDE the legacy file. The
+    // legacy rows then read asof_run = NULL, and a schema-level
+    // fallback would silently unmask them (run_id <= NULL is never
+    // true); the per-row coalesce must keep BOTH victim sets masked.
+    val extra = q().filter(_._4 == 1).map(_._2).distinct.take(2)
+    assert(extra.nonEmpty && extra.forall(e => !victims.contains(e)))
+    VectorIndex.delete(extra.toDF("vec_id"), "vec_id", idxDir)
+    val mixed = q()
+    assert(mixed.forall(r => !victims.contains(r._2)),
+      s"legacy victims must STAY masked beside a post-upgrade delete: $mixed")
+    assert(mixed.forall(r => !extra.contains(r._2)))
     val (b, a) = VectorIndex.compact(spark, idxDir)
-    assert(b - a == victims.size.toLong,
-      s"compact must still drop exactly the legacy-tombstoned rows: $b -> $a")
+    assert(b - a == victims.size.toLong + extra.size.toLong,
+      s"compact must drop both ledger generations' rows: $b -> $a")
     assert(!new java.io.File(idxDir, "tombstones").exists(),
       "the legacy ledger must retire at compact")
-    assert(q() == masked)
+    assert(q() == mixed)
   }
 
   test("metadata-in-postings: Column-predicate probe = allowed-DF probe, predicate PUSHED to the scan, survives compact") {
@@ -866,7 +878,7 @@ class VectorIndexSpec extends SparkSpec {
       metaCols = Seq("lang"))
     assert(byPred().sortBy(_._4).map(_._2) == Seq(10L, 4L),
       s"appended metadata rows must answer, new vector at rank 1: ${byPred()}")
-    // reserved / missing names are refused loudly
+    // reserved / missing / internal-prefix names are refused loudly
     intercept[IllegalArgumentException] {
       VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 2L,
         metaCols = Seq("run_id"))
@@ -874,6 +886,19 @@ class VectorIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 2L,
         metaCols = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus.withColumn("__assign_cos", lit(0f)),
+        "vec_id", "embedding", idxDir, 2L, metaCols = Seq("__assign_cos"))
+    }
+    // the metadata set is an INDEX invariant: a mismatched append would
+    // write rows filtered probes silently exclude — refused loudly
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus.withColumn("src", lit("a")),
+        "vec_id", "embedding", idxDir, 2L, metaCols = Seq("lang", "src"))
     }
   }
 
