@@ -4282,24 +4282,27 @@ object Queries {
   private val q136 = Q(
     "q136_warc_quarantine",
     (s, d) => {
-      // The WARC QUARANTINE path driver-checked (round 18; item 2 of
-      // the r17 verdict landed the mode, WarcSpec pins its semantics —
-      // this pins it over a real corpus): q129's generated archive set
-      // with ONE file deliberately damaged — the first 12 bytes of a
-      // valid gzip member appended after its last record, i.e. a
-      // truncated-member tail, the crawl-transfer failure mode.
-      // readWithCorrupt must keep EVERY good record (including all of
-      // the damaged file's own — the damage is after them) and surface
-      // exactly ONE quarantine row; the loud default read of the same
-      // dir fails (WarcSpec). Output: (doc_id, is_corrupt) — good rows
-      // by id, the quarantine row as (-1, true) — so a dropped record
-      // anywhere or a missing/extra quarantine row breaks the hash.
+      // The WARC QUARANTINE path driver-checked (round 18; extended
+      // round 19 with RESYNC — VERDICT r18 item 2): q129's generated
+      // archive set with ONE file deliberately damaged in TWO separate
+      // regions — a corrupt gzip member (header intact, deflate bytes
+      // flipped, so only the CRC32/ISIZE verify can reject it) spliced
+      // in at a mid-file member boundary, and a truncated next-member
+      // tail after the last record (the crawl-transfer failure mode).
+      // readWithCorrupt must keep EVERY good record — including the
+      // damaged file's own records BEFORE and AFTER the mid-file
+      // region, which is the resync contract — and surface exactly ONE
+      // quarantine row per region (two total); the loud default read
+      // of the same dir still fails (WarcSpec). Output:
+      // (doc_id, is_corrupt) — good rows by id, quarantine rows as
+      // (-1, true) — so a dropped record anywhere or a missing/extra
+      // quarantine row breaks the hash.
       val W = graft.sources.Warc
       val docs = Tables.documents(s, d)
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_q136_${Integer.toHexString(d.hashCode)}")
       val marker = new java.io.File(dir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|warc-v1|quarantine"
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|warc-v2|quarantine-resync"
       val fresh = !marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
           .trim != srcFp
@@ -4326,12 +4329,32 @@ object Queries {
               ()
             }
           }
-        // damage exactly one file: a truncated next-member tail
-        val victim = new java.io.File(dir, "part-0000.warc.gz")
+        // damage exactly one file, two regions. The victim is the
+        // lexicographically FIRST part file that exists — pmod
+        // hash-partitioning does not guarantee partition 0 is
+        // non-empty on every fixture (ADVICE r18).
+        val victim = dir.listFiles((_, n) => n.startsWith("part-") &&
+          n.endsWith(".warc.gz")).minBy(_.getName)
+        val orig = java.nio.file.Files.readAllBytes(victim.toPath)
+        val badMember = {
+          val m = W.writeGz(Seq(("response", "http://x/mid",
+            "2026-01-01T00:00:00Z", W.httpResponse("<p>damaged mid</p>"))))
+          // flip bytes mid-deflate: the header still parses, so only
+          // the full member verify (CRC32/ISIZE) can reject it — the
+          // exact case a magic-scan-only resync would get wrong
+          var i = m.length / 2
+          while (i < m.length / 2 + 4 && i < m.length - 9) {
+            m(i) = (m(i) ^ 0xff).toByte; i += 1
+          }
+          m
+        }
+        val mid0 = W.nextVerifiedMember(orig, orig.length / 2)
+        val mid = if (mid0 > 0) mid0
+          else math.max(W.nextVerifiedMember(orig, 1), 0)
         val tail = W.writeGz(Seq(("response", "http://x", "2026-01-01T00:00:00Z",
           W.httpResponse("<p>lost</p>")))).take(12)
-        java.nio.file.Files.write(victim.toPath, tail,
-          java.nio.file.StandardOpenOption.APPEND)
+        java.nio.file.Files.write(victim.toPath,
+          orig.take(mid) ++ badMember ++ orig.drop(mid) ++ tail)
         java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
         ()
       }
@@ -4344,6 +4367,7 @@ object Queries {
     },
     Some("""SELECT doc_id, FALSE AS is_corrupt FROM documents
         WHERE text IS NOT NULL
+      UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
       UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
       ORDER BY is_corrupt, doc_id"""))
 

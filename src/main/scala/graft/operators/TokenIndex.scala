@@ -220,7 +220,13 @@ object TokenIndex {
     val spark0 = corpusBatch.sparkSession
     val pExist = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
     if (pExist.getFileSystem(spark0.sparkContext.hadoopConfiguration).exists(pExist)) {
-      val stored = spark0.read.parquet(postingsDir(indexDir)).columns
+      // mergeSchema: a single footer's schema is whichever file Spark
+      // samples first — on a legacy index whose files already carry
+      // mixed schemas the check would flip arbitrarily; the merged
+      // schema sees every column any file carries (same reasoning as
+      // the tombstones() read)
+      val stored = spark0.read.option("mergeSchema", "true")
+        .parquet(postingsDir(indexDir)).columns
         .filterNot(ReservedPostingCols).toSet
       require(stored == metaCols.toSet,
         s"metaCols ${metaCols.toSet} must match the index's stored metadata " +

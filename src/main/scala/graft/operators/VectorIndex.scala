@@ -305,7 +305,11 @@ object VectorIndex {
     // (the predicate reads NULL for the missing column) — refuse loudly
     val pExist = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
     if (pExist.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pExist)) {
-      val stored = spark.read.parquet(postingsDir(indexDir)).columns
+      // mergeSchema: see TokenIndex.append — a one-footer read makes
+      // this check depend on which file Spark samples on a
+      // mixed-schema legacy index
+      val stored = spark.read.option("mergeSchema", "true")
+        .parquet(postingsDir(indexDir)).columns
         .filterNot(ReservedPostingCols).toSet
       require(stored == metaCols.toSet,
         s"metaCols ${metaCols.toSet} must match the index's stored metadata " +

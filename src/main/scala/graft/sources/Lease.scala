@@ -75,11 +75,26 @@ object Lease {
     acquire(fs, lease, staleMs, token)
     held.get += key
     val hb = startHeartbeat(fs, lease, staleMs)
+    var primary: Throwable = null
     try body
+    catch { case t: Throwable => primary = t; throw t }
     finally {
       hb.shutdown()
       held.get -= key
-      release(fs, lease, token)
+      // A release failure must never REPLACE the body's outcome: a
+      // successful ingest whose lease read hiccups would otherwise
+      // surface as a failure, and a body exception would be masked by
+      // the finally's. Suppress onto the body's exception when there is
+      // one; only throw when the body itself succeeded (ControlThrowable
+      // — a non-local return — cannot carry suppressed exceptions, so a
+      // genuine takeover still surfaces loudly there).
+      try release(fs, lease, token)
+      catch {
+        case rel: Throwable =>
+          if (primary == null ||
+              primary.isInstanceOf[scala.util.control.ControlThrowable]) throw rel
+          else primary.addSuppressed(rel)
+      }
     }
   }
 
@@ -133,12 +148,41 @@ object Lease {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     } catch { case _: IOException => "<unreadable lease>" }
 
+  /** Only a GENUINE token mismatch (the read succeeded and someone
+    * else's token is on disk) is a takeover and throws. A missing lease
+    * file means there is nothing to delete (a mid-release takeover
+    * rename, or external cleanup) — returning is correct either way,
+    * because if a taker DID rename us away its own tryCreate+read-back
+    * already made it the owner. A transiently unreadable lease is
+    * retried, then deleted best-effort: after a full run of successful
+    * heartbeats the file is almost surely still ours, and leaving it
+    * behind would block every writer on this state dir until staleMs. */
   private def release(fs: FileSystem, lease: Path, token: String): Unit = {
-    val back = readToken(fs, lease)
-    if (back == token) fs.delete(lease, false)
-    else throw new LeaseHeldException(
-      s"$lease: lease was taken over by $back while this writer ran — " +
-        "the state dir may hold interleaved writes; raise staleMs or fix the clock")
+    var attempt = 0
+    while (true) {
+      val back: Option[String] =
+        try {
+          val in = fs.open(lease)
+          try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return
+          case _: IOException =>
+            attempt += 1
+            if (attempt >= 3) {
+              try fs.delete(lease, false) catch { case _: IOException => () }
+              return
+            }
+            Thread.sleep(50L * attempt)
+            None
+        }
+      back match {
+        case Some(b) if b == token => fs.delete(lease, false); return
+        case Some(b) => throw new LeaseHeldException(
+          s"$lease: lease was taken over by $b while this writer ran — " +
+            "the state dir may hold interleaved writes; raise staleMs or fix the clock")
+        case None => // transient read failure: retry
+      }
+    }
   }
 
   private final class Heartbeat(fs: FileSystem, lease: Path, staleMs: Long)

@@ -84,12 +84,14 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame =
     readImpl(spark, path, quarantine = false)
 
-  /** Quarantining read: each file's well-formed record prefix is kept,
-    * and the first malformation (corrupt member, truncated tail, bad
-    * record) ends that FILE with a single row carrying the error in
-    * `_corrupt` (nulls elsewhere, `path` kept) instead of failing the
-    * task. Well-formed rows carry a null `_corrupt`. Opt-in — loud
-    * [[read]] stays the default.
+  /** Quarantining read: well-formed records are kept, and each
+    * contiguous damaged region (corrupt member, truncated tail, bad
+    * record) costs ONE row carrying the error in `_corrupt` (nulls
+    * elsewhere, `path` kept) instead of failing the task — the walk
+    * RESYNCS past the damage at the next gzip member that verifies end
+    * to end (or, plain `.warc`, the next `WARC/` line), so records
+    * before AND after a damaged region survive. Well-formed rows carry
+    * a null `_corrupt`. Opt-in — loud [[read]] stays the default.
     */
   def readWithCorrupt(spark: SparkSession, path: String): DataFrame =
     readImpl(spark, path, quarantine = true)
@@ -161,24 +163,116 @@ object Warc {
     Iterator.continually(parseRecord(in)).takeWhile(_.isDefined).map(_.get)
   }
 
-  /** [[parseAll]] with each failure REIFIED: yields well-formed records
-    * until the first parse error, which (if any) surfaces as a single
-    * terminal `Left` — the shared walk under both the loud and the
-    * quarantining read. */
+  /** [[parseAll]] with each failure REIFIED and RESYNCED past (VERDICT
+    * r18 item 2 — one damaged member used to cost the file's entire
+    * suffix): well-formed records stream as `Right`s; a parse/decode
+    * failure surfaces as ONE `Left` per contiguous damaged region,
+    * after which the walk resumes at the next VERIFIED gzip member
+    * (header parses AND the member fully inflates with CRC32/ISIZE
+    * green — a magic-byte match alone would resync INTO damage) or,
+    * for a plain `.warc`, at the next line starting `WARC/`.
+    *
+    * The loud [[read]] keeps its fail-fast contract for free: it throws
+    * on the first `Left`, and the resync scan runs lazily on the
+    * advance AFTER a `Left` is consumed, so the loud path never pays
+    * for it. The underlying stream (and its member `Inflater`) is
+    * closed at clean end, at terminal damage, and at every region
+    * boundary (each resume is a fresh stream) — an iterator ABANDONED
+    * mid-walk by its consumer leaves at most the current member's
+    * `Inflater` to GC finalization (Spark drains flatMap iterators
+    * fully, so the engine's own paths never abandon one). */
   private def attempted(bytes: Array[Byte]): Iterator[Either[Throwable, Rec]] =
     new Iterator[Either[Throwable, Rec]] {
-      private val it = parseAll(bytes)
-      private var failed = false
+      private val gz = isGzip(bytes)
+      private var gzs: GzMemberStream = null
+      private var plain: CountingByteStream = null
+      private var in: DataInputStream = null
+      private var done = false
+      openAt(0)
       private var pending: Either[Throwable, Rec] = advance()
+
+      private def openAt(off: Int): Unit =
+        if (gz) { gzs = new GzMemberStream(bytes, off); in = new DataInputStream(gzs) }
+        else { plain = new CountingByteStream(bytes, off); in = new DataInputStream(plain) }
+
+      private def closeCur(): Unit = {
+        if (gzs != null) gzs.close()
+        gzs = null; plain = null; in = null
+      }
+
       private def advance(): Either[Throwable, Rec] =
-        if (failed) null
-        else try { if (it.hasNext) Right(it.next()) else null }
-        catch { case e: Exception => failed = true; Left(e) }
+        if (done) null
+        else try parseRecord(in) match {
+          case Some(rec) => Right(rec)
+          case None => done = true; closeCur(); null
+        } catch {
+          case e: Exception =>
+            val resumeAt =
+              if (gz) { val f = gzs.resyncFrom; closeCur(); nextVerifiedMember(bytes, f) }
+              else { val f = plain.position; closeCur(); nextWarcLine(bytes, f) }
+            if (resumeAt < 0) done = true else openAt(resumeAt)
+            Left(e)
+        }
+
       def hasNext: Boolean = pending != null
       def next(): Either[Throwable, Rec] = {
         val r = pending; pending = advance(); r
       }
     }
+
+  /** First offset ≥ `from` holding a gzip member that VERIFIES end to
+    * end (magic + header parse + CRC32 + ISIZE), or -1. Candidate
+    * probes only fire on the 3-byte magic/method prefix, and each probe
+    * inflates at most one member — the scan's cost is confined to the
+    * damaged region. */
+  private[graft] def nextVerifiedMember(bytes: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 2 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+          (bytes(i + 2) & 0xff) == 8 && memberVerifiesAt(bytes, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def memberVerifiesAt(bytes: Array[Byte], off: Int): Boolean = {
+    val s = new GzMemberStream(bytes, off)
+    try { s.drainOneMember(); true }
+    catch { case _: Exception => false }
+    finally s.close()
+  }
+
+  /** First offset ≥ `from` of a line starting `WARC/` (plain-`.warc`
+    * resync point), or -1. */
+  private[graft] def nextWarcLine(bytes: Array[Byte], from: Int): Int = {
+    val pat = "WARC/".getBytes("ISO-8859-1")
+    var i = math.max(from, 0)
+    while (i + pat.length <= bytes.length) {
+      if ((i == 0 || bytes(i - 1) == '\n') && {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        j == pat.length
+      }) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Plain-`.warc` byte stream that exposes its read position, so a
+    * record parse failure knows where the resync scan starts. */
+  private final class CountingByteStream(bytes: Array[Byte], start: Int)
+      extends InputStream {
+    private var p = start
+    def position: Int = p
+    override def read(): Int =
+      if (p >= bytes.length) -1 else { val b = bytes(p) & 0xff; p += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      if (p >= bytes.length) return -1
+      val n = math.min(len, bytes.length - p)
+      System.arraycopy(bytes, p, b, off, n); p += n; n
+    }
+  }
 
   /** One header line, ISO-8859-1, CRLF- (or bare-LF-) terminated; None
     * at clean EOF before any byte. */
@@ -270,10 +364,15 @@ object Warc {
     * throws instead of reporting EOF — the loud contract. Members
     * decompress through a bounded buffer (lazy; a `take(1)` over the
     * records never touches later members), and each member's `Inflater`
-    * is `end()`ed at its boundary so native buffers never wait for GC.
+    * is `end()`ed at its boundary, so on a fully drained well-formed
+    * walk native buffers never wait for GC; a walk ABANDONED mid-member
+    * (early-terminating consumer) or ended by a throw leaves the open
+    * member's `Inflater` to `close()` — [[Warc.attempted]] calls it on
+    * every error/terminal path — or, failing that, GC finalization.
     */
-  private[graft] final class GzMemberStream(bytes: Array[Byte]) extends InputStream {
-    private var pos = 0            // next unread offset in `bytes`
+  private[graft] final class GzMemberStream(bytes: Array[Byte], start: Int = 0)
+      extends InputStream {
+    private var pos = start        // next unread offset in `bytes`
     private var dataStart = 0      // current member's deflate-data offset
     private var inf: Inflater = null
     private var crc: CRC32 = null
@@ -296,6 +395,25 @@ object Warc {
 
     override def close(): Unit =
       if (inf != null) { inf.end(); inf = null; cur = null }
+
+    /** Offset the quarantine resync scan starts from after a failure on
+      * this stream: past the currently-open (= failing or bad-content)
+      * member's header, or at the next unread member boundary when no
+      * member is open (the failed member finished cleanly — e.g. its
+      * DECOMPRESSED content ended mid-record — so the next member is
+      * itself the resume candidate). */
+    private[Warc] def resyncFrom: Int = if (cur != null) pos + 1 else pos
+
+    /** Inflate and trailer-verify exactly the ONE member at the start
+      * offset, leaving the stream positioned after it. The resync
+      * scan's probe: throws on any damage. */
+    private[Warc] def drainOneMember(): Unit = {
+      if (!openMember()) throw new EOFException("no gzip member here")
+      val buf = new Array[Byte](1 << 16)
+      var n = cur.read(buf)
+      while (n >= 0) n = cur.read(buf)
+      closeMember()
+    }
 
     /** False only at a CLEAN end (pos exactly at bytes.length). */
     private def openMember(): Boolean = {

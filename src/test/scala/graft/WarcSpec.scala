@@ -156,6 +156,49 @@ class WarcSpec extends SparkSpec {
       bad(0).getString(1).nonEmpty)
   }
 
+  test("quarantine RESYNC: records before AND after a damaged region survive, one row per region") {
+    val dir = Files.createTempDirectory("warc_resync").toString
+    def corrupted(i: Long): Array[Byte] = {
+      // header intact, deflate bytes flipped: only the full member
+      // verify (CRC32/ISIZE) can reject this — a magic-scan-only
+      // resync would accept it and die again inside the damage
+      val m = Warc.writeGz(Seq(record(i, "doomed"))).clone()
+      var j = m.length / 2
+      while (j < m.length / 2 + 4 && j < m.length - 9) {
+        m(j) = (m(j) ^ 0xff).toByte; j += 1
+      }
+      m
+    }
+    // gz: TWO adjacent corrupt members = ONE contiguous damaged region
+    val before = Warc.writeGz(Seq(record(1L, "before one"), record(2L, "before two")))
+    val after = Warc.writeGz(Seq(record(3L, "after one"), record(4L, "after two")))
+    Files.write(java.nio.file.Paths.get(dir, "gz.warc.gz"),
+      before ++ corrupted(90L) ++ corrupted(91L) ++ after)
+    // plain .warc: garbage bytes spliced between records resync to the
+    // next WARC/ line
+    def plainBytes(recs: Seq[(String, String, String, Array[Byte])]): Array[Byte] =
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Warc.writeGz(recs))).readAllBytes()
+    val garbage = "GARBAGE NOT A RECORD\r\nmore junk\r\n".getBytes("ISO-8859-1")
+    Files.write(java.nio.file.Paths.get(dir, "p.warc"),
+      plainBytes(Seq(record(5L, "plain before"))) ++ garbage ++
+        plainBytes(Seq(record(6L, "plain after"))))
+
+    // the loud default still fails on the first damage
+    intercept[org.apache.spark.SparkException] { Warc.read(spark, dir).count() }
+    val df = Warc.readWithCorrupt(spark, dir).localCheckpoint(true)
+    val good = df.filter(col("_corrupt").isNull)
+      .select(col("url")).as[String].collect().sorted.toSeq
+    assert(good == (1L to 6L).map(i => s"http://example.org/doc/$i"),
+      s"records on both sides of each damaged region must survive: $good")
+    val quar = df.filter(col("_corrupt").isNotNull)
+      .select(col("path")).as[String].collect()
+    assert(quar.count(_.contains("gz.warc.gz")) == 1,
+      s"one quarantine row per CONTIGUOUS damaged region: ${quar.toSeq}")
+    assert(quar.count(_.contains("p.warc")) == 1, quar.mkString("; "))
+    assert(quar.length == 2)
+  }
+
   test("splitHttp: header-less block surfaces whole, truncated header never hides bytes") {
     val (s1, b1) = Warc.splitHttp("no http header here".getBytes("UTF-8"))
     assert(s1.isEmpty && new String(b1, "UTF-8") == "no http header here")
