@@ -4371,6 +4371,74 @@ object Queries {
       UNION ALL SELECT CAST(-1 AS BIGINT), TRUE
       ORDER BY is_corrupt, doc_id"""))
 
+  private val q137 = Q(
+    "q137_image_neardup_verified",
+    (s, d) => {
+      // Verified oriented image near-dup (VERDICT r18 item 1): the
+      // strict matcher runs RECALL-LOOSE (candidateMaxHamming 3 — AT
+      // the measured cross-seed signature floor, so the candidate
+      // stage alone cannot be trusted as a pair oracle;
+      // ImageDedupSpec proves it emits a false pair on the pinned
+      // population), then every candidate pair pays the second decode
+      // and verifies on the full 9×8 mean-luminance grids (min
+      // cross-orientation mean |Δcell| — false pairs measure ~49 gray
+      // levels, composed disguises ~0.7, the default cut 8 sits wide
+      // of both), then keep-one per verified cluster. Corpus: every
+      // 10th doc seeds a base PNG (img_id = doc_id) plus its COMPOSED
+      // disguise (mirror + low-quality JPEG re-encode, variant 5) at
+      // +off; every 10th+5 doc seeds an unrelated distractor.
+      // Survivors are exactly the base + distractor ids: a false
+      // VERIFIED pair anywhere merges families (a base id dies), a
+      // missed composed pair lets a +off id survive — either breaks
+      // the hash.
+      val IF = graft.multimodal.ImageFixtures
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q137_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(imgDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1|verified"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"))
+        val plan = base
+          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
+            lit(0).as("__v"))
+          .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
+            col("doc_id").as("__seed"), lit(5).as("__v"))) // composed disguise
+          .unionByName(distract.select(col("doc_id").as("img_id"),
+            col("doc_id").as("__seed"), lit(0).as("__v")))
+        plan.repartition(s.sparkContext.defaultParallelism)
+          .select(col("img_id"),
+            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
+          .write.mode("overwrite").parquet(s"$imgDir/images")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val corpus = s.read.parquet(s"$imgDir/images")
+      val pairs = Dedup.imageNearDuplicatesOrientedVerified(
+        corpus, "img_id", "content")
+      val kept = Dedup.keepOnePerCluster(corpus, "img_id", pairs)
+        .select(col("img_id"), lit(true).as("survived"))
+      corpus.select(col("img_id"))
+        .join(kept, Seq("img_id"), "left")
+        .select(col("img_id"),
+          coalesce(col("survived"), lit(false)).as("survived"))
+        .orderBy(col("img_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS img_id, TRUE AS survived FROM documents
+        WHERE doc_id % 10 IN (0, 5)
+      UNION ALL
+      SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY img_id"""))
+
   private val q130 = Q(
     "q130_image_state_oracle",
     (s, d) => {
@@ -4785,5 +4853,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136)
+    q133, q134, q135, q136, q137)
 }

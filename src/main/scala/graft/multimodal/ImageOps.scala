@@ -261,6 +261,43 @@ object ImageOps {
     udf((bytes: Array[Byte]) => dHashOrientations(bytes).orNull)
 
   private def transformSigs(im: java.awt.image.BufferedImage): Array[Long] = {
+    val grids = transformGrids(im)
+    val out = new Array[Long](8)
+    var t = 0
+    while (t < 8) { out(t) = sigOfGrid(grids(t)); t += 1 }
+    out
+  }
+
+  /** One grid's 64-bit difference signature, exactly as [[dHash]]
+    * derives it: bit k set iff cell k's mean exceeds its right
+    * neighbor's. Cells are the EXACT doubles [[transformGrids]]
+    * produced, so signatures are bit-identical to the pre-refactor
+    * fused form (the pinned q125/q130/q132/q134 floors depend on it). */
+  private def sigOfGrid(cells: Array[Double]): Long = {
+    val gw = 9; val gh = 8
+    var sig = 0L
+    var k = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (cells(gy * gw + gx) > cells(gy * gw + gx + 1)) sig |= (1L << k)
+        k += 1; gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  /** The 8 dihedral transforms' 9×8 mean-luminance grids (row-major, 72
+    * doubles each, luminance ×1000 — divide by 1000 for gray levels;
+    * index = [[dihedral]]'s numbering). This is the exact intermediate
+    * every per-transform signature derives from, and what the VERIFY
+    * stage ([[gridMinDistance]]) compares directly: the cell means keep
+    * the MAGNITUDE information the signatures' 1-bit neighbor
+    * comparisons throw away. */
+  private[graft] def transformGrids(im: java.awt.image.BufferedImage)
+      : Array[Array[Double]] = {
       val gw = 9; val gh = 8
       val w = im.getWidth; val h = im.getHeight
       // EXACT integer luminance (×1000), summed in longs: the same
@@ -325,29 +362,66 @@ object ImageOps {
         hist(rx8, gh), hist(y8, gh), hist(x8, gh), hist(ry8, gh), hist(rx8, gh))
       val colCnt = Array(hist(x9, gw), hist(ry9, gw), hist(rx9, gw),
         hist(y9, gw), hist(rx9, gw), hist(y9, gw), hist(x9, gw), hist(ry9, gw))
-      val out = new Array[Long](8)
+      val out = Array.ofDim[Double](8, gh * gw)
       var t = 0
       while (t < 8) {
-        def cell(gy: Int, gx: Int): Double = {
-          val cnt = rowCnt(t)(gy) * colCnt(t)(gx)
-          if (cnt == 0) 0.0 else sums(t * 72 + gy * gw + gx).toDouble / cnt
-        }
-        var sig = 0L
-        var k = 0
+        val g = out(t)
         var gy = 0
         while (gy < gh) {
           var gx = 0
-          while (gx < gw - 1) {
-            if (cell(gy, gx) > cell(gy, gx + 1)) sig |= (1L << k)
-            k += 1; gx += 1
+          while (gx < gw) {
+            val cnt = rowCnt(t)(gy) * colCnt(t)(gx)
+            g(gy * gw + gx) =
+              if (cnt == 0) 0.0 else sums(t * 72 + gy * gw + gx).toDouble / cnt
+            gx += 1
           }
           gy += 1
         }
-        out(t) = sig
         t += 1
       }
       out
     }
+
+  /** VERIFY kernel of the oriented image-dedup family (VERDICT r18
+    * item 1): min cross-orientation MEAN ABSOLUTE DIFFERENCE of the two
+    * images' full 9×8 mean-luminance grids, in gray levels (0..255) —
+    * `min over the 8 dihedral transforms t of mean |grid_a(identity) −
+    * grid_b(t)|`, symmetrized with the b-identity slice so
+    * (a, b) and (b, a) verify identically. Where the 64-bit signatures
+    * keep only each cell's 1-bit neighbor comparison (so two different
+    * pictures CAN collide within a few bits — the strict matcher's
+    * eroding floor), the grids keep full magnitude: a re-encoded copy
+    * sits within a couple of gray levels while a different picture
+    * differs by tens. None when either side is undecodable. Cost: one
+    * decode + one [[transformGrids]] pass per SIDE of a candidate pair
+    * — which is why this runs on candidates only, never the corpus.
+    */
+  def gridMinDistance(a: Array[Byte], b: Array[Byte]): Option[Double] =
+    for (ia <- decode(a); ib <- decode(b)) yield {
+      val ga = transformGrids(ia)
+      val gb = transformGrids(ib)
+      def slice(base: Array[Double], others: Array[Array[Double]]): Double = {
+        var best = Double.MaxValue
+        var t = 0
+        while (t < 8) {
+          val o = others(t)
+          var s = 0.0
+          var i = 0
+          while (i < base.length) { s += math.abs(base(i) - o(i)); i += 1 }
+          val d = s / base.length / 1000.0
+          if (d < best) best = d
+          t += 1
+        }
+        best
+      }
+      math.min(slice(ga(0), gb), slice(gb(0), ga))
+    }
+
+  /** [[gridMinDistance]] UDF (double or null when either side is
+    * undecodable). */
+  val imageGridMinDistance: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      gridMinDistance(a, b).map(java.lang.Double.valueOf).orNull)
 
   /** [[dHashCanonical]] UDF (long or null on undecodable bytes). */
   val imageDHashCanonical: org.apache.spark.sql.expressions.UserDefinedFunction =

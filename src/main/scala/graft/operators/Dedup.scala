@@ -402,8 +402,11 @@ object Dedup {
     * plain dHash, 3 for this min — ImageDedupSpec pins both). Default
     * `maxHamming = 2` covers the composed-disguise class (≤ 2 bits,
     * pinned) while clearing that floor; at web scale treat this as a
-    * high-recall CANDIDATE GENERATOR feeding a verification stage
-    * (byte/pixel compare of the pair), not a standalone pair oracle.
+    * high-recall CANDIDATE GENERATOR feeding a verification stage, not
+    * a standalone pair oracle —
+    * [[imageNearDuplicatesOrientedVerified]] IS that composition
+    * (candidates at a loose threshold, then a full-grid exact verify
+    * per candidate pair).
     */
   def imageNearDuplicatesOrientedStrict(
       df: DataFrame,
@@ -422,6 +425,54 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
+
+  /** VERIFIED oriented image near-dup (VERDICT r18 item 1): the strict
+    * matcher's candidates → full-grid exact verify → verified pairs.
+    * [[imageNearDuplicatesOrientedStrict]] is honest candidate
+    * GENERATION — its 64 signature pairs per image pair erode the
+    * cross-image distance floor 64× faster than single-signature
+    * operators (measured floor 3 on the pinned fixture population vs
+    * the composed-disguise class's ≤ 2), so any threshold loose enough
+    * for full recall admits false pairs as the corpus grows. This
+    * operator resolves that squeeze: candidates run RECALL-LOOSE
+    * (`candidateMaxHamming` default 3 — at or past the measured floor,
+    * deliberately), then each candidate pair (and ONLY candidates — the
+    * corpus never pays a second decode) is verified on the full 9×8
+    * mean-luminance grids via [[graft.multimodal.ImageOps
+    * .gridMinDistance]]: min cross-orientation mean absolute cell
+    * difference in gray levels, magnitude information the 1-bit
+    * signatures throw away. Re-encoded copies sit within a couple of
+    * gray levels; different pictures sharing signature bits differ by
+    * tens (ImageDedupSpec pins both margins on the fixture
+    * population).
+    *
+    * Scale shape: the candidate pair set is tiny next to the corpus, so
+    * the two bytes-fetch joins resolve as broadcast joins of the PAIRS
+    * under AQE (runtime-sized after the strict matcher's aggregation) —
+    * the corpus side never shuffles its bytes. Returns verified pairs
+    * `(id_a, id_b, hamming, grid_distance)`; compose with
+    * [[keepOnePerCluster]] / [[keepBestPerCluster]] for dedup.
+    */
+  def imageNearDuplicatesOrientedVerified(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      chunks: Int = 8,
+      candidateMaxHamming: Int = 3,
+      maxGridDistance: Double = 8.0): DataFrame = {
+    val cands = imageNearDuplicatesOrientedStrict(
+      df, idCol, bytesCol, chunks, candidateMaxHamming)
+    val bytesA = df.select(col(idCol).as("id_a"), col(bytesCol).as("__ba"))
+    val bytesB = df.select(col(idCol).as("id_b"), col(bytesCol).as("__bb"))
+    cands
+      .join(bytesA, "id_a")
+      .join(bytesB, "id_b")
+      .withColumn("grid_distance",
+        graft.multimodal.ImageOps.imageGridMinDistance(col("__ba"), col("__bb")))
+      .filter(col("grid_distance").isNotNull &&
+        col("grid_distance") <= maxGridDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("grid_distance"))
+  }
 
   /** The image-signature dial shared by the whole family:
     * [[graft.multimodal.ImageOps.dHash]] by default;

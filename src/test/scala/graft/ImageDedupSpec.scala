@@ -295,4 +295,60 @@ class ImageDedupSpec extends SparkSpec {
     info(s"strict cross-seed min distance over ${seeds.size} seeds: $minD")
     assert(minD > 2, s"strict cross-seed floor must clear the default threshold 2: $minD")
   }
+
+  test("verified oriented near-dup: loose candidates provably mis-threshold, grid verify restores exactness") {
+    import graft.multimodal.ImageFixtures
+    // the pinned population again, at the VERIFIED operator's loose
+    // candidate threshold (3 = the measured strict floor): the false
+    // candidate set is provably non-empty — the precision/recall
+    // squeeze the verify stage exists to resolve
+    val seeds = (0L until 5000L by 5L).toSeq
+    val bytes = seeds.map(sd => ImageFixtures.fixtureBytes(sd, 0))
+    val sigSets = bytes.map(b => ImageOps.dHashOrientations(b).get)
+    val falseCands = (for {
+      i <- sigSets.indices.iterator
+      j <- ((i + 1) until sigSets.size).iterator
+      if (for (a <- sigSets(i); b <- sigSets(j)) yield hamming(a, b)).min <= 3
+    } yield (i, j)).toSeq
+    assert(falseCands.nonEmpty,
+      "threshold 3 must admit at least one cross-seed candidate (the measured floor IS 3)")
+    // the grid verify rejects EVERY false candidate with a wide margin
+    // below/above the default cut (8 gray levels), and passes every
+    // composed disguise equally wide — both margins pinned
+    val falseDists = falseCands.map { case (i, j) =>
+      ImageOps.gridMinDistance(bytes(i), bytes(j)).get }
+    info(f"false candidates at threshold 3: ${falseCands.size}; grid-distance min=${falseDists.min}%.2f")
+    assert(falseDists.forall(_ > 12.0),
+      s"verify must reject every false candidate with margin: min=${falseDists.min}")
+    val composedDists = seeds.take(20).map { sd =>
+      ImageOps.gridMinDistance(
+        ImageFixtures.fixtureBytes(sd, 0), ImageFixtures.fixtureBytes(sd, 5)).get }
+    info(f"composed-pair grid distances: max=${composedDists.max}%.2f")
+    assert(composedDists.forall(_ <= 4.0),
+      s"composed disguises must verify inside the default: max=${composedDists.max}")
+
+    // end-to-end on a corpus holding the measured false pair AND a real
+    // composed family: the candidate stage alone emits the false pair,
+    // the verified operator returns exactly the family, keep-one keeps
+    // both distinct pictures
+    val (fi, fj) = falseCands.head
+    val rows = Seq(
+      1L -> bytes(fi),
+      2L -> ImageFixtures.fixtureBytes(seeds(fi), 5), // composed copy of 1
+      3L -> bytes(fj)                                 // strict collision with 1
+    ).toDF("img_id", "content")
+    val strict = Dedup.imageNearDuplicatesOrientedStrict(rows, "img_id", "content",
+        chunks = 8, maxHamming = 3)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(strict.contains((1L, 3L)),
+      s"the candidate stage ALONE must emit the false pair here: $strict")
+    val verified = Dedup.imageNearDuplicatesOrientedVerified(rows, "img_id", "content")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(verified == Seq((1L, 2L)),
+      s"verify must keep the family and kill the false pair: $verified")
+    val kept = Dedup.keepOnePerCluster(rows, "img_id",
+        Dedup.imageNearDuplicatesOrientedVerified(rows, "img_id", "content"))
+      .select(col("img_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"keep-one after verify: $kept")
+  }
 }
