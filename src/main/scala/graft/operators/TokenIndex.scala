@@ -577,4 +577,51 @@ object TokenIndex {
     if (tfs.exists(tp)) tfs.delete(tp, true)
     (p, d, a)
   }
+
+  /** Evolve the index's stored metadata SET by adding columns with
+    * backfill defaults (VERDICT r18 item 3) — without this, the
+    * metadata-set invariant [[append]] enforces makes adding one
+    * column a full corpus re-ingest. A compact-shaped ONE-TIME
+    * postings rewrite: every existing posting row gains each new
+    * column as its literal default (the semantics the caller asserts
+    * for pre-evolution documents), swapped into place under
+    * [[graft.sources.Compaction.rewriteParquetDir]]'s marker-protected
+    * two-rename protocol and the index dir's writer lease. After it,
+    * appends must carry the WIDENED set (the invariant keeps
+    * enforcing uniformity — now at the new set), and filtered probes
+    * read the backfilled defaults for pre-evolution rows with the
+    * predicate still landing in the parquet scan.
+    *
+    * Each default's literal TYPE fixes the new column's type; later
+    * appends must match it. Adding only — dropping a stored column
+    * would silently orphan predicates compiled against it; rebuild for
+    * that. Cost: one full postings rewrite (the same job [[compact]]
+    * runs), paid once, never per probe.
+    */
+  def evolveMetadata(spark: SparkSession, indexDir: String,
+      defaults: Seq[(String, Any)]): Unit =
+      graft.sources.Lease.withLease(spark, indexDir) {
+    require(defaults.nonEmpty, "evolveMetadata: no columns to add")
+    defaults.foreach { case (m, _) =>
+      require(!ReservedPostingCols(m),
+        s"metaCols name '$m' collides with a reserved posting column")
+      require(!m.startsWith("__"),
+        s"metaCols name '$m' uses the internal working-column prefix __")
+    }
+    val pDir = postingsDir(indexDir)
+    val p = new org.apache.hadoop.fs.Path(pDir)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"evolveMetadata: no index postings at $pDir")
+    val stored = spark.read.option("mergeSchema", "true").parquet(pDir)
+      .columns.filterNot(ReservedPostingCols).toSet
+    defaults.foreach { case (m, _) =>
+      require(!stored.contains(m),
+        s"evolveMetadata: column '$m' is already stored metadata " +
+          s"($stored) — evolution only ADDS columns")
+    }
+    graft.sources.Compaction.rewriteParquetDir(spark, pDir) { df =>
+      defaults.foldLeft(df) { case (acc, (m, v)) => acc.withColumn(m, lit(v)) }
+    }
+    ()
+  }
 }

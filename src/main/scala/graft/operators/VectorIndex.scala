@@ -1155,4 +1155,45 @@ object VectorIndex {
     if (fs.exists(tp)) fs.delete(tp, true)
     result
   }
+
+  /** Evolve the index's stored metadata SET by adding columns with
+    * backfill defaults (VERDICT r18 item 3; mirrors
+    * [[TokenIndex.evolveMetadata]] — see its contract notes). Hand-
+    * rolled like [[compact]] rather than `rewriteParquetDir` because
+    * the postings are PARTITIONED by cell bucket and must stay so
+    * through the rewrite (the generic round-robin repartition would
+    * flatten the layout and kill probe-time partition pruning); same
+    * crash-recovery preamble, same checked two-rename swap, same
+    * append layout discipline (one file per bucket, centroid-sorted
+    * row groups), under the index dir's writer lease.
+    */
+  def evolveMetadata(spark: SparkSession, indexDir: String,
+      defaults: Seq[(String, Any)]): Unit =
+      graft.sources.Lease.withLease(spark, indexDir) {
+    require(defaults.nonEmpty, "evolveMetadata: no columns to add")
+    defaults.foreach { case (m, _) =>
+      require(!ReservedPostingCols(m),
+        s"metaCols name '$m' collides with a reserved posting column")
+      require(!m.startsWith("__"),
+        s"metaCols name '$m' uses the internal working-column prefix __")
+    }
+    val dir = postingsDir(indexDir)
+    graft.sources.Compaction.recoverCrashedSwap(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"evolveMetadata: no index postings at $dir")
+    val input = spark.read.parquet(dir)
+    val stored = input.columns.filterNot(ReservedPostingCols).toSet
+    defaults.foreach { case (m, _) =>
+      require(!stored.contains(m),
+        s"evolveMetadata: column '$m' is already stored metadata " +
+          s"($stored) — evolution only ADDS columns")
+    }
+    defaults.foldLeft(input) { case (acc, (m, v)) => acc.withColumn(m, lit(v)) }
+      .repartition(col("cell_bucket"))
+      .sortWithinPartitions(col("cell_bucket"), col("centroid_id"))
+      .write.partitionBy("cell_bucket").mode("overwrite")
+      .parquet(dir + "__compact_tmp")
+    graft.sources.Compaction.swapTmpIntoPlace(spark, dir)
+  }
 }

@@ -420,6 +420,72 @@ class TokenIndexSpec extends SparkSpec {
     }
   }
 
+  test("evolveMetadata: one-time backfill widens the stored set; new-set appends accepted; probes read defaults") {
+    // VERDICT r18 item 3: without evolution the metadata-set invariant
+    // makes adding one column a full corpus re-ingest
+    val dir = Files.createTempDirectory("tokidx_evolve").toString
+    val tagged = docs.withColumn("lang",
+      when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("de"))
+    // life 1: every 4th doc, metadata = {lang}
+    TokenIndex.append(tagged.filter(pmod(col("doc_id"), lit(4)) === 0),
+      "doc_id", "text", dir, 0L, metaCols = Seq("lang"))
+    // the widened append is refused at the OLD set — the squeeze evolve resolves
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged.withColumn("src", lit("crawl2")),
+        "doc_id", "text", dir, 1L, metaCols = Seq("lang", "src"))
+    }
+    TokenIndex.evolveMetadata(spark, dir, Seq("src" -> "crawl1"))
+    // bad evolutions are refused loudly: reserved name, already-stored name
+    intercept[IllegalArgumentException] {
+      TokenIndex.evolveMetadata(spark, dir, Seq("tf" -> 1))
+    }
+    intercept[IllegalArgumentException] {
+      TokenIndex.evolveMetadata(spark, dir, Seq("src" -> "again"))
+    }
+    // life 2: the widened set is now REQUIRED (old set refused) and accepted
+    intercept[IllegalArgumentException] {
+      TokenIndex.append(tagged.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "doc_id", "text", dir, 1L, metaCols = Seq("lang"))
+    }
+    TokenIndex.append(
+      tagged.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .withColumn("src", lit("crawl2")),
+      "doc_id", "text", dir, 1L, metaCols = Seq("lang", "src"))
+    // a filtered probe ON THE EVOLVED COLUMN: backfilled rows answer
+    // under the default, and score-exact parity with the allowed-DF
+    // form over the same slice proves the backfill is semantic, not
+    // cosmetic
+    val terms = Seq("dup", "join", "scan")
+    def scores(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      df.select(col("corpus_id").cast("long"), round(col("bm25"), 9),
+        col("n_terms")).as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val oldSlice = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms, col("src") === "crawl1", 1.2, 0.75))
+    val newSlice = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms, col("src") === "crawl2", 1.2, 0.75))
+    assert(oldSlice.nonEmpty && oldSlice.forall(_._1 % 4 == 0),
+      s"backfilled default must select exactly the pre-evolution docs: ${oldSlice.take(5)}")
+    assert(newSlice.nonEmpty && newSlice.forall(_._1 % 4 == 2),
+      s"the appended value must select exactly the new docs: ${newSlice.take(5)}")
+    val byAllowedOld = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms,
+      docs.filter(pmod(col("doc_id"), lit(4)) === 0).select(col("doc_id")),
+      "doc_id"))
+    assert(oldSlice == byAllowedOld,
+      "evolved-column predicate must score-match the allowed-DF form")
+    // the evolved column's predicate still lands in the parquet scan
+    val plan = TokenIndex.bm25IndexedFiltered(
+        spark, dir, terms, col("src") === "crawl1", 1.2, 0.75)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(src,crawl1)"),
+      s"evolved metadata predicate must reach the postings scan:\n${plan.take(3000)}")
+    // composing old and evolved metadata columns works too
+    val both = scores(TokenIndex.bm25IndexedFiltered(
+      spark, dir, terms, col("src") === "crawl1" && col("lang") === "en",
+      1.2, 0.75))
+    assert(both == oldSlice.filter(_._1 % 2 == 0))
+  }
+
   test("filtered containment: equals the post-filtered one-shot, predicate PUSHED (scan-level pruning)") {
     // containment pairs are independent, so semantic equivalence with
     // post-filtering is the SPEC here (unlike top-k/BM25); the filtered

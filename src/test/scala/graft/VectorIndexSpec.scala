@@ -902,6 +902,71 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("evolveMetadata: backfill rewrite widens the set, keeps the bucket layout, new-set appends accepted") {
+    // VERDICT r18 item 3, the vector side: the rewrite must preserve
+    // the cell_bucket partitioning AND centroid-sorted row groups —
+    // evolving metadata must never cost probe-time pruning
+    val base = Files.createTempDirectory("vecidx_evolve")
+    val idxDir = s"$base/idx"
+    def v(c: Double, rot: Int): Seq[Float] = {
+      val s = math.sqrt(1 - c * c)
+      val out = Array.fill(4)(0.0)
+      out(0) = c; out(1 + rot % 3) = s
+      out.map(_.toFloat).toSeq
+    }
+    val corpus = Seq(
+      1L -> v(0.99, 0), 2L -> v(0.90, 1), 4L -> v(0.80, 2), 6L -> v(0.70, 0),
+      3L -> v(-0.95, 0), 5L -> v(-0.9, 1), 7L -> v(-0.85, 2), 8L -> v(-0.8, 0))
+      .toDF("vec_id", "embedding")
+      .withColumn("lang", when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
+    VectorIndex.build(corpus, "vec_id", "embedding", idxDir, k = 2, maxIter = 8,
+      metaCols = Seq("lang"))
+    // widened append refused at the old set; evolve moves the invariant
+    intercept[IllegalArgumentException] {
+      VectorIndex.append(corpus.withColumn("src", lit("crawl2")),
+        "vec_id", "embedding", idxDir, 1L, metaCols = Seq("lang", "src"))
+    }
+    VectorIndex.evolveMetadata(spark, idxDir, Seq("src" -> "crawl1"))
+    intercept[IllegalArgumentException] {
+      VectorIndex.evolveMetadata(spark, idxDir, Seq("centroid_id" -> 0))
+    }
+    intercept[IllegalArgumentException] {
+      VectorIndex.evolveMetadata(spark, idxDir, Seq("src" -> "again"))
+    }
+    intercept[IllegalArgumentException] { // old set now refused
+      VectorIndex.append(corpus, "vec_id", "embedding", idxDir, 1L,
+        metaCols = Seq("lang"))
+    }
+    VectorIndex.append(
+      Seq(10L -> v(0.95, 1)).toDF("vec_id", "embedding")
+        .withColumn("lang", lit("en")).withColumn("src", lit("crawl2")),
+      "vec_id", "embedding", idxDir, 1L, metaCols = Seq("lang", "src"))
+    val queries = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    def byPred(p: org.apache.spark.sql.Column) = topk(VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      predicate = p, nprobe = 2))
+    // backfilled default selects exactly the pre-evolution vectors…
+    assert(byPred(col("src") === "crawl1").map(_._2) == Seq(1L, 2L),
+      s"backfilled slice: ${byPred(col("src") === "crawl1")}")
+    // …the appended value exactly the new one, and composition works
+    assert(byPred(col("src") === "crawl2").map(_._2) == Seq(10L))
+    assert(byPred(col("src") === "crawl1" && col("lang") === "en")
+      .map(_._2) == Seq(2L, 4L))
+    // the evolved column's predicate lands in the scan AND both pruning
+    // tiers survive the rewrite — the layout-preservation proof
+    val plan = VectorIndex.queryTopKFiltered(
+      spark, queries, "vec_id", "embedding", idxDir, k = 2,
+      predicate = col("src") === "crawl1", nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(src,crawl1)"),
+      s"evolved predicate must reach the postings scan:\n${plan.take(3000)}")
+    assert(plan.contains("In(centroid_id"),
+      s"cell pruning must survive evolution:\n${plan.take(3000)}")
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell_bucket"),
+      s"bucket-partition pruning must survive evolution:\n${plan.take(3000)}")
+  }
+
   test("filtered calibration: a selective predicate under-recalls at default nprobe; the calibrated call recovers rank-1") {
     // VERDICT r17 item 5: calibrateNprobe was unfiltered-only, so the
     // recall contract on filtered probes was advisory. Constructed
