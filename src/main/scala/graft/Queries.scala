@@ -4439,6 +4439,71 @@ object Queries {
       SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
       ORDER BY img_id"""))
 
+  private val q138 = Q(
+    "q138_video_neardup",
+    (s, d) => {
+      // Video near-dup (VERDICT r18 item 4), composed from existing
+      // kernels end-to-end over GENERATED MJPEG-AVIs (the q129/q136
+      // generated-fixture idiom; AvWriter emits spec-conformant RIFF,
+      // so the real demuxer parses it): every 10th doc seeds a 4-
+      // keyframe base clip (video_id = doc_id) plus its RE-ENCODED
+      // copy (same frames, lower JPEG quality) at +off; every 10th+5
+      // doc an unrelated distractor clip. videoNearDuplicates demuxes
+      // keyframes, fingerprints each with dHashCanonical, blocks the
+      // frame signatures, and reports a video pair when ≥ 2 DISTINCT
+      // keyframes match on EACH side — the aggregation that makes the
+      // video match robust to the canonical hash's per-frame
+      // min-switch caveat (MultimodalIntegrationSpec pins the flip
+      // class at ~1%; a video miss needs 3 of 4 frame seeds flipping
+      // at once). keep-one per cluster: survivors are exactly the
+      // base + distractor ids.
+      val AW = graft.multimodal.AvWriter
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val vidDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q138_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(vidDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|avifix-v1|reencode"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (vidDir.exists()) graft.sources.Compaction.deleteLocalDir(vidDir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"))
+        val plan = base
+          .select(col("doc_id").as("video_id"), col("doc_id").as("__seed"),
+            lit(0.9f).as("__q"))
+          .unionByName(base.select((col("doc_id") + lit(off)).as("video_id"),
+            col("doc_id").as("__seed"), lit(0.45f).as("__q"))) // re-encode
+          .unionByName(distract.select(col("doc_id").as("video_id"),
+            col("doc_id").as("__seed"), lit(0.9f).as("__q")))
+        plan.repartition(s.sparkContext.defaultParallelism)
+          .select(col("video_id"),
+            AW.fixtureClipUdf(col("__seed"), col("__q")).as("content"))
+          .write.mode("overwrite").parquet(s"$vidDir/videos")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val corpus = s.read.parquet(s"$vidDir/videos")
+      val pairs = Dedup.videoNearDuplicates(corpus, "video_id", "content")
+      val kept = Dedup.keepOnePerCluster(corpus, "video_id", pairs)
+        .select(col("video_id"), lit(true).as("survived"))
+      corpus.select(col("video_id"))
+        .join(kept, Seq("video_id"), "left")
+        .select(col("video_id"),
+          coalesce(col("survived"), lit(false)).as("survived"))
+        .orderBy(col("video_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS video_id, TRUE AS survived FROM documents
+        WHERE doc_id % 10 IN (0, 5)
+      UNION ALL
+      SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY video_id"""))
+
   private val q130 = Q(
     "q130_image_state_oracle",
     (s, d) => {
@@ -4889,5 +4954,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137)
+    q133, q134, q135, q136, q137, q138)
 }

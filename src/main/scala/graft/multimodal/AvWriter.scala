@@ -1,0 +1,63 @@
+package graft.multimodal
+
+/** MJPEG-in-AVI WRITER — the fixture/serializer side of
+  * [[AvOps.videoKeyFrames]]'s demuxer (the [[graft.sources.Warc.writeGz]]
+  * precedent: generated corpora for driver-checked oracles need the
+  * writer in main scope; video ARCHIVING at scale is the fetcher's job,
+  * not this engine's). Emits a spec-conformant RIFF-AVI (public
+  * container format: hdrl avih/strh/strf headers, one `00dc` chunk per
+  * JPEG frame under LIST movi, idx1 with per-frame keyframe flags — a
+  * standard player could open it), so the round-trip through the
+  * demuxer exercises the REAL parse path, never a shortcut.
+  */
+object AvWriter {
+
+  def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  def chunk(ck: String, data: Array[Byte]): Array[Byte] =
+    ck.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  def list(typ: String, children: Array[Byte]*): Array[Byte] =
+    chunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+
+  def mjpegAvi(frames: Seq[Array[Byte]], keyFlags: Seq[Boolean]): Array[Byte] = {
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(32) ++ le32(24) ++
+      Array.fill(16)(0.toByte))
+    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+      Array.fill(48)(0.toByte))
+    // BITMAPINFOHEADER with biCompression = 'MJPG'
+    val strf = chunk("strf", le32(40) ++ le32(32) ++ le32(24) ++ le32(1 | (24 << 16)) ++
+      "MJPG".getBytes("US-ASCII") ++ Array.fill(20)(0.toByte))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+    val idx1 = chunk("idx1", frames.zip(keyFlags).flatMap { case (f, key) =>
+      "00dc".getBytes("US-ASCII") ++ le32(if (key) 0x10 else 0) ++ le32(0) ++ le32(f.length)
+    }.toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih, list("strl", strh, strf)) ++ movi ++ idx1
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** A planted CLIP for the video near-dup oracles (q138's corpus): 4
+    * MJPEG keyframes rendered from [[ImageFixtures.blockImage]] at
+    * per-frame seeds `seed + k·1000003` (the prime stride keeps frame
+    * seeds of different clips disjoint for any seed population narrower
+    * than the stride), JPEG-encoded at `quality`. A re-encode of the
+    * SAME clip (same seed, different quality) is the disguise class
+    * [[graft.operators.Dedup.videoNearDuplicates]] must catch; clips of
+    * different seeds share no frame content.
+    */
+  def fixtureClip(seed: Long, quality: Float): Array[Byte] =
+    mjpegAvi(
+      (0 until 4).map(k =>
+        ImageOps.encodeJpeg(ImageFixtures.blockImage(seed + k * 1000003L), quality)),
+      Seq.fill(4)(true))
+
+  /** Executor-side clip generation (one UDF call per planted row). */
+  val fixtureClipUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      (seed: Long, quality: Float) => fixtureClip(seed, quality))
+}

@@ -1,23 +1,19 @@
 package graft
 
-/** Shared multimodal test fixtures: a spec-conformant MJPEG-in-AVI
-  * builder (RIFF with hdrl avih/strh/strf, movi with one 00dc chunk per
-  * JPEG frame, idx1 with per-frame keyframe flags — a standard player
-  * could open it) and solid-color JPEG frames. Used by the kernel spec
-  * (PlansAndSkewSpec) and the end-to-end multimodal spec.
+/** Shared multimodal test fixtures. The spec-conformant MJPEG-in-AVI
+  * builder lives in main scope ([[graft.multimodal.AvWriter]] — q138's
+  * generated corpus needs it executor-side); this keeps the test-local
+  * helpers and re-exports the builder under the old names.
   */
 object AvFixtures {
 
-  def le32(v: Int): Array[Byte] =
-    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  def le32(v: Int): Array[Byte] = graft.multimodal.AvWriter.le32(v)
 
   def chunk(ck: String, data: Array[Byte]): Array[Byte] =
-    ck.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
-      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    graft.multimodal.AvWriter.chunk(ck, data)
 
   def list(typ: String, children: Array[Byte]*): Array[Byte] =
-    chunk("LIST", typ.getBytes("US-ASCII") ++ children.flatten)
+    graft.multimodal.AvWriter.list(typ, children: _*)
 
   def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -28,21 +24,6 @@ object AvFixtures {
     out.toByteArray
   }
 
-  def mjpegAvi(frames: Seq[Array[Byte]], keyFlags: Seq[Boolean]): Array[Byte] = {
-    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
-      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(32) ++ le32(24) ++
-      Array.fill(16)(0.toByte))
-    val strh = chunk("strh", "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
-      Array.fill(48)(0.toByte))
-    // BITMAPINFOHEADER with biCompression = 'MJPG'
-    val strf = chunk("strf", le32(40) ++ le32(32) ++ le32(24) ++ le32(1 | (24 << 16)) ++
-      "MJPG".getBytes("US-ASCII") ++ Array.fill(20)(0.toByte))
-    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
-    val idx1 = chunk("idx1", frames.zip(keyFlags).flatMap { case (f, key) =>
-      "00dc".getBytes("US-ASCII") ++ le32(if (key) 0x10 else 0) ++ le32(0) ++ le32(f.length)
-    }.toArray)
-    val body = "AVI ".getBytes("US-ASCII") ++
-      list("hdrl", avih, list("strl", strh, strf)) ++ movi ++ idx1
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
-  }
+  def mjpegAvi(frames: Seq[Array[Byte]], keyFlags: Seq[Boolean]): Array[Byte] =
+    graft.multimodal.AvWriter.mjpegAvi(frames, keyFlags)
 }

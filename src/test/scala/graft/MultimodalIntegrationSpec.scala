@@ -111,4 +111,55 @@ class MultimodalIntegrationSpec extends SparkSpec {
     assert(crossVideo.forall { case (a, b) =>
       Set(a, b) == Set(1000L, 1100L) }, s"unexpected cross-video pairs: ${crossVideo.toSeq}")
   }
+
+  test("videoNearDuplicates: re-encoded clips match by distinct keyframes both sides; keep-one composes") {
+    import graft.multimodal.AvWriter
+    val rows = Seq(
+      1L -> AvWriter.fixtureClip(11L, 0.9f),
+      2L -> AvWriter.fixtureClip(11L, 0.45f), // re-encode of clip 1
+      3L -> AvWriter.fixtureClip(99L, 0.9f), // unrelated clip
+      4L -> "not an avi at all".getBytes("UTF-8") // undecodable: zero rows
+    ).toDF("video_id", "content")
+    val pairs = Dedup.videoNearDuplicates(rows, "video_id", "content")
+    val got = pairs.select(col("id_a"), col("id_b"), col("n_matched"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+      s"exactly the re-encoded pair must report: $got")
+    assert(got.head._3 >= 2, s"matched keyframes: ${got.head._3}")
+    val kept = Dedup.keepOnePerCluster(rows, "video_id", pairs)
+      .select(col("video_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L), s"keep-one survivors: $kept")
+    // the TWO-SIDED distinct-frame count: a clip of one repeated frame
+    // must not match a multi-frame clip that contains it once — the
+    // static-logo-vs-slideshow guard (one matching frame on the
+    // slideshow side, minMatches = 2 refused by the least())
+    val logoFrame = ImageOps.encodeJpeg(
+      graft.multimodal.ImageFixtures.blockImage(11L), 0.9f)
+    val slideshow = AvWriter.fixtureClip(11L, 0.9f) // contains seed-11 frame 0
+    val logo = AvWriter.mjpegAvi(Seq.fill(4)(logoFrame), Seq.fill(4)(true))
+    val rows2 = Seq(5L -> slideshow, 6L -> logo).toDF("video_id", "content")
+    assert(Dedup.videoNearDuplicates(rows2, "video_id", "content").isEmpty,
+      "a repeated single frame must not match a slideshow (two-sided count)")
+
+    // the per-frame recall contract this operator's aggregation rests
+    // on, pinned over the fixture population: dHashCanonical's
+    // re-encode drift is tiny for MOST seeds but CAN jump when the
+    // re-encode flips the canonical orientation (the documented
+    // min-switch caveat — measured: ~1% of the pinned seeds exceed the
+    // join threshold). minMatches = 2 of 4 keyframes is what makes the
+    // VIDEO-level match robust: a miss needs 3 of 4 frame seeds to
+    // flip at once. Pin both measurements so a signature change that
+    // widens the flip class is caught here, not in a driver run.
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val seeds = (0L until 5000L by 5L).toSeq
+    def sig(s: Long, q: Float) = ImageOps.dHashCanonical(
+      ImageOps.encodeJpeg(graft.multimodal.ImageFixtures.blockImage(s), q)).get
+    val drifts = seeds.map(s => hamming(sig(s, 0.9f), sig(s, 0.45f)))
+    info(s"canonical re-encode drift: mean=${drifts.sum.toDouble / drifts.size}, " +
+      s"flips(>4)=${drifts.count(_ > 4)}/${drifts.size}")
+    assert(drifts.count(_ > 4) <= 20,
+      s"the canonical min-switch class widened: ${drifts.count(_ > 4)} flips")
+    assert(drifts.count(_ <= 2).toDouble / drifts.size >= 0.97,
+      "the non-flipped drift class must stay within the re-encode bound")
+  }
 }
