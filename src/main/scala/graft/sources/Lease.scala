@@ -35,6 +35,30 @@ import org.apache.spark.sql.SparkSession
   *     writer that lost its lease to a (mis-tuned) takeover surfaces
   *     that loudly rather than deleting the new owner's lease.
   *
+  * STORE-CLASS CONTRACT (which primitive is load-bearing where; the
+  * token READ-BACK after create is the universal arbiter — whoever's
+  * token is on disk owns the lease, so a non-atomic create or rename
+  * degrades to "one winner, losers fail fast", never to two owners):
+  *
+  *   | primitive               | HDFS-like     | local FS        | S3-shaped object store |
+  *   |--------------------------|---------------|-----------------|------------------------|
+  *   | create(overwrite=false)  | atomic        | exists-then-create race — read-back decides | HEAD-then-PUT race — read-back decides (S3 is read-after-write consistent since 2020; on an eventually-consistent store this module is unsafe, full stop) |
+  *   | rename (stale takeover)  | atomic, one winner | atomic, one winner | copy+delete, NOT atomic: two takers can both "succeed" — both then fall through to tryCreate + read-back, one winner |
+  *   | setTimes (heartbeat)     | works         | works           | NO-OP: a live writer stops looking alive after staleMs |
+  *   | practical posture        | defaults fine | defaults fine   | raise `staleMs` past the longest expected write/compact (heartbeats buy nothing); expect a crashed writer to block that long |
+  *
+  * The no-op-`setTimes` consequence, concretely (LeaseSpec simulates
+  * such a store): a writer running longer than `staleMs` WILL be taken
+  * over mid-flight, both writers' output interleaves in the state dir,
+  * and the first writer's release then throws
+  * [[Lease.LeaseHeldException]] — loud, after the fact. The guidance
+  * is therefore load-bearing on such stores, not advisory: `staleMs`
+  * must exceed the longest operation, at the price of a crashed
+  * writer blocking successors for that long. (Closing the hole
+  * properly means a conditional-write primitive — S3 If-None-Match
+  * PUTs or a DynamoDB-style lock table — which is a different storage
+  * contract than Hadoop `FileSystem` exposes; out of scope by design.)
+  *
   * Reentrant per thread and state dir: `upsert` (= delete + append) or
   * a compact that rewrites a nested dir holds ONE lease across its
   * steps, so composed operations are protected end-to-end, not

@@ -106,4 +106,75 @@ class LeaseSpec extends SparkSpec {
     assert(!leaseFile(dir).exists(), "lease must release after the swap")
     assert(spark.read.parquet(dir).count() == 2L)
   }
+
+  test("object-store posture: on a no-op-setTimes store the staleMs guidance is load-bearing, not advisory") {
+    // Simulated S3-shaped store (the Lease scaladoc's contract table):
+    // setTimes is a no-op, so the heartbeat buys nothing and a live
+    // writer stops LOOKING alive staleMs after acquisition.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.nosettimes.impl", classOf[NoSetTimesFileSystem].getName)
+    val local = Files.createTempDirectory("lease_s3").toString
+    val dir = s"nosettimes://$local/state"
+    // sanity: the simulation really ignores setTimes
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val probe = new org.apache.hadoop.fs.Path(s"nosettimes://$local/probe")
+    fs.create(probe, false).close()
+    val mt0 = fs.getFileStatus(probe).getModificationTime
+    fs.setTimes(probe, mt0 - 1000000L, -1)
+    assert(fs.getFileStatus(probe).getModificationTime == mt0,
+      "the simulated store must ignore setTimes")
+
+    // 1) MIS-TUNED staleMs (shorter than the operation): the live
+    // writer is taken over mid-flight, and its release reports the
+    // takeover loudly after the fact — the documented failure mode
+    val shortStale = 2000L
+    @volatile var victimOutcome: Throwable = null
+    val victim = new Thread(() =>
+      try {
+        Lease.withLease(spark, dir, staleMs = shortStale) {
+          Thread.sleep(4500) // longer than staleMs; heartbeats are no-ops
+        }
+        victimOutcome = new AssertionError("victim finished cleanly — takeover undetected")
+      } catch { case e: Throwable => victimOutcome = e })
+    victim.start()
+    Thread.sleep(2800) // past staleMs: the victim now LOOKS dead
+    var entered = false
+    Lease.withLease(spark, dir, staleMs = shortStale) {
+      entered = true
+      victim.join(30000) // hold while the victim releases: token mismatch
+    }
+    assert(entered, "the stale-looking live writer must be taken over")
+    assert(victimOutcome.isInstanceOf[Lease.LeaseHeldException],
+      s"the victim must report the takeover loudly: $victimOutcome")
+
+    // 2) THE GUIDANCE (staleMs past the longest operation): the same
+    // long writer is never taken over — a second writer fails fast the
+    // whole way through, and the writer completes cleanly
+    @volatile var longOk = false
+    val longStale = 60L * 1000
+    val writer = new Thread(() =>
+      Lease.withLease(spark, dir, staleMs = longStale) {
+        Thread.sleep(3000); longOk = true
+      })
+    writer.start()
+    Thread.sleep(1000)
+    intercept[Lease.LeaseHeldException] {
+      Lease.withLease(spark, dir, staleMs = longStale) {
+        fail("must not enter over a live writer when staleMs is tuned right")
+      }
+    }
+    writer.join(30000)
+    assert(longOk, "the long writer must complete cleanly under tuned staleMs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + Lease.Suffix)),
+      "the lease must release cleanly on the simulated store")
+  }
+}
+
+/** LeaseSpec's simulated S3-shaped store: a local FS whose `setTimes`
+  * is a NO-OP — the property that makes the heartbeat ineffective on
+  * object stores (see the contract table in [[graft.sources.Lease]]). */
+class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "nosettimes"
+  override def getUri: java.net.URI = java.net.URI.create("nosettimes:///")
+  override def setTimes(p: org.apache.hadoop.fs.Path, mtime: Long, atime: Long): Unit = ()
 }
