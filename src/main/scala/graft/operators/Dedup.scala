@@ -506,6 +506,16 @@ object Dedup {
       minMatches: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the demuxer's record type is long-keyed; a silent cast of a
+    // string/uuid id column would null every key and return an empty
+    // result instead of failing — refuse loudly (hash such ids to
+    // longs upstream, or carry a surrogate key)
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType)
+    }, s"videoNearDuplicates: id column '$idCol' must be integral " +
+      s"(got ${df.schema(idCol).dataType.simpleString})")
     val frames = graft.multimodal.AvOps.videoKeyFrames(
       df.select(col(idCol).cast("long").as("id"),
         lit("video").as("media_type"), col(bytesCol).as("content"))

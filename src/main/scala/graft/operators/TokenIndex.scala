@@ -533,8 +533,12 @@ object TokenIndex {
     // df/stats re-derive from the folded survivors below, so the BM25
     // collection stats heal here
     val tomb = tombstones(spark, indexDir)
+    // mergeSchema on the postings rewrite: the ONE table whose files
+    // can carry different column sets across schema generations — a
+    // one-footer read here would permanently drop the unsampled files'
+    // metadata columns through the swap
     val p = graft.sources.Compaction.rewriteParquetDir(spark,
-        postingsDir(indexDir), targetBytes) { df =>
+        postingsDir(indexDir), targetBytes, mergeSchema = true) { df =>
       // metadata columns (append's metaCols — anything non-reserved)
       // survive the fold verbatim: they are part of the posting row
       val metaCols = df.columns.filterNot(ReservedPostingCols).toSeq
@@ -609,6 +613,10 @@ object TokenIndex {
         s"metaCols name '$m' uses the internal working-column prefix __")
     }
     val pDir = postingsDir(indexDir)
+    // self-heal a crashed prior swap BEFORE the existence check — the
+    // postings may be parked whole under __compact_old (same preamble
+    // as compact; VectorIndex.evolveMetadata mirrors it)
+    graft.sources.Compaction.recoverCrashedSwap(spark, pDir)
     val p = new org.apache.hadoop.fs.Path(pDir)
     require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
       s"evolveMetadata: no index postings at $pDir")
@@ -619,7 +627,11 @@ object TokenIndex {
         s"evolveMetadata: column '$m' is already stored metadata " +
           s"($stored) — evolution only ADDS columns")
     }
-    graft.sources.Compaction.rewriteParquetDir(spark, pDir) { df =>
+    // mergeSchema on the rewrite read too: the check above saw the
+    // UNION schema, so the rewrite must carry it — a one-footer read
+    // would permanently drop the unsampled files' metadata columns
+    graft.sources.Compaction.rewriteParquetDir(spark, pDir,
+        mergeSchema = true) { df =>
       defaults.foldLeft(df) { case (acc, (m, v)) => acc.withColumn(m, lit(v)) }
     }
     ()

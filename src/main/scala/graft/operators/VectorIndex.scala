@@ -1109,7 +1109,10 @@ object VectorIndex {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0L, 0L)
-    val input = spark.read.parquet(dir)
+    // mergeSchema: the fold's metaCols derive from this read's columns
+    // — a one-footer read on a mixed-schema legacy index would drop
+    // the unsampled files' metadata through the swap
+    val input = spark.read.option("mergeSchema", "true").parquet(dir)
     val h = input.agg(max(col("run_id"))).collect().head
     val horizon = if (h.isNullAt(0)) 0L else h.getLong(0)
     // tombstoned rows drop PHYSICALLY here (probes only mask them);
@@ -1182,7 +1185,11 @@ object VectorIndex {
     val p = new org.apache.hadoop.fs.Path(dir)
     require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
       s"evolveMetadata: no index postings at $dir")
-    val input = spark.read.parquet(dir)
+    // mergeSchema: the check AND the rewrite must both see the UNION
+    // schema on a mixed-schema legacy index — a one-footer read would
+    // let the check pass and the swap permanently drop the unsampled
+    // files' metadata columns
+    val input = spark.read.option("mergeSchema", "true").parquet(dir)
     val stored = input.columns.filterNot(ReservedPostingCols).toSet
     defaults.foreach { case (m, _) =>
       require(!stored.contains(m),

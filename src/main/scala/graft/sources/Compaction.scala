@@ -137,13 +137,19 @@ object Compaction {
     * this dir's own marker.
     */
   def rewriteParquetDir(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20)(transform: org.apache.spark.sql.DataFrame
+      targetBytes: Long = 128L << 20, mergeSchema: Boolean = false)(
+      transform: org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.DataFrame): (Long, Long) =
       Lease.withLease(spark, dir) {
     recoverCrashedSwap(spark, dir)
     val files = dataFiles(spark, dir)
     if (files.isEmpty) return (0L, 0L)
-    val input = spark.read.parquet(dir)
+    // mergeSchema: tables whose files may legitimately differ in
+    // columns (an index's metadata-carrying postings written across
+    // schema generations) must rewrite the UNION schema — a one-footer
+    // read silently drops whichever columns the sampled file lacks,
+    // and the swap makes that loss permanent
+    val input = spark.read.option("mergeSchema", mergeSchema.toString).parquet(dir)
     // persist: three actions follow (two counts + the write), all over
     // the transformed rows; the cache is released before the swap so no
     // live plan holds the OLD directory's file listing

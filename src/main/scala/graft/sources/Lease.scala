@@ -177,10 +177,12 @@ object Lease {
     * file means there is nothing to delete (a mid-release takeover
     * rename, or external cleanup) — returning is correct either way,
     * because if a taker DID rename us away its own tryCreate+read-back
-    * already made it the owner. A transiently unreadable lease is
-    * retried, then deleted best-effort: after a full run of successful
-    * heartbeats the file is almost surely still ours, and leaving it
-    * behind would block every writer on this state dir until staleMs. */
+    * already made it the owner. A lease still unreadable after retries
+    * is LEFT IN PLACE: we cannot prove it is ours, and deleting a
+    * rival's fresh lease would license the interleaved-writer
+    * corruption this module exists to prevent — an orphaned own lease
+    * merely blocks successors until the stale takeover reclaims it
+    * (safety over liveness; the body's success is still reported). */
   private def release(fs: FileSystem, lease: Path, token: String): Unit = {
     var attempt = 0
     while (true) {
@@ -192,10 +194,7 @@ object Lease {
           case _: java.io.FileNotFoundException => return
           case _: IOException =>
             attempt += 1
-            if (attempt >= 3) {
-              try fs.delete(lease, false) catch { case _: IOException => () }
-              return
-            }
+            if (attempt >= 3) return // unreadable: leave it (see above)
             Thread.sleep(50L * attempt)
             None
         }

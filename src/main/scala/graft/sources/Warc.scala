@@ -170,7 +170,16 @@ object Warc {
     * after which the walk resumes at the next VERIFIED gzip member
     * (header parses AND the member fully inflates with CRC32/ISIZE
     * green — a magic-byte match alone would resync INTO damage) or,
-    * for a plain `.warc`, at the next line starting `WARC/`.
+    * for a plain `.warc`, at the next line starting `WARC/`. The scan
+    * anchors at the FAILED RECORD's own start (the member its version
+    * line began in), never at the failure-detection point: a garbage
+    * line with no newline reads ahead across member boundaries, and a
+    * detection-point anchor would skip the read-ahead member's
+    * perfectly good records. Plain-path caveat: the `WARC/` anchor is
+    * line-based, so damage splicing itself directly onto the next
+    * record's version line (no newline between) costs that one record
+    * too — gzip archives (what crawls actually ship) resync exactly
+    * via member verification instead.
     *
     * The loud [[read]] keeps its fail-fast contract for free: it throws
     * on the first `Left`, and the resync scan runs lazily on the
@@ -188,6 +197,16 @@ object Warc {
       private var plain: CountingByteStream = null
       private var in: DataInputStream = null
       private var done = false
+      // set right before the version line of each record is read: the
+      // RECORD's own start (member offset / byte offset), not the
+      // failure-detection point — a parse that read AHEAD into the next
+      // member (a garbage line with no newline crosses boundaries
+      // freely) must not make the scan skip that member's good records
+      private var recordStart = 0
+      // the failure scan is DEFERRED to the advance after the Left is
+      // consumed, so the loud read (which throws on the first Left and
+      // abandons the iterator) never pays for it
+      private var scanFrom = -1
       openAt(0)
       private var pending: Either[Throwable, Rec] = advance()
 
@@ -200,19 +219,31 @@ object Warc {
         gzs = null; plain = null; in = null
       }
 
-      private def advance(): Either[Throwable, Rec] =
-        if (done) null
-        else try parseRecord(in) match {
+      private def markStart(): Unit =
+        // fires after the line's first byte: gz → the open member's
+        // start; plain → that byte's own offset (position - 1)
+        recordStart = if (gz) gzs.memberStart else plain.position - 1
+
+      private def advance(): Either[Throwable, Rec] = {
+        if (done) return null
+        if (scanFrom >= 0) {
+          val resumeAt =
+            if (gz) nextVerifiedMember(bytes, scanFrom)
+            else nextWarcLine(bytes, scanFrom)
+          scanFrom = -1
+          if (resumeAt < 0) { done = true; return null }
+          openAt(resumeAt)
+        }
+        try parseRecord(in, markStart) match {
           case Some(rec) => Right(rec)
           case None => done = true; closeCur(); null
         } catch {
           case e: Exception =>
-            val resumeAt =
-              if (gz) { val f = gzs.resyncFrom; closeCur(); nextVerifiedMember(bytes, f) }
-              else { val f = plain.position; closeCur(); nextWarcLine(bytes, f) }
-            if (resumeAt < 0) done = true else openAt(resumeAt)
+            scanFrom = recordStart + 1
+            closeCur()
             Left(e)
         }
+      }
 
       def hasNext: Boolean = pending != null
       def next(): Either[Throwable, Rec] = {
@@ -275,11 +306,17 @@ object Warc {
   }
 
   /** One header line, ISO-8859-1, CRLF- (or bare-LF-) terminated; None
-    * at clean EOF before any byte. */
-  private def readLine(in: InputStream): Option[String] = {
+    * at clean EOF before any byte. `onFirstByte` fires right AFTER the
+    * line's first byte is read — the only moment the underlying member
+    * walk has provably opened the member that byte belongs to (a
+    * before-the-read hook would anchor at the PREVIOUS member whenever
+    * the line starts exactly on a lazily-closed boundary). */
+  private def readLine(in: InputStream,
+      onFirstByte: () => Unit = () => ()): Option[String] = {
     val sb = new java.lang.StringBuilder(96)
     var c = in.read()
     if (c < 0) return None
+    onFirstByte()
     while (c >= 0 && c != '\n') {
       if (c != '\r') sb.append(c.toChar)
       c = in.read()
@@ -287,10 +324,14 @@ object Warc {
     Some(sb.toString)
   }
 
-  private def parseRecord(in: DataInputStream): Option[Rec] = {
-    // skip inter-record blank lines, stop cleanly at EOF
-    var first = readLine(in)
-    while (first.exists(_.isEmpty)) first = readLine(in)
+  private def parseRecord(in: DataInputStream,
+      onRecordStart: () => Unit = () => ()): Option[Rec] = {
+    // skip inter-record blank lines, stop cleanly at EOF. The hook
+    // fires on each line's FIRST BYTE, so its last firing before the
+    // loop exits marks exactly where the record's version line begins —
+    // the quarantine walk's resync anchor.
+    var first = readLine(in, onRecordStart)
+    while (first.exists(_.isEmpty)) first = readLine(in, onRecordStart)
     first match {
       case None => None
       case Some(version) if version.startsWith("WARC/") =>
@@ -396,13 +437,14 @@ object Warc {
     override def close(): Unit =
       if (inf != null) { inf.end(); inf = null; cur = null }
 
-    /** Offset the quarantine resync scan starts from after a failure on
-      * this stream: past the currently-open (= failing or bad-content)
-      * member's header, or at the next unread member boundary when no
-      * member is open (the failed member finished cleanly — e.g. its
-      * DECOMPRESSED content ended mid-record — so the next member is
-      * itself the resume candidate). */
-    private[Warc] def resyncFrom: Int = if (cur != null) pos + 1 else pos
+    /** The current member's start offset (or, between members, the next
+      * unread member boundary). Sampled by the quarantine walk on the
+      * FIRST BYTE of each record's version line — the moment the member
+      * holding that byte is provably open — so the resync scan starts
+      * just past the member the FAILED RECORD began in: never past a
+      * later member the doomed parse merely read ahead into, and never
+      * behind on a lazily-closed exact-drain boundary. */
+    private[Warc] def memberStart: Int = pos
 
     /** Inflate and trailer-verify exactly the ONE member at the start
       * offset, leaving the stream positioned after it. The resync

@@ -128,20 +128,33 @@ class LeaseSpec extends SparkSpec {
     // writer is taken over mid-flight, and its release reports the
     // takeover loudly after the fact — the documented failure mode
     val shortStale = 2000L
+    val victimDone = new java.util.concurrent.CountDownLatch(1)
     @volatile var victimOutcome: Throwable = null
     val victim = new Thread(() =>
       try {
         Lease.withLease(spark, dir, staleMs = shortStale) {
-          Thread.sleep(4500) // longer than staleMs; heartbeats are no-ops
+          // hold WELL past staleMs, and don't release until the taker
+          // has had its turn — pure synchronization, no timing guess
+          victimDone.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
         }
         victimOutcome = new AssertionError("victim finished cleanly — takeover undetected")
       } catch { case e: Throwable => victimOutcome = e })
     victim.start()
-    Thread.sleep(2800) // past staleMs: the victim now LOOKS dead
+    // poll (never a fixed sleep — CI pauses flip fixed-sleep races):
+    // wait until the lease exists and LOOKS stale (mtime never advances
+    // on this store), with a generous deadline
+    val localLease = new java.io.File(s"$local/state" + Lease.Suffix)
+    val deadline = System.currentTimeMillis() + 30000
+    while ((!localLease.exists() ||
+        System.currentTimeMillis() - localLease.lastModified() <= shortStale + 200) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(localLease.exists(), "victim never acquired within the deadline")
     var entered = false
     Lease.withLease(spark, dir, staleMs = shortStale) {
       entered = true
-      victim.join(30000) // hold while the victim releases: token mismatch
+      victimDone.countDown() // let the victim release while we hold
+      victim.join(30000)
     }
     assert(entered, "the stale-looking live writer must be taken over")
     assert(victimOutcome.isInstanceOf[Lease.LeaseHeldException],
@@ -152,17 +165,23 @@ class LeaseSpec extends SparkSpec {
     // whole way through, and the writer completes cleanly
     @volatile var longOk = false
     val longStale = 60L * 1000
+    val writerRelease = new java.util.concurrent.CountDownLatch(1)
     val writer = new Thread(() =>
       Lease.withLease(spark, dir, staleMs = longStale) {
-        Thread.sleep(3000); longOk = true
+        writerRelease.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        longOk = true
       })
     writer.start()
-    Thread.sleep(1000)
+    val deadline2 = System.currentTimeMillis() + 30000
+    while (!localLease.exists() && System.currentTimeMillis() < deadline2)
+      Thread.sleep(100)
+    assert(localLease.exists(), "long writer never acquired within the deadline")
     intercept[Lease.LeaseHeldException] {
       Lease.withLease(spark, dir, staleMs = longStale) {
         fail("must not enter over a live writer when staleMs is tuned right")
       }
     }
+    writerRelease.countDown()
     writer.join(30000)
     assert(longOk, "the long writer must complete cleanly under tuned staleMs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + Lease.Suffix)),

@@ -199,6 +199,34 @@ class WarcSpec extends SparkSpec {
     assert(quar.length == 2)
   }
 
+  test("quarantine resync anchors at the failed RECORD's member: read-ahead never drops a good member's records") {
+    // the adversarial class: a CRC-VALID member whose content is
+    // garbage — with NO trailing newline, the doomed version-line read
+    // crosses the member boundary and consumes part of the NEXT (good)
+    // member before failing. A detection-point anchor would resync past
+    // the good member; the record-start anchor must recover it whole.
+    def gzOf(payload: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(payload.getBytes("ISO-8859-1")); gz.close()
+      bos.toByteArray
+    }
+    val dir = Files.createTempDirectory("warc_readahead").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.warc.gz"),
+      Warc.writeGz(Seq(record(1L, "one"), record(2L, "two"))) ++
+        gzOf("XXGARBAGE-WITHOUT-ANY-NEWLINE") ++ // region 1: reads ahead
+        Warc.writeGz(Seq(record(3L, "three"), record(4L, "four"))) ++
+        gzOf("NOT-A-WARC line\r\nmore\r\n\r\n") ++ // region 2: newline-terminated
+        Warc.writeGz(Seq(record(5L, "five"), record(6L, "six"))))
+    val df = Warc.readWithCorrupt(spark, dir).localCheckpoint(true)
+    val good = df.filter(col("_corrupt").isNull)
+      .select(col("url")).as[String].collect().sorted.toSeq
+    assert(good == (1L to 6L).map(i => s"http://example.org/doc/$i"),
+      s"every record around both damaged regions must survive: $good")
+    assert(df.filter(col("_corrupt").isNotNull).count() == 2,
+      "exactly one quarantine row per damaged region")
+  }
+
   test("splitHttp: header-less block surfaces whole, truncated header never hides bytes") {
     val (s1, b1) = Warc.splitHttp("no http header here".getBytes("UTF-8"))
     assert(s1.isEmpty && new String(b1, "UTF-8") == "no http header here")
