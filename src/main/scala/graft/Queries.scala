@@ -4504,6 +4504,71 @@ object Queries {
       SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
       ORDER BY video_id"""))
 
+  private val q139 = Q(
+    "q139_audio_neardup",
+    (s, d) => {
+      // Audio near-dup (round 19) — the audio member of the multimodal
+      // dedup family, q138's construction over GENERATED WAVs
+      // (AvWriter.wavPcm16 emits the canonical RIFF/WAVE layout the
+      // real javax.sound decode path parses): every 10th doc seeds a
+      // 17-window base clip (clip_id = doc_id) plus its REQUANTIZED
+      // disguise (amplitude halved + 8-bit requantization — the audio
+      // "re-encode") at +off; every 10th+5 doc an unrelated distractor
+      // clip. audioNearDuplicates fingerprints each analysis window
+      // (Haitsma–Kalker spectral sign bits), blocks the window
+      // fingerprints, and reports a clip pair when >= 4 DISTINCT
+      // windows match on EACH side. The fixture's lattice construction
+      // puts a hard margin under every fingerprint bit
+      // (AudioDedupSpec measures disguise drift 0 bits, cross-seed
+      // floor 12 vs threshold 4), so survivors are exactly the base +
+      // distractor ids, deterministically.
+      val AW = graft.multimodal.AvWriter
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val wavDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q139_${Integer.toHexString(d.hashCode)}")
+      val marker = new java.io.File(wavDir, "_SRC_FP")
+      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|wavfix-v1|requant"
+      val fresh = !marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .trim != srcFp
+      if (fresh) {
+        if (wavDir.exists()) graft.sources.Compaction.deleteLocalDir(wavDir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"))
+        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"))
+        val plan = base
+          .select(col("doc_id").as("clip_id"), col("doc_id").as("__seed"),
+            lit(0).as("__v"))
+          .unionByName(base.select((col("doc_id") + lit(off)).as("clip_id"),
+            col("doc_id").as("__seed"), lit(1).as("__v"))) // requantized disguise
+          .unionByName(distract.select(col("doc_id").as("clip_id"),
+            col("doc_id").as("__seed"), lit(0).as("__v")))
+        plan.repartition(s.sparkContext.defaultParallelism)
+          .select(col("clip_id"),
+            AW.fixtureWavUdf(col("__seed"), col("__v")).as("content"))
+          .write.mode("overwrite").parquet(s"$wavDir/clips")
+        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+        ()
+      }
+      val corpus = s.read.parquet(s"$wavDir/clips")
+      val pairs = Dedup.audioNearDuplicates(corpus, "clip_id", "content")
+      val kept = Dedup.keepOnePerCluster(corpus, "clip_id", pairs)
+        .select(col("clip_id"), lit(true).as("survived"))
+      corpus.select(col("clip_id"))
+        .join(kept, Seq("clip_id"), "left")
+        .select(col("clip_id"),
+          coalesce(col("survived"), lit(false)).as("survived"))
+        .orderBy(col("clip_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS clip_id, TRUE AS survived FROM documents
+        WHERE doc_id % 10 IN (0, 5)
+      UNION ALL
+      SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY clip_id"""))
+
   private val q130 = Q(
     "q130_image_state_oracle",
     (s, d) => {
@@ -4954,5 +5019,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138)
+    q133, q134, q135, q136, q137, q138, q139)
 }

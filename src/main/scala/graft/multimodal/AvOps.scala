@@ -302,4 +302,161 @@ object AvOps {
     df.withColumn("n_bytes", length(col(contentCol)).cast("bigint"))
       .withColumn("content_sha", sha2(col(contentCol), 256))
       .withColumn("is_empty", coalesce(length(col(contentCol)) === 0, lit(true)))
+
+  /** One per-window 64-bit audio sub-fingerprint: the audio sibling of
+    * [[FrameRow]] — `window_idx` starts at 1 (the fingerprint of window
+    * n needs window n−1's spectrum, so the first window seeds state and
+    * emits nothing).
+    */
+  final case class AudioFpRow(id: Long, window_idx: Int, fp: Long)
+
+  /** 66 log-spaced FFT-bin band edges over [window/32, window/2) — the
+    * 65 energy bands whose 64 pairwise differences drive
+    * [[audioFingerprints]]' sign bits. Log spacing follows the published
+    * Philips/Haitsma–Kalker fingerprint (perceptually even coverage);
+    * the floor at bin window/32 skips DC and the lowest octaves where a
+    * band would be narrower than one bin. Edges are strictly increasing
+    * by construction (each at least the previous + 1), so every band
+    * holds ≥ 1 bin.
+    */
+  private[multimodal] def bandEdges(window: Int): Array[Int] = {
+    val lo = window / 32
+    val hi = window / 2
+    val edges = new Array[Int](66)
+    edges(0) = lo
+    var m = 1
+    while (m < 66) {
+      val ideal = math.round(lo * math.pow(hi.toDouble / lo, m / 65.0)).toInt
+      edges(m) = math.max(edges(m - 1) + 1, math.min(ideal, hi - (65 - m)))
+      m += 1
+    }
+    edges(65) = hi
+    edges
+  }
+
+  /** WAV PCM → per-window 64-bit spectral sign fingerprints, the
+    * published Haitsma–Kalker scheme over non-overlapping rectangular
+    * windows: per window, FFT power summed into the 65 [[bandEdges]]
+    * bands; bit m of window n's fingerprint = whether the band-energy
+    * difference `E(n,m) − E(n,m+1)` GREW since the previous window.
+    * Signs of energy-difference deltas are exactly invariant to uniform
+    * amplitude scaling (every term scales by the same factor) and
+    * robust to requantization noise (margins measured in
+    * AudioDedupSpec). Streaming decode like [[decodeWav]]: the clip is
+    * read in chunks, one window + one spectrum live at a time, and the
+    * read stops at `maxWindows` — bounded work and memory per row no
+    * matter the clip length. Non-overlapping windows make the scheme
+    * ALIGNMENT-sensitive: a time-shifted copy lands on different window
+    * boundaries and won't match (the dedup target is the re-encoded /
+    * regained copy, which preserves timing; shift-robust matching would
+    * need overlapped hops). Undecodable payloads → None; a clip shorter
+    * than two windows yields an empty array (nothing to compare).
+    */
+  private def wavWindowFingerprints(bytes: Array[Byte], window: Int,
+      maxWindows: Int): Option[Array[Long]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+        src.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val ch = math.max(target.getChannels, 1)
+      val frameBytes = 2 * ch
+      val buf = new Array[Byte](math.max(frameBytes * 512, 8192))
+      val edges = bandEdges(window)
+      val win = new Array[Double](window)
+      var wFill = 0
+      var prev: Array[Double] = null
+      val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var done = false
+      var filled = 0
+      var read = pcm.read(buf, filled, buf.length - filled)
+      while (read > 0 && !done) {
+        filled += read
+        val frames = filled / frameBytes
+        var i = 0
+        while (i < frames && !done) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            acc += ((buf(off + 1).toInt << 8) | (buf(off) & 0xff)) / 32768.0
+            c += 1
+          }
+          win(wFill) = acc / ch
+          wFill += 1
+          if (wFill == window) {
+            val p = fftPower(win)
+            val e = new Array[Double](65)
+            var b = 0
+            while (b < 65) {
+              var k = edges(b)
+              var s = 0.0
+              while (k < edges(b + 1)) { s += p(k); k += 1 }
+              e(b) = s
+              b += 1
+            }
+            if (prev != null) {
+              var fp = 0L
+              var m = 0
+              while (m < 64) {
+                if ((e(m) - e(m + 1)) - (prev(m) - prev(m + 1)) > 0)
+                  fp |= 1L << m
+                m += 1
+              }
+              fps += fp
+              if (fps.length >= maxWindows) done = true
+            }
+            prev = e
+            wFill = 0
+          }
+          i += 1
+        }
+        if (!done) {
+          // carry partial frames across chunk boundaries (pcm.read does
+          // not align to frame size)
+          val consumed = frames * frameBytes
+          System.arraycopy(buf, consumed, buf, 0, filled - consumed)
+          filled -= consumed
+          read = pcm.read(buf, filled, buf.length - filled)
+        }
+      }
+      Some(fps.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio fingerprint kernel — the audio sibling of
+    * [[videoKeyFrames]]: each WAV payload fans out to one
+    * [[AudioFpRow]] per analysis window (lazy per-partition iterator,
+    * audio bytes touched exactly once, fingerprints never materialize
+    * together with the clip). Everything downstream of this projection
+    * is (clip, window, long) rows — the shape
+    * [[graft.operators.Dedup.audioNearDuplicates]] blocks and
+    * aggregates. Undecodable payloads contribute nothing (row-level
+    * tolerance; count them upstream via the quarantine patterns).
+    */
+  def audioFingerprints(ds: Dataset[AvRecord], window: Int = 1024,
+      maxWindows: Int = 64)(
+      implicit enc: org.apache.spark.sql.Encoder[AudioFpRow]): Dataset[AudioFpRow] = {
+    // driver-side, loud: a config error must not masquerade as "every
+    // clip undecodable". window/2 − window/32 bins must hold 65
+    // strictly-increasing band edges: 15·window/32 ≥ 65 → window ≥ 256.
+    require(window >= 256 && (window & (window - 1)) == 0,
+      s"audioFingerprints: window must be a power of two >= 256 (got $window)")
+    require(maxWindows > 0, "audioFingerprints: maxWindows must be positive")
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.content == null) Iterator.empty
+        else wavWindowFingerprints(r.content, window, maxWindows) match {
+          case None => Iterator.empty
+          case Some(fps) =>
+            fps.iterator.zipWithIndex.map { case (fp, i) =>
+              AudioFpRow(r.id, i + 1, fp)
+            }
+        }
+      }
+    }
+  }
 }

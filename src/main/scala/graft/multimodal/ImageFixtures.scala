@@ -27,7 +27,7 @@ object ImageFixtures {
 
   /** splitmix64 — the standard 64-bit finalizer; deterministic across
     * JVMs and platforms (pure integer arithmetic). */
-  private def mix(z0: Long): Long = {
+  private[multimodal] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -544,6 +544,79 @@ object Dedup {
       .filter(col("n_matched") >= minMatches)
   }
 
+  /** AUDIO near-duplicates — the audio member of the multimodal dedup
+    * family, composed exactly like [[videoNearDuplicates]]:
+    * [[graft.multimodal.AvOps.audioFingerprints]] turns each WAV
+    * payload into per-window 64-bit spectral sign fingerprints
+    * (Haitsma–Kalker scheme — band-energy-difference deltas, exactly
+    * invariant to amplitude scaling, robust to requantization; one
+    * streamed decode per clip), the window fingerprints run through the
+    * family's distinct-signature pigeonhole hamming blocking (composite
+    * (clip, window) keys as ONE orderable struct column), and frame
+    * matches aggregate to the CLIP pair: report when at least
+    * `minMatches` DISTINCT windows match on EACH side (the two-sided
+    * count stops one recurring window — silence, a jingle — from
+    * matching a whole archive). Returns `(id_a, id_b, n_matched,
+    * min_hamming)`; compose with [[keepOnePerCluster]] /
+    * [[keepBestPerCluster]] for dedup.
+    *
+    * Scale shape: audio BYTES are touched exactly once (decode + FFT in
+    * one mapPartitions pass, bounded per-row work via `maxWindows`);
+    * everything downstream is (clip, window, long) rows. The
+    * non-overlapping windows make matching ALIGNMENT-sensitive — the
+    * covered disguise class is the re-encoded/requantized/regained
+    * copy, which preserves timing; a trimmed copy needs overlapped hops
+    * upstream. Undecodable payloads contribute nothing (quarantine
+    * upstream).
+    */
+  def audioNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      window: Int = 1024,
+      maxWindows: Int = 64,
+      chunks: Int = 8,
+      maxHamming: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType)
+    }, s"audioNearDuplicates: id column '$idCol' must be integral " +
+      s"(got ${df.schema(idCol).dataType.simpleString})")
+    val fps = graft.multimodal.AvOps.audioFingerprints(
+      df.select(col(idCol).cast("long").as("id"),
+        lit("audio").as("media_type"), col(bytesCol).as("content"))
+        .as[graft.multimodal.AvOps.AvRecord],
+      window, maxWindows).toDF()
+    val sigs = fps.select(
+      struct(col("id").as("aid"), col("window_idx").as("widx")).as("__id"),
+      col("fp").as("__sig"))
+      // the all-zero fingerprint is the degenerate fixed point of every
+      // STATIC spectrum (silence, a held test tone, dropouts): no band
+      // difference ever grows, so unrelated static clips collide on it
+      // exactly. Such windows carry no discriminating evidence — drop
+      // them from matching (the audio sibling of exact-dedup's
+      // empty-document rule; AudioDedupSpec pins two distinct held
+      // tones to NOT match)
+      .filter(col("__sig") =!= 0L)
+    hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
+      .select(col("id_a.aid").as("aid_a"), col("id_a.widx").as("widx_a"),
+        col("id_b.aid").as("aid_b"), col("id_b.widx").as("widx_b"),
+        col("hamming"))
+      .filter(col("aid_a") =!= col("aid_b"))
+      // cross-clip window pairs always order aid_a < aid_b (struct
+      // comparison is field-lexicographic), so the clip-pair key needs
+      // no least/greatest re-normalization
+      .groupBy(col("aid_a").as("id_a"), col("aid_b").as("id_b"))
+      .agg(least(count_distinct(col("widx_a")),
+          count_distinct(col("widx_b"))).as("n_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
   /** The image-signature dial shared by the whole family:
     * [[graft.multimodal.ImageOps.dHash]] by default;
     * `orientationRobust = true` swaps in the dihedral-canonical
