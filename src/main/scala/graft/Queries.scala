@@ -4457,37 +4457,7 @@ object Queries {
       // class at ~1%; a video miss needs 3 of 4 frame seeds flipping
       // at once). keep-one per cluster: survivors are exactly the
       // base + distractor ids.
-      val AW = graft.multimodal.AvWriter
-      val docs = Tables.documents(s, d)
-      val off = plantedIdOffset(docs, "doc_id")
-      val vidDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q138_${Integer.toHexString(d.hashCode)}")
-      val marker = new java.io.File(vidDir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|avifix-v1|reencode"
-      val fresh = !marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          .trim != srcFp
-      if (fresh) {
-        if (vidDir.exists()) graft.sources.Compaction.deleteLocalDir(vidDir)
-        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("doc_id"))
-        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select(col("doc_id"))
-        val plan = base
-          .select(col("doc_id").as("video_id"), col("doc_id").as("__seed"),
-            lit(0.9f).as("__q"))
-          .unionByName(base.select((col("doc_id") + lit(off)).as("video_id"),
-            col("doc_id").as("__seed"), lit(0.45f).as("__q"))) // re-encode
-          .unionByName(distract.select(col("doc_id").as("video_id"),
-            col("doc_id").as("__seed"), lit(0.9f).as("__q")))
-        plan.repartition(s.sparkContext.defaultParallelism)
-          .select(col("video_id"),
-            AW.fixtureClipUdf(col("__seed"), col("__q")).as("content"))
-          .write.mode("overwrite").parquet(s"$vidDir/videos")
-        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
-        ()
-      }
-      val corpus = s.read.parquet(s"$vidDir/videos")
+      val corpus = q138Corpus(s, d)
       val pairs = Dedup.videoNearDuplicates(corpus, "video_id", "content")
       val kept = Dedup.keepOnePerCluster(corpus, "video_id", pairs)
         .select(col("video_id"), lit(true).as("survived"))
@@ -4503,6 +4473,61 @@ object Queries {
       UNION ALL
       SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
       ORDER BY video_id"""))
+
+  /** The generated-AV planted-corpus builder shared by the video/audio
+    * dedup oracles (q138/q139 batch, q140/q141 vs-state): every 10th
+    * doc seeds a base clip (id = doc_id, the base variant) plus its
+    * DISGUISED copy at doc_id+off; every 10th+5 doc an unrelated
+    * distractor (base variant). Built once per (sfDir, tag) under the
+    * fixture-fingerprint marker; queries over the same corpus share
+    * the cached directory.
+    */
+  private def plantedAvCorpus(
+      s: SparkSession, d: String, tag: String, fpTag: String,
+      idName: String, baseVariant: org.apache.spark.sql.Column,
+      disguiseVariant: org.apache.spark.sql.Column,
+      gen: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(d.hashCode)}")
+    val marker = new java.io.File(dir, "_SRC_FP")
+    val srcFp = fixtureFingerprint(d, "documents.parquet") + "|" + fpTag
+    val fresh = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .trim != srcFp
+    if (fresh) {
+      if (dir.exists()) graft.sources.Compaction.deleteLocalDir(dir)
+      val docs = Tables.documents(s, d)
+      val off = plantedIdOffset(docs, "doc_id")
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"))
+      val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"))
+      val plan = base
+        .select(col("doc_id").as(idName), col("doc_id").as("__seed"),
+          baseVariant.as("__v"))
+        .unionByName(base.select((col("doc_id") + lit(off)).as(idName),
+          col("doc_id").as("__seed"), disguiseVariant.as("__v")))
+        .unionByName(distract.select(col("doc_id").as(idName),
+          col("doc_id").as("__seed"), baseVariant.as("__v")))
+      plan.repartition(s.sparkContext.defaultParallelism)
+        .select(col(idName), gen(col("__seed"), col("__v")).as("content"))
+        .write.mode("overwrite").parquet(s"$dir/clips")
+      java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
+      ()
+    }
+    s.read.parquet(s"$dir/clips")
+  }
+
+  private def q138Corpus(s: SparkSession, d: String): DataFrame =
+    plantedAvCorpus(s, d, "q138", "avifix-v2|reencode", "video_id",
+      lit(0.9f), lit(0.45f), // JPEG quality: re-encode = lower quality
+      (seed, q) => graft.multimodal.AvWriter.fixtureClipUdf(seed, q))
+
+  private def q139Corpus(s: SparkSession, d: String): DataFrame =
+    plantedAvCorpus(s, d, "q139", "wavfix-v1|requant", "clip_id",
+      lit(0), lit(1), // variant 1 = halved + 8-bit requantized
+      (seed, v) => graft.multimodal.AvWriter.fixtureWavUdf(seed, v))
 
   private val q139 = Q(
     "q139_audio_neardup",
@@ -4522,37 +4547,7 @@ object Queries {
       // (AudioDedupSpec measures disguise drift 0 bits, cross-seed
       // floor 12 vs threshold 4), so survivors are exactly the base +
       // distractor ids, deterministically.
-      val AW = graft.multimodal.AvWriter
-      val docs = Tables.documents(s, d)
-      val off = plantedIdOffset(docs, "doc_id")
-      val wavDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q139_${Integer.toHexString(d.hashCode)}")
-      val marker = new java.io.File(wavDir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|wavfix-v1|requant"
-      val fresh = !marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          .trim != srcFp
-      if (fresh) {
-        if (wavDir.exists()) graft.sources.Compaction.deleteLocalDir(wavDir)
-        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("doc_id"))
-        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select(col("doc_id"))
-        val plan = base
-          .select(col("doc_id").as("clip_id"), col("doc_id").as("__seed"),
-            lit(0).as("__v"))
-          .unionByName(base.select((col("doc_id") + lit(off)).as("clip_id"),
-            col("doc_id").as("__seed"), lit(1).as("__v"))) // requantized disguise
-          .unionByName(distract.select(col("doc_id").as("clip_id"),
-            col("doc_id").as("__seed"), lit(0).as("__v")))
-        plan.repartition(s.sparkContext.defaultParallelism)
-          .select(col("clip_id"),
-            AW.fixtureWavUdf(col("__seed"), col("__v")).as("content"))
-          .write.mode("overwrite").parquet(s"$wavDir/clips")
-        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
-        ()
-      }
-      val corpus = s.read.parquet(s"$wavDir/clips")
+      val corpus = q139Corpus(s, d)
       val pairs = Dedup.audioNearDuplicates(corpus, "clip_id", "content")
       val kept = Dedup.keepOnePerCluster(corpus, "clip_id", pairs)
         .select(col("clip_id"), lit(true).as("survived"))
@@ -4568,6 +4563,66 @@ object Queries {
       UNION ALL
       SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
       ORDER BY clip_id"""))
+
+  private val q140 = Q(
+    "q140_audio_state_oracle",
+    (s, d) => {
+      // Incremental audio dedup vs persisted state (round 19): the
+      // q130 cadence for the SEQUENCE-signature family — state holds
+      // audioSignatures of the base clips (12 bytes per kept window;
+      // the archive's WAV bytes are never re-decoded), the batch is
+      // the requantized disguises + fresh distractor clips.
+      // audioNearDuplicatesVsState blocks the window fingerprints,
+      // aggregates two-sided per (batch clip, state clip), and
+      // annotates the batch: dup_of = the source base for every
+      // disguise (drift 0 bits, cross-seed floor 12 — the match is
+      // deterministic), NULL for fresh clips.
+      val corpus = q139Corpus(s, d)
+      val off = plantedIdOffset(Tables.documents(s, d), "doc_id")
+      val state = Dedup.audioSignatures(
+        corpus.filter(pmod(col("clip_id"), lit(10)) === 0 &&
+          col("clip_id") < lit(off)), "clip_id", "content")
+      val batch = corpus.filter(col("clip_id") >= lit(off) ||
+        pmod(col("clip_id"), lit(10)) === 5)
+      Dedup.audioNearDuplicatesVsState(batch, "clip_id", "content", state)
+        .select(col("clip_id"), col("dup_of"))
+        .orderBy(col("clip_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS clip_id, CAST(NULL AS BIGINT) AS dup_of FROM documents
+        WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + off, doc_id FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY clip_id"""))
+
+  private val q141 = Q(
+    "q141_video_state_oracle",
+    (s, d) => {
+      // The video sibling of q140: state = videoSignatures of the base
+      // clips (canonical per-keyframe dHash, ~12 bytes per keyframe),
+      // batch = re-encoded disguises + fresh distractors.
+      // videoNearDuplicatesVsState demuxes ONLY the batch, matches
+      // two-sided (>= 2 distinct keyframes each side at maxHamming 4),
+      // and the per-frame canonical min-switch flip class (~1%) cannot
+      // break determinism: a wrong/missing dup_of needs 3 of 4 frame
+      // seeds flipping at once (q138's argument, state-shaped).
+      val corpus = q138Corpus(s, d)
+      val off = plantedIdOffset(Tables.documents(s, d), "doc_id")
+      val state = Dedup.videoSignatures(
+        corpus.filter(pmod(col("video_id"), lit(10)) === 0 &&
+          col("video_id") < lit(off)), "video_id", "content")
+      val batch = corpus.filter(col("video_id") >= lit(off) ||
+        pmod(col("video_id"), lit(10)) === 5)
+      Dedup.videoNearDuplicatesVsState(batch, "video_id", "content", state)
+        .select(col("video_id"), col("dup_of"))
+        .orderBy(col("video_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS video_id, CAST(NULL AS BIGINT) AS dup_of FROM documents
+        WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + off, doc_id FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY video_id"""))
 
   private val q130 = Q(
     "q130_image_state_oracle",
@@ -5019,5 +5074,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -244,12 +244,30 @@ object Dedup {
       versionCol: Option[String] = None,
       retain: Option[Column] = None,
       targetBytes: Long = 128L << 20): (Long, Long) =
+    compactSignatureStateKeys(spark, stateDir, Seq(idCol), versionCol,
+      retain, targetBytes)
+
+  /** Composite-key form of [[compactSignatureState]] for SEQUENCE
+    * signature states, where one state row is one (clip, frame/window)
+    * — [[videoSignatures]] / [[audioSignatures]] key on
+    * `Seq(idCol, "frame_idx"/"window_idx")`. Semantics identical:
+    * keep-latest per key when versioned, exact-row dedup otherwise,
+    * retention after keep-latest.
+    */
+  def compactSignatureStateKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      idCols: Seq[String],
+      versionCol: Option[String] = None,
+      retain: Option[Column] = None,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    require(idCols.nonEmpty, "compactSignatureStateKeys: need at least one key column")
     graft.sources.Compaction.rewriteParquetDir(spark, stateDir, targetBytes) { df =>
       val latest = versionCol match {
         case Some(v) =>
           // max_by keeps whole rows; ties on the version break by the
           // full row struct (total because rows compare field-wise)
-          df.groupBy(col(idCol))
+          df.groupBy(idCols.map(col): _*)
             .agg(max_by(struct(df.columns.map(df(_)): _*),
               struct(col(v), struct(df.columns.map(df(_)): _*))).as("__r"))
             .select(col("__r.*"))
@@ -257,6 +275,7 @@ object Dedup {
       }
       retain.fold(latest)(latest.filter)
     }
+  }
 
   /** Small-hamming self-join over 64-bit-or-narrower signatures —
     * the blocking core SHARED (by construction, not copy-paste) by
@@ -504,31 +523,13 @@ object Dedup {
       chunks: Int = 8,
       maxHamming: Int = 4,
       minMatches: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // the demuxer's record type is long-keyed; a silent cast of a
-    // string/uuid id column would null every key and return an empty
-    // result instead of failing — refuse loudly (hash such ids to
-    // longs upstream, or carry a surrogate key)
-    require({
-      import org.apache.spark.sql.types._
-      Set[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(df.schema(idCol).dataType)
-    }, s"videoNearDuplicates: id column '$idCol' must be integral " +
-      s"(got ${df.schema(idCol).dataType.simpleString})")
-    val frames = graft.multimodal.AvOps.videoKeyFrames(
-      df.select(col(idCol).cast("long").as("id"),
-        lit("video").as("media_type"), col(bytesCol).as("content"))
-        .as[graft.multimodal.AvOps.AvRecord],
-      everyN).toDF()
     // the frame's composite key rides the blocked join as ONE orderable
     // struct column (hammingNearDuplicates needs min/least/< over
     // __id, all struct-total in Spark) — no synthetic id whose
     // recompute could drift between the rep join and the expansion
-    val sigs = frames.select(
-      struct(col("id").as("vid"), col("frame_idx").as("fidx")).as("__id"),
-      graft.multimodal.ImageOps.imageDHashCanonical(col("frame_bytes")).as("__sig"))
-      .filter(col("__sig").isNotNull)
+    val sigs = videoSignatures(df, idCol, bytesCol, everyN).select(
+      struct(col(idCol).as("vid"), col("frame_idx").as("fidx")).as("__id"),
+      col("sig").as("__sig"))
     hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
       .select(col("id_a.vid").as("vid_a"), col("id_a.fidx").as("fidx_a"),
         col("id_b.vid").as("vid_b"), col("id_b.fidx").as("fidx_b"),
@@ -578,30 +579,16 @@ object Dedup {
       chunks: Int = 8,
       maxHamming: Int = 4,
       minMatches: Int = 4): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    require({
-      import org.apache.spark.sql.types._
-      Set[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(df.schema(idCol).dataType)
-    }, s"audioNearDuplicates: id column '$idCol' must be integral " +
-      s"(got ${df.schema(idCol).dataType.simpleString})")
-    val fps = graft.multimodal.AvOps.audioFingerprints(
-      df.select(col(idCol).cast("long").as("id"),
-        lit("audio").as("media_type"), col(bytesCol).as("content"))
-        .as[graft.multimodal.AvOps.AvRecord],
-      window, maxWindows).toDF()
-    val sigs = fps.select(
-      struct(col("id").as("aid"), col("window_idx").as("widx")).as("__id"),
-      col("fp").as("__sig"))
-      // the all-zero fingerprint is the degenerate fixed point of every
-      // STATIC spectrum (silence, a held test tone, dropouts): no band
-      // difference ever grows, so unrelated static clips collide on it
-      // exactly. Such windows carry no discriminating evidence — drop
-      // them from matching (the audio sibling of exact-dedup's
-      // empty-document rule; AudioDedupSpec pins two distinct held
-      // tones to NOT match)
-      .filter(col("__sig") =!= 0L)
+    // the all-zero fingerprint is the degenerate fixed point of every
+    // STATIC spectrum (silence, a held test tone, dropouts): no band
+    // difference ever grows, so unrelated static clips collide on it
+    // exactly. Such windows carry no discriminating evidence —
+    // audioSignatures drops them from matching (the audio sibling of
+    // exact-dedup's empty-document rule; AudioDedupSpec pins two
+    // distinct held tones to NOT match)
+    val sigs = audioSignatures(df, idCol, bytesCol, window, maxWindows).select(
+      struct(col(idCol).as("aid"), col("window_idx").as("widx")).as("__id"),
+      col("sig").as("__sig"))
     hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
       .select(col("id_a.aid").as("aid_a"), col("id_a.widx").as("widx_a"),
         col("id_b.aid").as("aid_b"), col("id_b.widx").as("widx_b"),
@@ -615,6 +602,170 @@ object Dedup {
           count_distinct(col("widx_b"))).as("n_matched"),
         min(col("hamming")).as("min_hamming"))
       .filter(col("n_matched") >= minMatches)
+  }
+
+  /** The demuxer/fingerprint record type is long-keyed; a silent cast
+    * of a string/uuid id column would null every key and return an
+    * empty result instead of failing — refuse loudly (hash such ids to
+    * longs upstream, or carry a surrogate key).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    require({
+      import org.apache.spark.sql.types._
+      Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(df.schema(idCol).dataType)
+    }, s"$op: id column '$idCol' must be integral " +
+      s"(got ${df.schema(idCol).dataType.simpleString})")
+
+  /** Per-keyframe canonical signatures — the state rows of the
+    * INCREMENTAL video-dedup cadence (the sequence sibling of
+    * [[imageSignatures]]): (idCol, frame_idx, sig) with undecodable
+    * frames dropped and the DEGENERATE flat-frame signature excluded
+    * (a flat frame — black frame, intertitle, color card — hashes to
+    * the all-zero dHash on ANY content, so unrelated videos would
+    * match through shared black frames; it carries no discriminating
+    * evidence, the [[audioNearDuplicates]] static-spectrum rule).
+    * ~12 bytes per kept keyframe is the only thing incremental video
+    * dedup ever reads back. Append each run's survivors with a version
+    * column and maintain with [[compactSignatureState]] (composite
+    * key: idCol + frame_idx).
+    */
+  def videoSignatures(df: DataFrame, idCol: String, bytesCol: String,
+      everyN: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, idCol, "videoSignatures")
+    val frames = graft.multimodal.AvOps.videoKeyFrames(
+      df.select(col(idCol).cast("long").as("id"),
+        lit("video").as("media_type"), col(bytesCol).as("content"))
+        .as[graft.multimodal.AvOps.AvRecord],
+      everyN).toDF()
+    frames.select(col("id").as(idCol), col("frame_idx"),
+        graft.multimodal.ImageOps.imageDHashCanonical(col("frame_bytes")).as("sig"))
+      .filter(col("sig").isNotNull && col("sig") =!= 0L)
+  }
+
+  /** Per-window audio fingerprints as state rows — (idCol, window_idx,
+    * sig), degenerate all-zero fingerprints excluded (see
+    * [[audioNearDuplicates]]). The audio sibling of [[videoSignatures]].
+    */
+  def audioSignatures(df: DataFrame, idCol: String, bytesCol: String,
+      window: Int = 1024, maxWindows: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, idCol, "audioSignatures")
+    val fps = graft.multimodal.AvOps.audioFingerprints(
+      df.select(col(idCol).cast("long").as("id"),
+        lit("audio").as("media_type"), col(bytesCol).as("content"))
+        .as[graft.multimodal.AvOps.AvRecord],
+      window, maxWindows).toDF()
+    fps.select(col("id").as(idCol), col("window_idx"), col("fp").as("sig"))
+      .filter(col("sig") =!= 0L)
+  }
+
+  /** The shared vs-state core of [[videoNearDuplicatesVsState]] /
+    * [[audioNearDuplicatesVsState]]: batch sequence signatures (__bid,
+    * __bidx, __bsig) against state rows (__sid, __sidx, __ssig).
+    * Blocking runs on DISTINCT signatures on both sides (the family's
+    * identical-signature skew rule — a signature shared by a million
+    * frames costs the chunk join ONE row), the surviving signature
+    * pairs expand back through both member lists (output-sized, never
+    * corpus²), and frame matches aggregate two-sided per (batch clip,
+    * state clip): ≥ `minMatches` DISTINCT indexes on EACH side. The
+    * match is deterministic: most matched windows, ties to the
+    * smallest frame distance, ties to the smallest state id. Returns
+    * (__bid, dup_of, n_matched, min_hamming).
+    */
+  private def sequenceSigsVsState(
+      batchSigs: DataFrame, stateSigs: DataFrame,
+      chunks: Int, maxHamming: Int, minMatches: Int): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    require(64 % chunks == 0, "chunks must divide 64")
+    def chunked(sigs: DataFrame, sigCol: String) = sigs.select(
+      col(sigCol),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"),
+          HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
+        .as("cc"))
+      .select(col(sigCol), col("cc.c"), col("cc.ck"))
+    val sigPairs = chunked(batchSigs.select(col("__bsig")).distinct(), "__bsig")
+      .join(chunked(stateSigs.select(col("__ssig")).distinct(), "__ssig"),
+        Seq("c", "ck"))
+      .select(col("__bsig"), col("__ssig"))
+      .distinct()
+      .withColumn("hamming",
+        VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
+      .filter(col("hamming") <= maxHamming)
+    sigPairs
+      .join(batchSigs, Seq("__bsig"))
+      .join(stateSigs, Seq("__ssig"))
+      .groupBy(col("__bid"), col("__sid"))
+      .agg(least(count_distinct(col("__bidx")),
+          count_distinct(col("__sidx"))).as("n_matched"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("n_matched") >= minMatches)
+      .groupBy(col("__bid"))
+      .agg(min(struct((-col("n_matched")).as("neg_n"), col("min_hamming"),
+        col("__sid"))).as("m"))
+      .select(col("__bid"), col("m.__sid").as("dup_of"),
+        (-col("m.neg_n")).as("n_matched"), col("m.min_hamming").as("min_hamming"))
+  }
+
+  /** Incremental video near-dup: flag each clip of a NEW batch whose
+    * keyframe signatures match a previously-KEPT video's stored
+    * [[videoSignatures]] — the production shape where "dedup the new
+    * crawl" must never re-demux the archive (state is ~12 bytes per
+    * keyframe; the archive's video BYTES are read exactly once,
+    * ever). Matching is [[videoNearDuplicates]]'s two-sided rule
+    * against each state clip; the batch is returned annotated with
+    * (dup_of, n_matched, min_hamming), NULL for survivors and for
+    * undecodable payloads. Append the survivors' [[videoSignatures]]
+    * to state after each run; maintain with [[compactSignatureState]]
+    * on the composite (id, frame_idx) key.
+    */
+  def videoNearDuplicatesVsState(
+      batch: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      stateSigs: DataFrame, // (idCol, frame_idx, sig) from videoSignatures
+      everyN: Int = 1,
+      chunks: Int = 8,
+      maxHamming: Int = 4,
+      minMatches: Int = 2): DataFrame = {
+    val bs = videoSignatures(batch, idCol, bytesCol, everyN)
+      .select(col(idCol).as("__bid"), col("frame_idx").as("__bidx"),
+        col("sig").as("__bsig"))
+      .localCheckpoint(true)
+    val ss = stateSigs.select(col(idCol).cast("long").as("__sid"),
+      col("frame_idx").as("__sidx"), col("sig").as("__ssig"))
+    val best = sequenceSigsVsState(bs, ss, chunks, maxHamming, minMatches)
+    batch.join(best, batch(idCol) === best("__bid"), "left").drop("__bid")
+  }
+
+  /** Incremental audio near-dup — the audio sibling of
+    * [[videoNearDuplicatesVsState]]: batch clips against stored
+    * [[audioSignatures]], [[audioNearDuplicates]]'s two-sided window
+    * rule, annotated batch back. State is 12 bytes per kept window —
+    * GB-scale for a year of crawled audio.
+    */
+  def audioNearDuplicatesVsState(
+      batch: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      stateSigs: DataFrame, // (idCol, window_idx, sig) from audioSignatures
+      window: Int = 1024,
+      maxWindows: Int = 64,
+      chunks: Int = 8,
+      maxHamming: Int = 4,
+      minMatches: Int = 4): DataFrame = {
+    val bs = audioSignatures(batch, idCol, bytesCol, window, maxWindows)
+      .select(col(idCol).as("__bid"), col("window_idx").as("__bidx"),
+        col("sig").as("__bsig"))
+      .localCheckpoint(true)
+    val ss = stateSigs.select(col(idCol).cast("long").as("__sid"),
+      col("window_idx").as("__sidx"), col("sig").as("__ssig"))
+    val best = sequenceSigsVsState(bs, ss, chunks, maxHamming, minMatches)
+    batch.join(best, batch(idCol) === best("__bid"), "left").drop("__bid")
   }
 
   /** The image-signature dial shared by the whole family:

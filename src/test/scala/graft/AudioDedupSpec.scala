@@ -130,6 +130,46 @@ class AudioDedupSpec extends SparkSpec {
       "a time-shifted copy is outside the covered disguise class")
   }
 
+  test("vs-state: requantized batch flagged against stored window signatures, fresh survive") {
+    val state = Dedup.audioSignatures(
+      Seq(10L -> AvWriter.fixtureWav(10L, 0),
+          20L -> AvWriter.fixtureWav(20L, 0)).toDF("clip_id", "content"),
+      "clip_id", "content")
+    val batch = Seq(
+      110L -> AvWriter.fixtureWav(10L, 1), // disguised copy of state 10
+      130L -> AvWriter.fixtureWav(30L, 0)  // fresh: matches nothing
+    ).toDF("clip_id", "content")
+    val res = Dedup.audioNearDuplicatesVsState(batch, "clip_id", "content", state)
+      .select(col("clip_id"), col("dup_of"), col("n_matched"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(res.map(r => (r._1, r._2)) == Seq(110L -> Some(10L), 130L -> None),
+      s"state matches: $res")
+    assert(res.head._3.contains(16L), s"all 16 windows agree: ${res.head._3}")
+  }
+
+  test("compactSignatureStateKeys: keep-latest per (clip, window); detection parity") {
+    val dir = java.nio.file.Files.createTempDirectory("audio_state_").toString
+    val mk = (v: Long) => Dedup.audioSignatures(
+      Seq(10L -> AvWriter.fixtureWav(10L, 0)).toDF("clip_id", "content"),
+      "clip_id", "content").withColumn("v", lit(v))
+    mk(1L).write.mode("append").parquet(dir)
+    mk(2L).write.mode("append").parquet(dir)
+    val batch = Seq(110L -> AvWriter.fixtureWav(10L, 1)).toDF("clip_id", "content")
+    def verdict() = Dedup.audioNearDuplicatesVsState(
+        batch, "clip_id", "content",
+        spark.read.parquet(dir).drop("v"))
+      .select(col("clip_id"), col("dup_of")).as[(Long, Option[Long])]
+      .collect().toSeq
+    val before = verdict()
+    val (nb, na) = Dedup.compactSignatureStateKeys(spark, dir,
+      Seq("clip_id", "window_idx"), versionCol = Some("v"))
+    assert(nb == 32 && na == 16, s"one row per (clip, window): $nb -> $na")
+    val vs = spark.read.parquet(dir).select(col("v")).distinct()
+      .as[Long].collect().toSeq
+    assert(vs == Seq(2L), s"keep-latest kept version 2 rows: $vs")
+    assert(verdict() == before, "compaction must not change verdicts")
+  }
+
   test("row-level tolerance and loud config errors") {
     val corpus = Seq(
       1L -> AvWriter.fixtureWav(3L, 0),

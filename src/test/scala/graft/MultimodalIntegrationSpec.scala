@@ -162,4 +162,40 @@ class MultimodalIntegrationSpec extends SparkSpec {
     assert(drifts.count(_ <= 2).toDouble / drifts.size >= 0.97,
       "the non-flipped drift class must stay within the re-encode bound")
   }
+
+  test("videoNearDuplicatesVsState: batch re-encodes flagged against stored signatures; flat frames excluded") {
+    import graft.multimodal.AvWriter
+    val state = Dedup.videoSignatures(
+      Seq(1L -> AvWriter.fixtureClip(11L, 0.9f),
+          3L -> AvWriter.fixtureClip(99L, 0.9f)).toDF("video_id", "content"),
+      "video_id", "content")
+    // ~12 bytes per keyframe: 2 clips x 4 keyframes
+    assert(state.count() == 8)
+    val batch = Seq(
+      10L -> AvWriter.fixtureClip(11L, 0.45f), // re-encode of state 1
+      11L -> AvWriter.fixtureClip(55L, 0.9f)   // fresh
+    ).toDF("video_id", "content")
+    val res = Dedup.videoNearDuplicatesVsState(batch, "video_id", "content", state)
+      .select(col("video_id"), col("dup_of"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(res == Seq(10L -> Some(1L), 11L -> None), s"state matches: $res")
+    // the degenerate FLAT-frame signature (black frames, intertitles —
+    // dHash 0 on any flat content) is excluded from state AND batch:
+    // two unrelated all-black clips must not match through it
+    val blackImg = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val blackJpg = ImageOps.encodeJpeg(blackImg, 0.9f)
+    val blackClip = AvWriter.mjpegAvi(Seq.fill(4)(blackJpg), Seq.fill(4)(true))
+    val blackState = Dedup.videoSignatures(
+      Seq(7L -> blackClip).toDF("video_id", "content"), "video_id", "content")
+    assert(blackState.isEmpty, "flat frames contribute no state rows")
+    val res2 = Dedup.videoNearDuplicatesVsState(
+        Seq(8L -> blackClip).toDF("video_id", "content"),
+        "video_id", "content",
+        Dedup.videoSignatures(
+          Seq(7L -> blackClip).toDF("video_id", "content"), "video_id", "content"))
+      .select(col("dup_of")).as[Option[Long]].collect().toSeq
+    assert(res2 == Seq(None),
+      "unrelated flat clips must not match through the degenerate signature")
+  }
 }
