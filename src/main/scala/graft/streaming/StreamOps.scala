@@ -318,6 +318,69 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental VIDEO-SIGNATURE state ingest — the
+    * [[imageSignatureStream]] cadence for the sequence-signature
+    * family (round 19): each invocation demuxes ONLY the new clips,
+    * appends their per-keyframe canonical rows
+    * (`Dedup.videoSignatures` — degenerate flat-frame signatures
+    * excluded) under the WAL-pinned batch id, and terminates; probes
+    * run [[graft.operators.Dedup.videoNearDuplicatesVsState]] and
+    * never re-demux the archive. Redelivery: replayed batches append
+    * bit-identical (id, frame_idx, sig, batch_id) rows — verdicts are
+    * multiplicity-blind and `compactSignatureStateKeys(Seq(id,
+    * "frame_idx"), versionCol = "batch_id")` folds duplicates at
+    * maintenance time.
+    */
+  def videoSignatureStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      everyN: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.videoSignatures(batch, idCol, bytesCol, everyN)
+          .withColumn("batch_id", lit(batchId + 1))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+
+  /** The audio sibling of [[videoSignatureStream]]: per-window
+    * fingerprint rows (`Dedup.audioSignatures`, static-spectrum
+    * degenerates excluded) streamed into the vs-state table. The
+    * window/maxWindows dials must match the ones every later probe
+    * uses.
+    */
+  def audioSignatureStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      checkpointDir: String,
+      window: Int = 1024,
+      maxWindows: Int = 64): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.audioSignatures(batch, idCol, bytesCol,
+            window, maxWindows)
+          .withColumn("batch_id", lit(batchId + 1))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+
   /** Incremental VECTOR-INDEX ingest as an `AvailableNow` stream — the
     * [[tokenIndexAppendStream]] contract for the IVF index: each
     * invocation assigns only the new corpus files against the FROZEN

@@ -985,6 +985,61 @@ class StreamingSpec extends SparkSpec {
     assert(b == 5 && a == 5, s"nothing redundant to fold yet: $b -> $a")
     assert(verdicts() == streamed, "compaction must not change verdicts")
   }
+
+  test("streaming sequence-signature ingest (audio + video): delta-only decode, rerun no-op, vs-state probes, compactable") {
+    import graft.multimodal.AvWriter
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("avstream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("clip_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    // AUDIO lifecycle
+    val aIn = s"$base/a_in"; val aCk = s"$base/a_ck"; val aSt = s"$base/a_state"
+    Files.createDirectories(java.nio.file.Paths.get(aIn))
+    def runA(): Unit = StreamOps.audioSignatureStream(
+      spark, aIn, schema, "clip_id", "content", aSt, aCk).awaitTermination()
+    Seq(10L -> AvWriter.fixtureWav(10L, 0), 20L -> AvWriter.fixtureWav(20L, 0))
+      .toDF("clip_id", "content").write.mode("append").parquet(aIn)
+    runA()
+    assert(spark.read.parquet(aSt).count() == 32, "16 windows per clip")
+    runA() // nothing new: checkpoint yields no batch
+    assert(spark.read.parquet(aSt).count() == 32, "rerun must be a no-op")
+    Seq(30L -> AvWriter.fixtureWav(30L, 0))
+      .toDF("clip_id", "content").write.mode("append").parquet(aIn)
+    runA()
+    assert(spark.read.parquet(aSt).count() == 48)
+    val aBatch = Seq(110L -> AvWriter.fixtureWav(20L, 1), // disguise of 20
+        155L -> AvWriter.fixtureWav(55L, 0))              // fresh
+      .toDF("clip_id", "content")
+    def aVerdicts() = Dedup.audioNearDuplicatesVsState(
+        aBatch, "clip_id", "content", spark.read.parquet(aSt))
+      .select(col("clip_id"), coalesce(col("dup_of"), lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    val aGot = aVerdicts()
+    assert(aGot == Map(110L -> 20L, 155L -> -1L), s"$aGot")
+    // batch ids WAL-pinned; composite-key maintenance keeps verdicts
+    assert(spark.read.parquet(aSt).select(min(col("batch_id"))).head().getLong(0) == 1L)
+    val (ab, aa) = Dedup.compactSignatureStateKeys(spark, aSt,
+      Seq("clip_id", "window_idx"), versionCol = Some("batch_id"))
+    assert(ab == 48 && aa == 48, s"nothing redundant to fold yet: $ab -> $aa")
+    assert(aVerdicts() == aGot, "compaction must not change verdicts")
+    // VIDEO: same machinery, one cycle
+    val vIn = s"$base/v_in"; val vCk = s"$base/v_ck"; val vSt = s"$base/v_state"
+    Files.createDirectories(java.nio.file.Paths.get(vIn))
+    Seq(1L -> AvWriter.fixtureClip(11L, 0.9f))
+      .toDF("clip_id", "content").write.mode("append").parquet(vIn)
+    StreamOps.videoSignatureStream(
+      spark, vIn, schema, "clip_id", "content", vSt, vCk).awaitTermination()
+    assert(spark.read.parquet(vSt).count() == 4, "4 keyframes")
+    val vGot = Dedup.videoNearDuplicatesVsState(
+        Seq(10L -> AvWriter.fixtureClip(11L, 0.45f)).toDF("clip_id", "content"),
+        "clip_id", "content", spark.read.parquet(vSt))
+      .select(col("clip_id"), col("dup_of")).as[(Long, Option[Long])]
+      .collect().toSeq
+    assert(vGot == Seq(10L -> Some(1L)), s"$vGot")
+  }
 }
 
 /** Static registry so the hermetic store is serializable-by-reference in
