@@ -345,15 +345,19 @@ object AvOps {
     * AudioDedupSpec). Streaming decode like [[decodeWav]]: the clip is
     * read in chunks, one window + one spectrum live at a time, and the
     * read stops at `maxWindows` — bounded work and memory per row no
-    * matter the clip length. Non-overlapping windows make the scheme
-    * ALIGNMENT-sensitive: a time-shifted copy lands on different window
-    * boundaries and won't match (the dedup target is the re-encoded /
-    * regained copy, which preserves timing; shift-robust matching would
-    * need overlapped hops). Undecodable payloads → None; a clip shorter
-    * than two windows yields an empty array (nothing to compare).
+    * matter the clip length. At the default `hop == window`
+    * (non-overlapping) the scheme is ALIGNMENT-sensitive: a time-
+    * shifted copy lands on different window boundaries and won't match
+    * (the dedup target is the re-encoded / regained copy, which
+    * preserves timing). A smaller hop trades proportionally more FFTs
+    * for shift robustness: a copy shifted by any multiple of `hop`
+    * samples sees the identical sample windows again (the published
+    * fingerprint's overlap dial — Haitsma–Kalker run hop = window/32).
+    * Undecodable payloads → None; a clip shorter than two windows
+    * yields an empty array (nothing to compare).
     */
   private def wavWindowFingerprints(bytes: Array[Byte], window: Int,
-      maxWindows: Int): Option[Array[Long]] =
+      maxWindows: Int, hop: Int): Option[Array[Long]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -411,7 +415,11 @@ object AvOps {
               if (fps.length >= maxWindows) done = true
             }
             prev = e
-            wFill = 0
+            // overlapped hop: slide the analysis window forward by
+            // `hop` samples (hop == window is the non-overlapping
+            // default; fftPower copies, so the buffer survives)
+            System.arraycopy(win, hop, win, 0, window - hop)
+            wFill = window - hop
           }
           i += 1
         }
@@ -438,7 +446,7 @@ object AvOps {
     * tolerance; count them upstream via the quarantine patterns).
     */
   def audioFingerprints(ds: Dataset[AvRecord], window: Int = 1024,
-      maxWindows: Int = 64)(
+      maxWindows: Int = 64, hop: Int = 0)(
       implicit enc: org.apache.spark.sql.Encoder[AudioFpRow]): Dataset[AudioFpRow] = {
     // driver-side, loud: a config error must not masquerade as "every
     // clip undecodable". window/2 − window/32 bins must hold 65
@@ -446,10 +454,13 @@ object AvOps {
     require(window >= 256 && (window & (window - 1)) == 0,
       s"audioFingerprints: window must be a power of two >= 256 (got $window)")
     require(maxWindows > 0, "audioFingerprints: maxWindows must be positive")
+    val h = if (hop == 0) window else hop // 0 = the non-overlapping default
+    require(h >= 1 && h <= window,
+      s"audioFingerprints: hop must be in [1, window] (got $hop)")
     ds.mapPartitions { rows =>
       rows.flatMap { r =>
         if (r.content == null) Iterator.empty
-        else wavWindowFingerprints(r.content, window, maxWindows) match {
+        else wavWindowFingerprints(r.content, window, maxWindows, h) match {
           case None => Iterator.empty
           case Some(fps) =>
             fps.iterator.zipWithIndex.map { case (fp, i) =>

@@ -563,12 +563,15 @@ object Dedup {
     *
     * Scale shape: audio BYTES are touched exactly once (decode + FFT in
     * one mapPartitions pass, bounded per-row work via `maxWindows`);
-    * everything downstream is (clip, window, long) rows. The
-    * non-overlapping windows make matching ALIGNMENT-sensitive — the
-    * covered disguise class is the re-encoded/requantized/regained
-    * copy, which preserves timing; a trimmed copy needs overlapped hops
-    * upstream. Undecodable payloads contribute nothing (quarantine
-    * upstream).
+    * everything downstream is (clip, window, long) rows. At the
+    * default non-overlapping `hop` matching is ALIGNMENT-sensitive —
+    * the covered disguise class is the re-encoded/requantized/regained
+    * copy, which preserves timing. The `hop` dial buys shift
+    * robustness at proportional FFT cost: a copy trimmed/shifted by
+    * any multiple of `hop` samples re-aligns and matches
+    * (AudioDedupSpec pins both sides — the default misses a
+    * half-window shift, `hop = window/2` recovers it). Undecodable
+    * payloads contribute nothing (quarantine upstream).
     */
   def audioNearDuplicates(
       df: DataFrame,
@@ -578,7 +581,8 @@ object Dedup {
       maxWindows: Int = 64,
       chunks: Int = 8,
       maxHamming: Int = 4,
-      minMatches: Int = 4): DataFrame = {
+      minMatches: Int = 4,
+      hop: Int = 0): DataFrame = {
     // the all-zero fingerprint is the degenerate fixed point of every
     // STATIC spectrum (silence, a held test tone, dropouts): no band
     // difference ever grows, so unrelated static clips collide on it
@@ -586,7 +590,7 @@ object Dedup {
     // audioSignatures drops them from matching (the audio sibling of
     // exact-dedup's empty-document rule; AudioDedupSpec pins two
     // distinct held tones to NOT match)
-    val sigs = audioSignatures(df, idCol, bytesCol, window, maxWindows).select(
+    val sigs = audioSignatures(df, idCol, bytesCol, window, maxWindows, hop).select(
       struct(col(idCol).as("aid"), col("window_idx").as("widx")).as("__id"),
       col("sig").as("__sig"))
     hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
@@ -650,7 +654,7 @@ object Dedup {
     * [[audioNearDuplicates]]). The audio sibling of [[videoSignatures]].
     */
   def audioSignatures(df: DataFrame, idCol: String, bytesCol: String,
-      window: Int = 1024, maxWindows: Int = 64): DataFrame = {
+      window: Int = 1024, maxWindows: Int = 64, hop: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, idCol, "audioSignatures")
@@ -658,7 +662,7 @@ object Dedup {
       df.select(col(idCol).cast("long").as("id"),
         lit("audio").as("media_type"), col(bytesCol).as("content"))
         .as[graft.multimodal.AvOps.AvRecord],
-      window, maxWindows).toDF()
+      window, maxWindows, hop).toDF()
     fps.select(col("id").as(idCol), col("window_idx"), col("fp").as("sig"))
       .filter(col("sig") =!= 0L)
   }
@@ -757,8 +761,9 @@ object Dedup {
       maxWindows: Int = 64,
       chunks: Int = 8,
       maxHamming: Int = 4,
-      minMatches: Int = 4): DataFrame = {
-    val bs = audioSignatures(batch, idCol, bytesCol, window, maxWindows)
+      minMatches: Int = 4,
+      hop: Int = 0): DataFrame = {
+    val bs = audioSignatures(batch, idCol, bytesCol, window, maxWindows, hop)
       .select(col(idCol).as("__bid"), col("window_idx").as("__bidx"),
         col("sig").as("__bsig"))
       .localCheckpoint(true)

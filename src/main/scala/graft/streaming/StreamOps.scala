@@ -367,14 +367,15 @@ object StreamOps {
       stateDir: String,
       checkpointDir: String,
       window: Int = 1024,
-      maxWindows: Int = 64): StreamingQuery =
+      maxWindows: Int = 64,
+      hop: Int = 0): StreamingQuery =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup.audioSignatures(batch, idCol, bytesCol,
-            window, maxWindows)
+            window, maxWindows, hop)
           .withColumn("batch_id", lit(batchId + 1))
           .write.mode("append").parquet(stateDir)
         ()

@@ -109,9 +109,9 @@ class AudioDedupSpec extends SparkSpec {
       "static clips must not match through the degenerate fingerprint")
   }
 
-  test("alignment sensitivity is real: a half-window time shift breaks matching") {
+  test("alignment: a half-window shift breaks the non-overlap default; the hop dial recovers it") {
     // honest-limitation pin: non-overlapping windows mean a shifted
-    // copy samples different windows — the operator's contract covers
+    // copy samples different windows — the DEFAULT contract covers
     // re-encoded/requantized copies, NOT trimmed ones
     val sr = 8000
     val base = AvWriter.fixtureWav(7L, 0)
@@ -127,7 +127,16 @@ class AudioDedupSpec extends SparkSpec {
     }
     val corpus = Seq(1L -> base, 2L -> shifted).toDF("clip_id", "content")
     assert(Dedup.audioNearDuplicates(corpus, "clip_id", "content").isEmpty,
-      "a time-shifted copy is outside the covered disguise class")
+      "a time-shifted copy is outside the default's covered disguise class")
+    // hop = window/2: the shifted copy's windows re-align with the
+    // base's (the shift is a hop multiple — identical sample windows,
+    // identical fingerprints), at 2x FFT cost
+    val got = Dedup.audioNearDuplicates(corpus, "clip_id", "content", hop = 512)
+      .select(col("id_a"), col("id_b"), col("n_matched"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+      s"hop=512 must recover the 512-sample-shifted copy: $got")
+    assert(got.head._3 >= 14, s"most overlapped windows agree: ${got.head._3}")
   }
 
   test("vs-state: requantized batch flagged against stored window signatures, fresh survive") {
