@@ -303,7 +303,17 @@ object Bench {
       // family (decode-linear like q125, with the 8-grid accumulation
       // as the fixed per-image constant the sentinel baselines)
       "q133_metadata_filtered_ann", "q134_image_neardup_oriented",
-      "q135_bm25_metadata_filtered")
+      "q135_bm25_metadata_filtered",
+      // round 19: the audio sequence-signature family — the (clip,
+      // window) blocked hamming join + two-sided pair aggregation is
+      // pair-explosion-shaped (window count scales with corpus), and
+      // the streamed FFT decode is the linear per-clip constant the
+      // sentinel baselines; q140 adds the vs-state probe path (state
+      // build + batch-only decode). q137/q138/q141 are deliberately
+      // out: their cost is image/JPEG-decode-dominated (the q134
+      // sentinel already baselines that class) and the video fixture
+      // corpus at 10x would drown every other sentinel's signal.
+      "q139_audio_neardup", "q140_audio_state_oracle")
     val sf1Enabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
     if (sf1Enabled && elapsed + 120 < maxTotalSec) {
       try {

@@ -197,5 +197,20 @@ class MultimodalIntegrationSpec extends SparkSpec {
       .select(col("dup_of")).as[Option[Long]].collect().toSeq
     assert(res2 == Seq(None),
       "unrelated flat clips must not match through the degenerate signature")
+    // trim robustness is INHERENT (unlike the audio family's window
+    // alignment): frame matches count regardless of index, so a copy
+    // missing its first keyframe still clears the two-sided bar with
+    // its remaining 3 frames
+    val trimmed = AvWriter.mjpegAvi(
+      (1 until 4).map(k => ImageOps.encodeJpeg(
+        graft.multimodal.ImageFixtures.blockImage(11L + k * 1000003L), 0.45f)),
+      Seq.fill(3)(true))
+    val res3 = Dedup.videoNearDuplicatesVsState(
+        Seq(12L -> trimmed).toDF("video_id", "content"),
+        "video_id", "content", state)
+      .select(col("video_id"), col("dup_of"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(res3 == Seq(12L -> Some(1L)),
+      s"a first-frame-trimmed re-encode must still flag to its source: $res3")
   }
 }
