@@ -4391,37 +4391,7 @@ object Queries {
       // VERIFIED pair anywhere merges families (a base id dies), a
       // missed composed pair lets a +off id survive — either breaks
       // the hash.
-      val IF = graft.multimodal.ImageFixtures
-      val docs = Tables.documents(s, d)
-      val off = plantedIdOffset(docs, "doc_id")
-      val imgDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q137_${Integer.toHexString(d.hashCode)}")
-      val marker = new java.io.File(imgDir, "_SRC_FP")
-      val srcFp = fixtureFingerprint(d, "documents.parquet") + "|imgfix-v1|verified"
-      val fresh = !marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          .trim != srcFp
-      if (fresh) {
-        if (imgDir.exists()) graft.sources.Compaction.deleteLocalDir(imgDir)
-        val base = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("doc_id"))
-        val distract = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
-          .select(col("doc_id"))
-        val plan = base
-          .select(col("doc_id").as("img_id"), col("doc_id").as("__seed"),
-            lit(0).as("__v"))
-          .unionByName(base.select((col("doc_id") + lit(off)).as("img_id"),
-            col("doc_id").as("__seed"), lit(5).as("__v"))) // composed disguise
-          .unionByName(distract.select(col("doc_id").as("img_id"),
-            col("doc_id").as("__seed"), lit(0).as("__v")))
-        plan.repartition(s.sparkContext.defaultParallelism)
-          .select(col("img_id"),
-            IF.fixtureImage(col("__seed"), col("__v")).as("content"))
-          .write.mode("overwrite").parquet(s"$imgDir/images")
-        java.nio.file.Files.write(marker.toPath, (srcFp + "\n").getBytes("UTF-8"))
-        ()
-      }
-      val corpus = s.read.parquet(s"$imgDir/images")
+      val corpus = q137Corpus(s, d)
       val pairs = Dedup.imageNearDuplicatesOrientedVerified(
         corpus, "img_id", "content")
       val kept = Dedup.keepOnePerCluster(corpus, "img_id", pairs)
@@ -4519,6 +4489,11 @@ object Queries {
     s.read.parquet(s"$dir/clips")
   }
 
+  private def q137Corpus(s: SparkSession, d: String): DataFrame =
+    plantedAvCorpus(s, d, "q137", "imgfix-v2|verified", "img_id",
+      lit(0), lit(5), // variant 5 = composed disguise (mirror + low-q JPEG)
+      (seed, v) => graft.multimodal.ImageFixtures.fixtureImage(seed, v))
+
   private def q138Corpus(s: SparkSession, d: String): DataFrame =
     plantedAvCorpus(s, d, "q138", "avifix-v2|reencode", "video_id",
       lit(0.9f), lit(0.45f), // JPEG quality: re-encode = lower quality
@@ -4563,6 +4538,40 @@ object Queries {
       UNION ALL
       SELECT doc_id + off, FALSE FROM documents, o WHERE doc_id % 10 = 0
       ORDER BY clip_id"""))
+
+  private val q142 = Q(
+    "q142_image_verified_state_oracle",
+    (s, d) => {
+      // Incremental VERIFIED oriented image dedup (round 19): the q130
+      // cadence with STORED verification evidence — state =
+      // imageOrientedSignatures of the base images (8 per-transform
+      // sigs + the 2304-byte grid blob per image; the archive's bytes
+      // are never re-decoded), batch = composed (mirror + low-quality
+      // JPEG) disguises + fresh distractors. Candidates generate
+      // recall-loose at the measured strict floor (3 — provably admits
+      // false candidates on this population, ImageDedupSpec), then
+      // verify on grid distance from the STORED blobs: false
+      // candidates sit > 12 gray levels, composed disguises <= 4, cut
+      // 8 wide of both — dup_of = its base for every disguise, NULL
+      // for every distractor, deterministically.
+      val corpus = q137Corpus(s, d)
+      val off = plantedIdOffset(Tables.documents(s, d), "doc_id")
+      val state = Dedup.imageOrientedSignatures(
+        corpus.filter(pmod(col("img_id"), lit(10)) === 0 &&
+          col("img_id") < lit(off)), "img_id", "content")
+      val batch = corpus.filter(col("img_id") >= lit(off) ||
+        pmod(col("img_id"), lit(10)) === 5)
+      Dedup.imageNearDuplicatesOrientedVerifiedVsState(
+          batch, "img_id", "content", state)
+        .select(col("img_id"), col("dup_of"))
+        .orderBy(col("img_id"))
+    },
+    Some("""WITH o AS (SELECT max(doc_id) + 1 AS off FROM documents)
+      SELECT doc_id AS img_id, CAST(NULL AS BIGINT) AS dup_of FROM documents
+        WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + off, doc_id FROM documents, o WHERE doc_id % 10 = 0
+      ORDER BY img_id"""))
 
   private val q140 = Q(
     "q140_audio_state_oracle",
@@ -5074,5 +5083,5 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104,
     q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115, q116,
     q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

@@ -397,25 +397,98 @@ object ImageOps {
     * — which is why this runs on candidates only, never the corpus.
     */
   def gridMinDistance(a: Array[Byte], b: Array[Byte]): Option[Double] =
-    for (ia <- decode(a); ib <- decode(b)) yield {
-      val ga = transformGrids(ia)
-      val gb = transformGrids(ib)
-      def slice(base: Array[Double], others: Array[Array[Double]]): Double = {
-        var best = Double.MaxValue
-        var t = 0
-        while (t < 8) {
-          val o = others(t)
-          var s = 0.0
-          var i = 0
-          while (i < base.length) { s += math.abs(base(i) - o(i)); i += 1 }
-          val d = s / base.length / 1000.0
-          if (d < best) best = d
-          t += 1
-        }
-        best
+    for (ia <- decode(a); ib <- decode(b)) yield
+      gridMinDistanceOf(transformGrids(ia), transformGrids(ib))
+
+  /** The [[gridMinDistance]] metric over already-computed transform
+    * grids — shared by the decode path and the stored-blob path
+    * ([[gridBlobMinDistance]]), so the two can never drift. */
+  private[graft] def gridMinDistanceOf(ga: Array[Array[Double]],
+      gb: Array[Array[Double]]): Double = {
+    def slice(base: Array[Double], others: Array[Array[Double]]): Double = {
+      var best = Double.MaxValue
+      var t = 0
+      while (t < 8) {
+        val o = others(t)
+        var s = 0.0
+        var i = 0
+        while (i < base.length) { s += math.abs(base(i) - o(i)); i += 1 }
+        val d = s / base.length / 1000.0
+        if (d < best) best = d
+        t += 1
       }
-      math.min(slice(ga(0), gb), slice(gb(0), ga))
+      best
     }
+    math.min(slice(ga(0), gb), slice(gb(0), ga))
+  }
+
+  /** The 8 dihedral 9×8 mean-luminance grids serialized as ONE
+    * 2304-byte blob (8 × 72 cells, big-endian int, mean luminance
+    * ×1000 rounded — exact cell range [0, 255000], so the round loses
+    * < 0.0005 gray levels of [[gridMinDistance]], four orders below
+    * the verify margins). This is the STORED verification evidence of
+    * the incremental oriented-verified cadence: ~2.4 KB per archive
+    * image buys candidate VERIFICATION without ever re-decoding the
+    * archive — at a 100 TB crawl the grid state stays GB-scale while
+    * re-decoding candidates' archive sides would re-read the corpus.
+    * None on undecodable bytes.
+    */
+  def gridBlob(bytes: Array[Byte]): Option[Array[Byte]] =
+    decode(bytes).map(im => gridsToBlob(transformGrids(im)))
+
+  private def gridsToBlob(grids: Array[Array[Double]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * 72 * 4)
+    var t = 0
+    while (t < 8) {
+      val g = grids(t)
+      var i = 0
+      while (i < 72) { bb.putInt(math.round(g(i)).toInt); i += 1 }
+      t += 1
+    }
+    bb.array()
+  }
+
+  /** One decode → the oriented-verified cadence's WHOLE state row: the
+    * 8 per-transform signatures (candidate generation, EXACT doubles so
+    * they're bit-identical to [[dHashOrientations]]) plus the
+    * [[gridBlob]] (stored verification evidence). */
+  final case class OrientedSig(sigs: Array[Long], grids: Array[Byte])
+
+  def orientedSignature(bytes: Array[Byte]): Option[OrientedSig] =
+    decode(bytes).map { im =>
+      val grids = transformGrids(im)
+      val sigs = new Array[Long](8)
+      var t = 0
+      while (t < 8) { sigs(t) = sigOfGrid(grids(t)); t += 1 }
+      OrientedSig(sigs, gridsToBlob(grids))
+    }
+
+  /** [[orientedSignature]] UDF (struct<sigs: array<bigint>, grids:
+    * binary> or null on undecodable bytes). */
+  val imageOrientedSignature: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => orientedSignature(bytes))
+
+  private[graft] def blobToGrids(blob: Array[Byte]): Array[Array[Double]] = {
+    require(blob != null && blob.length == 8 * 72 * 4,
+      s"grid blob must be ${8 * 72 * 4} bytes (got ${if (blob == null) "null" else blob.length})")
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    Array.fill(8)(Array.fill(72)(bb.getInt().toDouble))
+  }
+
+  /** [[gridMinDistance]] over two STORED [[gridBlob]]s — pure integer
+    * decode, no image bytes touched. */
+  def gridBlobMinDistance(a: Array[Byte], b: Array[Byte]): Double =
+    gridMinDistanceOf(blobToGrids(a), blobToGrids(b))
+
+  /** [[gridBlob]] UDF (binary or null on undecodable bytes). */
+  val imageGridBlob: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => gridBlob(bytes).orNull)
+
+  /** [[gridBlobMinDistance]] UDF. */
+  val imageGridBlobMinDistance: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(gridBlobMinDistance(a, b)))
 
   /** [[gridMinDistance]] UDF (double or null when either side is
     * undecodable). */

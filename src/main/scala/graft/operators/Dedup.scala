@@ -493,6 +493,103 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"), col("grid_distance"))
   }
 
+  /** The state rows of the INCREMENTAL oriented-verified image cadence:
+    * one decode per image → the 8 per-transform signatures (candidate
+    * generation) plus the 2304-byte [[graft.multimodal.ImageOps
+    * .gridBlob]] (STORED verification evidence). ~2.4 KB per kept
+    * image — 300× the 8-byte plain-signature state, and the price of
+    * VERIFYING candidates against the archive without ever re-decoding
+    * it (the plain state can only threshold signatures; the composed-
+    * disguise class needs the verify, see
+    * [[imageNearDuplicatesOrientedVerified]]). Undecodable rows
+    * dropped. Append survivors with a version column; maintain with
+    * [[compactSignatureState]].
+    */
+  def imageOrientedSignatures(df: DataFrame, idCol: String,
+      bytesCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.multimodal.ImageOps.imageOrientedSignature(col(bytesCol)).as("__os"))
+      .filter(col("__os").isNotNull)
+      .select(col(idCol), col("__os.sigs").as("sigs"), col("__os.grids").as("grids"))
+
+  /** Incremental VERIFIED oriented image near-dup — the vs-state form
+    * of [[imageNearDuplicatesOrientedVerified]], closing the composed
+    * (re-encode + re-orient) disguise class for the "dedup the new
+    * crawl against the archive" cadence: candidates generate
+    * RECALL-LOOSE from the stored 8-signature sets (the strict
+    * matcher's min-over-64 rule at `candidateMaxHamming`, default AT
+    * the measured floor — deliberately unsound alone), then every
+    * candidate verifies on grid distance computed from the STORED
+    * [[graft.multimodal.ImageOps.gridBlob]]s — the archive's image
+    * bytes are never re-read, the stored-blob metric is the shared
+    * [[graft.multimodal.ImageOps.gridMinDistanceOf]] core (< 0.0005
+    * gray levels from the decode path, four orders below the verify
+    * margins). Blocking runs on DISTINCT signatures both sides (the
+    * family skew rule); grids join in only for candidate pairs. The
+    * match is deterministic: smallest grid distance, ties to the
+    * smallest signature distance, ties to the smallest state id.
+    * Returns the batch annotated with (dup_of, hamming,
+    * grid_distance), NULL for survivors and undecodable rows.
+    */
+  def imageNearDuplicatesOrientedVerifiedVsState(
+      batch: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      stateSigs: DataFrame, // (idCol, sigs, grids) from imageOrientedSignatures
+      chunks: Int = 8,
+      candidateMaxHamming: Int = 3,
+      maxGridDistance: Double = 8.0): DataFrame = {
+    require(candidateMaxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
+    require(64 % chunks == 0, "chunks must divide 64")
+    // ONE decode per batch image: signatures AND grids come from the
+    // same kernel pass, checkpointed so blocking, expansion and verify
+    // all read it
+    val bo = imageOrientedSignatures(batch, idCol, bytesCol)
+      .select(col(idCol).as("__bid"), col("sigs").as("__bsigs"),
+        col("grids").as("__bgrids"))
+      .localCheckpoint(true)
+    val so = stateSigs.select(col(idCol).as("__sid"), col("sigs").as("__ssigs"),
+      col("grids").as("__sgrids"))
+    val bMembers = bo.select(col("__bid"), explode(col("__bsigs")).as("__bsig"))
+      .distinct()
+    val sMembers = so.select(col("__sid"), explode(col("__ssigs")).as("__ssig"))
+      .distinct()
+    def chunked(sigs: DataFrame, sigCol: String) = sigs.select(
+      col(sigCol),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"),
+          HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
+        .as("cc"))
+      .select(col(sigCol), col("cc.c"), col("cc.ck"))
+    val sigPairs = chunked(bMembers.select(col("__bsig")).distinct(), "__bsig")
+      .join(chunked(sMembers.select(col("__ssig")).distinct(), "__ssig"),
+        Seq("c", "ck"))
+      .select(col("__bsig"), col("__ssig"))
+      .distinct()
+      .withColumn("hamming",
+        VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
+      .filter(col("hamming") <= candidateMaxHamming)
+    val cands = sigPairs
+      .join(bMembers, Seq("__bsig"))
+      .join(sMembers, Seq("__ssig"))
+      // strict semantics: the pair's distance is the min over its (up
+      // to 64) matching orientation combos
+      .groupBy(col("__bid"), col("__sid"))
+      .agg(min(col("hamming")).as("hamming"))
+    val best = cands
+      .join(bo.select(col("__bid"), col("__bgrids")), Seq("__bid"))
+      .join(so.select(col("__sid"), col("__sgrids")), Seq("__sid"))
+      .withColumn("grid_distance",
+        graft.multimodal.ImageOps.imageGridBlobMinDistance(
+          col("__bgrids"), col("__sgrids")))
+      .filter(col("grid_distance") <= maxGridDistance)
+      .groupBy(col("__bid"))
+      .agg(min(struct(col("grid_distance"), col("hamming"), col("__sid"))).as("m"))
+      .select(col("__bid"), col("m.__sid").as("dup_of"),
+        col("m.hamming").as("hamming"), col("m.grid_distance").as("grid_distance"))
+    batch.join(best, batch(idCol) === best("__bid"), "left").drop("__bid")
+  }
+
   /** VIDEO near-duplicates (VERDICT r18 item 4) — composed entirely
     * from existing kernels: [[graft.multimodal.AvOps.videoKeyFrames]]
     * demuxes each MJPEG-AVI payload into standalone JPEG keyframes

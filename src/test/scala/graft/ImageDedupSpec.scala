@@ -351,4 +351,63 @@ class ImageDedupSpec extends SparkSpec {
       .select(col("img_id")).as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L), s"keep-one after verify: $kept")
   }
+
+  test("oriented-verified vs-state: stored grid blobs verify candidates without archive bytes") {
+    import graft.multimodal.ImageFixtures
+    // the stored-blob metric IS the decode-path metric (shared core +
+    // int-rounded cells): parity within the rounding bound
+    val pa = ImageFixtures.fixtureBytes(11L, 0)
+    val pb = ImageFixtures.fixtureBytes(11L, 5)
+    val d1 = ImageOps.gridMinDistance(pa, pb).get
+    val d2 = ImageOps.gridBlobMinDistance(
+      ImageOps.gridBlob(pa).get, ImageOps.gridBlob(pb).get)
+    assert(math.abs(d1 - d2) < 0.01, s"blob metric must match decode metric: $d1 vs $d2")
+    // find the population's first strict collision at the loose
+    // threshold (the measured floor is 3, so one exists)
+    val seeds = (0L until 5000L by 5L).toSeq
+    val sigSets = seeds.map(sd =>
+      ImageOps.dHashOrientations(ImageFixtures.fixtureBytes(sd, 0)).get)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val falsePair = (for {
+      i <- sigSets.indices.iterator
+      j <- ((i + 1) until sigSets.size).iterator
+      if (for (a <- sigSets(i); b <- sigSets(j)) yield hamming(a, b)).min <= 3
+    } yield (i, j)).nextOption()
+    assert(falsePair.nonEmpty, "the measured strict floor is 3 — a collision must exist")
+    val (fi, fj) = falsePair.get
+    // ARCHIVE: state rows for the collision seed + another base; the
+    // image bytes never appear again below this line
+    val state = Dedup.imageOrientedSignatures(
+      Seq(1L -> ImageFixtures.fixtureBytes(seeds(fi), 0),
+          9L -> ImageFixtures.fixtureBytes(seeds(3), 0)).toDF("img_id", "content"),
+      "img_id", "content")
+    assert(state.head().getAs[Array[Byte]]("grids").length == 2304)
+    // batch: the composed disguise of the collision seed (must flag to
+    // 1), the strict-colliding OTHER seed (candidate admitted, verify
+    // must kill it -> survives), one fresh seed
+    val batch = Seq(
+      101L -> ImageFixtures.fixtureBytes(seeds(fi), 5),
+      103L -> ImageFixtures.fixtureBytes(seeds(fj), 0),
+      155L -> ImageFixtures.fixtureBytes(777L, 0)
+    ).toDF("img_id", "content")
+    val res = Dedup.imageNearDuplicatesOrientedVerifiedVsState(
+        batch, "img_id", "content", state)
+      .select(col("img_id"), coalesce(col("dup_of"), lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(res == Map(101L -> 1L, 103L -> -1L, 155L -> -1L),
+      s"verified vs-state verdicts: $res")
+    // state maintenance: the generic keep-latest compaction carries
+    // the blob rows unchanged
+    val dir = java.nio.file.Files.createTempDirectory("ovstate_").toString
+    state.withColumn("v", lit(1L)).write.mode("append").parquet(dir)
+    state.withColumn("v", lit(2L)).write.mode("append").parquet(dir)
+    val (nb, na) = Dedup.compactSignatureState(spark, dir, "img_id",
+      versionCol = Some("v"))
+    assert(nb == 4 && na == 2, s"keep-latest per image: $nb -> $na")
+    val res2 = Dedup.imageNearDuplicatesOrientedVerifiedVsState(
+        batch, "img_id", "content", spark.read.parquet(dir).drop("v"))
+      .select(col("img_id"), coalesce(col("dup_of"), lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(res2 == res, "compaction must not change verdicts")
+  }
 }
