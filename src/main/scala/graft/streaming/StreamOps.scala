@@ -318,6 +318,36 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental ORIENTED-VERIFIED image state ingest — the
+    * [[imageSignatureStream]] cadence for the stored-evidence state
+    * (round 19): each invocation decodes ONLY the new images and
+    * appends their `Dedup.imageOrientedSignatures` rows (8 sigs + the
+    * 2304-byte grid blob, one decode each) under the WAL-pinned batch
+    * id; probes run
+    * [[graft.operators.Dedup.imageNearDuplicatesOrientedVerifiedVsState]]
+    * and verify candidates from the STORED blobs without re-decoding
+    * the archive. Redelivery-idempotent like every sibling.
+    */
+  def imageOrientedSignatureStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      idCol: String,
+      bytesCol: String,
+      stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.imageOrientedSignatures(batch, idCol, bytesCol)
+          .withColumn("batch_id", lit(batchId + 1))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+
   /** Incremental VIDEO-SIGNATURE state ingest — the
     * [[imageSignatureStream]] cadence for the sequence-signature
     * family (round 19): each invocation demuxes ONLY the new clips,

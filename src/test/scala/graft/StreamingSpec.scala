@@ -1025,6 +1025,30 @@ class StreamingSpec extends SparkSpec {
       Seq("clip_id", "window_idx"), versionCol = Some("batch_id"))
     assert(ab == 48 && aa == 48, s"nothing redundant to fold yet: $ab -> $aa")
     assert(aVerdicts() == aGot, "compaction must not change verdicts")
+    // ORIENTED-VERIFIED image state: same machinery, one cycle — the
+    // streamed rows carry the grid blob, so the probe verifies from
+    // state without the archive bytes
+    val oIn = s"$base/o_in"; val oCk = s"$base/o_ck"; val oSt = s"$base/o_state"
+    Files.createDirectories(java.nio.file.Paths.get(oIn))
+    val oSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    Seq(1L -> graft.multimodal.ImageFixtures.fixtureBytes(11L, 0))
+      .toDF("img_id", "content").write.mode("append").parquet(oIn)
+    StreamOps.imageOrientedSignatureStream(
+      spark, oIn, oSchema, "img_id", "content", oSt, oCk).awaitTermination()
+    val oState = spark.read.parquet(oSt)
+    assert(oState.count() == 1 &&
+      oState.head().getAs[Array[Byte]]("grids").length == 2304)
+    val oGot = Dedup.imageNearDuplicatesOrientedVerifiedVsState(
+        Seq(10L -> graft.multimodal.ImageFixtures.fixtureBytes(11L, 5))
+          .toDF("img_id", "content"),
+        "img_id", "content", oState.drop("batch_id"))
+      .select(col("img_id"), col("dup_of")).as[(Long, Option[Long])]
+      .collect().toSeq
+    assert(oGot == Seq(10L -> Some(1L)), s"$oGot")
     // VIDEO: same machinery, one cycle
     val vIn = s"$base/v_in"; val vCk = s"$base/v_ck"; val vSt = s"$base/v_state"
     Files.createDirectories(java.nio.file.Paths.get(vIn))
