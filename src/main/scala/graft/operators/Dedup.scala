@@ -539,8 +539,6 @@ object Dedup {
       chunks: Int = 8,
       candidateMaxHamming: Int = 3,
       maxGridDistance: Double = 8.0): DataFrame = {
-    require(candidateMaxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
-    require(64 % chunks == 0, "chunks must divide 64")
     // ONE decode per batch image: signatures AND grids come from the
     // same kernel pass, checkpointed so blocking, expansion and verify
     // all read it
@@ -554,21 +552,9 @@ object Dedup {
       .distinct()
     val sMembers = so.select(col("__sid"), explode(col("__ssigs")).as("__ssig"))
       .distinct()
-    def chunked(sigs: DataFrame, sigCol: String) = sigs.select(
-      col(sigCol),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("c"),
-          HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
-        .as("cc"))
-      .select(col(sigCol), col("cc.c"), col("cc.ck"))
-    val sigPairs = chunked(bMembers.select(col("__bsig")).distinct(), "__bsig")
-      .join(chunked(sMembers.select(col("__ssig")).distinct(), "__ssig"),
-        Seq("c", "ck"))
-      .select(col("__bsig"), col("__ssig"))
-      .distinct()
-      .withColumn("hamming",
-        VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
-      .filter(col("hamming") <= candidateMaxHamming)
+    val sigPairs = crossSigCandidates(
+      bMembers.select(col("__bsig")), sMembers.select(col("__ssig")),
+      chunks, candidateMaxHamming)
     val cands = sigPairs
       .join(bMembers, Seq("__bsig"))
       .join(sMembers, Seq("__ssig"))
@@ -619,12 +605,13 @@ object Dedup {
       everyN: Int = 1,
       chunks: Int = 8,
       maxHamming: Int = 4,
-      minMatches: Int = 2): DataFrame = {
+      minMatches: Int = 2,
+      dropDegenerate: Boolean = true): DataFrame = {
     // the frame's composite key rides the blocked join as ONE orderable
     // struct column (hammingNearDuplicates needs min/least/< over
     // __id, all struct-total in Spark) — no synthetic id whose
     // recompute could drift between the rep join and the expansion
-    val sigs = videoSignatures(df, idCol, bytesCol, everyN).select(
+    val sigs = videoSignatures(df, idCol, bytesCol, everyN, dropDegenerate).select(
       struct(col(idCol).as("vid"), col("frame_idx").as("fidx")).as("__id"),
       col("sig").as("__sig"))
     hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
@@ -679,7 +666,8 @@ object Dedup {
       chunks: Int = 8,
       maxHamming: Int = 4,
       minMatches: Int = 4,
-      hop: Int = 0): DataFrame = {
+      hop: Int = 0,
+      dropDegenerate: Boolean = true): DataFrame = {
     // the all-zero fingerprint is the degenerate fixed point of every
     // STATIC spectrum (silence, a held test tone, dropouts): no band
     // difference ever grows, so unrelated static clips collide on it
@@ -687,7 +675,8 @@ object Dedup {
     // audioSignatures drops them from matching (the audio sibling of
     // exact-dedup's empty-document rule; AudioDedupSpec pins two
     // distinct held tones to NOT match)
-    val sigs = audioSignatures(df, idCol, bytesCol, window, maxWindows, hop).select(
+    val sigs = audioSignatures(df, idCol, bytesCol, window, maxWindows, hop,
+      dropDegenerate).select(
       struct(col(idCol).as("aid"), col("window_idx").as("widx")).as("__id"),
       col("sig").as("__sig"))
     hammingNearDuplicates(sigs, bits = 64, chunks = chunks, maxHamming = maxHamming)
@@ -721,18 +710,25 @@ object Dedup {
   /** Per-keyframe canonical signatures — the state rows of the
     * INCREMENTAL video-dedup cadence (the sequence sibling of
     * [[imageSignatures]]): (idCol, frame_idx, sig) with undecodable
-    * frames dropped and the DEGENERATE flat-frame signature excluded
-    * (a flat frame — black frame, intertitle, color card — hashes to
-    * the all-zero dHash on ANY content, so unrelated videos would
-    * match through shared black frames; it carries no discriminating
-    * evidence, the [[audioNearDuplicates]] static-spectrum rule).
-    * ~12 bytes per kept keyframe is the only thing incremental video
-    * dedup ever reads back. Append each run's survivors with a version
-    * column and maintain with [[compactSignatureState]] (composite
-    * key: idCol + frame_idx).
+    * frames dropped and, by default, the DEGENERATE all-zero canonical
+    * signature excluded. The zero class is WIDER than flat frames:
+    * canonical = unsigned-min over the 8 dihedral signatures, so any
+    * frame where SOME orientation's grid is monotone along every row
+    * hashes to 0 — flat frames (black frames, intertitles, color
+    * cards) AND smooth gradients/fades. That width is the point: the
+    * class is exactly the near-content-free frames ubiquitous across
+    * unrelated footage (every fade-to-black collides at hamming 0), so
+    * keeping them would pair arbitrary videos through shared
+    * transitions. The cost is real too — a pair whose ONLY shared
+    * frames are fades is missed; pass `dropDegenerate = false` to
+    * restore them when the corpus is curated enough that fades are
+    * discriminating. ~12 bytes per kept keyframe is the only thing
+    * incremental video dedup ever reads back. Append each run's
+    * survivors with a version column and maintain with
+    * [[compactSignatureState]] (composite key: idCol + frame_idx).
     */
   def videoSignatures(df: DataFrame, idCol: String, bytesCol: String,
-      everyN: Int = 1): DataFrame = {
+      everyN: Int = 1, dropDegenerate: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, idCol, "videoSignatures")
@@ -741,17 +737,23 @@ object Dedup {
         lit("video").as("media_type"), col(bytesCol).as("content"))
         .as[graft.multimodal.AvOps.AvRecord],
       everyN).toDF()
-    frames.select(col("id").as(idCol), col("frame_idx"),
+    val sigs = frames.select(col("id").as(idCol), col("frame_idx"),
         graft.multimodal.ImageOps.imageDHashCanonical(col("frame_bytes")).as("sig"))
-      .filter(col("sig").isNotNull && col("sig") =!= 0L)
+      .filter(col("sig").isNotNull)
+    if (dropDegenerate) sigs.filter(col("sig") =!= 0L) else sigs
   }
 
   /** Per-window audio fingerprints as state rows — (idCol, window_idx,
-    * sig), degenerate all-zero fingerprints excluded (see
-    * [[audioNearDuplicates]]). The audio sibling of [[videoSignatures]].
+    * sig); by default the degenerate all-zero fingerprint is excluded
+    * (see [[audioNearDuplicates]] — the class is every window whose
+    * band-difference profile never GREW: static spectra, but also
+    * monotone decays like a single fading chord; `dropDegenerate =
+    * false` restores them, the [[videoSignatures]] trade). The audio
+    * sibling of [[videoSignatures]].
     */
   def audioSignatures(df: DataFrame, idCol: String, bytesCol: String,
-      window: Int = 1024, maxWindows: Int = 64, hop: Int = 0): DataFrame = {
+      window: Int = 1024, maxWindows: Int = 64, hop: Int = 0,
+      dropDegenerate: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, idCol, "audioSignatures")
@@ -760,8 +762,9 @@ object Dedup {
         lit("audio").as("media_type"), col(bytesCol).as("content"))
         .as[graft.multimodal.AvOps.AvRecord],
       window, maxWindows, hop).toDF()
-    fps.select(col("id").as(idCol), col("window_idx"), col("fp").as("sig"))
-      .filter(col("sig") =!= 0L)
+    val sigs = fps.select(col("id").as(idCol), col("window_idx"),
+      col("fp").as("sig"))
+    if (dropDegenerate) sigs.filter(col("sig") =!= 0L) else sigs
   }
 
   /** The shared vs-state core of [[videoNearDuplicatesVsState]] /
@@ -777,9 +780,17 @@ object Dedup {
     * smallest frame distance, ties to the smallest state id. Returns
     * (__bid, dup_of, n_matched, min_hamming).
     */
-  private def sequenceSigsVsState(
-      batchSigs: DataFrame, stateSigs: DataFrame,
-      chunks: Int, maxHamming: Int, minMatches: Int): DataFrame = {
+  /** Distinct-signature pigeonhole candidate generation ACROSS two
+    * sides — the cross (batch vs state) form of
+    * [[hammingNearDuplicates]]'s blocking, shared by every vs-state
+    * member of the family so the candidate-generation core cannot
+    * fork: both sides collapse to DISTINCT signatures (the
+    * identical-signature skew rule), chunk-join on (slice, key), and
+    * every candidate verifies with the exact hamming distance. Returns
+    * (__bsig, __ssig, hamming ≤ maxHamming).
+    */
+  private def crossSigCandidates(batchSigs: DataFrame, stateSigs: DataFrame,
+      chunks: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     require(64 % chunks == 0, "chunks must divide 64")
     def chunked(sigs: DataFrame, sigCol: String) = sigs.select(
@@ -789,7 +800,7 @@ object Dedup {
           HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
         .as("cc"))
       .select(col(sigCol), col("cc.c"), col("cc.ck"))
-    val sigPairs = chunked(batchSigs.select(col("__bsig")).distinct(), "__bsig")
+    chunked(batchSigs.select(col("__bsig")).distinct(), "__bsig")
       .join(chunked(stateSigs.select(col("__ssig")).distinct(), "__ssig"),
         Seq("c", "ck"))
       .select(col("__bsig"), col("__ssig"))
@@ -797,6 +808,12 @@ object Dedup {
       .withColumn("hamming",
         VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  private def sequenceSigsVsState(
+      batchSigs: DataFrame, stateSigs: DataFrame,
+      chunks: Int, maxHamming: Int, minMatches: Int): DataFrame = {
+    val sigPairs = crossSigCandidates(batchSigs, stateSigs, chunks, maxHamming)
     sigPairs
       .join(batchSigs, Seq("__bsig"))
       .join(stateSigs, Seq("__ssig"))
@@ -832,8 +849,9 @@ object Dedup {
       everyN: Int = 1,
       chunks: Int = 8,
       maxHamming: Int = 4,
-      minMatches: Int = 2): DataFrame = {
-    val bs = videoSignatures(batch, idCol, bytesCol, everyN)
+      minMatches: Int = 2,
+      dropDegenerate: Boolean = true): DataFrame = {
+    val bs = videoSignatures(batch, idCol, bytesCol, everyN, dropDegenerate)
       .select(col(idCol).as("__bid"), col("frame_idx").as("__bidx"),
         col("sig").as("__bsig"))
       .localCheckpoint(true)
@@ -859,8 +877,10 @@ object Dedup {
       chunks: Int = 8,
       maxHamming: Int = 4,
       minMatches: Int = 4,
-      hop: Int = 0): DataFrame = {
-    val bs = audioSignatures(batch, idCol, bytesCol, window, maxWindows, hop)
+      hop: Int = 0,
+      dropDegenerate: Boolean = true): DataFrame = {
+    val bs = audioSignatures(batch, idCol, bytesCol, window, maxWindows, hop,
+      dropDegenerate)
       .select(col(idCol).as("__bid"), col("window_idx").as("__bidx"),
         col("sig").as("__bsig"))
       .localCheckpoint(true)

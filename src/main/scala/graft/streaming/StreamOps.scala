@@ -302,21 +302,13 @@ object StreamOps {
       stateDir: String,
       checkpointDir: String,
       orientationRobust: Boolean = false): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the signature dial must match the one every later probe of
-        // this state uses (Dedup.imageSignatures — dHash vs the
-        // dihedral-canonical form; the two never mix in one table)
-        graft.operators.Dedup.imageSignatures(batch, idCol, bytesCol,
-            orientationRobust)
-          .withColumn("batch_id", lit(batchId + 1))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      // the signature dial must match the one every later probe of
+      // this state uses (Dedup.imageSignatures — dHash vs the
+      // dihedral-canonical form; the two never mix in one table)
+      (batch, batchId) => graft.operators.Dedup
+        .imageSignatures(batch, idCol, bytesCol, orientationRobust)
+        .withColumn("batch_id", lit(batchId + 1)))
 
   /** Incremental ORIENTED-VERIFIED image state ingest — the
     * [[imageSignatureStream]] cadence for the stored-evidence state
@@ -336,17 +328,10 @@ object StreamOps {
       bytesCol: String,
       stateDir: String,
       checkpointDir: String): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.imageOrientedSignatures(batch, idCol, bytesCol)
-          .withColumn("batch_id", lit(batchId + 1))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Dedup
+        .imageOrientedSignatures(batch, idCol, bytesCol)
+        .withColumn("batch_id", lit(batchId + 1)))
 
   /** Incremental VIDEO-SIGNATURE state ingest — the
     * [[imageSignatureStream]] cadence for the sequence-signature
@@ -370,17 +355,10 @@ object StreamOps {
       stateDir: String,
       checkpointDir: String,
       everyN: Int = 1): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.videoSignatures(batch, idCol, bytesCol, everyN)
-          .withColumn("batch_id", lit(batchId + 1))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Dedup
+        .videoSignatures(batch, idCol, bytesCol, everyN)
+        .withColumn("batch_id", lit(batchId + 1)))
 
   /** The audio sibling of [[videoSignatureStream]]: per-window
     * fingerprint rows (`Dedup.audioSignatures`, static-spectrum
@@ -399,18 +377,10 @@ object StreamOps {
       window: Int = 1024,
       maxWindows: Int = 64,
       hop: Int = 0): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.audioSignatures(batch, idCol, bytesCol,
-            window, maxWindows, hop)
-          .withColumn("batch_id", lit(batchId + 1))
-          .write.mode("append").parquet(stateDir)
-        ()
-      }
-      .start()
+    appendStateStream(spark, inputDir, schema, stateDir, checkpointDir)(
+      (batch, batchId) => graft.operators.Dedup
+        .audioSignatures(batch, idCol, bytesCol, window, maxWindows, hop)
+        .withColumn("batch_id", lit(batchId + 1)))
 
   /** Incremental VECTOR-INDEX ingest as an `AvailableNow` stream — the
     * [[tokenIndexAppendStream]] contract for the IVF index: each

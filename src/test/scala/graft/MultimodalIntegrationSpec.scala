@@ -213,4 +213,40 @@ class MultimodalIntegrationSpec extends SparkSpec {
     assert(res3 == Seq(12L -> Some(1L)),
       s"a first-frame-trimmed re-encode must still flag to its source: $res3")
   }
+
+  test("degenerate frame class is wider than flat: gradients hash to 0; the dial restores them") {
+    import graft.multimodal.AvWriter
+    // canonical = unsigned-min over 8 orientations, so ANY frame with a
+    // monotone orientation is in the zero class — a horizontal gradient
+    // (identity monotone) and a vertical one (rot90 monotone) both hash
+    // to 0 despite being different pictures
+    def gradient(vertical: Boolean): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = if (vertical) y * 255 / 47 else x * 255 / 63
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    val hJpg = ImageOps.encodeJpeg(gradient(vertical = false), 0.9f)
+    val vJpg = ImageOps.encodeJpeg(gradient(vertical = true), 0.9f)
+    assert(ImageOps.dHashCanonical(hJpg).get == 0L &&
+      ImageOps.dHashCanonical(vJpg).get == 0L,
+      "both gradients must sit in the canonical zero class")
+    val clipH = AvWriter.mjpegAvi(Seq.fill(4)(hJpg), Seq.fill(4)(true))
+    val clipV = AvWriter.mjpegAvi(Seq.fill(4)(vJpg), Seq.fill(4)(true))
+    val rows = Seq(1L -> clipH, 2L -> clipV).toDF("video_id", "content")
+    // default: the near-content-free frames are excluded, so two
+    // UNRELATED gradient clips do not pair through them
+    assert(Dedup.videoNearDuplicates(rows, "video_id", "content").isEmpty,
+      "the default must not pair unrelated clips through degenerate frames")
+    // the dial restores them — and demonstrates exactly the collision
+    // the default prevents (this is the documented trade, not a bug)
+    val loose = Dedup.videoNearDuplicates(rows, "video_id", "content",
+        dropDegenerate = false)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
+    assert(loose == Seq((1L, 2L)),
+      s"dropDegenerate=false must keep zero-class frames: $loose")
+  }
 }
