@@ -4559,6 +4559,10 @@ object Queries {
       val state = Dedup.imageOrientedSignatures(
         corpus.filter(pmod(col("img_id"), lit(10)) === 0 &&
           col("img_id") < lit(off)), "img_id", "content")
+        // state is PERSISTED in production — materialize once (the
+        // vs-state plan reads it in two branches; without this the
+        // archive would decode twice per run)
+        .localCheckpoint(true)
       val batch = corpus.filter(col("img_id") >= lit(off) ||
         pmod(col("img_id"), lit(10)) === 5)
       Dedup.imageNearDuplicatesOrientedVerifiedVsState(
@@ -4591,6 +4595,10 @@ object Queries {
       val state = Dedup.audioSignatures(
         corpus.filter(pmod(col("clip_id"), lit(10)) === 0 &&
           col("clip_id") < lit(off)), "clip_id", "content")
+        // state is PERSISTED in production — materialize once (the
+        // vs-state plan reads it in two branches; without this the
+        // archive would decode twice per run)
+        .localCheckpoint(true)
       val batch = corpus.filter(col("clip_id") >= lit(off) ||
         pmod(col("clip_id"), lit(10)) === 5)
       Dedup.audioNearDuplicatesVsState(batch, "clip_id", "content", state)
@@ -4620,6 +4628,10 @@ object Queries {
       val state = Dedup.videoSignatures(
         corpus.filter(pmod(col("video_id"), lit(10)) === 0 &&
           col("video_id") < lit(off)), "video_id", "content")
+        // state is PERSISTED in production — materialize once (the
+        // vs-state plan reads it in two branches; without this the
+        // archive would decode twice per run)
+        .localCheckpoint(true)
       val batch = corpus.filter(col("video_id") >= lit(off) ||
         pmod(col("video_id"), lit(10)) === 5)
       Dedup.videoNearDuplicatesVsState(batch, "video_id", "content", state)

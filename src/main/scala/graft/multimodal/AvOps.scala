@@ -44,6 +44,41 @@ object AvOps {
   private def decodeWav(bytes: Array[Byte], keepSamples: Int)
       : Option[(Float, Int, Long, Array[Double], Double, Double, Long)] =
     try {
+      // lock-free canonical-PCM16 fast path first (see pcm16Riff — the
+      // AudioSystem SPI lookup serializes executor threads); identical
+      // sample values, so features are bit-equal to the fallback's
+      pcm16Riff(bytes) match {
+        case Some((sr, ch, dataOff, dataLen)) =>
+          val frames = dataLen / (2 * ch)
+          val head = new Array[Double](math.max(keepSamples, 0))
+          var kept = 0
+          var nTotal = 0L
+          var sumSq = 0.0
+          var peak = 0.0
+          var zc = 0L
+          var prev = 0.0
+          var i = 0
+          while (i < frames) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = dataOff + (i * ch + c) * 2
+              s += ((bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)) / 32768.0
+              c += 1
+            }
+            val v = s / ch
+            if (kept < head.length) { head(kept) = v; kept += 1 }
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (nTotal > 0 && (v > 0) != (prev > 0)) zc += 1
+            prev = v
+            nTotal += 1
+            i += 1
+          }
+          return Some((sr.toFloat, ch, nTotal,
+            java.util.Arrays.copyOf(head, kept), sumSq, peak, zc))
+        case None => ()
+      }
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val src = in.getFormat
@@ -356,83 +391,162 @@ object AvOps {
     * Undecodable payloads → None; a clip shorter than two windows
     * yields an empty array (nothing to compare).
     */
+  /** The windowed-fingerprint state machine shared by BOTH decode
+    * paths (lock-free PCM16 and AudioSystem fallback), so they cannot
+    * drift: push one mono sample at a time; every `hop` samples past a
+    * full window, FFT → band energies → one sign-bit fingerprint vs
+    * the previous spectrum. Returns true from push once `maxWindows`
+    * fingerprints exist (callers stop reading).
+    */
+  private final class FpAccum(window: Int, maxWindows: Int, hop: Int) {
+    private val edges = bandEdges(window)
+    private val win = new Array[Double](window)
+    private var wFill = 0
+    private var prev: Array[Double] = null
+    private val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def push(v: Double): Boolean = {
+      win(wFill) = v
+      wFill += 1
+      if (wFill == window) {
+        val p = fftPower(win)
+        val e = new Array[Double](65)
+        var b = 0
+        while (b < 65) {
+          var k = edges(b)
+          var s = 0.0
+          while (k < edges(b + 1)) { s += p(k); k += 1 }
+          e(b) = s
+          b += 1
+        }
+        if (prev != null) {
+          var fp = 0L
+          var m = 0
+          while (m < 64) {
+            if ((e(m) - e(m + 1)) - (prev(m) - prev(m + 1)) > 0)
+              fp |= 1L << m
+            m += 1
+          }
+          fps += fp
+        }
+        prev = e
+        // overlapped hop: slide the analysis window forward by `hop`
+        // samples (hop == window is the non-overlapping default;
+        // fftPower copies, so the buffer survives)
+        System.arraycopy(win, hop, win, 0, window - hop)
+        wFill = window - hop
+      }
+      fps.length >= maxWindows
+    }
+    def result: Array[Long] = fps.toArray
+  }
+
+  /** Canonical PCM16 RIFF/WAVE header walk — the LOCK-FREE decode fast
+    * path. `AudioSystem.getAudioInputStream` takes a synchronized SPI
+    * provider lookup on EVERY call, which serializes a 32-thread
+    * executor decoding thousands of clips down to ~1 effective core
+    * (measured: the audio sf1 sentinel ran 135 s wall / 176 s cpu
+    * before this path). 16-bit little-endian integer PCM — the
+    * dominant archival WAV layout, and exactly what [[graft.multimodal
+    * .AvWriter.wavPcm16]] emits — needs none of that machinery: walk
+    * the RIFF chunks, find fmt + data, read samples straight from the
+    * byte array. Anything non-canonical (compressed, float, 8/24-bit,
+    * malformed sizes) returns None and falls back to AudioSystem.
+    * Returns (sampleRate, channels, dataOffset, dataLength).
+    */
+  private def pcm16Riff(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes == null || bytes.length < 44 ||
+      tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val ck = tag(off)
+      val sz = u32(off + 4)
+      if (sz > Int.MaxValue - 8) return None
+      val size = sz.toInt
+      if (ck == "fmt ") {
+        if (size < 16 || off + 8 + size > bytes.length) return None
+        if (u16(off + 8) != 1 || u16(off + 22) != 16) return None // PCM16 only
+        val ch = u16(off + 10)
+        if (ch < 1) return None
+        fmt = Some((u32(off + 12).toInt, ch))
+      } else if (ck == "data") {
+        // a truncated final data chunk keeps the frames that fit —
+        // row-level tolerance, matching the fallback's behavior
+        data = Some((off + 8, math.min(size, bytes.length - off - 8)))
+      }
+      off += 8 + size + (size & 1)
+      if (off < 0) return None // size overflow wrapped
+    }
+    for (f <- fmt; d <- data) yield (f._1, f._2, d._1, d._2)
+  }
+
   private def wavWindowFingerprints(bytes: Array[Byte], window: Int,
       maxWindows: Int, hop: Int): Option[Array[Long]] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val src = in.getFormat
-      val target = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
-        src.getSampleRate, false)
-      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-      val ch = math.max(target.getChannels, 1)
-      val frameBytes = 2 * ch
-      val buf = new Array[Byte](math.max(frameBytes * 512, 8192))
-      val edges = bandEdges(window)
-      val win = new Array[Double](window)
-      var wFill = 0
-      var prev: Array[Double] = null
-      val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var done = false
-      var filled = 0
-      var read = pcm.read(buf, filled, buf.length - filled)
-      while (read > 0 && !done) {
-        filled += read
-        val frames = filled / frameBytes
-        var i = 0
-        while (i < frames && !done) {
-          var acc = 0.0
-          var c = 0
-          while (c < ch) {
-            val off = (i * ch + c) * 2
-            acc += ((buf(off + 1).toInt << 8) | (buf(off) & 0xff)) / 32768.0
-            c += 1
+      val acc = new FpAccum(window, maxWindows, hop)
+      pcm16Riff(bytes) match {
+        case Some((_, ch, dataOff, dataLen)) =>
+          val frames = dataLen / (2 * ch)
+          var i = 0
+          var done = false
+          while (i < frames && !done) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = dataOff + (i * ch + c) * 2
+              s += ((bytes(o + 1).toInt << 8) | (bytes(o) & 0xff)) / 32768.0
+              c += 1
+            }
+            done = acc.push(s / ch)
+            i += 1
           }
-          win(wFill) = acc / ch
-          wFill += 1
-          if (wFill == window) {
-            val p = fftPower(win)
-            val e = new Array[Double](65)
-            var b = 0
-            while (b < 65) {
-              var k = edges(b)
+          Some(acc.result)
+        case None =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+            src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val ch = math.max(target.getChannels, 1)
+          val frameBytes = 2 * ch
+          val buf = new Array[Byte](math.max(frameBytes * 512, 8192))
+          var done = false
+          var filled = 0
+          var read = pcm.read(buf, filled, buf.length - filled)
+          while (read > 0 && !done) {
+            filled += read
+            val frames = filled / frameBytes
+            var i = 0
+            while (i < frames && !done) {
               var s = 0.0
-              while (k < edges(b + 1)) { s += p(k); k += 1 }
-              e(b) = s
-              b += 1
-            }
-            if (prev != null) {
-              var fp = 0L
-              var m = 0
-              while (m < 64) {
-                if ((e(m) - e(m + 1)) - (prev(m) - prev(m + 1)) > 0)
-                  fp |= 1L << m
-                m += 1
+              var c = 0
+              while (c < ch) {
+                val off = (i * ch + c) * 2
+                s += ((buf(off + 1).toInt << 8) | (buf(off) & 0xff)) / 32768.0
+                c += 1
               }
-              fps += fp
-              if (fps.length >= maxWindows) done = true
+              done = acc.push(s / ch)
+              i += 1
             }
-            prev = e
-            // overlapped hop: slide the analysis window forward by
-            // `hop` samples (hop == window is the non-overlapping
-            // default; fftPower copies, so the buffer survives)
-            System.arraycopy(win, hop, win, 0, window - hop)
-            wFill = window - hop
+            if (!done) {
+              // carry partial frames across chunk boundaries (pcm.read
+              // does not align to frame size)
+              val consumed = frames * frameBytes
+              System.arraycopy(buf, consumed, buf, 0, filled - consumed)
+              filled -= consumed
+              read = pcm.read(buf, filled, buf.length - filled)
+            }
           }
-          i += 1
-        }
-        if (!done) {
-          // carry partial frames across chunk boundaries (pcm.read does
-          // not align to frame size)
-          val consumed = frames * frameBytes
-          System.arraycopy(buf, consumed, buf, 0, filled - consumed)
-          filled -= consumed
-          read = pcm.read(buf, filled, buf.length - filled)
-        }
+          Some(acc.result)
       }
-      Some(fps.toArray)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL audio fingerprint kernel — the audio sibling of

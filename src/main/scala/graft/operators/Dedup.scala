@@ -336,6 +336,33 @@ object Dedup {
     * equal signatures collapse to one representative and never pair).
     * Package-visible so DedupSpec can pin the candidate bound directly.
     */
+  /** The pigeonhole blocking-key column: one exploded struct row per
+    * slice key. With c chunks and threshold h, at most h chunks can
+    * differ, so at least c−h agree. When c−h ≥ 2 some PAIR of chunks
+    * agrees — blocking on the C(c,2) chunk-PAIR keys doubles the key
+    * width, which SQUARES the bucket count and collapses candidate
+    * volume by orders of magnitude while recall stays exact (measured
+    * on the audio sf1 sentinel: the single-chunk join emitted 466M raw
+    * candidates for 80k true pairs — 8-bit keys give only 2048
+    * buckets; the pair form's 16-bit keys give 1.8M). The single-chunk
+    * form remains for the h = c−1 edge where only one agreeing chunk
+    * is guaranteed.
+    */
+  private def sliceKeys(sigCol: String, bits: Int, chunks: Int,
+      maxHamming: Int): (org.apache.spark.sql.Column, Seq[String]) =
+    if (maxHamming <= chunks - 2) {
+      val combos = for { i <- 0 until chunks; j <- (i + 1) until chunks } yield
+        struct(lit(i).as("c1"), lit(j).as("c2"),
+          HashFunctions.simHashChunk(col(sigCol), i, bits, chunks).as("k1"),
+          HashFunctions.simHashChunk(col(sigCol), j, bits, chunks).as("k2"))
+      (explode(array(combos: _*)), Seq("c1", "c2", "k1", "k2"))
+    } else {
+      val slices = (0 until chunks).map(c =>
+        struct(lit(c).as("c1"),
+          HashFunctions.simHashChunk(col(sigCol), c, bits, chunks).as("k1")))
+      (explode(array(slices: _*)), Seq("c1", "k1"))
+    }
+
   private[graft] def hammingRepPairs(
       members: DataFrame,
       bits: Int,
@@ -344,15 +371,14 @@ object Dedup {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
     val reps = members.groupBy(col("__sig")).agg(min(col("__id")).as("__id"))
+    val (keysCol, keyNames) = sliceKeys("__sig", bits, chunks, maxHamming)
     val chunked = reps.select(
-      col("__id"), col("__sig"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("c"), HashFunctions.simHashChunk(col("__sig"), c, bits, chunks).as("ck"))): _*))
-        .as("cc"))
-      .select(col("__id"), col("__sig"), col("cc.c"), col("cc.ck"))
+      (col("__id") +: col("__sig") +: Seq(keysCol.as("cc"))): _*)
+      .select((col("__id") +: col("__sig") +: keyNames.map(k => col(s"cc.$k"))): _*)
     chunked.as("l")
-      .join(chunked.as("r"), col("l.c") === col("r.c") && col("l.ck") === col("r.ck")
-        && col("l.__id") < col("r.__id"))
+      .join(chunked.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .reduce(_ && _) && col("l.__id") < col("r.__id"))
       .select(col("l.__sig").as("__sig_a"), col("r.__sig").as("__sig_b"),
         VectorFunctions.hammingDistance(col("l.__sig"), col("r.__sig")).as("hamming"))
       .distinct()
@@ -793,16 +819,15 @@ object Dedup {
       chunks: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < chunks, "pigeonhole blocking needs maxHamming < chunks")
     require(64 % chunks == 0, "chunks must divide 64")
-    def chunked(sigs: DataFrame, sigCol: String) = sigs.select(
-      col(sigCol),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("c"),
-          HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
-        .as("cc"))
-      .select(col(sigCol), col("cc.c"), col("cc.ck"))
+    def chunked(sigs: DataFrame, sigCol: String) = {
+      val (keysCol, keyNames) = sliceKeys(sigCol, 64, chunks, maxHamming)
+      sigs.select(col(sigCol), keysCol.as("cc"))
+        .select((col(sigCol) +: keyNames.map(k => col(s"cc.$k"))): _*)
+    }
+    val keyNames = sliceKeys("__bsig", 64, chunks, maxHamming)._2
     chunked(batchSigs.select(col("__bsig")).distinct(), "__bsig")
       .join(chunked(stateSigs.select(col("__ssig")).distinct(), "__ssig"),
-        Seq("c", "ck"))
+        keyNames)
       .select(col("__bsig"), col("__ssig"))
       .distinct()
       .withColumn("hamming",
@@ -951,21 +976,9 @@ object Dedup {
     val sReps = stateSigs
       .select(col(idCol).as("__sid"), col("sig").as("__ssig"))
       .groupBy(col("__ssig")).agg(min(col("__sid")).as("__sid"))
-    def chunked(sigs: DataFrame, sigCol: String, extra: Seq[String]) = sigs.select(
-      (col(sigCol) +: extra.map(col) :+
-        explode(array((0 until chunks).map(c =>
-          struct(lit(c).as("c"),
-            HashFunctions.simHashChunk(col(sigCol), c, 64, chunks).as("ck"))): _*))
-          .as("cc")): _*)
-      .select((col(sigCol) +: extra.map(col) :+ col("cc.c") :+ col("cc.ck")): _*)
-    val bChunk = chunked(bs.select(col("__bsig")).distinct(), "__bsig", Nil)
-    val sChunk = chunked(sReps, "__ssig", Seq("__sid"))
-    val best = bChunk.join(sChunk, Seq("c", "ck"))
-      .select(col("__bsig"), col("__ssig"), col("__sid"))
-      .distinct()
-      .withColumn("hamming",
-        VectorFunctions.hammingDistance(col("__bsig"), col("__ssig")))
-      .filter(col("hamming") <= maxHamming)
+    val best = crossSigCandidates(bs.select(col("__bsig")),
+        sReps.select(col("__ssig")), chunks, maxHamming)
+      .join(sReps, Seq("__ssig")) // one row per __ssig: re-attach its rep id
       .groupBy(col("__bsig"))
       .agg(min(struct(col("hamming"), col("__sid"))).as("m"))
       .select(col("__bsig"), col("m.__sid").as("dup_of"),

@@ -179,6 +179,34 @@ class AudioDedupSpec extends SparkSpec {
     assert(verdict() == before, "compaction must not change verdicts")
   }
 
+  test("decode fast path: canonical PCM16 parses lock-free; non-canonical WAVs fall back to AudioSystem") {
+    // the canonical clip takes the RIFF fast path; re-containering the
+    // SAME samples as unsigned 8-bit PCM defeats the PCM16 check, so
+    // it must decode through the AudioSystem fallback — and its
+    // fingerprints sit within the fixture's quantization-disguise
+    // margin of the fast path's (the two paths share FpAccum, so any
+    // drift here is decode drift, not kernel drift)
+    val canonical = AvWriter.fixtureWav(3L, 0)
+    val pcm = canonical.drop(44)
+    val samples = Array.tabulate(pcm.length / 2)(i =>
+      (((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)) / 32768.0))
+    val eightBit = {
+      val data = samples.map(v =>
+        (math.round(math.max(-1.0, math.min(1.0, v)) * 127) + 128).toByte)
+      val fmt = AvWriter.chunk("fmt ", AvWriter.le16(1) ++ AvWriter.le16(1) ++
+        AvWriter.le32(8000) ++ AvWriter.le32(8000) ++ AvWriter.le16(1) ++
+        AvWriter.le16(8))
+      val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ AvWriter.chunk("data", data)
+      "RIFF".getBytes("US-ASCII") ++ AvWriter.le32(body.length) ++ body
+    }
+    val fast = fpRows(Seq(1L -> canonical))
+    val slow = fpRows(Seq(1L -> eightBit))
+    assert(fast.size == 16 && slow.size == 16,
+      s"both paths must fingerprint all windows: ${fast.size}/${slow.size}")
+    val drift = (1 to 16).map(w => hamming(fast(1L -> w), slow(1L -> w))).max
+    assert(drift <= 2, s"8-bit re-container must stay within the disguise margin: $drift")
+  }
+
   test("row-level tolerance and loud config errors") {
     val corpus = Seq(
       1L -> AvWriter.fixtureWav(3L, 0),
