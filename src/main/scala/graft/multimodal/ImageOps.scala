@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object ImageOps {
 
+  // ImageIO's stream cache defaults to DISK-backed: every ImageIO.read /
+  // ImageIO.write wraps its (already in-memory) byte stream in a
+  // FileCacheImageInput/OutputStream — a fresh temp FILE created, written,
+  // read back and deleted PER DECODE. On a 32-thread executor decoding
+  // millions of small images that is pure kernel-time overhead plus
+  // tmp-dir create/unlink contention; with the flag off the registry hands
+  // out MemoryCacheImage*Stream instead. Decoded pixels (and thus every
+  // signature/grid derived here) are bit-identical either way; peak memory
+  // is bounded by the payload that is already a byte[] in the row. Object
+  // initializer runs once per JVM classload — i.e. on every executor
+  // before the first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final val DefaultMaxDim = 1024
   final val DefaultQuality = 0.65f // reference QUALITY=65 (test.py:36)
 
@@ -142,6 +155,64 @@ object ImageOps {
   val imageFeatures: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) => extractFeatures(bytes).orNull)
 
+  /** Bulk row-RGB reader for the grid kernels: `getRGB(0, y, w, 1, …)`
+    * routes every pixel through the generic ColorModel conversion path.
+    * For the two layouts javax.imageio actually hands back for JPEG/PNG
+    * color content — TYPE_3BYTE_BGR (interleaved bytes) and
+    * TYPE_INT_RGB (packed ints) — the backing buffer can be read
+    * directly, yielding the EXACT same packed-RGB ints (both layouts
+    * are already 8-bit sRGB; only the forced alpha bits differ, which
+    * every consumer masks away). Grayscale types deliberately FALL BACK
+    * to getRGB: their ColorModel applies a gray→sRGB transfer curve, so
+    * a raw-buffer read would change values and flip signature bits.
+    * Layout guards (stride, band offsets, buffer size) keep exotic
+    * sub-rasters on the slow path too.
+    */
+  private final class RowReader(im: BufferedImage) {
+    private val w = im.getWidth
+    private val raster = im.getRaster
+    private val mode: Int = {
+      val db = raster.getDataBuffer
+      im.getType match {
+        case BufferedImage.TYPE_3BYTE_BGR =>
+          raster.getSampleModel match {
+            case sm: java.awt.image.PixelInterleavedSampleModel
+                if db.isInstanceOf[java.awt.image.DataBufferByte] &&
+                  db.getOffset == 0 && db.getSize == w * im.getHeight * 3 &&
+                  sm.getPixelStride == 3 && sm.getScanlineStride == w * 3 &&
+                  java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0)) &&
+                  raster.getSampleModelTranslateX == 0 &&
+                  raster.getSampleModelTranslateY == 0 => 1
+            case _ => 0
+          }
+        case BufferedImage.TYPE_INT_RGB
+            if db.isInstanceOf[java.awt.image.DataBufferInt] &&
+              db.getOffset == 0 && db.getSize == w * im.getHeight &&
+              raster.getSampleModelTranslateX == 0 &&
+              raster.getSampleModelTranslateY == 0 => 2
+        case _ => 0
+      }
+    }
+    private val bytes =
+      if (mode == 1) raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte].getData
+      else null
+    private val ints =
+      if (mode == 2) raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
+      else null
+    def read(y: Int, row: Array[Int]): Unit = (mode: @annotation.switch) match {
+      case 1 =>
+        var o = y * w * 3
+        var x = 0
+        while (x < w) {
+          row(x) = ((bytes(o + 2) & 0xff) << 16) |
+            ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+          o += 3; x += 1
+        }
+      case 2 => System.arraycopy(ints, y * w, row, 0, w)
+      case _ => im.getRGB(0, y, w, 1, row, 0, w); ()
+    }
+  }
+
   /** 64-bit difference hash (dHash, the classic perceptual image
     * fingerprint): decode → 9×8 mean-luminance grid → bit k set when
     * grid(y, x) > grid(y, x+1). Two encodings of the SAME picture —
@@ -170,10 +241,11 @@ object ImageOps {
       // the decode-adjacent hot loop of the whole image-dedup family)
       val xbin = Array.tabulate(w)(x => math.min(gw - 1, x * gw / w))
       val row = new Array[Int](w)
+      val reader = new RowReader(im)
       var y = 0
       while (y < h) {
         val gy = math.min(gh - 1, y * gh / h)
-        im.getRGB(0, y, w, 1, row, 0, w)
+        reader.read(y, row)
         var x = 0
         while (x < w) {
           val gx = xbin(x)
@@ -329,9 +401,10 @@ object ImageOps {
       val ry8 = tab(h, gh, y => (h - 1 - y) * gh / h) // t2/t6 row
       val sums = new Array[Long](8 * gh * gw)
       val row = new Array[Int](w)
+      val reader = new RowReader(im)
       var y = 0
       while (y < h) {
-        im.getRGB(0, y, w, 1, row, 0, w)
+        reader.read(y, row)
         val r0 = y8(y) * gw; val r2 = ry8(y) * gw
         val c1 = ry9(y); val c3 = y9(y)
         var x = 0
