@@ -126,8 +126,100 @@ object PlanAudit {
           }
           normed.unpersist()
         }
+      case "img" =>
+        // single-threaded image codec microbench — isolates per-image
+        // decode/encode/kernel cost from executor-level host contention
+        // (the r19-opt lesson: whole-process cpu-seconds on this host
+        // inflate up to 10x under steal, so micro-level codec changes
+        // need a contention-free measurement).
+        val n = if (args.length > 2) args(2).toInt else 2000
+        val I = graft.multimodal.ImageOps
+        val small = graft.multimodal.ImageFixtures.blockImage(42L) // 288x192
+        val bigIm = {
+          val b = new java.awt.image.BufferedImage(1400, 1000,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = b.createGraphics()
+          try { g.drawImage(small, 0, 0, 1400, 1000, null) } finally g.dispose()
+          b
+        }
+        val smallJpg = I.encodeJpeg(small, 0.9f)
+        val bigJpg = I.encodeJpeg(bigIm, 0.9f)
+        def time(label: String, reps: Int)(body: => Unit): Unit = {
+          var i = 0; while (i < math.min(reps, 200)) { body; i += 1 } // warmup
+          val t0 = System.nanoTime()
+          i = 0; while (i < reps) { body; i += 1 }
+          System.err.println(f"[img] $label: ${(System.nanoTime() - t0) / 1e3 / reps}%.1f us/op ($reps ops)")
+        }
+        time("decode small jpg", n) { I.decode(smallJpg) }
+        time("decode big jpg", n / 10) { I.decode(bigJpg) }
+        val smallDec = I.decode(smallJpg).get
+        val bigDec = I.decode(bigJpg).get
+        time("dHash grid (small, decoded)", n) { I.dHash(smallJpg) }
+        time("transformGrids small", n) { I.dHashCanonical(smallJpg) }
+        time("encode small q65", n) { I.encodeJpeg(smallDec, 0.65f) }
+        time("encode big q65", n / 10) { I.encodeJpeg(bigDec, 0.65f) }
+        time("resize+encode big (foto shape)", n / 10) {
+          I.encodeJpeg(I.boundedResize(bigDec, 1024), 0.65f)
+        }
+      case "imgab" =>
+        // INTERLEAVED A/B of codec-path variants in one JVM: alternating
+        // A/B blocks with min-of-blocks per side, so host contention
+        // (which on this box swings whole runs 3-10x) hits both sides
+        // symmetrically and the DELTA stays meaningful.
+        val n = if (args.length > 2) args(2).toInt else 500
+        val I = graft.multimodal.ImageOps
+        val small = graft.multimodal.ImageFixtures.blockImage(42L)
+        val smallJpg = I.encodeJpeg(small, 0.9f)
+        val smallDec = I.decode(smallJpg).get
+        import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+        def encodeFresh(im: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+          val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+          val params = writer.getDefaultWriteParam
+          params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+          params.setCompressionQuality(q)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try { writer.setOutput(ios); writer.write(null, new IIOImage(im, null, null), params) }
+          finally { ios.close(); writer.dispose() }
+          bos.toByteArray
+        }
+        def block(body: => Unit): Double = {
+          val t0 = System.nanoTime(); var i = 0
+          while (i < n) { body; i += 1 }
+          (System.nanoTime() - t0) / 1e3 / n
+        }
+        def ab(label: String, blocks: Int)(a: => Unit)(b: => Unit): Unit = {
+          var bestA = Double.MaxValue; var bestB = Double.MaxValue
+          var k = 0
+          while (k < blocks) {
+            bestA = math.min(bestA, block(a))
+            bestB = math.min(bestB, block(b))
+            k += 1
+          }
+          System.err.println(f"[imgab] $label: A=$bestA%.1f us/op  B=$bestB%.1f us/op  B/A=${bestB / bestA}%.3f")
+        }
+        def encodeNormalized(im: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+          // the pre-r19-opt path: copy any non-INT_RGB input to INT_RGB first
+          val c = new java.awt.image.BufferedImage(im.getWidth, im.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = c.createGraphics(); try g.drawImage(im, 0, 0, null) finally g.dispose()
+          encodeFresh(c, q)
+        }
+        // byte-identity checks, before timing: (a) encoding the decoder's
+        // native TYPE_3BYTE_BGR directly equals encoding its INT_RGB copy
+        // (the r19-opt encodeJpeg change banks on it); (b) ImageOps'
+        // encoder equals the local reference.
+        require(java.util.Arrays.equals(encodeNormalized(smallDec, 0.65f), I.encodeJpeg(smallDec, 0.65f)),
+          "direct 3BYTE_BGR encode and normalized-copy encode bytes differ")
+        require(java.util.Arrays.equals(encodeFresh(small, 0.65f), I.encodeJpeg(small, 0.65f)),
+          "ImageOps encoder and local reference bytes differ")
+        ab("encode 3BYTE_BGR q65 (A normalize-copy, B direct)", 6)(
+          encodeNormalized(smallDec, 0.65f))(I.encodeJpeg(smallDec, 0.65f))
+        ab("decode small (A useCache=true, B false)", 6)(
+          { ImageIO.setUseCache(true); I.decode(smallJpg); ImageIO.setUseCache(false) })(
+          I.decode(smallJpg))
       case other =>
-        System.err.println(s"unknown mode '$other' (plans | explain | time | bpe | sem)")
+        System.err.println(s"unknown mode '$other' (plans | explain | time | bpe | sem | img | imgab)")
     }
     spark.stop()
   }

@@ -75,9 +75,16 @@ object ImageOps {
   }
 
   def encodeJpeg(im: BufferedImage, quality: Float): Array[Byte] = {
-    // JPEG writer rejects alpha; normalize to RGB first.
+    // JPEG writer rejects alpha; normalize those to RGB first. The two
+    // alpha-free types the pipeline actually meets pass through
+    // untouched: TYPE_INT_RGB, and TYPE_3BYTE_BGR — what the JPEG/PNG
+    // DECODER hands back, which the writer consumes natively (same RGB
+    // channel values → same YCbCr DCT input → byte-identical JPEG,
+    // require()-checked in PlanAudit's imgab harness), and measurably
+    // faster than paying a full-image drawImage copy first.
     val rgb =
-      if (im.getType == BufferedImage.TYPE_INT_RGB) im
+      if (im.getType == BufferedImage.TYPE_INT_RGB ||
+        im.getType == BufferedImage.TYPE_3BYTE_BGR) im
       else {
         val c = new BufferedImage(im.getWidth, im.getHeight, BufferedImage.TYPE_INT_RGB)
         val g = c.createGraphics(); try g.drawImage(im, 0, 0, null) finally g.dispose()
