@@ -35,7 +35,12 @@ object PlanAudit {
     val spark = Sessions.local("8", "8")
     mode match {
       case "plans" =>
-        Queries.all.filter(q => auditSet(q.name)).foreach { q =>
+        // optional third arg: comma-separated substrings overriding the
+        // standing audit set (r19-opt: per-query before/after dumps)
+        val wanted: String => Boolean =
+          if (names.isEmpty) auditSet
+          else (n: String) => names.exists(n.contains)
+        Queries.all.filter(q => wanted(q.name)).foreach { q =>
           println(s"\n================= ${q.name} =================")
           println(q.run(spark, sfDir).queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
@@ -161,6 +166,28 @@ object PlanAudit {
         time("resize+encode big (foto shape)", n / 10) {
           I.encodeJpeg(I.boundedResize(bigDec, 1024), 0.65f)
         }
+      case "scale" =>
+        // regenerate the sf1 synthetic replication outside a full Bench
+        // sweep (dev loops at SPARK_GRAFT_SF_DIR=target/scale/sf1 need
+        // it): same generator, same fingerprint marker as Bench's sf1
+        // stage, so a subsequent full sweep sees it fresh and skips.
+        val dst = if (args.length > 2) args(2) else "target/scale/sf1"
+        val factor = if (args.length > 3) args(3).toInt else 10
+        val t0 = System.nanoTime()
+        ScaleUp.generate(spark, sfDir, dst, factor)
+        val srcFp = {
+          val dir = new java.io.File(sfDir)
+          val files = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          val lines = s"n=${files.length}" +:
+            files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.digest(lines.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dst, "_SCALE_SRC"), s"$sfDir|$factor|$srcFp\n")
+        System.err.println(f"[audit] scale: $dst = $sfDir x$factor in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "imgab" =>
         // INTERLEAVED A/B of codec-path variants in one JVM: alternating
         // A/B blocks with min-of-blocks per side, so host contention
@@ -218,6 +245,41 @@ object PlanAudit {
         ab("decode small (A useCache=true, B false)", 6)(
           { ImageIO.setUseCache(true); I.decode(smallJpg); ImageIO.setUseCache(false) })(
           I.decode(smallJpg))
+        // resize-surface probe: is bilinear drawImage into TYPE_3BYTE_BGR
+        // pixel-identical to the INT_RGB path? (If yes, boundedResize
+        // could emit the encoder's native layout; if no, that change is
+        // off the table — the fixture resize variants must stay stable.)
+        locally {
+          val src = {
+            val b = new java.awt.image.BufferedImage(1400, 1000,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = b.createGraphics()
+            try g.drawImage(small, 0, 0, 1400, 1000, null) finally g.dispose()
+            I.decode(I.encodeJpeg(b, 0.9f)).get // 3BYTE_BGR, photo-ish content
+          }
+          def resizeInto(tp: Int): java.awt.image.BufferedImage = {
+            val out = new java.awt.image.BufferedImage(1024, 731, tp)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, 1024, 731, null)
+            } finally g.dispose()
+            out
+          }
+          val a = resizeInto(java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val b = resizeInto(java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val pa = a.getRGB(0, 0, 1024, 731, null, 0, 1024)
+          val pb = b.getRGB(0, 0, 1024, 731, null, 0, 1024)
+          var diff = 0
+          var i2 = 0
+          while (i2 < pa.length) { if (pa(i2) != pb(i2)) diff += 1; i2 += 1 }
+          System.err.println(s"[imgab] resize surface probe: ${pa.length} px, $diff differ " +
+            s"(INT_RGB vs 3BYTE_BGR bilinear)")
+          ab("resize+encode big (A via INT_RGB, B via 3BYTE_BGR)", 4)(
+            I.encodeJpeg(resizeInto(java.awt.image.BufferedImage.TYPE_INT_RGB), 0.65f))(
+            I.encodeJpeg(resizeInto(java.awt.image.BufferedImage.TYPE_3BYTE_BGR), 0.65f))
+        }
       case other =>
         System.err.println(s"unknown mode '$other' (plans | explain | time | bpe | sem | img | imgab)")
     }

@@ -137,8 +137,20 @@ object AvOps {
   private def fftPower(x: Array[Double]): Array[Double] = {
     var n = 1
     while (n < x.length) n <<= 1
-    val re = java.util.Arrays.copyOf(x, n)
-    val im = new Array[Double](n)
+    fftPowerCore(java.util.Arrays.copyOf(x, n), new Array[Double](n),
+      new Array[Double](math.max(n / 2, 1)))
+  }
+
+  /** The radix-2 core over CALLER-OWNED buffers: `re` holds the
+    * zero-padded input (destroyed), `im` must be zeroed, `p` receives
+    * |X[k]|². Identical arithmetic and loop order to the allocating
+    * form — [[FpAccum]] reuses one buffer set across a clip's windows
+    * (the per-window 2×window double allocations were ~GB-scale GC
+    * churn per million windows at sf1).
+    */
+  private def fftPowerCore(re: Array[Double], im: Array[Double],
+      p: Array[Double]): Array[Double] = {
+    val n = re.length
     var j = 0
     var i = 1
     while (i < n) { // bit-reversal permutation
@@ -174,7 +186,6 @@ object AvOps {
       }
       len <<= 1
     }
-    val p = new Array[Double](math.max(n / 2, 1))
     var k = 0
     while (k < p.length) { p(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
     p
@@ -404,12 +415,23 @@ object AvOps {
     private var wFill = 0
     private var prev: Array[Double] = null
     private val fps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // one FFT scratch set per clip, reused across its windows (window is
+    // a power of two, so no padding; re gets the copy fftPower would
+    // have allocated, im is re-zeroed per call) — identical arithmetic,
+    // zero steady-state allocation
+    private val fftRe = new Array[Double](window)
+    private val fftIm = new Array[Double](window)
+    private val fftP = new Array[Double](math.max(window / 2, 1))
+    private val eCur = new Array[Double](65)
+    private val ePrev = new Array[Double](65)
     def push(v: Double): Boolean = {
       win(wFill) = v
       wFill += 1
       if (wFill == window) {
-        val p = fftPower(win)
-        val e = new Array[Double](65)
+        System.arraycopy(win, 0, fftRe, 0, window)
+        java.util.Arrays.fill(fftIm, 0.0)
+        val p = fftPowerCore(fftRe, fftIm, fftP)
+        val e = if (prev eq eCur) ePrev else eCur
         var b = 0
         while (b < 65) {
           var k = edges(b)
@@ -430,8 +452,8 @@ object AvOps {
         }
         prev = e
         // overlapped hop: slide the analysis window forward by `hop`
-        // samples (hop == window is the non-overlapping default;
-        // fftPower copies, so the buffer survives)
+        // samples (hop == window is the non-overlapping default; the
+        // FFT ran on the fftRe copy, so the buffer survives)
         System.arraycopy(win, hop, win, 0, window - hop)
         wFill = window - hop
       }
